@@ -1,0 +1,111 @@
+"""Scalar column helpers — the engine's F-layer (SURVEY §2.8).
+
+All are pure ``pyspark.sql.functions`` compositions (JVM-side, codegen'd);
+no Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_composite_id(df: DataFrame, primary_id: str, session_id: str,
+                      composite_id: str = "customID") -> DataFrame:
+    """Derive ``customID = str(primary) + '_' + str(session)`` at load time
+    (reference: file_handling/csv_utils.py:461-465 materializes this into the
+    CSV on disk; we derive lazily instead — sources are never rewritten)."""
+    return df.withColumn(
+        composite_id,
+        F.concat_ws("_", F.col(primary_id).cast("string"), F.col(session_id).cast("string")),
+    )
+
+
+def site_whole_word_match(col: Column, values: list[str]) -> Column:
+    """Whole-word containment over a multi-valued site/substudy string,
+    OR-joined across values (reference: query/query_secure.py:101-117 —
+    ``(' ' || col || ' ') LIKE '% <v> %'``).
+
+    The reference separates multi-valued entries with spaces in its own
+    fixtures but the rockland fixture uses ``;`` — normalize common
+    separators (``,``/``;``) to spaces first, then space-pad and match.
+    """
+    normalized = F.regexp_replace(col.cast("string"), r"[,;]", " ")
+    padded = F.concat(F.lit(" "), normalized, F.lit(" "))
+    cond = F.lit(False)
+    for v in values:
+        cond = cond | padded.like(f"% {v} %")
+    return cond
+
+
+# Boolean value vocabulary (reference: query/helpers/data_formatters.py:40-47).
+_TRUE_VALUES = {"true", "yes", "1", "1.0", "t", "y"}
+_FALSE_VALUES = {"false", "no", "0", "0.0", "f", "n"}
+
+
+def coerce_bool_value(value) -> bool:
+    """Coerce ``Yes/No/1/0/True/False`` (any case, str or number) to bool."""
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s in _TRUE_VALUES:
+        return True
+    if s in _FALSE_VALUES:
+        return False
+    raise ValueError(f"cannot coerce {value!r} to bool")
+
+
+# Session-label normalization (reference: analysis/export.py:117-148).
+# Table-driven: canonical label per recognized raw form; unrecognized labels
+# are sanitized-uppercased.
+_SESSION_LABEL_MAP = {
+    "1": "BAS1", "1.0": "BAS1", "v1": "BAS1", "visit1": "BAS1", "bas1": "BAS1",
+    "2": "BAS2", "2.0": "BAS2", "v2": "BAS2", "visit2": "BAS2", "bas2": "BAS2",
+    "3": "BAS3", "3.0": "BAS3", "v3": "BAS3", "visit3": "BAS3", "bas3": "BAS3",
+    "baseline": "BAS", "bas": "BAS",
+    "followup": "FLU", "flu": "FLU",
+    "followup1": "FLU1", "flu1": "FLU1",
+    "followup2": "FLU2", "flu2": "FLU2",
+    "12mo": "FLU12", "12month": "FLU12",
+    "24mo": "FLU24", "24month": "FLU24",
+}
+
+
+def normalize_session_label(raw) -> str:
+    """Driver-side normalization of one session label (used to name pivoted
+    columns — label cardinality is bounded, so this runs on a collected
+    distinct list, never per row)."""
+    s = str(raw).strip()
+    mapped = _SESSION_LABEL_MAP.get(s.lower())
+    if mapped:
+        return mapped
+    return re.sub(r"[^0-9A-Za-z_]", "_", s).upper()
+
+
+def fixed_point_sum(col: Column, scale: int = 1_000_000) -> Column:
+    """Order-independent (bit-deterministic) sum of a double column.
+
+    Floating sums depend on partition/merge order, so a distributed SUM can
+    differ from a single-threaded oracle in the last ulps. We pin semantics
+    by summing a fixed-point integer view: ``SUM(CAST(ROUND(x*scale, 0) AS
+    BIGINT)) / scale``. Both Spark and DuckDB round half-away-from-zero for
+    ``ROUND(double, 0)`` and integer sums are exact, so the result is
+    bit-identical regardless of execution order. Equivalent oracle SQL::
+
+        SUM(CAST(ROUND(x * <scale>, 0) AS BIGINT)) / <scale>.0
+
+    Overflow headroom: |x|·scale·rows must stay < 2^63 (~9.2e18) — at the
+    100 TB tier use ``F.sum(col.cast('decimal(38,6)'))`` instead (Spark
+    decimal aggregation is exact and unbounded-order-safe; kept out of the
+    oracle path only because cross-engine double→decimal cast rounding is
+    not pinned by any standard).
+    """
+    return F.sum(F.round(col * F.lit(float(scale)), 0).cast("bigint")) / F.lit(float(scale))
+
+
+def numeric_coerce(col: Column) -> Column:
+    """``pd.to_numeric(errors='coerce')`` semantics: non-parsable → NULL
+    (reference: metadata.py:160, statistics.py:141)."""
+    return col.cast("double")

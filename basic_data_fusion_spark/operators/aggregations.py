@@ -1,0 +1,154 @@
+"""Aggregation layer (SURVEY §2.4): counts, breakdowns, summaries, reports.
+
+Spark-native re-expression of the reference's demographics/report queries
+(reference: analysis/demographics.py:21-252, analysis/filtering.py:96-505).
+Everything here returns lazy DataFrames; callers trigger actions. The
+filtering report caches the base relation once and reuses it per step —
+replacing the reference's N full CSV re-reads per report.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_distinct_keys(df: DataFrame, key: str) -> DataFrame:
+    """A1 — THE core live metric (reference: query/query_secure.py:289-325).
+    Exact (not approx): the correctness oracle hash-matches values. At the
+    interactive 100 TB tier, pair with ``approx_count_distinct`` behind a
+    flag."""
+    return df.agg(F.countDistinct(key).alias("n_participants"))
+
+
+def min_max(df: DataFrame, column: str) -> DataFrame:
+    """A2 (reference: analysis/demographics.py:77-87)."""
+    return df.agg(F.min(column).alias(f"min_{column}"), F.max(column).alias(f"max_{column}"))
+
+
+def groupby_count_distinct(df: DataFrame, group_col: str, key: str) -> DataFrame:
+    """A3 — e.g. sex breakdown (reference: analysis/demographics.py:88-98)."""
+    return (df.groupBy(group_col)
+              .agg(F.countDistinct(key).alias("n_participants"))
+              .orderBy(group_col))
+
+
+def distinct_ordered(df: DataFrame, column: str, cap: int | None = None) -> DataFrame:
+    """A4/S5 — ordered distinct non-null values, optionally capped
+    (reference: analysis/demographics.py:100-122; statistics.py:82-85)."""
+    out = (df.select(column).where(F.col(column).isNotNull())
+             .distinct().orderBy(column))
+    return out.limit(cap) if cap else out
+
+
+def top_k_categories(df: DataFrame, column: str, k: int = 5) -> DataFrame:
+    """O4 — value_counts().head(k) with a deterministic tie-break on the
+    category value (pandas value_counts breaks ties by first-seen order,
+    which is not reproducible distributed — we pin value order instead)."""
+    return (df.groupBy(column).agg(F.count(F.lit(1)).alias("n"))
+              .orderBy(F.desc("n"), F.asc(column)).limit(k))
+
+
+def demographics_breakdown(df: DataFrame, key: str, age_col: str | None = None,
+                           sex_col: str | None = None, session_col: str | None = None) -> dict:
+    """A1+A2+A3+A4 composite (reference: analysis/demographics.py:21-132).
+    Returns dict of lazy DataFrames; caller collects the bounded results."""
+    out: dict[str, DataFrame] = {"count": count_distinct_keys(df, key)}
+    if age_col:
+        out["age_range"] = min_max(df, age_col)
+    if sex_col:
+        out["by_sex"] = groupby_count_distinct(df, sex_col, key)
+    if session_col:
+        out["sessions"] = distinct_ordered(df, session_col)
+    return out
+
+
+# ---------------- A5: descriptive column summary ----------------
+
+def numeric_summary(df: DataFrame, columns: list[str]) -> DataFrame:
+    """A5 numeric half (reference: analysis/demographics.py:135-252): one row
+    per column with non-null count, missing count/%, mean, median (exact),
+    std (sample), min, max. Single aggregation pass over all columns, then a
+    driver-side unpivot of the one result row (bounded by column count)."""
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__total")]
+    for c in columns:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.count(col).alias(f"n__{c}"),
+            F.avg(col).alias(f"mean__{c}"),
+            F.expr(f"percentile(CAST(`{c}` AS DOUBLE), 0.5)").alias(f"median__{c}"),
+            F.stddev_samp(col).alias(f"std__{c}"),
+            F.min(col).alias(f"min__{c}"),
+            F.max(col).alias(f"max__{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    total_n = row["__total"]
+    spark = df.sparkSession
+    data = []
+    for c in columns:
+        n = row[f"n__{c}"] or 0
+        # raw (unrounded) percentages: integer-derived IEEE division is
+        # bit-deterministic across engines, rounded display is a UI concern
+        data.append((c, n, total_n - n,
+                     (100.0 * (total_n - n)) / total_n if total_n else 0.0,
+                     row[f"mean__{c}"], row[f"median__{c}"], row[f"std__{c}"],
+                     row[f"min__{c}"], row[f"max__{c}"]))
+    return spark.createDataFrame(
+        data, "column string, n_non_null long, n_missing long, pct_missing double, "
+              "mean double, median double, std double, min double, max double")
+
+
+def categorical_summary(df: DataFrame, columns: list[str], top_k: int = 5) -> DataFrame:
+    """A5 categorical half: per column, distinct count + top-k values.
+    One groupBy per column (columns are few; each is a narrow agg)."""
+    spark = df.sparkSession
+    parts = []
+    for c in columns:
+        topk = top_k_categories(df.where(F.col(c).isNotNull()), c, top_k)
+        stats = df.agg(
+            F.count(c).alias("n_non_null"),
+            F.countDistinct(c).alias("n_unique"),
+        ).first()
+        vals = topk.collect()
+        parts.append((c, stats["n_non_null"], stats["n_unique"],
+                      [str(r[c]) for r in vals], [r["n"] for r in vals]))
+    return spark.createDataFrame(
+        parts, "column string, n_non_null long, n_unique long, "
+               "top_values array<string>, top_counts array<long>")
+
+
+# ---------------- A13 / §2.10: filtering-impact report ----------------
+
+def filter_impact_report(base_df: DataFrame, key: str,
+                         steps: list[tuple[str, Column]]) -> DataFrame:
+    """Cumulative filter-impact table (reference: analysis/filtering.py:96-322):
+    one row per step with remaining / removed counts and removal %.
+
+    ``steps`` is the ordered [(label, predicate)] list — the reference's fixed
+    order substudy → session → age → behavioral. The base relation should be
+    ``.cache()``d by the caller; each step is one countDistinct over the
+    cached plan instead of the reference's full re-read per step.
+    """
+    spark = base_df.sparkSession
+    baseline = base_df.select(key).agg(F.countDistinct(key)).first()[0]
+    rows = [("baseline", baseline, 0, 0.0, 0.0)]
+    preds: list[Column] = []
+    prev = baseline
+    for label, pred in steps:
+        preds.append(pred)
+        remaining = (base_df.filter(reduce(and_, preds))
+                     .agg(F.countDistinct(key)).first()[0])
+        removed = prev - remaining
+        # raw doubles (not rounded): integer-derived IEEE division is
+        # bit-deterministic across engines; rounding is a display concern
+        pct = (100.0 * removed) / prev if prev else 0.0
+        cum_pct = (100.0 * (baseline - remaining)) / baseline if baseline else 0.0
+        rows.append((label, remaining, removed, pct, cum_pct))
+        prev = remaining
+    return spark.createDataFrame(
+        rows, "step string, n_remaining long, n_removed long, "
+              "pct_removed double, cum_pct_removed double")
