@@ -131,6 +131,61 @@ def q_filter_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter_impact_report(base, "c_custkey", steps)
 
 
+def q_enwiden_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 enwiden on the long-format events table: user_id = participant,
+    event_type = session label, value pivoted first-non-null by event_id."""
+    from basic_data_fusion_spark.operators.reshape import enwiden
+
+    ev = _catalog(spark, sf_dir).load("events").select("user_id", "event_type", "event_id", "value")
+    return enwiden(ev, pid="user_id", session_col="event_type",
+                   order_col="event_id", value_cols=["value"])
+
+
+def q_baseline_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+A8: pivot lineitem quantity by line number (labels 1/2/3 → BAS1-3
+    via the session-label map), then consolidate to one _BAS column
+    preferring the highest-numbered non-null."""
+    from basic_data_fusion_spark.operators.reshape import consolidate_baseline, enwiden
+
+    li = (_catalog(spark, sf_dir).load("lineitem")
+          .where(F.col("l_linenumber") <= 3)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+    wide = enwiden(li, pid="l_orderkey", session_col="l_linenumber",
+                   order_col="l_partkey", value_cols=["l_quantity"])
+    return consolidate_baseline(wide)
+
+
+def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 deterministic tier: per-column n / missing / mean / median / min /
+    max for customer+lineitem numerics. Mean via fixed-point sum and median
+    via exact percentile rounded to 4 (2-decimal source data → the round is
+    identity on true values, only kills cross-engine ulp drift)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    out = None
+    for table, cols in (("customer", ["c_acctbal"]),
+                        ("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])):
+        df = cat.load(table)
+        total = df.count()
+        for c in cols:
+            col = F.col(c).cast("double")
+            one = df.agg(
+                F.count(col).alias("n_non_null"),
+                (fixed_point_sum(col) / F.count(col)).alias("mean"),
+                F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias("median"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+            ).select(
+                F.lit(f"{table}.{c}").alias("column"),
+                "n_non_null",
+                (F.lit(total) - F.col("n_non_null")).alias("n_missing"),
+                "mean", "median", "min", "max",
+            )
+            out = one if out is None else out.unionByName(one)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -141,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_segments": q_top_segments,
         "numeric_ranges_lineitem": q_numeric_ranges_lineitem,
         "filter_impact": q_filter_impact,
+        "enwiden_events": q_enwiden_events,
+        "baseline_consolidation": q_baseline_consolidation,
+        "column_summary": q_column_summary,
     }
 
 
@@ -225,5 +283,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'order_status', s3.n, s2.n - s3.n,
                    (100.0 * (s2.n - s3.n)) / s2.n,
                    (100.0 * (b.n - s3.n)) / b.n FROM b, s1, s2, s3
+        """,
+        "enwiden_events": """
+            SELECT user_id,
+                   first(value ORDER BY event_id, value) FILTER (WHERE event_type = 'click'    AND value IS NOT NULL) AS value_CLICK,
+                   first(value ORDER BY event_id, value) FILTER (WHERE event_type = 'error'    AND value IS NOT NULL) AS value_ERROR,
+                   first(value ORDER BY event_id, value) FILTER (WHERE event_type = 'purchase' AND value IS NOT NULL) AS value_PURCHASE,
+                   first(value ORDER BY event_id, value) FILTER (WHERE event_type = 'signup'   AND value IS NOT NULL) AS value_SIGNUP,
+                   first(value ORDER BY event_id, value) FILTER (WHERE event_type = 'view'     AND value IS NOT NULL) AS value_VIEW
+            FROM events GROUP BY user_id
+        """,
+        "baseline_consolidation": """
+            SELECT l_orderkey,
+                   COALESCE(q3, q2, q1) AS l_quantity_BAS
+            FROM (
+              SELECT l_orderkey,
+                     first(l_quantity ORDER BY l_partkey, l_quantity)
+                       FILTER (WHERE l_linenumber = 1 AND l_quantity IS NOT NULL) AS q1,
+                     first(l_quantity ORDER BY l_partkey, l_quantity)
+                       FILTER (WHERE l_linenumber = 2 AND l_quantity IS NOT NULL) AS q2,
+                     first(l_quantity ORDER BY l_partkey, l_quantity)
+                       FILTER (WHERE l_linenumber = 3 AND l_quantity IS NOT NULL) AS q3
+              FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_orderkey
+            )
+        """,
+        "column_summary": """
+            SELECT 'customer.c_acctbal' AS "column",
+                   COUNT(c_acctbal) AS n_non_null,
+                   (SELECT COUNT(*) FROM customer) - COUNT(c_acctbal) AS n_missing,
+                   SUM(CAST(ROUND(c_acctbal * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(c_acctbal) AS mean,
+                   ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median,
+                   MIN(c_acctbal) AS min, MAX(c_acctbal) AS max
+            FROM customer
+            UNION ALL
+            SELECT 'lineitem.' || c AS "column", n_non_null, n_missing, mean, median, min, max
+            FROM (
+              SELECT 'l_quantity' AS c, COUNT(l_quantity) AS n_non_null,
+                     (SELECT COUNT(*) FROM lineitem) - COUNT(l_quantity) AS n_missing,
+                     SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_quantity) AS mean,
+                     ROUND(quantile_cont(l_quantity, 0.5), 4) AS median,
+                     MIN(l_quantity) AS min, MAX(l_quantity) AS max
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', COUNT(l_extendedprice),
+                     (SELECT COUNT(*) FROM lineitem) - COUNT(l_extendedprice),
+                     SUM(CAST(ROUND(l_extendedprice * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_extendedprice),
+                     ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+                     MIN(l_extendedprice), MAX(l_extendedprice)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', COUNT(l_discount),
+                     (SELECT COUNT(*) FROM lineitem) - COUNT(l_discount),
+                     SUM(CAST(ROUND(l_discount * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_discount),
+                     ROUND(quantile_cont(l_discount, 0.5), 4),
+                     MIN(l_discount), MAX(l_discount)
+              FROM lineitem
+            )
         """,
     }

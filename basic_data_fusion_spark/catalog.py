@@ -32,6 +32,18 @@ from .functions.scalars import with_composite_id
 NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
 
+def _timestamp_ns_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (unsupported by Spark)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema
+                if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        return []
+
+
 def is_numeric_dtype(dtype: str) -> bool:
     d = dtype.lower()
     return any(d.startswith(t) for t in NUMERIC_TYPES)
@@ -119,7 +131,15 @@ class Catalog:
             if path.endswith(".csv"):
                 df = self.spark.read.option("header", True).option("inferSchema", True).csv(path)
             else:
+                ns_cols = _timestamp_ns_columns(path)
+                if ns_cols:
+                    # Spark has no nanosecond timestamps: read NANOS columns
+                    # as epoch-ns longs (legacy conf) and truncate to a
+                    # microsecond TimestampType column.
+                    self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = self.spark.read.parquet(path)
+                for c in ns_cols:
+                    df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
             self._df_cache[name] = df
         df = self._df_cache[name]
         if derive_composite:

@@ -32,6 +32,9 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     # Pivot width guard (enwiden can produce many session columns).
     "spark.sql.pivotMaxValues": "100000",
+    # Read parquet TIMESTAMP(NANOS) as long; Catalog converts to a
+    # microsecond timestamp column at load (Spark has no ns timestamps).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

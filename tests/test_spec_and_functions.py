@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import pytest
+
+from basic_data_fusion_spark.functions.scalars import (
+    coerce_bool_value,
+    normalize_session_label,
+)
+from basic_data_fusion_spark.plans.spec import (
+    BehavioralFilter,
+    DemographicFilters,
+    QuerySpec,
+)
+
+
+def test_toml_round_trip():
+    spec = QuerySpec(
+        tables=["orders", "nation"],
+        demographic=DemographicFilters(age_range=(18.0, 65.0),
+                                       substudies=["Discovery"],
+                                       sessions=["BAS1", "BAS2"]),
+        behavioral=[
+            BehavioralFilter("orders", "o_totalprice", "range", (0.0, 100.0)),
+            BehavioralFilter("orders", "o_orderstatus", "categorical", ["O"]),
+            BehavioralFilter("flags", "is_active", "boolean", True),
+        ],
+        selected_columns={"orders": ["o_orderkey"], "nation": ["n_name"]},
+        enwiden=True,
+    )
+    back = QuerySpec.from_toml(spec.to_toml())
+    assert back == spec
+
+
+def test_bad_filter_type_rejected():
+    with pytest.raises(ValueError):
+        BehavioralFilter("t", "c", "fuzzy", 1)
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("Yes", True), ("no", False), ("1", True), ("0", False),
+    (1.0, True), (0, False), (True, True), ("T", True), ("n", False),
+])
+def test_bool_coercion(raw, expected):
+    # reference: query/helpers/data_formatters.py:40-47
+    assert coerce_bool_value(raw) is expected
+
+
+def test_bool_coercion_rejects_garbage():
+    with pytest.raises(ValueError):
+        coerce_bool_value("maybe")
+
+
+@pytest.mark.parametrize("raw,expected", [
+    ("1", "BAS1"), ("1.0", "BAS1"), ("visit1", "BAS1"), ("v2", "BAS2"),
+    ("BAS3", "BAS3"), ("baseline", "BAS"), ("followup1", "FLU1"),
+    ("Custom Session-2", "CUSTOM_SESSION_2"),
+])
+def test_session_label_map(raw, expected):
+    # reference: analysis/export.py:117-148
+    assert normalize_session_label(raw) == expected
+
+
+def test_site_whole_word_match(spark):
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.functions.scalars import site_whole_word_match
+
+    rows = [("A", "Discovery Longitudinal"), ("B", "Discovery;Longitudinal"),
+            ("C", "DiscoveryX"), ("D", "Longitudinal"), ("E", None)]
+    df = spark.createDataFrame(rows, "id string, all_studies string")
+    hit = df.filter(site_whole_word_match(F.col("all_studies"), ["Discovery"]))
+    assert sorted(r["id"] for r in hit.collect()) == ["A", "B"]  # not the substring C
