@@ -186,6 +186,50 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    cat = _catalog(spark, sf_dir)
+    for t in tables:
+        cat.load(t).createOrReplaceTempView(t)
+
+
+def _det_sql():
+    from basic_data_fusion_spark.operators import deterministic_sql as ds
+    return {
+        "pearson_corr": ds.pearson_corr_sql("lineitem", [
+            # scales sized to each term's magnitude (see pearson_corr_sql)
+            dict(x="l_quantity", y="l_extendedprice",
+                 sx=1e6, sy=1e4, sxx=1e4, syy=1.0, sxy=1e2),
+            dict(x="l_quantity", y="l_discount",
+                 sx=1e6, sy=1e8, sxx=1e4, syy=1e10, sxy=1e8),
+            dict(x="l_extendedprice", y="l_discount",
+                 sx=1e4, sy=1e8, sxx=1.0, syy=1e10, sxy=1e4),
+        ]),
+        "spearman_corr": ds.spearman_corr_sql("lineitem", "l_quantity", "l_discount"),
+        "ols_regression": ds.ols_regression_sql("lineitem", "l_quantity", "l_extendedprice"),
+        "anova_acctbal_by_segment": ds.anova_sql("customer", "c_mktsegment", "c_acctbal"),
+        "histogram_acctbal": ds.histogram_sql("customer", "c_acctbal", bins=10),
+        "quality_audit_orders": ds.quality_audit_sql(
+            "orders", "o_orderkey",
+            ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]),
+    }
+
+
+def _make_det_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+        return spark.sql(sql)
+    return run
+
+
+def q_dist_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 distribution statistics — deterministic tier; the only
+    engine-specific token is the exact-quantile function name."""
+    from basic_data_fusion_spark.operators.deterministic_sql import dist_stats_sql
+
+    _register_views(spark, sf_dir, ["customer"])
+    return spark.sql(dist_stats_sql("customer", "c_acctbal", "percentile"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -199,11 +243,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enwiden_events": q_enwiden_events,
         "baseline_consolidation": q_baseline_consolidation,
         "column_summary": q_column_summary,
+        "dist_stats_acctbal": q_dist_stats_acctbal,
+        **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from basic_data_fusion_spark.operators.deterministic_sql import dist_stats_sql
+
+    det = dict(_det_sql())  # shared text: the oracle runs the same SQL
+    det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
     return {
+        **det,
         "flagship_merge": f"""
             SELECT demo.c_custkey, demo.c_name, demo.c_nationkey, demo.c_acctbal,
                    demo.c_mktsegment, orders.o_orderkey, orders.o_totalprice,

@@ -107,5 +107,7 @@ def fixed_point_sum(col: Column, scale: int = 1_000_000) -> Column:
 
 def numeric_coerce(col: Column) -> Column:
     """``pd.to_numeric(errors='coerce')`` semantics: non-parsable → NULL
-    (reference: metadata.py:160, statistics.py:141)."""
-    return col.cast("double")
+    (reference: metadata.py:160, statistics.py:141). ``try_cast`` is
+    required — Spark 4 runs ANSI mode by default, where a plain cast of a
+    malformed string THROWS instead of yielding NULL."""
+    return col.try_cast("double")

@@ -1,0 +1,226 @@
+"""Deterministic cross-engine SQL fragments (the oracle-verifiable tier).
+
+Distributed floating-point aggregation is order-dependent: a SUM of
+doubles on 32 partitions differs from a single-threaded oracle by ulps,
+which breaks value-hash verification. This module builds statistics
+queries from a restricted SQL dialect that BOTH Spark SQL and a
+single-node ANSI engine (DuckDB) evaluate bit-identically:
+
+- every cross-row reduction is a **fixed-point sum**:
+  ``SUM(CAST(ROUND(expr * s, 0) AS BIGINT)) / s`` — integer addition is
+  associative, so partitioning order cannot change the result;
+- all scalar arithmetic is plain IEEE double ops with identical
+  expression trees on both sides;
+- only common-dialect constructs (CTEs, window RANK/COUNT, CASE,
+  LEAST/FLOOR/SQRT/ABS) are used.
+
+The price is a quantization of inputs at 1/s — pick ``s`` so that
+|expr|·s·rows stays under 2^63 (documented per call site). The engine's
+fast tier (stats.py: F.corr, stddev_samp, …) remains the default for
+interactive use; these fragments are for verification and any workload
+that needs reproducible-to-the-bit results.
+
+Each builder returns ONE sql string; the Spark side runs it with
+``spark.sql`` over temp views, the oracle runs the same text.
+"""
+
+from __future__ import annotations
+
+
+def lit(x: float) -> str:
+    """Double literal for the shared dialect. Spark parses ``1000000.0`` as
+    DECIMAL(8,1) while DuckDB parses it as DOUBLE — an explicit CAST keeps
+    both engines in IEEE double arithmetic."""
+    return f"CAST({float(x)!r} AS DOUBLE)"
+
+
+def fs(expr: str, scale: float) -> str:
+    """Fixed-point (order-independent) sum of ``expr`` quantized at 1/scale."""
+    s = lit(scale)
+    return f"SUM(CAST(ROUND(({expr}) * {s}, 0) AS BIGINT)) / {s}"
+
+
+def pearson_corr_sql(table: str, pairs: list[dict]) -> str:
+    """Single-row query with one ``corr_<x>_<y>`` column per pair.
+    r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)).
+
+    Each pair dict: {x, y, sx, sy, sxx, syy, sxy} — per-term fixed-point
+    scales. Pick each so the quantization step (1/s) is ≪ the term's
+    magnitude AND |term|·s·rows < 2^63: a 0.05-valued discount column needs
+    s≈1e8 where a 1e5-valued price column needs s≈1e4."""
+    cols = []
+    for p in pairs:
+        x, y = p["x"], p["y"]
+        n = f"COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END)"
+        sx = fs(f"CASE WHEN {y} IS NOT NULL THEN {x} END", p["sx"])
+        sy = fs(f"CASE WHEN {x} IS NOT NULL THEN {y} END", p["sy"])
+        sxx = fs(f"CASE WHEN {y} IS NOT NULL THEN {x} * {x} END", p["sxx"])
+        syy = fs(f"CASE WHEN {x} IS NOT NULL THEN {y} * {y} END", p["syy"])
+        sxy = fs(f"{x} * {y}", p["sxy"])
+        cols.append(
+            f"(({n}) * ({sxy}) - ({sx}) * ({sy})) / "
+            f"(SQRT(({n}) * ({sxx}) - ({sx}) * ({sx})) * "
+            f"SQRT(({n}) * ({syy}) - ({sy}) * ({sy}))) AS corr_{x}_{y}")
+    return f"SELECT {', '.join(cols)} FROM {table}"
+
+
+def spearman_corr_sql(table: str, x: str, y: str) -> str:
+    """Spearman rho = Pearson on average ranks. Ranks are half-integers, so
+    scale 2/4 makes the fixed-point sums EXACT (no quantization at all).
+    Rank windows sort globally — this is the verification tier; the fast
+    tier uses the same formula over distributed rank approximations."""
+    return f"""
+WITH p AS (
+  SELECT {x} AS x, {y} AS y FROM {table}
+  WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+),
+r AS (
+  SELECT
+    RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / CAST(2.0 AS DOUBLE) AS rx,
+    RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / CAST(2.0 AS DOUBLE) AS ry
+  FROM p
+)
+SELECT
+  ((COUNT(*)) * ({fs('rx * ry', 4)}) - ({fs('rx', 2)}) * ({fs('ry', 2)})) /
+  (SQRT((COUNT(*)) * ({fs('rx * rx', 4)}) - ({fs('rx', 2)}) * ({fs('rx', 2)})) *
+   SQRT((COUNT(*)) * ({fs('ry * ry', 4)}) - ({fs('ry', 2)}) * ({fs('ry', 2)}))) AS spearman_rho
+FROM r
+"""
+
+
+def ols_regression_sql(table: str, x: str, y: str,
+                       scale_x: float = 1e6, scale_y: float = 1e4,
+                       scale_xx: float = 1e4, scale_yy: float = 1.0,
+                       scale_xy: float = 1e2) -> str:
+    """Single-row OLS: slope, intercept, r, r_squared, n (reference T1
+    computes these with scipy.linregress; identical closed form)."""
+    n = f"COUNT(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END)"
+    sx = fs(f"CASE WHEN {y} IS NOT NULL THEN {x} END", scale_x)
+    sy = fs(f"CASE WHEN {x} IS NOT NULL THEN {y} END", scale_y)
+    sxx = fs(f"CASE WHEN {y} IS NOT NULL THEN {x} * {x} END", scale_xx)
+    syy = fs(f"CASE WHEN {x} IS NOT NULL THEN {y} * {y} END", scale_yy)
+    sxy = fs(f"{x} * {y}", scale_xy)
+    return f"""
+WITH s AS (
+  SELECT CAST({n} AS DOUBLE) AS n, {sx} AS sx, {sy} AS sy,
+         {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
+  FROM {table}
+)
+SELECT
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+  (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS r,
+  ((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) *
+  ((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) AS r_squared,
+  CAST(n AS BIGINT) AS n
+FROM s
+"""
+
+
+def anova_sql(table: str, group_col: str, value_col: str,
+              scale_v: float = 1e6, scale_vv: float = 1e2,
+              scale_term: float = 1e2) -> str:
+    """One-way ANOVA table: F, dfs, SS decomposition, eta². Per-group and
+    grand sums are fixed-point; the cross-group reduction of
+    n·(mean−grand)² is fixed-point again so group iteration order cannot
+    matter."""
+    v, g = value_col, group_col
+    return f"""
+WITH grand AS (
+  SELECT CAST(COUNT({v}) AS DOUBLE) AS n,
+         ({fs(v, scale_v)}) / COUNT({v}) AS mean,
+         {fs(f'{v} * {v}', scale_vv)} AS s2
+  FROM {table} WHERE {v} IS NOT NULL AND {g} IS NOT NULL
+),
+grp AS (
+  SELECT {g} AS grp, CAST(COUNT({v}) AS DOUBLE) AS n,
+         ({fs(v, scale_v)}) / COUNT({v}) AS mean
+  FROM {table} WHERE {v} IS NOT NULL AND {g} IS NOT NULL
+  GROUP BY {g}
+),
+parts AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         {fs('grp.n * (grp.mean - grand.mean) * (grp.mean - grand.mean)', scale_term)} AS ss_between
+  FROM grp CROSS JOIN grand
+),
+sums AS (
+  SELECT parts.k AS k, grand.n AS n, parts.ss_between AS ss_between,
+         grand.s2 - grand.n * grand.mean * grand.mean AS ss_total
+  FROM parts CROSS JOIN grand
+)
+SELECT
+  (ss_between / (k - 1)) / ((ss_total - ss_between) / (n - k)) AS f_statistic,
+  CAST(k - 1 AS BIGINT) AS df_between,
+  CAST(n - k AS BIGINT) AS df_within,
+  ss_between AS ss_between,
+  ss_total - ss_between AS ss_within,
+  ss_total AS ss_total,
+  ss_between / ss_total AS eta_squared
+FROM sums
+"""
+
+
+def histogram_sql(table: str, column: str, bins: int = 10) -> str:
+    """Fixed-width histogram with data-derived [lo, hi] and a closed last
+    bin — mirrors stats.histogram's arithmetic exactly."""
+    c = column
+    return f"""
+WITH b AS (
+  SELECT MIN(CAST({c} AS DOUBLE)) AS lo, MAX(CAST({c} AS DOUBLE)) AS hi
+  FROM {table} WHERE {c} IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((CAST({c} AS DOUBLE) - b.lo) / ((b.hi - b.lo) / {bins})) AS INT),
+               {bins - 1}) AS bin,
+         b.lo AS lo, (b.hi - b.lo) / {bins} AS width
+  FROM {table} CROSS JOIN b
+  WHERE {c} IS NOT NULL
+)
+SELECT bin,
+       MIN(lo) + bin * MIN(width) AS bin_start,
+       MIN(lo) + (bin + 1) * MIN(width) AS bin_end,
+       COUNT(*) AS n
+FROM binned GROUP BY bin
+"""
+
+
+def quality_audit_sql(table: str, key: str, columns: list[str]) -> str:
+    """Single-row audit: row count, missing per column, duplicate keys,
+    fully-duplicate rows (all integer aggregates → trivially exact)."""
+    miss = ", ".join(
+        f"COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_missing_{c}" for c in columns)
+    col_list = ", ".join(columns)
+    return f"""
+SELECT COUNT(*) AS n_rows,
+       {miss},
+       COUNT(*) - COUNT(DISTINCT {key}) AS n_duplicate_keys,
+       COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT {col_list} FROM {table}) AS d)
+         AS n_duplicate_rows
+FROM {table}
+"""
+
+
+def dist_stats_sql(table: str, column: str, percentile_fn: str,
+                   scale_v: float = 1e6, scale_vv: float = 1e2) -> str:
+    """Distribution stats (T2): n, mean, sample std/var, min/max/range,
+    quartiles, IQR. ``percentile_fn`` is the only engine-specific part:
+    'percentile' (Spark) vs 'quantile_cont' (DuckDB); both are exact
+    linear-interpolation quantiles, rounded to 4 to kill interpolation
+    ulp differences."""
+    c = column
+    mean = f"(({fs(c, scale_v)}) / COUNT({c}))"
+    s2 = fs(f"{c} * {c}", scale_vv)
+    var = f"(({s2}) - COUNT({c}) * {mean} * {mean}) / (COUNT({c}) - 1)"
+    return f"""
+SELECT CAST(COUNT({c}) AS BIGINT) AS n,
+       {mean} AS mean,
+       {var} AS variance,
+       SQRT({var}) AS std,
+       MIN({c}) AS min, MAX({c}) AS max,
+       MAX({c}) - MIN({c}) AS range,
+       ROUND({percentile_fn}({c}, 0.25), 4) AS q25,
+       ROUND({percentile_fn}({c}, 0.5), 4) AS median,
+       ROUND({percentile_fn}({c}, 0.75), 4) AS q75,
+       ROUND({percentile_fn}({c}, 0.75), 4) - ROUND({percentile_fn}({c}, 0.25), 4) AS iqr
+FROM {table} WHERE {c} IS NOT NULL
+"""

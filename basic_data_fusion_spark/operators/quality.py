@@ -1,0 +1,114 @@
+"""Data-quality audit + profiling (SURVEY §2.4 A10-A12).
+
+Spark-native re-expression of reference: analysis/statistics.py:263-492
+(quality audit, data profile) and pages/profiling.py:279-345
+(ydata-profiling handoff). All scans are single-pass aggregations; only
+bounded results reach the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import is_numeric_dtype
+from .stats import column_statistics, correlation_matrix, uniform_sample
+
+# Missing-percentage severity tiers (reference: statistics.py:283-299).
+SEVERITY_HIGH = 50.0
+SEVERITY_MED = 20.0
+
+
+def missing_report(df: DataFrame) -> DataFrame:
+    """Per-column missing count/% with severity (one aggregation pass)."""
+    spark = df.sparkSession
+    total = df.count()
+    if total == 0:
+        return spark.createDataFrame([], "column string, n_missing long, pct_missing double, severity string")
+    row = df.agg(*[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]).first()
+    data = []
+    for c in df.columns:
+        miss = row[c]
+        pct = (100.0 * miss) / total
+        sev = "high" if pct > SEVERITY_HIGH else ("medium" if pct > SEVERITY_MED else "low")
+        data.append((c, miss, pct, sev))
+    return spark.createDataFrame(data, "column string, n_missing long, pct_missing double, severity string")
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """Keys appearing more than once (reference: statistics.py:321-335
+    ``duplicated().sum()`` on primary/composite IDs)."""
+    return (df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).orderBy(key))
+
+
+def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """One-row DF with the number of fully-duplicated rows. groupBy (not
+    countDistinct) so NULL-containing rows compare equal, matching pandas
+    ``duplicated()`` (countDistinct silently drops rows with any NULL)."""
+    cols = subset or df.columns
+    per_group = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+    return per_group.agg(
+        F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n_duplicate_rows"))
+
+
+def mixed_type_columns(df: DataFrame, string_cols: list[str] | None = None) -> DataFrame:
+    """String columns that are partially numeric (cast-null-delta;
+    reference: statistics.py:376-399 detects mixed numeric/text)."""
+    spark = df.sparkSession
+    cols = string_cols or [c for c, t in df.dtypes if t == "string"]
+    if not cols:
+        return spark.createDataFrame([], "column string, n_values long, n_numeric long, mixed boolean")
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"n__{c}"))
+        # try_cast: ANSI-mode cast would THROW on the non-numeric values we
+        # are here to count (pd.to_numeric errors='coerce' semantics)
+        aggs.append(F.count(F.col(c).try_cast("double")).alias(f"num__{c}"))
+    row = df.agg(*aggs).first()
+    data = []
+    for c in cols:
+        n, num = row[f"n__{c}"], row[f"num__{c}"]
+        data.append((c, n, num, bool(0 < num < n)))
+    return spark.createDataFrame(data, "column string, n_values long, n_numeric long, mixed boolean")
+
+
+def quality_audit(df: DataFrame, key: str | None = None) -> dict:
+    """Composite audit (reference: statistics.py:263-406)."""
+    out: dict = {"missing": missing_report(df)}
+    if key and key in df.columns:
+        out["duplicate_keys"] = duplicate_keys(df, key)
+    out["duplicate_rows"] = duplicate_row_count(df)
+    out["mixed_types"] = mixed_type_columns(df)
+    return out
+
+
+def data_profile(df: DataFrame, sample_n: int | None = None, seed: int = 42,
+                 corr_threshold: float = 0.7) -> dict:
+    """A11: per-column extended stats + correlations + audit, optionally on
+    a uniform sample (reference: statistics.py:409-492)."""
+    work = uniform_sample(df, sample_n, seed) if sample_n else df
+    numeric = [c for c, t in work.dtypes if is_numeric_dtype(t)]
+    profile = {
+        "n_rows": work.count(),
+        "columns": {c: column_statistics(work, c) for c in numeric},
+        "quality": quality_audit(work),
+    }
+    if len(numeric) >= 2:
+        corr = correlation_matrix(work, numeric, "pearson")
+        profile["correlations"] = corr
+        profile["high_correlations"] = corr.filter(F.abs(F.col("corr")) > corr_threshold)
+    return profile
+
+
+def profiling_report(df: DataFrame, sample_n: int = 5000, minimal: bool = True,
+                     seed: int = 42):
+    """A12: ydata-profiling HTML report on a bounded Arrow-collected sample
+    (explicitly a driver-side op, reference: pages/profiling.py:279-345).
+    Falls back to ``data_profile`` when ydata-profiling isn't installed."""
+    try:
+        from ydata_profiling import ProfileReport
+    except Exception:
+        return data_profile(df, sample_n=sample_n, seed=seed)
+    pdf = uniform_sample(df, sample_n, seed).toPandas()
+    return ProfileReport(pdf, minimal=minimal)

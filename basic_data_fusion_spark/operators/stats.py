@@ -1,0 +1,364 @@
+"""Statistics layer (SURVEY §2.4 A6/A9-A12 and §2.9 T1-T10).
+
+Two tiers:
+
+- **Fast tier** (this module's default): built-in JVM aggregates
+  (``F.corr``, ``F.skewness``, ``percentile``/``percentile_approx``,
+  ``ml.stat.Correlation``) — whole-stage-codegen'd, one pass, the path for
+  interactive 100 TB use.
+- **Deterministic tier** (``deterministic_sql.py``): shared SQL fragments
+  evaluated identically by Spark and a single-node oracle, for
+  hash-verifiable results (fixed-point sums → bit-identical under any
+  partitioning).
+
+scipy-dependent steps (p-values, normality, KDE) follow the reference's own
+discipline of bounding the data first (reference: pages/plotting.py:1293
+caps Shapiro at n≤5000): aggregate distributed, collect the bounded
+result, finish on the driver. scipy is import-gated — statistics that need
+it raise a clear error when unavailable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # scipy is optional: p-values/normality/KDE only
+    from scipy import stats as _scipy_stats
+except Exception:  # pragma: no cover
+    _scipy_stats = None
+
+
+def _require_scipy():
+    if _scipy_stats is None:
+        raise ImportError("scipy is required for p-values/normality/KDE")
+
+
+# ---------------- A6: extended column statistics ----------------
+
+def nan_to_null(c):
+    """NaN → NULL. pandas-born frames carry NaN where the reference means
+    'missing'; Spark aggregates would otherwise count NaN as present and
+    poison means."""
+    d = c.cast("double")
+    return F.nanvl(d, F.lit(None).cast("double"))
+
+
+def column_statistics(df: DataFrame, column: str) -> dict:
+    """Extended stats for one numeric column (reference:
+    analysis/statistics.py:105-187): count/nulls/unique, moments, exact
+    quartiles, IQR outlier count via 1.5×IQR fences. Two bounded passes
+    (stats, then outlier count against computed fences)."""
+    c = nan_to_null(F.col(column))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(c).alias("n"),
+        F.countDistinct(c).alias("n_unique"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("std"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.skewness(c).alias("skewness"),
+        F.kurtosis(c).alias("kurtosis"),
+        F.expr(f"percentile(nanvl(CAST(`{column}` AS DOUBLE), CAST(NULL AS DOUBLE)), "
+               f"array(0.25, 0.5, 0.75))").alias("q"),
+    ).first()
+    q25, median, q75 = (row["q"] or [None, None, None])
+    out = {
+        "column": column, "n": row["n"], "n_missing": row["n_rows"] - row["n"],
+        "pct_missing": (100.0 * (row["n_rows"] - row["n"])) / row["n_rows"] if row["n_rows"] else 0.0,
+        "n_unique": row["n_unique"], "mean": row["mean"], "std": row["std"],
+        "min": row["min"], "max": row["max"], "skewness": row["skewness"],
+        "kurtosis": row["kurtosis"], "q25": q25, "median": median, "q75": q75,
+        "iqr": (q75 - q25) if q25 is not None and q75 is not None else None,
+    }
+    if out["iqr"] is not None:
+        lo, hi = q25 - 1.5 * out["iqr"], q75 + 1.5 * out["iqr"]
+        out["n_outliers"] = df.filter((c < lo) | (c > hi)).count()
+        out["outlier_fences"] = (lo, hi)
+    else:
+        out["n_outliers"], out["outlier_fences"] = 0, None
+    return out
+
+
+# ---------------- A9/T7: correlation matrix ----------------
+
+def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson") -> DataFrame:
+    """Pairwise correlation (reference: analysis/statistics.py:190-260).
+    pearson/spearman run distributed; kendall needs a bounded sample via
+    ``kendall_tau_sample``. Output: one row per (col_i, col_j) pair with
+    i < j. Pairwise-complete semantics (each pair drops its own nulls),
+    matching pandas ``df.corr(min_periods=...)``."""
+    if method not in ("pearson", "spearman"):
+        raise ValueError("use kendall_tau_sample for kendall")
+    spark = df.sparkSession
+    work = df
+    if method == "spearman":
+        # average-rank transform per column, then Pearson on the ranks
+        from pyspark.sql import Window
+        for c in columns:
+            w = Window.orderBy(F.col(c))
+            work = work.withColumn(
+                f"__rk_{c}",
+                F.when(F.col(c).isNotNull(),
+                       F.rank().over(w) + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0))
+        cols = [f"__rk_{c}" for c in columns]
+    else:
+        cols = columns
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+                        .alias(f"{a}||{b}"))
+    row = work.agg(*aggs).first()
+    data = []
+    for i, a in enumerate(columns):
+        for j, b in enumerate(columns):
+            if i < j:
+                key = f"{cols[i]}||{cols[j]}"
+                data.append((a, b, float(row[key]) if row[key] is not None else None))
+    return spark.createDataFrame(data, "col_a string, col_b string, corr double")
+
+
+def high_correlation_pairs(corr_df: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """|r| > threshold pair extraction (reference: statistics.py:466-482)."""
+    return corr_df.filter(F.abs(F.col("corr")) > threshold)
+
+
+def kendall_tau_sample(df: DataFrame, col_a: str, col_b: str, max_n: int = 5000,
+                       seed: int = 42) -> float:
+    """Kendall's tau on a bounded sample (no distributed built-in; the
+    reference itself runs scipy on collected frames)."""
+    _require_scipy()
+    pdf = _bounded_sample(df.select(col_a, col_b).na.drop(), max_n, seed).toPandas()
+    tau, _ = _scipy_stats.kendalltau(pdf[col_a], pdf[col_b])
+    return float(tau)
+
+
+def _bounded_sample(df: DataFrame, max_n: int, seed: int) -> DataFrame:
+    n = df.count()
+    if n <= max_n:
+        return df
+    return df.sample(fraction=min(1.0, 1.05 * max_n / n), seed=seed).limit(max_n)
+
+
+# ---------------- T1: OLS simple regression ----------------
+
+@dataclass
+class RegressionResult:
+    slope: float
+    intercept: float
+    r: float
+    r_squared: float
+    std_err: float
+    p_value: float | None
+    n: int
+
+
+def linear_regression(df: DataFrame, x: str, y: str) -> RegressionResult:
+    """Closed-form OLS via distributed aggregates (reference:
+    pages/plotting.py:1195-1247 uses scipy.linregress on collected data;
+    the sufficient statistics are exact one-pass aggregates, so only the
+    p-value needs scipy, computed from r and n on the driver)."""
+    xc, yc = nan_to_null(F.col(x)), nan_to_null(F.col(y))
+    pair = df.select(xc.alias("x"), yc.alias("y")).na.drop()
+    row = pair.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.covar_samp("x", "y").alias("sxy"), F.var_samp("x").alias("sxx"),
+        F.var_samp("y").alias("syy"), F.corr("x", "y").alias("r"),
+    ).first()
+    n, sxx, syy, sxy, r = row["n"], row["sxx"], row["syy"], row["sxy"], row["r"]
+    slope = sxy / sxx if sxx else float("nan")
+    intercept = row["my"] - slope * row["mx"]
+    r2 = r * r if r is not None else float("nan")
+    std_err = float("nan")
+    if n > 2 and sxx:
+        resid_var = (syy - slope * sxy) * (n - 1) / (n - 2)
+        std_err = math.sqrt(max(resid_var, 0.0) / ((n - 1) * sxx))
+    p = None
+    if _scipy_stats is not None and n > 2 and std_err and not math.isnan(std_err) and std_err > 0:
+        t = slope / std_err
+        p = float(2.0 * _scipy_stats.t.sf(abs(t), n - 2))
+    return RegressionResult(slope, intercept, r, r2, std_err, p, n)
+
+
+# ---------------- T2: distribution statistics ----------------
+
+def distribution_stats(df: DataFrame, column: str) -> dict:
+    """Mean/median/std/var (ddof=1)/skew/kurtosis(excess)/min/max/range/
+    quartiles/IQR (reference: pages/plotting.py:1257-1346)."""
+    s = column_statistics(df, column)
+    s["variance"] = s["std"] ** 2 if s["std"] is not None else None
+    s["range"] = (s["max"] - s["min"]) if s["max"] is not None else None
+    return s
+
+
+# ---------------- T3: normality tests (bounded + scipy) ----------------
+
+def normality_tests(df: DataFrame, column: str, max_n: int = 5000, seed: int = 42) -> dict:
+    """Shapiro-Wilk (3≤n≤5000) + Anderson-Darling (n≥8) on a bounded
+    sample (reference: pages/plotting.py:1291-1316)."""
+    _require_scipy()
+    vals = [r[0] for r in _bounded_sample(
+        df.select(F.col(column).cast("double")).na.drop(), max_n, seed).collect()]
+    out: dict = {"n": len(vals)}
+    if 3 <= len(vals) <= 5000:
+        w, p = _scipy_stats.shapiro(vals)
+        out["shapiro"] = {"statistic": float(w), "p_value": float(p)}
+    if len(vals) >= 8:
+        ad = _scipy_stats.anderson(vals)
+        crit = dict(zip(ad.significance_level.tolist(), ad.critical_values.tolist()))
+        out["anderson"] = {"statistic": float(ad.statistic),
+                           "critical_5pct": crit.get(5.0)}
+    return out
+
+
+# ---------------- T4: KDE curve ----------------
+
+def kde_curve(df: DataFrame, column: str, bandwidth: str | float = "scott",
+              factor: float = 1.0, grid_points: int = 300,
+              max_n: int = 50_000, seed: int = 42) -> tuple[list, list]:
+    """Gaussian KDE over a bounded sample, 300-pt grid (reference:
+    pages/plotting.py:1119-1150)."""
+    _require_scipy()
+    import numpy as np
+
+    vals = np.array([r[0] for r in _bounded_sample(
+        df.select(F.col(column).cast("double")).na.drop(), max_n, seed).collect()])
+    if len(vals) < 2:
+        return [], []
+    bw = bandwidth if isinstance(bandwidth, str) else bandwidth
+    kde = _scipy_stats.gaussian_kde(vals, bw_method=bw)
+    kde.set_bandwidth(kde.factor * factor)
+    grid = np.linspace(vals.min(), vals.max(), grid_points)
+    return grid.tolist(), kde(grid).tolist()
+
+
+# ---------------- T5/T6: ANOVA + pairwise t-tests ----------------
+
+def one_way_anova(df: DataFrame, group_col: str, value_col: str) -> dict:
+    """Full ANOVA table from per-group aggregates (reference:
+    pages/plotting.py:1356-1429): F from closed-form SS decomposition,
+    p via scipy on the driver. One distributed pass."""
+    v = nan_to_null(F.col(value_col))
+    groups = (df.where(v.isNotNull() & F.col(group_col).isNotNull())
+              .groupBy(group_col)
+              .agg(F.count(v).alias("n"), F.avg(v).alias("mean"),
+                   F.stddev_samp(v).alias("std"), F.min(v).alias("min"),
+                   F.max(v).alias("max"),
+                   F.sum(v).alias("sum"), F.sum(v * v).alias("sum2"))
+              .collect())
+    k = len(groups)
+    n_total = sum(g["n"] for g in groups)
+    if k < 2 or n_total <= k:
+        return {"error": "need ≥2 groups and n > k"}
+    grand_sum = sum(g["sum"] for g in groups)
+    grand_mean = grand_sum / n_total
+    ss_between = sum(g["n"] * (g["mean"] - grand_mean) ** 2 for g in groups)
+    ss_total = sum(g["sum2"] for g in groups) - n_total * grand_mean ** 2
+    ss_within = ss_total - ss_between
+    df_between, df_within = k - 1, n_total - k
+    ms_between, ms_within = ss_between / df_between, ss_within / df_within
+    f_stat = ms_between / ms_within if ms_within > 0 else float("inf")
+    p = None
+    if _scipy_stats is not None:
+        p = float(_scipy_stats.f.sf(f_stat, df_between, df_within))
+    return {
+        "f_statistic": f_stat, "p_value": p,
+        "df_between": df_between, "df_within": df_within, "df_total": n_total - 1,
+        "ss_between": ss_between, "ss_within": ss_within, "ss_total": ss_total,
+        "ms_between": ms_between, "ms_within": ms_within,
+        "eta_squared": ss_between / ss_total if ss_total > 0 else None,
+        "groups": {g[group_col]: {"n": g["n"], "mean": g["mean"], "std": g["std"],
+                                  "min": g["min"], "max": g["max"]} for g in groups},
+    }
+
+
+def pairwise_t_tests(df: DataFrame, group_col: str, value_col: str,
+                     bonferroni: bool = True) -> list[dict]:
+    """Independent two-sample t-tests per group pair with pooled std,
+    Cohen's d, Bonferroni correction (reference: pages/plotting.py:1431-1466).
+    Group sufficient statistics come from one distributed pass."""
+    v = nan_to_null(F.col(value_col))
+    groups = (df.where(v.isNotNull() & F.col(group_col).isNotNull())
+              .groupBy(group_col)
+              .agg(F.count(v).alias("n"), F.avg(v).alias("mean"),
+                   F.var_samp(v).alias("var"))
+              .orderBy(group_col).collect())
+    names = [g[group_col] for g in groups]
+    k = len(names) * (len(names) - 1) // 2
+    out = []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            a, b = groups[i], groups[j]
+            n1, n2 = a["n"], b["n"]
+            if n1 < 2 or n2 < 2:
+                continue
+            sp2 = ((n1 - 1) * a["var"] + (n2 - 1) * b["var"]) / (n1 + n2 - 2)
+            se = math.sqrt(sp2 * (1 / n1 + 1 / n2)) if sp2 > 0 else float("nan")
+            t = (a["mean"] - b["mean"]) / se if se and not math.isnan(se) else float("nan")
+            d = (a["mean"] - b["mean"]) / math.sqrt(sp2) if sp2 > 0 else float("nan")
+            p = None
+            if _scipy_stats is not None and not math.isnan(t):
+                p = float(2.0 * _scipy_stats.t.sf(abs(t), n1 + n2 - 2))
+                if bonferroni:
+                    p = min(p * k, 1.0)
+            out.append({"group_a": names[i], "group_b": names[j], "t": t,
+                        "p_value": p, "cohens_d": d,
+                        "mean_diff": a["mean"] - b["mean"], "n_a": n1, "n_b": n2})
+    return out
+
+
+# ---------------- T8/T9: histograms ----------------
+
+def histogram(df: DataFrame, column: str, bins: int = 10,
+              lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Fixed-width binning as a groupBy (JVM-side; reference delegates to
+    plotly). Returns (bin, bin_start, bin_end, n); last bin closed."""
+    c = F.col(column).cast("double")
+    if lo is None or hi is None:
+        r = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
+        lo = lo if lo is not None else r["lo"]
+        hi = hi if hi is not None else r["hi"]
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bin_expr = F.least(F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"),
+                       F.lit(bins - 1))
+    return (df.where(c.isNotNull() & c.between(lo, hi))
+            .groupBy(bin_expr.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_start"),
+                    (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_end"),
+                    "n")
+            .orderBy("bin"))
+
+
+def density_heatmap_2d(df: DataFrame, col_x: str, col_y: str,
+                       bins_x: int = 20, bins_y: int = 20) -> DataFrame:
+    """2D binned counts (reference: pages/plotting.py:934-949)."""
+    r = df.agg(F.min(F.col(col_x).cast("double")).alias("xlo"),
+               F.max(F.col(col_x).cast("double")).alias("xhi"),
+               F.min(F.col(col_y).cast("double")).alias("ylo"),
+               F.max(F.col(col_y).cast("double")).alias("yhi")).first()
+    wx = (r["xhi"] - r["xlo"]) / bins_x if r["xhi"] > r["xlo"] else 1.0
+    wy = (r["yhi"] - r["ylo"]) / bins_y if r["yhi"] > r["ylo"] else 1.0
+    bx = F.least(F.floor((F.col(col_x).cast("double") - r["xlo"]) / wx).cast("int"), F.lit(bins_x - 1))
+    by = F.least(F.floor((F.col(col_y).cast("double") - r["ylo"]) / wy).cast("int"), F.lit(bins_y - 1))
+    return (df.na.drop(subset=[col_x, col_y])
+            .groupBy(bx.alias("bin_x"), by.alias("bin_y"))
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("bin_x", "bin_y"))
+
+
+# ---------------- T10: uniform sampling ----------------
+
+def uniform_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Seeded sample of ~n rows (reference: statistics.py:430-434 uses
+    pandas df.sample(n, random_state=42); Spark's fraction-based sample is
+    the distributed analogue — exact-n via limit)."""
+    total = df.count()
+    if total <= n:
+        return df
+    return df.sample(fraction=min(1.0, 1.05 * n / total), seed=seed).limit(n)

@@ -1,0 +1,183 @@
+"""Fast-tier statistics vs numpy/pandas ground truth on small data.
+
+scipy is NOT in the runtime image; p-value/normality/KDE/kendall paths are
+import-gated in the engine and skipped here individually.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from basic_data_fusion_spark.operators import quality, stats
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    n = 400
+    x = RNG.normal(50, 10, n)
+    y = 2.5 * x + RNG.normal(0, 5, n)
+    g = RNG.choice(["a", "b", "c"], n)
+    pdf = pd.DataFrame({"x": x, "y": y, "g": g})
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_column_statistics_vs_pandas(num_df):
+    df, pdf = num_df
+    s = stats.column_statistics(df, "x")
+    assert s["n"] == 400 and s["n_missing"] == 0
+    assert s["mean"] == pytest.approx(pdf.x.mean())
+    assert s["std"] == pytest.approx(pdf.x.std(ddof=1))
+    assert s["median"] == pytest.approx(pdf.x.median())
+    assert s["q25"] == pytest.approx(pdf.x.quantile(0.25))
+    # spark skewness/kurtosis are population (biased) g1 / excess g2
+    xc = pdf.x - pdf.x.mean()
+    m2, m3, m4 = (xc ** 2).mean(), (xc ** 3).mean(), (xc ** 4).mean()
+    assert s["skewness"] == pytest.approx(m3 / m2 ** 1.5, abs=1e-9)
+    assert s["kurtosis"] == pytest.approx(m4 / m2 ** 2 - 3, abs=1e-9)
+    # IQR outliers against pandas fences
+    q25, q75 = pdf.x.quantile(0.25), pdf.x.quantile(0.75)
+    iqr = q75 - q25
+    n_out = ((pdf.x < q25 - 1.5 * iqr) | (pdf.x > q75 + 1.5 * iqr)).sum()
+    assert s["n_outliers"] == n_out
+
+
+def test_linear_regression_vs_numpy(num_df):
+    df, pdf = num_df
+    r = stats.linear_regression(df, "x", "y")
+    slope, intercept = np.polyfit(pdf.x, pdf.y, 1)
+    assert r.slope == pytest.approx(slope)
+    assert r.intercept == pytest.approx(intercept)
+    assert r.r == pytest.approx(pdf.x.corr(pdf.y))
+    assert r.r_squared == pytest.approx(pdf.x.corr(pdf.y) ** 2)
+    # stderr closed form: sqrt(mse / Sxx), mse = SSres/(n-2)
+    resid = pdf.y - (slope * pdf.x + intercept)
+    sxx = ((pdf.x - pdf.x.mean()) ** 2).sum()
+    stderr = math.sqrt((resid ** 2).sum() / (len(pdf) - 2) / sxx)
+    assert r.std_err == pytest.approx(stderr, rel=1e-9)
+
+
+def test_anova_vs_numpy(num_df):
+    df, pdf = num_df
+    out = stats.one_way_anova(df, "g", "x")
+    groups = [pdf[pdf.g == k].x.values for k in sorted(pdf.g.unique())]
+    n, k = len(pdf), len(groups)
+    grand = pdf.x.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["f_statistic"] == pytest.approx(f)
+    assert out["ss_between"] == pytest.approx(ssb)
+    assert out["ss_within"] == pytest.approx(ssw, rel=1e-9)
+    assert out["eta_squared"] == pytest.approx(ssb / (ssb + ssw))
+    assert out["df_between"] == k - 1 and out["df_within"] == n - k
+
+
+def test_pairwise_ttests_vs_numpy(num_df):
+    df, pdf = num_df
+    out = stats.pairwise_t_tests(df, "g", "x", bonferroni=False)
+    byp = {(o["group_a"], o["group_b"]): o for o in out}
+    a, b = pdf[pdf.g == "a"].x, pdf[pdf.g == "b"].x
+    n1, n2 = len(a), len(b)
+    sp2 = ((n1 - 1) * a.var(ddof=1) + (n2 - 1) * b.var(ddof=1)) / (n1 + n2 - 2)
+    t = (a.mean() - b.mean()) / math.sqrt(sp2 * (1 / n1 + 1 / n2))
+    assert byp[("a", "b")]["t"] == pytest.approx(t)
+    assert byp[("a", "b")]["cohens_d"] == pytest.approx((a.mean() - b.mean()) / math.sqrt(sp2))
+
+
+def test_correlation_matrix_vs_pandas(num_df):
+    df, pdf = num_df
+    pear = {(r["col_a"], r["col_b"]): r["corr"]
+            for r in stats.correlation_matrix(df, ["x", "y"], "pearson").collect()}
+    assert pear[("x", "y")] == pytest.approx(pdf.x.corr(pdf.y))
+    spear = {(r["col_a"], r["col_b"]): r["corr"]
+             for r in stats.correlation_matrix(df, ["x", "y"], "spearman").collect()}
+    # pandas' spearman path needs scipy (absent) — rank-then-pearson instead
+    ref = pdf.x.rank().corr(pdf.y.rank())
+    assert spear[("x", "y")] == pytest.approx(ref, abs=1e-9)
+
+
+def test_high_correlation_pairs(num_df):
+    df, _ = num_df
+    corr = stats.correlation_matrix(df, ["x", "y"], "pearson")
+    assert stats.high_correlation_pairs(corr, 0.7).count() == 1
+    assert stats.high_correlation_pairs(corr, 0.9999).count() == 0
+
+
+def test_kendall_requires_scipy(num_df):
+    pytest.importorskip("scipy")
+    df, pdf = num_df
+    tau = stats.kendall_tau_sample(df, "x", "y", max_n=1000)
+
+
+def test_scipy_gated_paths_raise_cleanly(num_df):
+    df, _ = num_df
+    try:
+        import scipy  # noqa: F401
+        pytest.skip("scipy present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        stats.normality_tests(df, "x")
+    with pytest.raises(ImportError):
+        stats.kde_curve(df, "x")
+    # regression/anova still work, p-values just absent
+    assert stats.linear_regression(df, "x", "y").p_value is None
+    assert stats.one_way_anova(df, "g", "x")["p_value"] is None
+
+
+def test_histogram_counts(num_df):
+    df, pdf = num_df
+    rows = stats.histogram(df, "x", bins=10).collect()
+    assert sum(r["n"] for r in rows) == len(pdf)
+    np_counts, _ = np.histogram(pdf.x, bins=10)
+    got = {r["bin"]: r["n"] for r in rows}
+    for i, c in enumerate(np_counts):
+        assert got.get(i, 0) == c
+
+
+def test_density_heatmap(num_df):
+    df, pdf = num_df
+    rows = stats.density_heatmap_2d(df, "x", "y", bins_x=5, bins_y=5).collect()
+    assert sum(r["n"] for r in rows) == len(pdf)
+    assert all(0 <= r["bin_x"] < 5 and 0 <= r["bin_y"] < 5 for r in rows)
+
+
+def test_quality_audit(spark):
+    pdf = pd.DataFrame({
+        "id": [1, 2, 2, 3, 4, 4],
+        "v": [1.0, None, None, 3.0, 4.0, 4.0],
+        "s": ["x", "1", "2", "x", "x", "x"],
+    })
+    df = spark.createDataFrame(pdf)
+    miss = {r["column"]: r for r in quality.missing_report(df).collect()}
+    assert miss["v"]["n_missing"] == 2
+    assert miss["v"]["severity"] == "medium"  # 33%
+    dups = quality.duplicate_keys(df, "id").collect()
+    assert {r["id"] for r in dups} == {2, 4}
+    mixed = {r["column"]: r["mixed"] for r in quality.mixed_type_columns(df).collect()}
+    assert mixed["s"] is True
+    ndup = quality.duplicate_row_count(df).first()["n_duplicate_rows"]
+    assert ndup == 1  # (4, 4.0, 'x') appears twice
+
+
+def test_distribution_stats_and_profile(num_df):
+    df, pdf = num_df
+    d = stats.distribution_stats(df, "x")
+    assert d["variance"] == pytest.approx(pdf.x.var(ddof=1))
+    assert d["range"] == pytest.approx(pdf.x.max() - pdf.x.min())
+    prof = quality.data_profile(df.select("x", "y"), sample_n=None)
+    assert prof["n_rows"] == 400
+    assert set(prof["columns"]) == {"x", "y"}
+    assert prof["correlations"].count() == 1
+
+
+def test_uniform_sample_bounds(num_df):
+    df, _ = num_df
+    assert stats.uniform_sample(df, 100).count() <= 100
+    assert stats.uniform_sample(df, 10_000).count() == 400
