@@ -106,29 +106,71 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 # ---------------- tier 3: minhash + LSH ----------------
 
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine min-hash family
+    h_i(x) = (a_i * x + b_i) mod p — derived from the seed via a simple
+    LCG so no RNG state is needed."""
+    params = []
+    state = seed * 2654435761 % MERSENNE31
+    for _ in range(num_hashes):
+        state = (state * 1103515245 + 12345) % MERSENNE31
+        a = state or 1
+        state = (state * 1103515245 + 12345) % MERSENNE31
+        b = state
+        params.append((a, b))
+    return params
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       n: int = 3, num_hashes: int = 64, seed: int = 42) -> DataFrame:
-    """k×min-hash signature per doc: h_i = min over shingles of
-    xxhash64(shingle, seed+i). One pass, no shuffle (per-row expression)."""
+                       n: int = 3, num_hashes: int = 64, seed: int = 42,
+                       parallelism: int | None = None) -> DataFrame:
+    """k×min-hash signature per doc. Each shingle string is xxhash64'd
+    ONCE; the k hash functions are affine transforms of that base hash
+    (h_i = (a_i*h + b_i) mod 2^31-1) — the standard universal-hash
+    min-hash family. The k mins are folded in a SINGLE traversal of the
+    shingle array with a k-wide accumulator (``aggregate`` + ``zip_with``)
+    so the tokenize/shingle/hash pipeline is evaluated once per row, not
+    once per hash function. All intermediates stay < 2^62, safe under
+    ANSI arithmetic.
+
+    Input is repartitioned (default: spark default parallelism) — the
+    expression is CPU-bound, and a single-file parquet source would
+    otherwise pin it to one core."""
+    spark = df.sparkSession
+    nparts = parallelism or spark.sparkContext.defaultParallelism
+    df = df.repartition(nparts)
+
     grams = word_shingles(F.col(text_col), n)
+    p = F.lit(MERSENNE31).cast("long")
+    base = F.transform(grams, lambda s: F.pmod(F.xxhash64(s), p))
 
-    def min_hash(i: int):
-        # closure factory, not a default arg: transform() feeds 2-param
-        # lambdas (element, index) — a defaulted param would be clobbered
-        return F.array_min(F.transform(grams, lambda s: F.xxhash64(s, F.lit(seed + i))))
-
-    sig = F.array(*[min_hash(i) for i in range(num_hashes)])
+    params = _affine_params(num_hashes, seed)
+    ab = F.array(*[F.struct(F.lit(a).cast("long").alias("a"),
+                            F.lit(b).cast("long").alias("b")) for a, b in params])
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base, init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, pr: F.least(m, F.pmod(pr["a"] * h + pr["b"], p))))
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16, num_hashes: int | None = None) -> DataFrame:
     """Band the signature, bucket-join: docs agreeing on ALL rows of any
-    band become candidates. Shuffle key = (band, bucket hash) — tiny."""
-    num_hashes = None  # derived from data below
+    band become candidates. Shuffle key = (band, bucket hash) — tiny.
+
+    The banded relation is persisted: the a/b sides of the self-join
+    would otherwise each re-evaluate the full signature pipeline
+    (the most expensive expression in the dedup ladder) from scratch."""
     sig = signatures
-    first = sig.select(F.size("signature").alias("n")).first()
-    num_hashes = first["n"]
+    if num_hashes is None:
+        first = sig.select(F.size("signature").alias("n")).first()
+        num_hashes = first["n"]
     rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
@@ -139,7 +181,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                                 for r in range(rows_per_band)])).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"))
-    banded = banded.select(id_col, "bb.band", "bb.bucket")
+    banded = banded.select(id_col, "bb.band", "bb.bucket").persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -151,12 +193,22 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         n: int = 3, num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.5, seed: int = 42) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the full
-    scalable near-dup pipeline (candidate generation never enumerates
-    all pairs; verification only touches candidates)."""
+    scalable near-dup pipeline. Verification joins ONLY the candidate
+    pairs back to the per-doc shingle sets (array_intersect per pair);
+    it never enumerates all pairs, so cost is O(candidates), not
+    O(corpus²) — the property that keeps this viable at 100 TB."""
+    sets = df.select(F.col(id_col),
+                     word_shingles(F.col(text_col), n).alias("shingles"))
     cands = lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, n, num_hashes, seed), id_col, bands)
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold=0.0)
-    return (cands.join(exact, ["id_a", "id_b"])
+        minhash_signatures(df, text_col, id_col, n, num_hashes, seed),
+        id_col, bands, num_hashes=num_hashes)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (cands.join(a, "id_a").join(b, "id_b")
+            .withColumn("jaccard",
+                        n_common.cast("double")
+                        / (F.size("sh_a") + F.size("sh_b") - n_common))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -199,8 +251,15 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       max_hamming: int = 3, n: int = 2) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole band join:
     with 4 16-bit bands, any pair within 3 bits agrees on ≥1 whole band —
-    join on (band, band-bits), verify the full distance."""
-    sh = df.select(F.col(id_col), simhash64(F.col(text_col), n).alias("simhash"))
+    join on (band, band-bits), verify the full distance.
+
+    The (id, simhash) relation is repartitioned for CPU parallelism and
+    persisted so the self-join doesn't evaluate the 64-bit vote fold
+    twice."""
+    spark = df.sparkSession
+    sh = (df.repartition(spark.sparkContext.defaultParallelism)
+          .select(F.col(id_col), simhash64(F.col(text_col), n).alias("simhash"))
+          .persist())
     bands = [
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bits"))

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver (one JSON line to stdout).
+
+Runs the engine's headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is materialized through the noop sink — full distributed
+computation, zero driver-collect cost — so the number measures the plan,
+not pandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_merge",        # hub/spoke left joins + filters + projection
+    "participant_count",     # exact COUNT(DISTINCT) over the joined base
+    "filter_impact",         # cumulative filter report (cached base, 4 aggs)
+    "enwiden_events",        # long->wide pivot
+    "baseline_consolidation",  # pivot + coalesce consolidation
+    "column_summary",        # per-column stats (fixed-point mean, exact median)
+    "pearson_corr",          # deterministic correlation SQL tier
+    "quality_audit_orders",  # data-quality audit aggregates
+    "dedup_exact",           # md5 content-hash dedup groups
+    "minhash_dedup",         # MinHash+LSH candidates + exact-jaccard verify
+    "simhash_near_dups",     # simhash banded near-dup join
+    "token_counts",          # text tokenization counters
+    "quality_scores",        # Gopher-style quality features
+    "lang_id",               # stopword-profile language ID
+    "embedding_topk",        # brute-force cosine top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bdf-spark-bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
