@@ -309,6 +309,90 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.99, planes=12)
 
 
+# ---------------------------------------------------------------------------
+# time-window operators over events (streaming-ready batch plans)
+# ---------------------------------------------------------------------------
+
+def q_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.streaming.windows import tumbling_window_agg
+
+    ev = _catalog(spark, sf_dir).load("events")
+    return tumbling_window_agg(ev, "ts", "1 day", keys=["event_type"])
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.streaming.windows import sliding_window_agg
+
+    ev = _catalog(spark, sf_dir).load("events")
+    return sliding_window_agg(ev, "ts", "1 day", "12 hours", keys=["event_type"])
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from basic_data_fusion_spark.streaming.windows import session_window_agg
+
+    ev = _catalog(spark, sf_dir).load("events")
+    return session_window_agg(ev, "ts", "30 minutes", keys=["user_id"])
+
+
+_FP_SUM_VALUE = "SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) / 1000000.0"
+
+_TUMBLING_ORACLE = f"""
+SELECT date_trunc('day', ts) AS window_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_FP_SUM_VALUE} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+# each event belongs to exactly duration/slide = 2 sliding windows; the
+# window starts are the 12h bucket of ts minus 0 or 1 slide
+_SLIDING_ORACLE = f"""
+WITH expanded AS (
+  SELECT e.*,
+         make_timestamp((epoch_us(ts) // 43200000000 - i.i) * 43200000000) AS window_start
+  FROM events e CROSS JOIN (SELECT UNNEST([0, 1]) AS i) i
+)
+SELECT window_start,
+       window_start + INTERVAL 24 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {_FP_SUM_VALUE} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+# gaps-and-islands reconstruction of gap-based session windows
+_SESSIONS_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       {_FP_SUM_VALUE} AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
 _EN_STOP_SQL = "'the','and','of','to','a','in','is','that','it','for'"
 
 _QUALITY_ORACLE = f"""
@@ -457,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "events_tumbling_daily": q_events_tumbling_daily,
+        "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -470,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
     # driver records the weaker rows-only check; recall is pytest-verified.
     return {
         **det,
+        "events_tumbling_daily": _TUMBLING_ORACLE,
+        "events_sliding": _SLIDING_ORACLE,
+        "events_sessions": _SESSIONS_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -1,0 +1,101 @@
+"""Streaming layer: batch/stream parity and watermark plumbing.
+
+The window operators are single expressions that run in both batch and
+Structured Streaming; parity is asserted by executing the SAME plan over
+the sf0.001 events table via Trigger.AvailableNow into a memory sink and
+comparing with the batch result.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_fusion_spark.streaming import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _ts_fix(df):
+    # events.ts is parquet TIMESTAMP(NANOS) → Spark reads an epoch-ns long
+    # (legacy conf, set by the Catalog); truncate to microsecond timestamps
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _events_batch(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _ts_fix(spark.read.parquet(f"{SF}/events.parquet"))
+
+
+def _events_stream(spark, tmp_path):
+    # the file stream source requires a directory — stage the single
+    # parquet file into one
+    import shutil
+
+    d = tmp_path / "events_dir"
+    d.mkdir(exist_ok=True)
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _ts_fix(W.as_stream(spark, str(d)))
+
+
+def test_tumbling_batch_stream_parity(spark, tmp_path):
+    batch = W.tumbling_window_agg(_events_batch(spark), "ts", "1 day",
+                                  keys=["event_type"])
+
+    stream_in = W.with_watermark(_events_stream(spark, tmp_path), "ts", "1 hour")
+    streamed = W.run_available_now(
+        W.tumbling_window_agg(stream_in, "ts", "1 day", keys=["event_type"]),
+        "t_tumbling_parity")
+
+    pd.testing.assert_frame_equal(_norm(batch.toPandas()),
+                                  _norm(streamed.toPandas()))
+
+
+def test_session_batch_stream_parity(spark, tmp_path):
+    batch = W.session_window_agg(_events_batch(spark), "ts", "30 minutes",
+                                 keys=["user_id"])
+
+    stream_in = W.with_watermark(_events_stream(spark, tmp_path), "ts", "1 hour")
+    streamed = W.run_available_now(
+        W.session_window_agg(stream_in, "ts", "30 minutes", keys=["user_id"]),
+        "t_session_parity")
+
+    pd.testing.assert_frame_equal(_norm(batch.toPandas()),
+                                  _norm(streamed.toPandas()))
+
+
+def test_sliding_each_event_in_two_windows(spark):
+    ev = _events_batch(spark)
+    n_events = ev.count()
+    agg = W.sliding_window_agg(ev, "ts", "1 day", "12 hours")
+    total = agg.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * n_events
+
+
+def test_session_window_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (10 min gap)
+        (1, "2024-01-01 02:00:00", 3.0),   # new session (>30 min gap)
+        (2, "2024-01-01 00:00:00", 4.0),   # separate key
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, ts_s string, value double")
+          .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"))
+    out = W.session_window_agg(df, "ts", "30 minutes", keys=["user_id"])
+    got = {(r["user_id"], str(r["session_start"]), r["n_events"])
+           for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00", 2),
+        (1, "2024-01-01 02:00:00", 1),
+        (2, "2024-01-01 00:00:00", 1),
+    }
+    ends = {str(r["session_end"]) for r in out.collect()}
+    # end = last event + gap
+    assert "2024-01-01 00:40:00" in ends and "2024-01-01 02:30:00" in ends
