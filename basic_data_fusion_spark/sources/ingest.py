@@ -1,0 +1,198 @@
+"""CSV ingest: validation, column sanitization, composite-ID derivation.
+
+Spark-native rework of the reference upload pipeline
+(reference: file_handling/csv_utils.py:23-227 validate/process,
+file_handling/security.py:72-186 sanitize_column_names,
+file_handling/security.py:244-297 detect_malicious_content).
+
+Differences by design:
+- validation reads file METADATA plus a bounded byte prefix — never the
+  whole file through the driver (the reference loads full bytes into
+  pandas; at 100 TB that is not an option);
+- sanitization/composite-ID are load-time DataFrame transforms
+  (``toDF``/``withColumn``) — source files are never rewritten (the
+  reference self-heals CSVs in place, merge_strategy.py:137-192);
+- the returned relation is a lazy DataFrame: Catalyst pushes projections
+  and filters into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.scalars import with_composite_id
+
+MAX_SIZE_MB_DEFAULT = 50
+MAX_COLUMNS_DEFAULT = 1000
+SECURITY_SCAN_BYTES = 1 << 20  # bounded prefix for content scanning
+
+# reference: file_handling/security.py:91-96
+SQL_KEYWORDS = {
+    "SELECT", "INSERT", "UPDATE", "DELETE", "DROP", "CREATE", "ALTER",
+    "UNION", "WHERE", "FROM", "JOIN", "HAVING", "GROUP", "ORDER", "BY",
+    "EXEC", "EXECUTE", "SCRIPT", "TRUNCATE", "MERGE", "GRANT", "REVOKE",
+}
+
+# reference: file_handling/security.py:264-275
+SUSPICIOUS_PATTERNS = [
+    (r"<script[^>]*>", "JavaScript code detected"),
+    (r"javascript:", "JavaScript URL detected"),
+    (r"vbscript:", "VBScript URL detected"),
+    (r"data:text/html", "HTML data URL detected"),
+    (r"<\?php", "PHP code detected"),
+    (r"<%.*%>", "Server-side code detected"),
+    (r"union.*select", "SQL injection pattern detected"),
+    (r"drop.*table", "SQL drop statement detected"),
+    (r"exec.*\(", "Executable code pattern detected"),
+]
+
+
+def sanitize_column_name(name: str, index: int = 0) -> str:
+    """One column name → safe identifier.
+    Mirrors reference: file_handling/security.py:98-139 (control/SQL char
+    strip, comment removal, separator folding, keyword prefixing, digit
+    guard)."""
+    s = str(name)
+    s = re.sub(r"[\x00-\x1f\x7f'\"`;\\]", "", s)
+    s = re.sub(r"--.*$", "", s)
+    s = re.sub(r"/\*.*?\*/", "", s)
+    s = re.sub(r"[\s\-\(\)\[\]\{\}\@\#\$\%\^\&\*\+\=\|\?\<\>\,\.\:\/\\]+", "_", s)
+    s = re.sub(r"[^a-zA-Z0-9_]", "", s)
+    s = "_".join(f"FIELD_{w}" if w.upper() in SQL_KEYWORDS else w
+                 for w in s.split("_"))
+    s = re.sub(r"_+", "_", s).strip("_")
+    if not s:
+        s = f"col_{index}"
+    if s[0].isdigit():
+        s = f"col_{s}"
+    return s
+
+
+def sanitize_column_names(columns: list[str]) -> tuple[list[str], dict[str, str]]:
+    """All columns, with uniqueness suffixes (_1, _2, …) on collisions.
+    reference: file_handling/security.py:140-151."""
+    out: list[str] = []
+    mapping: dict[str, str] = {}
+    seen: set[str] = set()
+    for i, col in enumerate(columns):
+        s = sanitize_column_name(col, i)
+        base, k = s, 1
+        while s in seen:
+            s = f"{base}_{k}"
+            k += 1
+        seen.add(s)
+        out.append(s)
+        mapping[str(col)] = s
+    return out, mapping
+
+
+@dataclass
+class ValidationResult:
+    errors: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+
+def validate_csv_path(path: str, max_size_mb: int = MAX_SIZE_MB_DEFAULT,
+                      required_columns: list[str] | None = None,
+                      spark: SparkSession | None = None) -> ValidationResult:
+    """File-level validation: existence, extension, size cap, bounded
+    security scan, and (when a session is given) header checks via a
+    schema-only read. reference: file_handling/csv_utils.py:23-103."""
+    r = ValidationResult()
+    name = os.path.basename(path)
+    if not os.path.isfile(path):
+        r.errors.append(f"File '{name}' does not exist")
+        return r
+    if not name.lower().endswith(".csv"):
+        r.errors.append(f"File '{name}' must be a CSV (.csv extension)")
+    size_mb = os.path.getsize(path) / (1024 * 1024)
+    if size_mb > max_size_mb:
+        r.errors.append(f"File '{name}' too large (maximum {max_size_mb}MB)")
+
+    with open(path, "rb") as f:
+        prefix = f.read(SECURITY_SCAN_BYTES)
+    content = prefix.decode("utf-8", errors="ignore").lower()
+    for pattern, warning in SUSPICIOUS_PATTERNS:
+        if re.search(pattern, content):
+            r.errors.append(f"{warning} in {name}")
+    if prefix.count(b"\x00") > 100:
+        r.errors.append(f"Excessive null bytes in {name}")
+
+    if spark is not None and r.ok:
+        header = spark.read.option("header", True).csv(path).schema
+        cols = [f.name for f in header.fields]
+        if len(cols) > MAX_COLUMNS_DEFAULT:
+            r.errors.append(
+                f"File '{name}' has too many columns (maximum {MAX_COLUMNS_DEFAULT})")
+        # Spark dedupes duplicate headers to c0/c1 suffixes; detect the
+        # reference's duplicate-header error from the raw first line
+        first_line = prefix.split(b"\n", 1)[0].decode("utf-8", errors="ignore")
+        raw = [c.strip().strip('"') for c in first_line.split(",")]
+        if len(raw) != len(set(raw)):
+            dupes = sorted({c for c in raw if raw.count(c) > 1})
+            r.errors.append(
+                f"File '{name}' has duplicate column names: {', '.join(dupes)}")
+        if required_columns:
+            missing = set(required_columns) - set(cols)
+            if missing:
+                r.errors.append(
+                    f"File '{name}' missing required columns: {', '.join(sorted(missing))}")
+    return r
+
+
+def ingest_csv(spark: SparkSession, path: str,
+               primary_id: str | None = None, session_id: str | None = None,
+               composite_id: str = "customID",
+               sanitize: bool = True,
+               max_size_mb: int = MAX_SIZE_MB_DEFAULT,
+               validate: bool = True) -> tuple[DataFrame, ValidationResult]:
+    """Validated, sanitized, composite-keyed CSV relation.
+
+    reference: file_handling/csv_utils.py:145-227 (process_csv_file) +
+    432-484 (composite-ID). The composite id is derived in the plan, not
+    written back."""
+    result = (validate_csv_path(path, max_size_mb, spark=spark)
+              if validate else ValidationResult())
+    if not result.ok:
+        return None, result
+
+    df = (spark.read.option("header", True).option("inferSchema", True)
+          .csv(path))
+    if sanitize:
+        new_cols, mapping = sanitize_column_names(df.columns)
+        renamed = {o: s for o, s in mapping.items() if o != s}
+        if renamed:
+            df = df.toDF(*new_cols)
+            result.warnings.append(
+                f"Sanitized {len(renamed)} column name(s) in "
+                f"'{os.path.basename(path)}'")
+    if primary_id and session_id and primary_id in df.columns \
+            and session_id in df.columns and composite_id not in df.columns:
+        df = with_composite_id(df, primary_id, session_id, composite_id)
+        result.warnings.append(f"Derived composite ID '{composite_id}'")
+    return df, result
+
+
+def ingest_directory(spark: SparkSession, data_dir: str,
+                     **kwargs) -> tuple[dict[str, DataFrame], dict[str, ValidationResult]]:
+    """Scan a directory of CSVs into named relations (table name =
+    filename minus extension). reference: data_handling/metadata.py:32-50."""
+    tables: dict[str, DataFrame] = {}
+    results: dict[str, ValidationResult] = {}
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.lower().endswith(".csv"):
+            continue
+        name = fn[:-4]
+        df, res = ingest_csv(spark, os.path.join(data_dir, fn), **kwargs)
+        results[name] = res
+        if df is not None:
+            tables[name] = df
+    return tables, results

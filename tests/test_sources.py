@@ -1,0 +1,105 @@
+"""Ingest/sink layer: validation, sanitization, composite-ID, export.
+
+Mirrors the reference's semantic edge cases (SURVEY.md §5): duplicate
+headers, SQL-keyword column names, oversized files, composite-ID
+derivation, empty-column drop on export.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_fusion_spark.sources import ingest as I
+from basic_data_fusion_spark.sources import sinks as S
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    (tmp_path / "demographics.csv").write_text(
+        "ursi,session_num,age,Select,bad col!\n"
+        "S1,BAS1,30,x,1\nS1,BAS2,31,y,2\nS2,BAS1,40,z,3\n")
+    (tmp_path / "cognitive.csv").write_text(
+        "ursi,session_num,score\nS1,BAS1,10\nS2,BAS1,20\n")
+    return tmp_path
+
+
+def test_sanitize_column_names():
+    cols, mapping = I.sanitize_column_names(
+        ["Select", "bad col!", "age", "age", "123abc", "--x", "drop"])
+    assert mapping["Select"] == "FIELD_Select"        # SQL keyword prefixed
+    assert mapping["bad col!"] == "bad_col"           # separators folded
+    assert cols[2] == "age" and cols[3] == "age_1"    # uniqueness suffix
+    assert mapping["123abc"] == "col_123abc"          # digit guard
+    assert mapping["drop"] == "FIELD_drop"
+    assert all(c for c in cols)
+
+
+def test_validate_rejects_bad_files(tmp_path, spark):
+    p = tmp_path / "evil.csv"
+    p.write_text("a,b\n<script>alert(1)</script>,2\n")
+    r = I.validate_csv_path(str(p), spark=spark)
+    assert not r.ok and any("JavaScript" in e for e in r.errors)
+
+    q = tmp_path / "notcsv.txt"
+    q.write_text("a,b\n1,2\n")
+    r2 = I.validate_csv_path(str(q), spark=spark)
+    assert not r2.ok and any(".csv extension" in e for e in r2.errors)
+
+    d = tmp_path / "dup.csv"
+    d.write_text("a,a,b\n1,2,3\n")
+    r3 = I.validate_csv_path(str(d), spark=spark)
+    assert not r3.ok and any("duplicate column names" in e for e in r3.errors)
+
+
+def test_validate_size_cap(tmp_path, spark):
+    p = tmp_path / "big.csv"
+    p.write_text("a,b\n" + "1,2\n" * 1000)
+    r = I.validate_csv_path(str(p), max_size_mb=0, spark=spark)
+    assert not r.ok and any("too large" in e for e in r.errors)
+
+
+def test_ingest_sanitizes_and_derives_composite(csv_dir, spark):
+    df, res = I.ingest_csv(spark, str(csv_dir / "demographics.csv"),
+                           primary_id="ursi", session_id="session_num")
+    assert res.ok
+    assert "FIELD_Select" in df.columns and "bad_col" in df.columns
+    assert "customID" in df.columns
+    ids = {r["customID"] for r in df.select("customID").collect()}
+    assert ids == {"S1_BAS1", "S1_BAS2", "S2_BAS1"}
+
+
+def test_ingest_directory(csv_dir, spark):
+    tables, results = I.ingest_directory(
+        spark, str(csv_dir), primary_id="ursi", session_id="session_num")
+    assert set(tables) == {"demographics", "cognitive"}
+    assert all(r.ok for r in results.values())
+    assert tables["cognitive"].count() == 2
+
+
+def test_export_drops_empty_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(2, None, "x"), (1, None, None)], "id int, empty string, half string")
+    out, info = S.prepare_export(df, sort_by="id")
+    assert info["dropped_empty"] == ["empty"]
+    assert [r["id"] for r in out.collect()] == [1, 2]
+
+    path = str(tmp_path / "out_csv")
+    S.write_csv(df, path, single_file=True, sort_by="id")
+    import glob
+    files = glob.glob(f"{path}/part-*.csv")
+    assert len(files) == 1
+    header = open(files[0]).readline().strip()
+    assert header == "id,half"
+
+
+def test_reports_zip(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([(2.5,)], "m double")
+    data = S.reports_zip({"filtering_report": a, "data_summary": b})
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    assert sorted(zf.namelist()) == ["data_summary.csv", "filtering_report.csv"]
+    assert b"id,v" in zf.read("filtering_report.csv")
