@@ -300,6 +300,45 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5, deterministic=True)
 
 
+def _ivf_centroids(dim: int = 64, cells: int = 8, seed: int = 7) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((cells, dim))
+    return [[float(x) for x in row] for row in c]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-cell) approximate top-k; rows-only driver check,
+    recall vs brute force pytest-verified (tests/test_pipeline_ops.py)."""
+    from basic_data_fusion_spark.operators.similarity import ivf_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(emb, queries_df, _ivf_centroids(), k=5, nprobe=3)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over documents-as-binary: payload → decode
+    stats + feature vector via Arrow-batched mapInPandas. Deterministic
+    stand-in codec → rows-only check."""
+    from basic_data_fusion_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        F.encode("text", "utf-8").alias("data"))
+    decoded = decode_images(media)
+    feats = extract_features(media, dim=8)
+    return (decoded.join(feats, "media_id")
+            .select("media_id", "width", "height", "channels",
+                    "mean_intensity", "decode_ok",
+                    F.size("feature").alias("feature_dim")))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup pairs (cosine ≥ 0.99); rows-only check,
     recall pytest-verified against the exhaustive tier."""
@@ -541,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
         "events_tumbling_daily": q_events_tumbling_daily,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,

@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shape, determinism,
+payload-aware partitioning, frame fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_fusion_spark.operators import multimodal as M
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [(i, bytes([i % 256]) * (1000 * (i + 1)),
+             ("png", 10 * (i + 1), 10, 3)) for i in range(8)]
+    return spark.createDataFrame(rows, M.IMAGE_TABLE_SCHEMA)
+
+
+def test_decode_schema_and_determinism(media):
+    out = M.decode_images(media)
+    assert out.schema == M.DECODED_SCHEMA
+    a = {r["media_id"]: (r["width"], r["mean_intensity"]) for r in out.collect()}
+    b = {r["media_id"]: (r["width"], r["mean_intensity"]) for r in out.collect()}
+    assert a == b and len(a) == 8
+    # without codecs the decode is a flagged stand-in
+    if not M.HAS_PIL:
+        assert all(r["decode_ok"] == 0 for r in out.collect())
+
+
+def test_features_join_similarity(media, spark):
+    feats = M.extract_features(media, dim=8)
+    assert feats.schema["feature"].dataType.simpleString() == "array<double>"
+    row = feats.filter(F.col("media_id") == 0).first()
+    assert len(row["feature"]) == 8
+    assert all(0.0 <= v < 1.0 for v in row["feature"])
+
+    # output is directly consumable by the similarity operators
+    from basic_data_fusion_spark.operators.similarity import brute_force_topk
+
+    corpus = feats.select(F.col("media_id").alias("vec_id"),
+                          F.col("feature").alias("embedding"))
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    topk = brute_force_topk(corpus, queries, k=3)
+    got = topk.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in got)
+    # self-similarity must rank first
+    first = {r["query_id"]: r["neighbor_id"]
+             for r in topk.filter(F.col("rank") == 1).collect()}
+    assert all(q == n for q, n in first.items())
+
+
+def test_payload_repartition(media):
+    out = M.repartition_for_payloads(media, target_bytes=10_000)
+    # 8 rows totalling 36k bytes / 10k target → 4 partitions
+    assert out.rdd.getNumPartitions() == 4
+
+
+def test_frame_sampling_fanout(media):
+    frames = M.sample_frames(media, every_n=2, frame_size=500)
+    assert frames.schema == M.FRAME_SCHEMA
+    per_doc = {r["media_id"]: r["n"] for r in
+               frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # media i has 1000*(i+1) bytes → 2*(i+1) frames of 500B → ceil(n/2) sampled
+    assert per_doc[0] == 1 and per_doc[7] == 8
+    row = frames.filter((F.col("media_id") == 1) & (F.col("frame_index") == 0)).first()
+    assert len(row["frame_data"]) == 500
+
+
+def test_resize_gated():
+    if not M.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.resize_images(None, 8, 8)
