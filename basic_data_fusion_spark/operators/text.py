@@ -47,32 +47,44 @@ def stopword_hits(col: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
 
 
+def _lang_score_array(col: Column, langs: list[str],
+                      profiles: dict[str, list[str]]) -> Column:
+    """Per-language stopword-hit counts in ONE pass over the token array
+    (len(langs)-wide accumulator). The per-profile ``stopword_hits``
+    formulation re-traverses tokens once per language — at corpus scale
+    that multiplies the hot loop by the profile count."""
+    stop_arrays = [F.array(*[F.lit(w) for w in profiles[lang]]) for lang in langs]
+    zero = F.array_repeat(F.lit(0), len(langs))
+    return F.aggregate(
+        tokens(col), zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(sw, t).cast("int") for sw in stop_arrays]),
+            lambda a, hit: a + hit))
+
+
 def language_scores(col: Column, profiles: dict[str, list[str]] | None = None) -> Column:
     """Map of lang → stopword-hit count."""
     profiles = profiles or LANG_PROFILES
+    langs = sorted(profiles)
     return F.map_from_arrays(
-        F.array(*[F.lit(lang) for lang in profiles]),
-        F.array(*[stopword_hits(col, words) for lang, words in profiles.items()]),
+        F.array(*[F.lit(lang) for lang in langs]),
+        _lang_score_array(col, langs, profiles),
     )
 
 
 def detect_language(col: Column, profiles: dict[str, list[str]] | None = None,
                     min_hits: int = 1) -> Column:
     """Argmax language with deterministic tie-break (lexicographic lang
-    code); NULL when no profile scores ≥ min_hits."""
+    code — first max in sorted order wins); NULL when no profile scores
+    ≥ min_hits."""
     profiles = profiles or LANG_PROFILES
     langs = sorted(profiles)
-    best = None
-    best_score = None
-    for lang in langs:
-        score = stopword_hits(col, profiles[lang])
-        if best is None:
-            best, best_score = F.lit(lang), score
-        else:
-            cond = score > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, score).otherwise(best_score)
-    return F.when(best_score >= min_hits, best).otherwise(F.lit(None))
+    scores = _lang_score_array(col, langs, profiles)
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best)  # 1-based, first max
+    lang = F.element_at(F.array(*[F.lit(lang) for lang in langs]), idx.cast("int"))
+    return F.when(best >= min_hits, lang).otherwise(F.lit(None))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
