@@ -211,6 +211,8 @@ def _det_sql():
         "quality_audit_orders": ds.quality_audit_sql(
             "orders", "o_orderkey",
             ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]),
+        "density_2d_lineitem": ds.density_2d_sql(
+            "lineitem", "l_quantity", "l_discount", bins_x=8, bins_y=8),
     }
 
 
@@ -228,6 +230,15 @@ def q_dist_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register_views(spark, sf_dir, ["customer"])
     return spark.sql(dist_stats_sql("customer", "c_acctbal", "percentile"))
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 IQR outlier audit — deterministic tier (engine-specific
+    exact-quantile token only)."""
+    from basic_data_fusion_spark.operators.deterministic_sql import iqr_outliers_sql
+
+    _register_views(spark, sf_dir, ["customer"])
+    return spark.sql(iqr_outliers_sql("customer", "c_acctbal", "percentile"))
 
 
 # ---------------------------------------------------------------------------
@@ -346,6 +357,57 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _catalog(spark, sf_dir).load("embeddings")
     return embedding_near_dups(emb, threshold=0.99, planes=12)
+
+
+def q_substudy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 substudy/site whole-word matching over a multi-valued string
+    (reference: query/query_secure.py:101-117) applied to documents.text
+    — the only multi-word string column in the testdata."""
+    from basic_data_fusion_spark.functions.scalars import site_whole_word_match
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return (docs.filter(site_whole_word_match(F.col("text"), ["data", "model"]))
+            .agg(F.countDistinct("doc_id").alias("n_docs")))
+
+
+def q_longitudinal_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 longitudinal path: composite key pid_session derived at load
+    (lineitem as the long table: l_orderkey=pid, l_linenumber=session),
+    session IN-filter (P3), hub join back to orders."""
+    from basic_data_fusion_spark.functions.scalars import with_composite_id
+
+    cat = _catalog(spark, sf_dir)
+    li = with_composite_id(cat.load("lineitem"), "l_orderkey", "l_linenumber")
+    ords = cat.load("orders")
+    return (li.filter(F.col("l_linenumber").isin([1, 2]))
+            .join(ords, li["l_orderkey"] == ords["o_orderkey"], "left")
+            .select(F.col("customID"),
+                    F.col("l_orderkey"), F.col("l_linenumber"),
+                    F.col("l_quantity"), F.col("o_totalprice"),
+                    F.col("o_orderstatus")))
+
+
+def q_distinct_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 distinct-values scan with the reference's 1000-value cap
+    (ordered before the cap → a deterministic set)."""
+    cust = _catalog(spark, sf_dir).load("customer")
+    return agg.distinct_ordered(cust, "c_name", cap=1000)
+
+
+def q_categorical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 categorical half: non-null count, distinct count, deterministic
+    mode (count desc, value asc) per categorical column."""
+    cat = _catalog(spark, sf_dir)
+    out = None
+    for table, col in (("customer", "c_mktsegment"), ("orders", "o_orderpriority")):
+        s = agg.categorical_summary(cat.load(table), [col], top_k=1)
+        one = s.select(
+            F.concat(F.lit(f"{table}."), F.col("column")).alias("column"),
+            "n_non_null", "n_unique",
+            F.element_at("top_values", 1).alias("mode"),
+            F.element_at("top_counts", 1).alias("mode_n"))
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +632,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "baseline_consolidation": q_baseline_consolidation,
         "column_summary": q_column_summary,
         "dist_stats_acctbal": q_dist_stats_acctbal,
+        "iqr_outliers_acctbal": q_iqr_outliers,
+        "substudy_filter": q_substudy_filter,
+        "longitudinal_merge": q_longitudinal_merge,
+        "distinct_capped": q_distinct_capped,
+        "categorical_summary": q_categorical_summary,
         **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -591,8 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from basic_data_fusion_spark.operators.deterministic_sql import dist_stats_sql
 
+    from basic_data_fusion_spark.operators.deterministic_sql import iqr_outliers_sql
+
     det = dict(_det_sql())  # shared text: the oracle runs the same SQL
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
+    det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
     # minhash_dedup / simhash_near_dups / embedding_near_dups intentionally
     # have NO oracle (engine-specific xxhash64 / seeded hyperplanes) →
     # driver records the weaker rows-only check; recall is pytest-verified.
@@ -642,6 +712,40 @@ def oracle_sql() -> dict[str, str]:
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer
             WHERE c_mktsegment IS NOT NULL ORDER BY c_mktsegment
+        """,
+        "substudy_filter": """
+            SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+            WHERE (' ' || regexp_replace(text, '[,;]', ' ', 'g') || ' ') LIKE '% data %'
+               OR (' ' || regexp_replace(text, '[,;]', ' ', 'g') || ' ') LIKE '% model %'
+        """,
+        "longitudinal_merge": """
+            SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS customID,
+                   l_orderkey, l_linenumber, l_quantity, o_totalprice, o_orderstatus
+            FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_linenumber IN (1, 2)
+        """,
+        "distinct_capped": """
+            SELECT DISTINCT c_name FROM customer
+            WHERE c_name IS NOT NULL ORDER BY c_name LIMIT 1000
+        """,
+        "categorical_summary": """
+            SELECT 'customer.c_mktsegment' AS "column",
+                   COUNT(c_mktsegment) AS n_non_null,
+                   COUNT(DISTINCT c_mktsegment) AS n_unique,
+                   (SELECT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL
+                    GROUP BY c_mktsegment ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 1) AS mode,
+                   (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NOT NULL
+                    GROUP BY c_mktsegment ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 1) AS mode_n
+            FROM customer
+            UNION ALL
+            SELECT 'orders.o_orderpriority',
+                   COUNT(o_orderpriority),
+                   COUNT(DISTINCT o_orderpriority),
+                   (SELECT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+                    GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1),
+                   (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                    GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority ASC LIMIT 1)
+            FROM orders
         """,
         "top_segments": """
             SELECT c_mktsegment, COUNT(*) AS n FROM customer

@@ -200,6 +200,58 @@ FROM {table}
 """
 
 
+def iqr_outliers_sql(table: str, column: str, percentile_fn: str) -> str:
+    """A6's IQR outlier audit (reference: analysis/statistics.py:160-171):
+    1.5×IQR fences from exact quartiles (rounded to 4 to kill
+    interpolation ulps), count outside. ``percentile_fn``:
+    'percentile' (Spark) vs 'quantile_cont' (DuckDB)."""
+    c = column
+    return f"""
+WITH q AS (
+  SELECT ROUND({percentile_fn}({c}, 0.25), 4) AS q25,
+         ROUND({percentile_fn}({c}, 0.75), 4) AS q75
+  FROM {table} WHERE {c} IS NOT NULL
+),
+f AS (
+  SELECT q25, q75,
+         q25 - {lit(1.5)} * (q75 - q25) AS lo,
+         q75 + {lit(1.5)} * (q75 - q25) AS hi
+  FROM q
+)
+SELECT f.q25, f.q75, f.lo AS lower_fence, f.hi AS upper_fence,
+       COUNT(CASE WHEN {c} < f.lo OR {c} > f.hi THEN 1 END) AS n_outliers,
+       COUNT({c}) AS n
+FROM {table} CROSS JOIN f
+WHERE {c} IS NOT NULL
+GROUP BY f.q25, f.q75, f.lo, f.hi
+"""
+
+
+def density_2d_sql(table: str, col_x: str, col_y: str,
+                   bins_x: int = 10, bins_y: int = 10) -> str:
+    """T9 2D density heatmap: fixed-width bins on both axes with
+    data-derived ranges and closed last bins — the plotly
+    ``px.density_heatmap`` grid (reference: pages/plotting.py:934-949)."""
+    x, y = col_x, col_y
+    return f"""
+WITH b AS (
+  SELECT MIN(CAST({x} AS DOUBLE)) AS xlo, MAX(CAST({x} AS DOUBLE)) AS xhi,
+         MIN(CAST({y} AS DOUBLE)) AS ylo, MAX(CAST({y} AS DOUBLE)) AS yhi
+  FROM {table} WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((CAST({x} AS DOUBLE) - b.xlo) / ((b.xhi - b.xlo) / {bins_x})) AS INT),
+               {bins_x - 1}) AS bin_x,
+         LEAST(CAST(FLOOR((CAST({y} AS DOUBLE) - b.ylo) / ((b.yhi - b.ylo) / {bins_y})) AS INT),
+               {bins_y - 1}) AS bin_y
+  FROM {table} CROSS JOIN b
+  WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+)
+SELECT bin_x, bin_y, COUNT(*) AS n
+FROM binned GROUP BY bin_x, bin_y
+"""
+
+
 def dist_stats_sql(table: str, column: str, percentile_fn: str,
                    scale_v: float = 1e6, scale_vv: float = 1e2) -> str:
     """Distribution stats (T2): n, mean, sample std/var, min/max/range,
