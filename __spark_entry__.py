@@ -213,6 +213,7 @@ def _det_sql():
             ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]),
         "density_2d_lineitem": ds.density_2d_sql(
             "lineitem", "l_quantity", "l_discount", bins_x=8, bins_y=8),
+        "pricing_summary": ds.pricing_summary_sql(),
     }
 
 

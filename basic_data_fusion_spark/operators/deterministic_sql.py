@@ -200,6 +200,35 @@ FROM {table}
 """
 
 
+def pricing_summary_sql(table: str = "lineitem",
+                        cutoff: str = "1998-09-02") -> str:
+    """TPC-H Q1-shaped pricing summary with order-independent sums.
+    Exercises the grouped multi-aggregate path end-to-end: pushed date
+    filter → partial (map-side) aggregation → one shuffle on the 2-column
+    group key. Scales chosen so every quantized term is EXACT for 2-dp
+    inputs (disc_price has 4 dp, charge 6 dp) and |v|·s·rows < 2^63 at
+    sf ≤ 1."""
+    qty = fs("l_quantity", 1e6)
+    price = fs("l_extendedprice", 1e4)
+    disc_price = fs("l_extendedprice * (1 - l_discount)", 1e4)
+    charge = fs("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1e6)
+    disc = fs("l_discount", 1e8)
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       {qty} AS sum_qty,
+       {price} AS sum_base_price,
+       {disc_price} AS sum_disc_price,
+       {charge} AS sum_charge,
+       ({qty}) / COUNT(*) AS avg_qty,
+       ({price}) / COUNT(*) AS avg_price,
+       ({disc}) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM {table}
+WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def iqr_outliers_sql(table: str, column: str, percentile_fn: str) -> str:
     """A6's IQR outlier audit (reference: analysis/statistics.py:160-171):
     1.5×IQR fences from exact quartiles (rounded to 4 to kill

@@ -28,6 +28,7 @@ HEADLINE = [
     "enwiden_events",        # long->wide pivot
     "baseline_consolidation",  # pivot + coalesce consolidation
     "column_summary",        # per-column stats (fixed-point mean, exact median)
+    "pricing_summary",       # TPC-H Q1-shaped grouped multi-aggregate
     "pearson_corr",          # deterministic correlation SQL tier
     "quality_audit_orders",  # data-quality audit aggregates
     "dedup_exact",           # md5 content-hash dedup groups
