@@ -436,6 +436,28 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(ev, "ts", "30 minutes", keys=["user_id"])
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: extract a JSON field from events.props
+    (get_json_object) and aggregate per event type."""
+    ev = _catalog(spark, sf_dir).load("events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.count(k).alias("n_with_k"),
+                 F.sum(k).alias("sum_k"),
+                 F.min(k).alias("min_k"),
+                 F.max(k).alias("max_k")))
+
+
+_EVENTS_PROPS_ORACLE = """
+SELECT event_type,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 _FP_SUM_VALUE = "SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) / 1000000.0"
 
 _TUMBLING_ORACLE = f"""
@@ -653,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_daily": q_events_tumbling_daily,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "events_props": q_events_props,
     }
 
 
@@ -672,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_daily": _TUMBLING_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
+        "events_props": _EVENTS_PROPS_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
