@@ -264,7 +264,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.text import detect_language
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    # repartition: the scoring fold is CPU-bound and the single-file
+    # testdata source would otherwise run on one core
+    docs = (_catalog(spark, sf_dir).load("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
     return docs.select("doc_id", detect_language(F.col("text")).alias("detected_lang"))
 
 

@@ -197,8 +197,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     pairs back to the per-doc shingle sets (array_intersect per pair);
     it never enumerates all pairs, so cost is O(candidates), not
     O(corpus²) — the property that keeps this viable at 100 TB."""
-    sets = df.select(F.col(id_col),
-                     word_shingles(F.col(text_col), n).alias("shingles"))
+    # shingle construction is CPU-bound and this relation feeds BOTH
+    # sides of the candidate join — parallelize and persist it
+    sets = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(F.col(id_col),
+                    word_shingles(F.col(text_col), n).alias("shingles"))
+            .persist())
     cands = lsh_candidate_pairs(
         minhash_signatures(df, text_col, id_col, n, num_hashes, seed),
         id_col, bands, num_hashes=num_hashes)

@@ -56,7 +56,10 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     neighbor id, making the k-set deterministic.
     """
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    # scoring is CPU-bound; a single-file corpus would pin it to one core
+    nparts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = (corpus.repartition(nparts)
+         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")))
     sim_fn = fixed_point_cosine if deterministic else cosine
     scored = (c.crossJoin(F.broadcast(q))
               .withColumn("cosine_sim", sim_fn(F.col("__qvec"), F.col("__cvec"))))
