@@ -16,12 +16,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def count_distinct_keys(df: DataFrame, key: str) -> DataFrame:
+def count_distinct_keys(df: DataFrame, key: str, approx: bool = False,
+                        rsd: float = 0.05) -> DataFrame:
     """A1 — THE core live metric (reference: query/query_secure.py:289-325).
-    Exact (not approx): the correctness oracle hash-matches values. At the
-    interactive 100 TB tier, pair with ``approx_count_distinct`` behind a
-    flag."""
-    return df.agg(F.countDistinct(key).alias("n_participants"))
+    Exact by default: the correctness oracle hash-matches values.
+    ``approx=True`` switches to HyperLogLog++ (``approx_count_distinct``,
+    relative error ``rsd``) — the interactive tier at 100 TB, where exact
+    distinct means shuffling every key."""
+    agg = (F.approx_count_distinct(key, rsd) if approx
+           else F.countDistinct(key))
+    return df.agg(agg.alias("n_participants"))
 
 
 def min_max(df: DataFrame, column: str) -> DataFrame:
@@ -152,3 +156,29 @@ def filter_impact_report(base_df: DataFrame, key: str,
     return spark.createDataFrame(
         rows, "step string, n_remaining long, n_removed long, "
               "pct_removed double, cum_pct_removed double")
+
+
+def filtering_report(base_df: DataFrame, key: str,
+                     steps: list[tuple[str, Column]],
+                     age_col: str | None = None,
+                     sex_col: str | None = None,
+                     session_col: str | None = None,
+                     cache: bool = True) -> dict:
+    """EP3's full composite (reference: analysis/filtering.py:96-322): the
+    cumulative impact table PLUS a demographics breakdown at every step.
+
+    The reference re-reads every CSV per step (N+1 full scans × 5
+    queries); here the joined base relation is cached once and each step
+    is a handful of aggregates over the cached plan."""
+    if cache:
+        base_df = base_df.cache()
+    impact = filter_impact_report(base_df, key, steps)
+    breakdowns: dict[str, dict] = {
+        "baseline": demographics_breakdown(base_df, key, age_col, sex_col, session_col)}
+    preds: list[Column] = []
+    for label, pred in steps:
+        preds.append(pred)
+        stepped = base_df.filter(reduce(and_, preds))
+        breakdowns[label] = demographics_breakdown(
+            stepped, key, age_col, sex_col, session_col)
+    return {"impact": impact, "breakdowns": breakdowns}

@@ -175,3 +175,34 @@ def test_quality_score_keep_flags(spark):
     assert got[1]["keep"] is True
     assert got[2]["keep"] is False  # all punctuation
     assert got[3]["keep"] is False  # too short
+
+
+def test_filtering_report_composite(spark):
+    from basic_data_fusion_spark.operators.aggregations import filtering_report
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    steps = [
+        ("segment", F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"])),
+        ("acctbal", F.col("c_acctbal").between(1000.0, 8000.0)),
+    ]
+    rep = filtering_report(cust, "c_custkey", steps, age_col="c_acctbal",
+                           sex_col="c_mktsegment")
+    impact = {r["step"]: r["n_remaining"] for r in rep["impact"].collect()}
+    assert impact["baseline"] >= impact["segment"] >= impact["acctbal"]
+    # per-step breakdown counts agree with the impact table
+    for step in ("baseline", "segment", "acctbal"):
+        n = rep["breakdowns"][step]["count"].first()["n_participants"]
+        assert n == impact[step]
+    # sex breakdown at the segment step only contains the kept segments
+    segs = {r["c_mktsegment"]
+            for r in rep["breakdowns"]["segment"]["by_sex"].collect()}
+    assert segs <= {"AUTOMOBILE", "BUILDING"}
+
+
+def test_approx_count_distinct_tier(spark):
+    from basic_data_fusion_spark.operators.aggregations import count_distinct_keys
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    exact = count_distinct_keys(cust, "c_custkey").first()["n_participants"]
+    approx = count_distinct_keys(cust, "c_custkey", approx=True).first()["n_participants"]
+    assert abs(approx - exact) / exact < 0.1
