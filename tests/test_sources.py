@@ -103,3 +103,27 @@ def test_reports_zip(spark):
     zf = zipfile.ZipFile(io.BytesIO(data))
     assert sorted(zf.namelist()) == ["data_summary.csv", "filtering_report.csv"]
     assert b"id,v" in zf.read("filtering_report.csv")
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from basic_data_fusion_spark.sources import bucketing as B
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        B.write_bucketed(cust, "b_cust", "c_custkey", buckets=8)
+        B.write_bucketed(orders, "b_orders", "o_custkey", buckets=8)
+
+        joined = B.bucketed_join(spark, "b_cust", "b_orders",
+                                 "c_custkey", "o_custkey")
+        B.assert_no_shuffle_join(joined)  # co-located: no exchange
+        assert joined.count() > 0
+
+        # control: the same join over unbucketed parquet DOES shuffle
+        plain = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        assert B.plan_has_shuffle(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
