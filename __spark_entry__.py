@@ -439,6 +439,39 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(ev, "ts", "30 minutes", keys=["user_id"])
 
 
+def q_top_event_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function composite (§2.5 Spark note): tumbling daily counts
+    ranked per day, keep the busiest event type (deterministic tie-break
+    on event_type)."""
+    from pyspark.sql import Window
+
+    from basic_data_fusion_spark.streaming.windows import tumbling_window_agg
+
+    ev = _catalog(spark, sf_dir).load("events")
+    daily = tumbling_window_agg(ev, "ts", "1 day", keys=["event_type"],
+                                value_col=None)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (daily.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") == 1)
+            .select("window_start", "event_type", "n_events"))
+
+
+_TOP_EVENT_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM daily
+)
+SELECT window_start, event_type, n_events FROM ranked WHERE rk = 1
+"""
+
+
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured handling: extract a JSON field from events.props
     (get_json_object) and aggregate per event type."""
@@ -679,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
+        "top_event_per_day": q_top_event_per_day,
     }
 
 
@@ -699,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": _SLIDING_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
         "events_props": _EVENTS_PROPS_ORACLE,
+        "top_event_per_day": _TOP_EVENT_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
