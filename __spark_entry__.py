@@ -163,27 +163,30 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
     cat = _catalog(spark, sf_dir)
-    out = None
+    rows = []
     for table, cols in (("customer", ["c_acctbal"]),
                         ("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])):
         df = cat.load(table)
-        total = df.count()
+        # ONE aggregation pass per table: every column's stats plus the
+        # row count in a single scan (no per-column jobs, no df.count())
+        aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
-            one = df.agg(
-                F.count(col).alias("n_non_null"),
-                (fixed_point_sum(col) / F.count(col)).alias("mean"),
-                F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias("median"),
-                F.min(col).alias("min"),
-                F.max(col).alias("max"),
-            ).select(
-                F.lit(f"{table}.{c}").alias("column"),
-                "n_non_null",
-                (F.lit(total) - F.col("n_non_null")).alias("n_missing"),
-                "mean", "median", "min", "max",
-            )
-            out = one if out is None else out.unionByName(one)
-    return out
+            aggs += [
+                F.count(col).alias(f"n_{c}"),
+                (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
+                F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"med_{c}"),
+                F.min(col).alias(f"min_{c}"),
+                F.max(col).alias(f"max_{c}"),
+            ]
+        row = df.agg(*aggs).first()  # one job; result is a single row
+        for c in cols:
+            rows.append((f"{table}.{c}", row[f"n_{c}"],
+                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
+                         row[f"med_{c}"], row[f"min_{c}"], row[f"max_{c}"]))
+    return spark.createDataFrame(
+        rows, "column string, n_non_null long, n_missing long, mean double, "
+              "median double, min double, max double")
 
 
 def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
@@ -278,6 +281,33 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs).select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "upper_ratio",
         "stopword_ratio", "mean_word_len", "quality_score", "keep")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing pass: per-doc match counts + redacted length."""
+    from basic_data_fusion_spark.operators.text import pii_counts, redact_pii
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return docs.select("doc_id",
+                       *pii_counts(F.col("text")),
+                       F.length(redact_pii(F.col("text"))).alias("redacted_len"))
+
+
+_PII_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phone,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_url,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9][0-9()\-. ]{7,}[0-9]', '[PHONE]', 'g'),
+           'https?://[^\s]+', '[URL]', 'g')
+       ) AS redacted_len
+FROM documents
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
@@ -749,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle(),
         "quality_scores": _QUALITY_ORACLE,
+        "pii_scrub": _PII_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "flagship_merge": f"""

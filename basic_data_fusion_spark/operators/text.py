@@ -157,6 +157,33 @@ def rolling_hash_fingerprint(col: Column, window: int = 3) -> Column:
                        lambda acc, h: F.pmod(acc * F.lit(31) + F.pmod(h, mod), mod))
 
 
+# PII / URL scrubbing — standard pretraining-corpus hygiene. Patterns are
+# intentionally simple (precision over recall) and shared verbatim with
+# the SQL oracle; all replacements are single regexp_replace passes.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_pii(col: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Replace each PII match with its ``[TAG]``; application order is the
+    sorted tag order (deterministic)."""
+    patterns = patterns or PII_PATTERNS
+    out = col
+    for tag in sorted(patterns):
+        out = F.regexp_replace(out, patterns[tag], f"[{tag}]")
+    return out
+
+
+def pii_counts(col: Column, patterns: dict[str, str] | None = None) -> list[Column]:
+    """One count column per PII tag (``n_<tag>``)."""
+    patterns = patterns or PII_PATTERNS
+    return [F.size(F.regexp_extract_all(col, F.lit(patterns[tag]), 0)).alias(f"n_{tag.lower()}")
+            for tag in sorted(patterns)]
+
+
 def text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop enrichment: language, quality, token counts, fingerprint."""
     out = quality_score(df, text_col)
