@@ -707,6 +707,184 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# temporal joins, set ops, grouping sets, deterministic sampling
+# (scale extensions — SURVEY §2.3 notes the reference has no temporal
+#  joins, §2.4 no grouping sets, §2.7 no set ops)
+# ---------------------------------------------------------------------------
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of LEFT join: each event picks up the most recent order
+    of the same customer at or before the event time. Orders are deduped
+    per (custkey, orderdate) keeping the highest orderkey first, so the
+    as-of winner is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    from basic_data_fusion_spark.operators.joins import asof_join
+
+    cat = _catalog(spark, sf_dir)
+    ev = cat.load("events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    orders = (cat.load("orders")
+              .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    return asof_join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+                     ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+
+_ASOF_ORACLE = """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders)
+  WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice
+FROM events e ASOF LEFT JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_event_funnel_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (bounded time-range) join: for each click event, count the
+    error events the same user produced in the following 5 minutes.
+    Shuffles on (user, time-bucket), never key-only — see
+    operators/joins.interval_join."""
+    from basic_data_fusion_spark.operators.joins import interval_join
+
+    ev = _catalog(spark, sf_dir).load("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"))
+    pairs = interval_join(clicks, errors, "click_user", "err_user",
+                          "click_ts", "err_ts", 0.0, 300.0)
+    return (pairs.groupBy("click_id", "click_user", "click_ts")
+            .agg(F.count(F.lit(1)).alias("n_errors_5m")))
+
+
+_FUNNEL_ORACLE = """
+SELECT l.event_id AS click_id, l.user_id AS click_user, l.ts AS click_ts,
+       COUNT(*) AS n_errors_5m
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 300 SECOND
+WHERE l.event_type = 'click' AND r.event_type = 'error'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers that placed no orders, rolled up per
+    market segment (left_anti = NOT EXISTS)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    cust = cat.load("customer")
+    okeys = cat.load("orders").select("o_custkey")
+    no = cust.join(okeys, cust["c_custkey"] == okeys["o_custkey"], "left_anti")
+    return (no.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 fixed_point_sum(F.col("c_acctbal")).alias("sum_acctbal")))
+
+
+_NO_ORDERS_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM(CAST(ROUND(c_acctbal * 1000000.0, 0) AS BIGINT)) / 1000000.0
+         AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: revenue ROLLUP over (returnflag, linestatus) with
+    subtotal and grand-total rows disambiguated by grouping_id — one
+    aggregation pass produces all three levels (map-side partials make
+    this a single shuffle at any scale)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    li = _catalog(spark, sf_dir).load("lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 fixed_point_sum(F.col("l_quantity")).alias("sum_qty"),
+                 fixed_point_sum(revenue).alias("sum_revenue"))
+            .select("l_returnflag", "l_linestatus", "gid", "n_rows",
+                    "sum_qty", "sum_revenue"))
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) / 1000000.0
+         AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1000000.0, 0)
+                AS BIGINT)) / 1000000.0 AS sum_revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable uniform sample (T10 upgrade over
+    seeded ``df.sample``): keep rows whose md5(key-as-string) starts with
+    hex nibble '0' — a 1/16 sample that is fully parallel (no global
+    order, no RNG state) and reproducible bit-for-bit on any engine."""
+    orders = _catalog(spark, sf_dir).load("orders")
+    keep = F.md5(F.col("o_orderkey").cast("string")).substr(1, 1) == "0"
+    return orders.filter(keep).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag window surface: per-user inter-event gaps (lag over event
+    time), aggregated to exact integer sums so the float division is
+    bit-deterministic across engines."""
+    from pyspark.sql import Window
+
+    ev = _catalog(spark, sf_dir).load("events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn("gap_us", us - F.lag(us).over(w))
+    return (g.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("gap_us").alias("n_gaps"),
+                 F.sum("gap_us").alias("sum_gap_us"),
+                 F.max("gap_us").alias("max_gap_us"))
+            .withColumn("avg_gap_s", F.round(
+                F.col("sum_gap_us") / (F.col("n_gaps") * F.lit(1_000_000.0)), 4)))
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
+       SUM(gap_us) AS sum_gap_us, MAX(gap_us) AS max_gap_us,
+       ROUND(SUM(gap_us) / (COUNT(gap_us) * 1000000.0), 4) AS avg_gap_s
+FROM g GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -744,6 +922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
         "top_event_per_day": q_top_event_per_day,
+        "asof_latest_order": q_asof_latest_order,
+        "event_funnel_5m": q_event_funnel_5m,
+        "customers_no_orders": q_customers_no_orders,
+        "pricing_rollup": q_pricing_rollup,
+        "hash_sample_orders": q_hash_sample_orders,
+        "events_interarrival": q_events_interarrival,
     }
 
 
@@ -765,6 +949,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _SESSIONS_ORACLE,
         "events_props": _EVENTS_PROPS_ORACLE,
         "top_event_per_day": _TOP_EVENT_ORACLE,
+        "asof_latest_order": _ASOF_ORACLE,
+        "event_funnel_5m": _FUNNEL_ORACLE,
+        "customers_no_orders": _NO_ORDERS_ORACLE,
+        "pricing_rollup": _ROLLUP_ORACLE,
+        "hash_sample_orders": _HASH_SAMPLE_ORACLE,
+        "events_interarrival": _INTERARRIVAL_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
