@@ -99,12 +99,15 @@ def as_stream(spark: SparkSession, path: str, schema=None,
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
-def run_available_now(df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(df: DataFrame, query_name: str,
+                      output_mode: str = "complete") -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
     (Trigger.AvailableNow) into an in-memory sink; returns the result as
     a batch DataFrame. This is the batch-parity harness for streaming
-    plans: same plan, streaming execution, bounded run."""
+    plans: same plan, streaming execution, bounded run. Stateful
+    operators (applyInPandasWithState) require ``output_mode='update'``;
+    the memory sink then accumulates one emission per key per batch."""
     q = (df.writeStream.format("memory").queryName(query_name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return df.sparkSession.table(query_name)

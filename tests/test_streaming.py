@@ -99,3 +99,43 @@ def test_session_window_semantics(spark):
     ends = {str(r["session_end"]) for r in out.collect()}
     # end = last event + gap
     assert "2024-01-01 00:40:00" in ends and "2024-01-01 02:30:00" in ends
+
+
+def test_stateful_running_stats_matches_batch(spark, tmp_path):
+    """Custom state via applyInPandasWithState: after consuming all
+    micro-batches, the final per-key emission equals the batch aggregate
+    bit-for-bit, regardless of batch arrival order (counters are
+    algebraic)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.streaming.stateful import running_user_stats
+
+    batch = _events_batch(spark)
+    expected = _norm(batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_values"),
+        fixed_point_sum(F.col("value")).alias("sum_value"),
+        F.max(F.unix_micros("ts")).alias("max_ts_us")).toPandas())
+
+    # stage 3 chronology-agnostic splits so state must carry across
+    # micro-batches (maxFilesPerTrigger=1 -> 3 triggers)
+    d = tmp_path / "events_split"
+    d.mkdir(exist_ok=True)
+    for i in range(3):
+        (batch.filter(F.col("event_id") % 3 == i)
+         .coalesce(1).write.mode("overwrite").parquet(str(d / f"part{i}")))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "part*" / "*.parquet")))):
+        shutil.copy(f, d / f"batch{i}.parquet")
+        shutil.rmtree(d / f"part{i}")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    out = W.run_available_now(running_user_stats(stream),
+                              "t_stateful_running", output_mode="update")
+    got = out.toPandas()
+    # keep the last (cumulative-max) emission per key
+    got = (got.sort_values(["user_id", "n_events"])
+           .groupby("user_id", as_index=False).last())
+    assert got["n_events"].sum() == batch.count()  # saw every event
+    pd.testing.assert_frame_equal(_norm(got), expected, check_dtype=False)
