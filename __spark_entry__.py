@@ -310,6 +310,71 @@ FROM documents
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline composite: exact dedup (min-id per
+    normalized content) → Gopher-style quality gate → language gate → PII
+    redaction → token budget + deterministic hash train/val/test split.
+
+    Plan shape (verified on the executed plan): one content-hash exchange
+    for the dedup aggregate, whose min-id keep-set broadcasts back for the
+    semi-join — full documents never shuffle by doc_id. Every per-doc
+    stage after that is a JVM expression (no Python, no further shuffle).
+    The explicit repartition only unpins the single-file test source; at
+    100 TB the keep-set outgrows the broadcast threshold and AQE shifts
+    the semi-join to shuffle-hash on doc_id — still one exchange of
+    (doc_id, hash) pairs, never of document bodies."""
+    from basic_data_fusion_spark.functions.scalars import hash_split
+    from basic_data_fusion_spark.operators.dedup import exact_dedup
+    from basic_data_fusion_spark.operators.text import (
+        detect_language,
+        quality_score,
+        redact_pii,
+        token_count,
+    )
+
+    docs = (_catalog(spark, sf_dir).load("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    deduped = exact_dedup(docs)
+    kept = quality_score(deduped).filter("keep").select("doc_id", "text")
+    gated = (kept.withColumn("detected_lang", detect_language(F.col("text")))
+             .filter(F.col("detected_lang").isNotNull()))
+    return gated.select(
+        "doc_id", "detected_lang",
+        token_count(redact_pii(F.col("text"))).alias("n_tokens_clean"),
+        hash_split(F.col("doc_id")).alias("split"))
+
+
+def _curation_oracle() -> str:
+    redact = r"""regexp_replace(regexp_replace(regexp_replace(text,
+        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        '\+?[0-9][0-9()\-. ]{7,}[0-9]', '[PHONE]', 'g'),
+        'https?://[^\s]+', '[URL]', 'g')"""
+    nib = "substr(md5(CAST(dk.doc_id AS VARCHAR)), 1, 1)"
+    return ("""
+WITH dk AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+q AS (SELECT doc_id, keep FROM (""" + _QUALITY_ORACLE + """) qq),
+l AS (SELECT doc_id, detected_lang FROM (""" + _lang_id_oracle() + """) ll),
+red AS (SELECT doc_id, """ + redact + r""" AS rtext FROM documents)
+SELECT dk.doc_id, l.detected_lang,
+       CASE WHEN trim(rtext) = '' THEN 0
+            ELSE len(regexp_split_to_array(lower(trim(rtext)), '\s+'))
+       END AS n_tokens_clean,
+       CASE WHEN """ + nib + """ BETWEEN '0' AND '9'
+              OR """ + nib + """ IN ('a', 'b') THEN 'train'
+            WHEN """ + nib + """ IN ('c', 'd') THEN 'val'
+            ELSE 'test' END AS split
+FROM dk
+JOIN q   ON q.doc_id = dk.doc_id
+JOIN l   ON l.doc_id = dk.doc_id
+JOIN red ON red.doc_id = dk.doc_id
+WHERE q.keep AND l.detected_lang IS NOT NULL
+""")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -910,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
+        "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
@@ -971,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "quality_scores": _QUALITY_ORACLE,
         "pii_scrub": _PII_ORACLE,
+        "corpus_curation": _curation_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "flagship_merge": f"""

@@ -111,3 +111,20 @@ def numeric_coerce(col: Column) -> Column:
     required — Spark 4 runs ANSI mode by default, where a plain cast of a
     malformed string THROWS instead of yielding NULL."""
     return col.try_cast("double")
+
+
+def hash_split(key: Column, train: int = 12, val: int = 2) -> Column:
+    """Deterministic train/val/test assignment from the first hex nibble
+    of ``md5(key-as-string)``: nibbles ``[0, train)`` → 'train',
+    ``[train, train+val)`` → 'val', rest → 'test' (out of 16). Fully
+    parallel, engine-portable (same md5 text on any SQL engine), and
+    stable under repartitioning — unlike seeded ``df.sample`` splits,
+    which depend on partition layout. Oracle SQL equivalent::
+
+        CASE WHEN substr(md5(CAST(k AS VARCHAR)), 1, 1) < '<hex(train)>'
+             THEN 'train' ... END
+    """
+    nib = F.conv(F.md5(key.cast("string")).substr(1, 1), 16, 10).cast("int")
+    return (F.when(nib < train, F.lit("train"))
+            .when(nib < train + val, F.lit("val"))
+            .otherwise(F.lit("test")))

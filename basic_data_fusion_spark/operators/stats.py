@@ -362,3 +362,43 @@ def uniform_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     if total <= n:
         return df
     return df.sample(fraction=min(1.0, 1.05 * n / total), seed=seed).limit(n)
+
+
+def grouped_normality(df: DataFrame, group_col: str, value_col: str,
+                      max_n: int = 5000) -> DataFrame:
+    """Per-group scipy normality/descriptives via grouped
+    ``applyInPandas`` — the distributed form of ``normality_tests``
+    (reference bounds Shapiro at n≤5000, pages/plotting.py:1291-1316; we
+    inherit the bound per group).
+
+    This is the §2.12 'grouped scipy' UDF surface: each group's rows
+    arrive as ONE Arrow batch in a Python worker, scipy runs per group in
+    parallel across executors, and only the tiny per-group stat rows come
+    back. Groups are whole units — state never crosses groups — so the
+    plan is a single shuffle on the group key. Skew note: a giant group
+    lands on one worker by construction (scipy needs the whole sample);
+    the max_n truncation bounds that worker's memory.
+    """
+    _require_scipy()
+    import pandas as pd
+
+    schema = (f"{group_col} string, n long, mean double, std double, "
+              "shapiro_w double, shapiro_p double, anderson_stat double")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[value_col].dropna().astype(float)
+        # deterministic truncation: sort before applying the scipy bound
+        vals = vals.sort_values().iloc[:max_n]
+        row = {group_col: pdf[group_col].iloc[0], "n": len(vals),
+               "mean": vals.mean() if len(vals) else None,
+               "std": vals.std(ddof=1) if len(vals) > 1 else None,
+               "shapiro_w": None, "shapiro_p": None, "anderson_stat": None}
+        if 3 <= len(vals) <= 5000:
+            w, p = _scipy_stats.shapiro(vals)
+            row["shapiro_w"], row["shapiro_p"] = float(w), float(p)
+        if len(vals) >= 8:
+            row["anderson_stat"] = float(_scipy_stats.anderson(vals).statistic)
+        return pd.DataFrame([row])
+
+    return (df.select(F.col(group_col).cast("string"), value_col)
+            .groupBy(group_col).applyInPandas(per_group, schema))

@@ -38,6 +38,10 @@ HEADLINE = [
     "quality_scores",        # Gopher-style quality features
     "lang_id",               # stopword-profile language ID
     "embedding_topk",        # brute-force cosine top-k
+    "corpus_curation",       # dedup->quality->lang->PII->split composite
+    "asof_latest_order",     # as-of join (union + single window shuffle)
+    "event_funnel_5m",       # time-bucketed interval join
+    "pricing_rollup",        # ROLLUP grouping sets, one pass
 ]
 
 

@@ -127,3 +127,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_cust")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_synth_partition_invariant_determinism(spark):
+    from basic_data_fusion_spark.sources.synth import synthetic_participants
+
+    a = synthetic_participants(spark, 500).orderBy("ursi").collect()
+    b = (synthetic_participants(spark, 500).repartition(13)
+         .orderBy("ursi").collect())
+    assert a == b  # same rows under any partitioning (hash-addressed RNG)
+
+
+def test_synth_statistical_shape(spark):
+    from basic_data_fusion_spark.sources.synth import synthetic_participants
+    from pyspark.sql import functions as F
+
+    df = synthetic_participants(spark, 2000)
+    row = df.agg(F.min("age"), F.max("age"),
+                 F.corr("age", "cognition_score"),
+                 F.count(F.when(F.col("cognition_score").isNull(), 1)),
+                 F.count(F.lit(1))).first()
+    assert 18 <= row[0] and row[1] <= 80
+    assert row[2] < -0.5                       # age-correlated measure
+    assert row[3] == 2000 // 5                 # subject % 5 missingness
+
+
+def test_synth_longitudinal_dropout(spark):
+    from basic_data_fusion_spark.sources.synth import synthetic_participants
+    from pyspark.sql import functions as F
+
+    df = synthetic_participants(spark, 700, sessions=["BAS1", "BAS2", "BAS3"])
+    assert "customID" in df.columns
+    per_sess = dict((r[0], r[1]) for r in
+                    df.groupBy("session_num").count().collect())
+    assert per_sess["BAS1"] == 700
+    assert per_sess["BAS2"] == per_sess["BAS3"] == 700 - 100  # % 7 dropout

@@ -181,3 +181,24 @@ def test_uniform_sample_bounds(num_df):
     df, _ = num_df
     assert stats.uniform_sample(df, 100).count() <= 100
     assert stats.uniform_sample(df, 10_000).count() == 400
+
+
+def test_grouped_normality_matches_driver_scipy(spark):
+    pytest.importorskip("scipy")
+    from scipy import stats as sps
+
+    from basic_data_fusion_spark.operators.stats import grouped_normality
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    got = {r["c_mktsegment"]: r for r in
+           grouped_normality(cust, "c_mktsegment", "c_acctbal").collect()}
+    pdf = cust.select("c_mktsegment", "c_acctbal").toPandas()
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        vals = grp["c_acctbal"].dropna().astype(float).sort_values()
+        r = got[seg]
+        assert r["n"] == len(vals)
+        assert abs(r["mean"] - vals.mean()) < 1e-9
+        w, p = sps.shapiro(vals)
+        assert abs(r["shapiro_w"] - w) < 1e-12
+        assert abs(r["shapiro_p"] - p) < 1e-12
+        assert abs(r["anderson_stat"] - sps.anderson(vals).statistic) < 1e-12
