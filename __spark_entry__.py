@@ -950,6 +950,60 @@ FROM g GROUP BY user_id
 """
 
 
+def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (ROWS UNBOUNDED PRECEDING): per-customer running
+    order total in fixed-point so every prefix sum is bit-deterministic.
+    One shuffle on the partition key; the frame is computed in-partition."""
+    from pyspark.sql import Window
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fp = F.round(F.col("o_totalprice") * F.lit(1_000_000.0), 0).cast("bigint")
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.sum(fp).over(w) / F.lit(1_000_000.0)).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"))
+
+
+_RUNNING_SPEND_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT)) OVER w
+         / 1000000.0 AS running_spend,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking family: global account-balance deciles (deterministic
+    tie-break on custkey), reduced to per-decile bounds + counts.
+    Note the single-partition global sort — NTILE over an unpartitioned
+    window is inherently a gather; acceptable because the downstream
+    aggregate is tiny, and the partitioned form (per-segment) shards it."""
+    from pyspark.sql import Window
+
+    cust = _catalog(spark, sf_dir).load("customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("c_acctbal").alias("lo"),
+                 F.max("c_acctbal").alias("hi"))
+            .orderBy("decile"))
+
+
+_DECILES_ORACLE = """
+SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+FROM (SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+GROUP BY decile ORDER BY decile
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -994,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q_pricing_rollup,
         "hash_sample_orders": q_hash_sample_orders,
         "events_interarrival": q_events_interarrival,
+        "running_spend": q_running_spend,
+        "acctbal_deciles": q_acctbal_deciles,
     }
 
 
@@ -1021,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_rollup": _ROLLUP_ORACLE,
         "hash_sample_orders": _HASH_SAMPLE_ORACLE,
         "events_interarrival": _INTERARRIVAL_ORACLE,
+        "running_spend": _RUNNING_SPEND_ORACLE,
+        "acctbal_deciles": _DECILES_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

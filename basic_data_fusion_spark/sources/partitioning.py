@@ -1,0 +1,56 @@
+"""Partitioned-layout helpers: directory partition pruning for time/
+category-sliced scans.
+
+Bucketing (sources/bucketing.py) removes the JOIN shuffle; directory
+partitioning removes the SCAN itself for slice queries. At 100 TB the
+events table is written `partitionBy(event_date)` so a
+`WHERE event_date BETWEEN ...` query lists only the matching
+directories — I/O scales with the slice, not the table. The pruning is
+Catalyst's (PartitionFilters in the FileScan); these helpers make the
+layout + the plan-level guard explicit.
+
+The reference has no partitioned storage (one CSV per table —
+data_handling/metadata.py:32-50); this is a scale extension.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           date_col: str = "event_date",
+                           mode: str = "overwrite") -> None:
+    """Write parquet partitioned by the date of ``ts_col``. The derived
+    date column becomes a directory key (`.../event_date=2024-01-05/`);
+    the timestamp column itself stays in the files untouched."""
+    (df.withColumn(date_col, F.to_date(ts_col))
+     .write.mode(mode).partitionBy(date_col).parquet(path))
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """The PartitionFilters the scan will apply (empty = full scan)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            out.append(m.group(1).strip())
+    return out
+
+
+def assert_partition_pruned(df: DataFrame) -> None:
+    """Plan-level guard: the query must reach the scan with at least one
+    partition filter — otherwise the layout isn't being exploited and a
+    slice query would read the full table."""
+    if not partition_filters(df):
+        raise AssertionError(
+            "scan has no PartitionFilters — the predicate did not prune "
+            "the partitioned layout (filter on the partition column, with "
+            "literals/foldable expressions)")

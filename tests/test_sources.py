@@ -162,3 +162,33 @@ def test_synth_longitudinal_dropout(spark):
                     df.groupBy("session_num").count().collect())
     assert per_sess["BAS1"] == 700
     assert per_sess["BAS2"] == per_sess["BAS3"] == 700 - 100  # % 7 dropout
+
+
+def test_partition_pruning_on_time_slice(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.sources.partitioning import (
+        assert_partition_pruned,
+        partition_filters,
+        read_partitioned,
+        write_time_partitioned,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(ev, path)
+
+    full = read_partitioned(spark, path)
+    n_days = full.select("event_date").distinct().count()
+    assert n_days >= 25  # one directory per day of the 30-day stream
+
+    sliced = full.filter(F.col("event_date") == "2024-01-05")
+    assert_partition_pruned(sliced)
+    # pruning must not change results vs the unpartitioned source
+    expected = ev.filter(F.to_date("ts") == "2024-01-05").count()
+    assert sliced.count() == expected > 0
+
+    unsliced = full.filter(F.col("value") > 5.0)  # not a partition column
+    assert partition_filters(unsliced) == []

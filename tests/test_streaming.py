@@ -139,3 +139,41 @@ def test_stateful_running_stats_matches_batch(spark, tmp_path):
            .groupby("user_id", as_index=False).last())
     assert got["n_events"].sum() == batch.count()  # saw every event
     pd.testing.assert_frame_equal(_norm(got), expected, check_dtype=False)
+
+
+def test_exactly_once_parquet_sink(spark, tmp_path):
+    """foreachBatch sink: all micro-batches land exactly once; a replayed
+    batch function call (same batch_id) would overwrite, not duplicate."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+        read_sink,
+    )
+
+    batch = _events_batch(spark)
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(2):
+        (batch.filter(F.col("event_id") % 2 == i).coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(f, d / f"in{i}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = exactly_once_parquet_sink(stream, out, ckpt)
+    q.awaitTermination()
+
+    sunk = read_sink(spark, out)
+    assert sunk.select("batch_id").distinct().count() == 2
+    assert sunk.count() == batch.count()
+    assert sunk.agg(F.sum("event_id")).first()[0] == \
+        batch.agg(F.sum("event_id")).first()[0]
+
+    # restart over the same checkpoint: nothing new to process, no dupes
+    q2 = exactly_once_parquet_sink(stream, out, ckpt)
+    q2.awaitTermination()
+    assert read_sink(spark, out).count() == batch.count()
