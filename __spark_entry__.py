@@ -1004,6 +1004,66 @@ GROUP BY decile ORDER BY decile
 """
 
 
+def q_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (beyond the reference's §2.7 'none'): INTERSECT /
+    EXCEPT cohort sizes — AUTOMOBILE-segment customers with vs without a
+    1995 order. Both sides reduce to key columns before the set op, so
+    only keys shuffle."""
+    cat = _catalog(spark, sf_dir)
+    auto = (cat.load("customer")
+            .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+            .select("c_custkey"))
+    o95 = (cat.load("orders")
+           .filter(F.year("o_orderdate") == 1995)
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    rows = [
+        auto.intersect(o95).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("auto_with_1995_order").alias("cohort"), "n"),
+        auto.exceptAll(o95).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("auto_without_1995_order").alias("cohort"), "n"),
+    ]
+    return rows[0].unionByName(rows[1])
+
+
+_SETOPS_ORACLE = """
+SELECT 'auto_with_1995_order' AS cohort, COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+UNION ALL
+SELECT 'auto_without_1995_order', COUNT(*) FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (explode/flatMap surface): global token
+    frequencies over the corpus, top 20 with deterministic tie-break.
+    Partial aggregation combines counts map-side before the single
+    shuffle on token — the explode fan-out never crosses the wire raw."""
+    from basic_data_fusion_spark.operators.text import tokens
+
+    docs = (_catalog(spark, sf_dir).load("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    return (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(20))
+
+
+_VOCAB_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -1050,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival": q_events_interarrival,
         "running_spend": q_running_spend,
         "acctbal_deciles": q_acctbal_deciles,
+        "cohort_setops": q_cohort_setops,
+        "vocab_top_tokens": q_vocab_top_tokens,
     }
 
 
@@ -1079,6 +1141,8 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": _INTERARRIVAL_ORACLE,
         "running_spend": _RUNNING_SPEND_ORACLE,
         "acctbal_deciles": _DECILES_ORACLE,
+        "cohort_setops": _SETOPS_ORACLE,
+        "vocab_top_tokens": _VOCAB_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
