@@ -177,3 +177,33 @@ def test_exactly_once_parquet_sink(spark, tmp_path):
     q2 = exactly_once_parquet_sink(stream, out, ckpt)
     q2.awaitTermination()
     assert read_sink(spark, out).count() == batch.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream event-time range join (watermarked, bounded state)
+    returns exactly the batch interval_join pairs."""
+    from basic_data_fusion_spark.operators.joins import interval_join
+    from basic_data_fusion_spark.streaming.joins import stream_interval_join
+
+    ev = _events_batch(spark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("eu"),
+        F.col("ts").alias("ets"))
+    expected = sorted(
+        (r["click_id"], r["err_id"]) for r in
+        interval_join(clicks, errors, "cu", "eu", "cts", "ets",
+                      0.0, 300.0).collect())
+
+    cdir, edir = tmp_path / "clicks", tmp_path / "errors"
+    clicks.coalesce(1).write.parquet(str(cdir))
+    errors.coalesce(1).write.parquet(str(edir))
+    cs = spark.readStream.schema(clicks.schema).parquet(str(cdir))
+    es = spark.readStream.schema(errors.schema).parquet(str(edir))
+    joined = stream_interval_join(cs, es, "cu", "eu", "cts", "ets", 0, 300)
+    out = W.run_available_now(joined.select("click_id", "err_id"),
+                              "t_ss_interval", output_mode="append")
+    got = sorted((r["click_id"], r["err_id"]) for r in out.collect())
+    assert got == expected and len(got) > 0
