@@ -382,6 +382,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → per-doc cluster label +
+    size (keep-one-per-cluster is ``cluster_id == doc_id``). Edges are the
+    deterministic exact-jaccard pairs so the DuckDB recursive-CTE oracle
+    sees the same graph; the CC algorithm itself is alternating
+    large-star/small-star (O(log n) rounds, no driver graph state)."""
+    from basic_data_fusion_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup_clusters(docs, pairs)
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH → exact-jaccard verification. Engine-specific hash
     (xxhash64) → rows-only driver check; recall vs exhaustive jaccard is
@@ -738,6 +751,31 @@ JOIN sz y ON y.doc_id = id_b
 WHERE CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) >= CAST(0.8 AS DOUBLE)
 """
 
+# Min-reachable-node label via recursive CTE over the (deterministic)
+# jaccard pair graph — tiny at oracle scale; the Spark side uses
+# large-star/small-star for the 100 TB path.
+_DEDUP_CLUSTERS_ORACLE = ("""
+WITH RECURSIVE p AS (""" + _NGRAM_JACCARD_ORACLE + """),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+walk(n, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT w.n, e.v FROM walk w JOIN edges e ON e.u = w.r
+),
+lbl AS (SELECT n, MIN(r) AS cluster_id FROM walk GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size
+FROM documents d
+LEFT JOIN lbl l ON l.n = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+""")
+
 _EMBEDDING_TOPK_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
@@ -1091,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
@@ -1161,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_ORACLE,
         "corpus_curation": _curation_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "flagship_merge": f"""
             SELECT demo.c_custkey, demo.c_name, demo.c_nationkey, demo.c_acctbal,

@@ -217,6 +217,83 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select("id_a", "id_b", "jaccard"))
 
 
+# ---------------- cluster assembly: connected components ----------------
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over a pair list → ``(node, component)`` with
+    component = min node id in the component. Non-singleton nodes only
+    (callers union in singletons; see ``dedup_clusters``).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy-min + join passes over the edge list, converging in
+    O(log n) rounds — no driver-side graph state, no collect_set of
+    neighbor lists (the high-degree-node killer), so a 100 TB pair list
+    shuffles only (node, min) pairs. Lineage is truncated per round with
+    localCheckpoint, otherwise the iterated plan grows exponentially.
+
+    large-star: ∀u, connect every neighbor v > u to m = min(N(u) ∪ {u})
+    small-star: orient edges u > v; connect N⁻(u) ∪ {u} to min(N⁻(u))
+    Fixed point = every node points directly at its component min.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    prev_count, prev_sig = -1, None
+    for _ in range(max_iterations):
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+
+        o = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        omins = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (o.join(omins, "u")
+             .select(F.col("v").alias("n"), F.col("m"))
+             .filter(F.col("n") != F.col("m"))
+             .union(omins.select(F.col("u").alias("n"), F.col("m")))
+             .distinct()
+             .select(F.col("n").alias("u"), F.col("m").alias("v"))
+             .localCheckpoint())
+
+        # xor-fold signature: order-insensitive and can't overflow (ANSI
+        # mode makes sum(xxhash64) an ARITHMETIC_OVERFLOW at any scale)
+        stats = e.agg(F.count(F.lit(1)).alias("c"),
+                      F.bit_xor(F.xxhash64("u", "v")).alias("s")).first()
+        if (stats["c"], stats["s"]) == (prev_count, prev_sig):
+            break
+        prev_count, prev_sig = stats["c"], stats["s"]
+    # fixed point: e is a star graph node→component-min; add the roots
+    roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()
+    return (e.union(roots).distinct()
+            .select(F.col("u").alias("node"), F.col("v").alias("component")))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Near-dup pairs → cluster labels for EVERY document:
+    ``(id, cluster_id, cluster_size)``, cluster_id = min doc id in the
+    cluster (singletons label themselves, size 1). This is the step that
+    turns pair output (minhash/simhash/jaccard tiers) into an actionable
+    keep-one-per-cluster decision; the keep set is
+    ``cluster_id == id``."""
+    labels = connected_components(pairs, src, dst)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    labeled = (labels.join(sizes, "component")
+               .select(F.col("node").alias(id_col),
+                       F.col("component").alias("cluster_id"),
+                       "cluster_size"))
+    singles = (df.select(id_col)
+               .join(labels.select(F.col("node").alias(id_col)), id_col, "left_anti")
+               .select(F.col(id_col),
+                       F.col(id_col).alias("cluster_id"),
+                       F.lit(1).cast("long").alias("cluster_size")))
+    return labeled.union(singles)
+
+
 # ---------------- tier 4: simhash ----------------
 
 def _signed_mask(bit: int) -> int:

@@ -206,3 +206,49 @@ def test_approx_count_distinct_tier(spark):
     exact = count_distinct_keys(cust, "c_custkey").first()["n_participants"]
     approx = count_distinct_keys(cust, "c_custkey", approx=True).first()["n_participants"]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (transitive closure) + pair 10-11 + isolated via dedup_clusters
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 200, 150  # sparse → many components, some big
+    pairs = [(int(a), int(b)) for a, b in rng.integers(0, n_nodes, (n_edges, 2))
+             if a != b]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for p in pairs for x in p}
+    expected = {x: find(x) for x in touched}
+
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == expected
+
+
+def test_dedup_clusters_labels_and_singletons(spark, small_docs):
+    pairs = dedup.ngram_jaccard_pairs(small_docs, n=3, threshold=0.8)
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.dedup_clusters(small_docs, pairs).collect()}
+    assert len(out) == small_docs.count()          # every doc labeled once
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[3] == (1, 3)
+    # doc 4 (one word changed, jaccard ~0.56) stays below 0.8 → singleton
+    assert out[4] == (4, 1)
+    assert out[5] == (5, 1) and out[6] == (6, 1)   # singletons label themselves
