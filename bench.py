@@ -69,11 +69,19 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    # One unmeasured warm-up execution per query (SPARK_GRAFT_WARMUP=0 to
+    # disable): the first run of a heavy expression pipeline pays one-time
+    # JVM JIT of its whole-stage-codegen'd methods (~4 s for the corpus
+    # pipeline) that amortizes to zero at scale — steady-state is the
+    # number comparable across engines and rounds.
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
+        for _ in range(warmup):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
