@@ -375,6 +375,16 @@ WHERE q.keep AND l.detected_lang IS NOT NULL
 """)
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document: type-token
+    ratio, top word/bigram mass, longest same-word run. Single all-JVM pass
+    over each token array — no shuffle."""
+    from basic_data_fusion_spark.operators.text import repetition_features
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return repetition_features(docs)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -751,6 +761,52 @@ JOIN sz y ON y.doc_id = id_b
 WHERE CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) >= CAST(0.8 AS DOUBLE)
 """
 
+# Positional token table (zipped unnest) → word counts, lead() bigrams,
+# gaps-and-islands run lengths. All ratios are integer-count divisions.
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS word,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM t
+),
+wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(c) AS top_word, COUNT(*) AS n_distinct,
+               SUM(c) AS n_tokens
+        FROM wc GROUP BY 1),
+bg AS (
+  SELECT doc_id,
+         word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+  FROM w QUALIFY bigram IS NOT NULL
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams FROM bc GROUP BY 1),
+runs AS (
+  SELECT doc_id, word,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+  FROM w
+),
+rl AS (SELECT doc_id, COUNT(*) AS run_len FROM runs GROUP BY doc_id, word, grp),
+ragg AS (SELECT doc_id, MAX(run_len) AS max_run FROM rl GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       CASE WHEN a.n_tokens IS NULL THEN 0.0
+            ELSE CAST(a.n_distinct AS DOUBLE) / a.n_tokens END AS distinct_ratio,
+       CASE WHEN a.n_tokens IS NULL THEN 0.0
+            ELSE CAST(a.top_word AS DOUBLE) / a.n_tokens END AS top_word_frac,
+       CASE WHEN b.n_bigrams IS NULL THEN 0.0
+            ELSE CAST(b.top_bigram AS DOUBLE) / b.n_bigrams END AS top_bigram_frac,
+       COALESCE(r.max_run, 0) AS max_run
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN bagg b ON b.doc_id = d.doc_id
+LEFT JOIN ragg r ON r.doc_id = d.doc_id
+"""
+
 # Min-reachable-node label via recursive CTE over the (deterministic)
 # jaccard pair graph — tiny at oracle scale; the Spark side uses
 # large-star/small-star for the 100 TB path.
@@ -955,6 +1011,28 @@ WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
 """
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling: cap English at 25% and
+    Chinese at 50%, keep tail languages whole — the corpus-rebalancing
+    step of a training-data pipeline, as a pure hash filter (no RNG, no
+    shuffle, repartition-stable)."""
+    from basic_data_fusion_spark.functions.scalars import stratified_keep
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    keep = stratified_keep(F.col("lang"), F.col("doc_id"),
+                           {"en": 0.25, "zh": 0.5})
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+_STRATIFIED_SAMPLE_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+           WHEN lang = 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+           ELSE TRUE END
+"""
+
+
 def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead/lag window surface: per-user inter-event gaps (lag over event
     time), aggregated to exact integer sums so the float division is
@@ -1128,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
+        "repetition_scores": q_repetition_scores,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
@@ -1146,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "pricing_rollup": q_pricing_rollup,
         "hash_sample_orders": q_hash_sample_orders,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "events_interarrival": q_events_interarrival,
         "running_spend": q_running_spend,
         "acctbal_deciles": q_acctbal_deciles,
@@ -1177,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": _NO_ORDERS_ORACLE,
         "pricing_rollup": _ROLLUP_ORACLE,
         "hash_sample_orders": _HASH_SAMPLE_ORACLE,
+        "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "events_interarrival": _INTERARRIVAL_ORACLE,
         "running_spend": _RUNNING_SPEND_ORACLE,
         "acctbal_deciles": _DECILES_ORACLE,
@@ -1199,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": _QUALITY_ORACLE,
         "pii_scrub": _PII_ORACLE,
         "corpus_curation": _curation_oracle(),
+        "repetition_scores": _REPETITION_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,

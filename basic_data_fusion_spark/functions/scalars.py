@@ -113,6 +113,34 @@ def numeric_coerce(col: Column) -> Column:
     return col.try_cast("double")
 
 
+def stratified_keep(stratum: Column, key: Column, rates: dict[str, float],
+                    default_rate: float = 1.0) -> Column:
+    """Boolean keep-flag for deterministic per-stratum downsampling —
+    corpus rebalancing (e.g. cap the dominant language at 25% while
+    keeping the tail at 100%). Resolution is 1/256: a row survives iff
+    its first two md5 hex chars sort below the stratum's threshold —
+    lexicographic hex compare == numeric compare, so the predicate is the
+    same text on any engine, needs no RNG state or global order, and is
+    stable under repartitioning (unlike seeded ``sampleBy``). Extends the
+    reference's uniform-sampling surface (statistics.py:430-434) to
+    stratified rates."""
+    h = F.md5(key.cast("string")).substr(1, 2)
+
+    def cond(rate: float) -> Column:
+        b = min(max(int(round(rate * 256)), 0), 256)
+        if b >= 256:
+            return F.lit(True)
+        if b <= 0:
+            return F.lit(False)
+        return h < F.lit(format(b, "02x"))
+
+    expr = None
+    for value, rate in sorted(rates.items()):
+        branch = (expr.when if expr is not None else F.when)
+        expr = branch(stratum == value, cond(rate))
+    return expr.otherwise(cond(default_rate)) if expr is not None else cond(default_rate)
+
+
 def hash_split(key: Column, train: int = 12, val: int = 2) -> Column:
     """Deterministic train/val/test assignment from the first hex nibble
     of ``md5(key-as-string)``: nibbles ``[0, train)`` → 'train',

@@ -114,6 +114,70 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    use these to drop boilerplate/spam): type-token ratio, most-frequent
+    word/bigram mass, longest same-word run. The reference has no
+    repetition analysis; this extends its quality surface
+    (analysis/statistics.py value-counts idiom) to corpus curation.
+
+    All-JVM, no shuffle, no explode. The token/bigram arrays are
+    materialized through staged projections: a nested higher-order
+    function re-evaluates its argument subtree once per OUTER array
+    element, so feeding ``split(...)`` directly into
+    ``transform(distinct, w -> filter(toks, ...))`` re-tokenizes the
+    document u times per row (~16× slower end-to-end measured at sf0.1).
+    Per-doc cost is O(distinct_words × n_tokens), fine for
+    web-document-sized texts (the intended unit); for book-length inputs
+    switch to the explode + two-level groupBy formulation instead.
+    Ratios are integer-count divisions → bit-deterministic cross-engine.
+    Input is repartitioned — the pass is CPU-bound and a single-file
+    parquet source would otherwise pin it to one core.
+    """
+    spark = df.sparkSession
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col),
+                    tokens(F.col(text_col)).alias("toks"),
+                    token_count(F.col(text_col)).cast("long").alias("n_tokens")))
+    t, n = F.col("toks"), F.col("n_tokens")
+    staged = base.select(
+        F.col(id_col), "toks", "n_tokens",
+        F.array_distinct(t).alias("uniq"),
+        F.when(n >= 2,
+               F.transform(F.sequence(F.lit(1), (n - 1).cast("int")),
+                           lambda i: F.concat_ws(" ", F.slice(t, i, 2))))
+         .otherwise(F.array().cast("array<string>")).alias("bgs"))
+
+    def top_count(arr: Column, distinct: Column) -> Column:
+        counts = F.transform(distinct, lambda w: F.size(F.filter(arr, lambda x: x == w)))
+        return F.coalesce(F.array_max(counts), F.lit(0))
+
+    run_step = lambda acc, x: F.struct(
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))).alias("best"))
+    max_run = F.aggregate(
+        t,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        run_step, lambda acc: acc["best"])
+
+    n_bigrams = F.size(F.col("bgs"))
+    zero_if_empty = lambda c: F.when(n == 0, F.lit(0.0)).otherwise(c)
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        zero_if_empty(F.size("uniq").cast("double") / n).alias("distinct_ratio"),
+        zero_if_empty(top_count(t, F.col("uniq")).cast("double") / n).alias("top_word_frac"),
+        F.when(n_bigrams == 0, F.lit(0.0))
+         .otherwise(top_count(F.col("bgs"), F.array_distinct("bgs")).cast("double")
+                    / n_bigrams).alias("top_bigram_frac"),
+        F.when(n == 0, F.lit(0)).otherwise(max_run).cast("long").alias("max_run"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   min_tokens: int = 10, max_punct_ratio: float = 0.2,
                   min_stopword_ratio: float = 0.01) -> DataFrame:

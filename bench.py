@@ -39,6 +39,8 @@ HEADLINE = [
     "lang_id",               # stopword-profile language ID
     "embedding_topk",        # brute-force cosine top-k
     "corpus_curation",       # dedup->quality->lang->PII->split composite
+    "dedup_clusters",        # jaccard pairs -> large-star/small-star CC labels
+    "repetition_scores",     # Gopher repetition signals, single JVM pass
     "asof_latest_order",     # as-of join (union + single window shuffle)
     "event_funnel_5m",       # time-bucketed interval join
     "pricing_rollup",        # ROLLUP grouping sets, one pass

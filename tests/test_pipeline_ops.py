@@ -252,3 +252,23 @@ def test_dedup_clusters_labels_and_singletons(spark, small_docs):
     # doc 4 (one word changed, jaccard ~0.56) stays below 0.8 → singleton
     assert out[4] == (4, 1)
     assert out[5] == (5, 1) and out[6] == (6, 1)   # singletons label themselves
+
+
+def test_repetition_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y"), (3, ""), (4, "solo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.repetition_features(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4 and r1["distinct_ratio"] == 0.5
+    assert r1["top_word_frac"] == 0.75          # 'a' 3 of 4
+    assert r1["top_bigram_frac"] == 2 / 3       # 'a a' 2 of 3
+    assert r1["max_run"] == 3
+    r2 = out[2]
+    assert r2["distinct_ratio"] == 0.5 and r2["max_run"] == 1
+    assert r2["top_bigram_frac"] == 2 / 3       # 'x y' twice of 3
+    assert out[3] == {"doc_id": 3, "n_tokens": 0, "distinct_ratio": 0.0,
+                      "top_word_frac": 0.0, "top_bigram_frac": 0.0, "max_run": 0}
+    r4 = out[4]
+    assert r4["n_tokens"] == 1 and r4["top_word_frac"] == 1.0
+    assert r4["top_bigram_frac"] == 0.0 and r4["max_run"] == 1

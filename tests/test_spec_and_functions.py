@@ -70,3 +70,22 @@ def test_site_whole_word_match(spark):
     df = spark.createDataFrame(rows, "id string, all_studies string")
     hit = df.filter(site_whole_word_match(F.col("all_studies"), ["Discovery"]))
     assert sorted(r["id"] for r in hit.collect()) == ["A", "B"]  # not the substring C
+
+
+def test_stratified_keep_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.functions.scalars import stratified_keep
+
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"))
+    keep = stratified_keep(F.col("lang"), F.col("id"), {"en": 0.25, "zz": 0.0})
+    out = df.filter(keep).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in out}
+    assert counts["fr"] == 2000                    # default rate 1.0 keeps all
+    assert abs(counts["en"] / 2000 - 0.25) < 0.05  # ~25% of evens survive
+    # repartition-stable: same surviving ids regardless of layout
+    a = {r["id"] for r in df.filter(keep).select("id").collect()}
+    b = {r["id"] for r in df.repartition(13).filter(keep).select("id").collect()}
+    assert a == b

@@ -207,3 +207,35 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
                               "t_ss_interval", output_mode="append")
     got = sorted((r["click_id"], r["err_id"]) for r in out.collect())
     assert got == expected and len(got) > 0
+
+
+def test_streaming_exact_dedup_drops_redeliveries(spark, tmp_path):
+    from basic_data_fusion_spark.streaming.dedup import streaming_exact_dedup
+
+    # two files = two micro-batches; event 1 and 2 re-delivered in both
+    rows1 = [(1, "2024-01-01 00:00:01", "a"), (2, "2024-01-01 00:00:02", "b"),
+             (1, "2024-01-01 00:00:01", "a")]                     # in-batch dup
+    rows2 = [(2, "2024-01-01 00:00:02", "b"),                     # cross-batch dup
+             (3, "2024-01-01 00:05:00", "c")]
+    schema = "event_id long, ts_s string, payload string"
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+         .coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}")))
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(str(d))
+    stream = (spark.readStream.schema(batch.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    out = W.run_available_now(
+        streaming_exact_dedup(stream, ["event_id"], "ts", "10 minutes"),
+        "t_stream_dedup", output_mode="append")
+    got = sorted((r["event_id"], r["payload"]) for r in out.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    # batch path: same keep-one semantics via plain dropDuplicates
+    bout = streaming_exact_dedup(batch, ["event_id"])
+    assert sorted(r["event_id"] for r in bout.collect()) == [1, 2, 3]
