@@ -36,11 +36,21 @@ TPCH_JOIN_MAP = {
 }
 
 
+_CATALOG_MEMO: dict[tuple[str, str], Catalog] = {}
+
+
 def _catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    cat = Catalog(spark, sf_dir, primary_id="c_custkey", hub_table="customer")
-    for dim in ("nation", "region", "supplier", "part"):
-        if cat.has_table(dim):
-            cat.info(dim).is_dimension = True
+    """Catalog memoized per (session, data dir) — mirrors the reference's
+    table-metadata cache (data_handling/metadata.py:269-304): repeated
+    queries must not re-probe parquet footers / re-derive schemas."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cat = _CATALOG_MEMO.get(key)
+    if cat is None:
+        cat = Catalog(spark, sf_dir, primary_id="c_custkey", hub_table="customer")
+        for dim in ("nation", "region", "supplier", "part"):
+            if cat.has_table(dim):
+                cat.info(dim).is_dimension = True
+        _CATALOG_MEMO[key] = cat
     return cat
 
 
@@ -166,7 +176,11 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for table, cols in (("customer", ["c_acctbal"]),
                         ("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])):
-        df = cat.load(table)
+        # column-pruned scan, then spread the CPU-heavy exact-percentile
+        # update phase over all cores (single-file source = few splits;
+        # the final percentile merge stays serial by nature)
+        df = (cat.load(table).select(*cols)
+              .repartition(spark.sparkContext.defaultParallelism))
         # ONE aggregation pass per table: every column's stats plus the
         # row count in a single scan (no per-column jobs, no df.count())
         aggs = [F.count(F.lit(1)).alias("__total")]
@@ -939,6 +953,60 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase with first-touch attribution:
+    per-user frontier min-aggregations chained on one shuffle key."""
+    from basic_data_fusion_spark.operators.events import funnel_counts
+
+    ev = _catalog(spark, sf_dir).load("events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+_FUNNEL_STEPS_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+)
+SELECT 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)
+UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (cohort week × week offset × active
+    users) — the classic training-data-adjacent activity matrix."""
+    from basic_data_fusion_spark.operators.events import retention_matrix
+
+    ev = _catalog(spark, sf_dir).load("events")
+    return retention_matrix(ev)
+
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+SELECT f.cohort_week,
+       CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                      CAST(a.active_week AS DATE)) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface: customers that placed no orders, rolled up per
     market segment (left_anti = NOT EXISTS)."""
@@ -1222,6 +1290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_per_day": q_top_event_per_day,
         "asof_latest_order": q_asof_latest_order,
         "event_funnel_5m": q_event_funnel_5m,
+        "funnel_steps": q_funnel_steps,
+        "retention_weekly": q_retention_weekly,
         "customers_no_orders": q_customers_no_orders,
         "pricing_rollup": q_pricing_rollup,
         "hash_sample_orders": q_hash_sample_orders,
@@ -1254,6 +1324,8 @@ def oracle_sql() -> dict[str, str]:
         "top_event_per_day": _TOP_EVENT_ORACLE,
         "asof_latest_order": _ASOF_ORACLE,
         "event_funnel_5m": _FUNNEL_ORACLE,
+        "funnel_steps": _FUNNEL_STEPS_ORACLE,
+        "retention_weekly": _RETENTION_ORACLE,
         "customers_no_orders": _NO_ORDERS_ORACLE,
         "pricing_rollup": _ROLLUP_ORACLE,
         "hash_sample_orders": _HASH_SAMPLE_ORACLE,

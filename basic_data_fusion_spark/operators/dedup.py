@@ -83,11 +83,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     broadcast-join per-doc set sizes → jaccard = |∩| / (|A|+|B|−|∩|).
     Integer counts → bit-deterministic jaccard.
     """
-    sh = shingle_table(df, text_col, id_col, n)
+    # shingle construction is the CPU-bound stage and feeds THREE consumers
+    # (sizes + both self-join sides): parallelize it (single-file sources
+    # are 1 partition) and persist so it is evaluated once, not per side.
+    sh = shingle_table(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        text_col, id_col, n)
     if max_shingle_doc_freq:
         rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_shingle_doc_freq).select("shingle"))
         sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

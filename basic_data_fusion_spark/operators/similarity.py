@@ -113,6 +113,23 @@ def hyperplane_sketch(vec: Column, planes: int = 16, seed: int = 42,
     return out
 
 
+def train_centroids(df: DataFrame, k: int = 16, vec_col: str = "embedding",
+                    max_iter: int = 20, seed: int = 42) -> list[list[float]]:
+    """Train the IVF coarse quantizer with distributed k-means
+    (``pyspark.ml.clustering.KMeans``, k-means|| init): each Lloyd
+    iteration is a map-side partial-sum aggregation — no vector data ever
+    concentrates on one node, so training scales to the full corpus. The
+    k centroids (a few KB) return to the driver and become the broadcast
+    literals that ``ivf_index``/``ivf_topk`` fold into their plans."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_index(df: DataFrame, centroids: list[list[float]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse

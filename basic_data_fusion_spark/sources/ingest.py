@@ -23,6 +23,7 @@ import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.scalars import with_composite_id
 
@@ -196,3 +197,46 @@ def ingest_directory(spark: SparkSession, data_dir: str,
         if df is not None:
             tables[name] = df
     return tables, results
+
+
+def ingest_jsonl(spark: SparkSession, path: str, schema=None,
+                 corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """JSON-lines ingest — the interchange format of web-crawl / LLM
+    corpus dumps (one JSON document per line). PERMISSIVE mode: malformed
+    lines land in ``corrupt_col`` instead of failing the 10-hour job at
+    line 9 billion; callers split on ``corrupt_col IS NULL`` to route
+    rejects to a quarantine sink. Explicit ``schema`` skips the inference
+    pre-pass (a full extra scan at 100 TB — always pass one in
+    production; inference is for exploration).
+
+    Extends the reference's CSV-only ingest surface
+    (file_handling/csv_utils.py:145-227) to the format a training-data
+    pipeline actually receives.
+    """
+    reader = (spark.read
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt_col))
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+        if isinstance(schema, StructType) and not any(
+                f.name == corrupt_col for f in schema.fields):
+            schema = StructType(list(schema.fields)
+                                + [StructField(corrupt_col, StringType(), True)])
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) pair from a PERMISSIVE read. The quarantine
+    side keeps only the raw line — write it to a rejects sink for replay
+    after the schema/parser is fixed.
+
+    The parse result is persisted: Spark refuses corrupt-column-only
+    queries against a raw JSON scan (the pushed-down parse would skip
+    the very rows being asked for), and persisting also means ONE parse
+    pass serves both the clean and quarantine sides."""
+    df = df.persist()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad

@@ -54,3 +54,33 @@ def assert_partition_pruned(df: DataFrame) -> None:
             "scan has no PartitionFilters — the predicate did not prune "
             "the partitioned layout (filter on the partition column, with "
             "literals/foldable expressions)")
+
+
+def compact(spark: SparkSession, src: str, dest: str,
+            target_mb: int = 128, fmt: str = "parquet") -> int:
+    """Small-files compaction: rewrite a directory into ~``target_mb``
+    output files and return the file count. Streaming sinks and
+    per-batch writers leave thousands of KB-sized files; at scale the
+    NameNode/listing cost and per-file open overhead dominate scans long
+    before data size does. Sizing uses the actual on-disk bytes (driver
+    listing, no data read); the rewrite is one job — coalesce when
+    shrinking (no shuffle), repartition otherwise.
+
+    The reference never faces this (per-upload CSVs, csv_utils.py), but
+    any pipeline writing with ``exactly_once_parquet_sink`` or
+    date-partitioned layouts needs periodic compaction.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files < cur else df.repartition(n_files)
+    out.write.format(fmt).mode("overwrite").save(dest)
+    return n_files

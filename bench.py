@@ -84,9 +84,16 @@ def main() -> None:
             continue
         for _ in range(warmup):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        df = fn(spark, sf_dir)
+        # drop DataFrame caches persisted inside operators (LSH banding,
+        # shingle sets, …) so each measured query starts cache-cold and
+        # earlier queries' leftovers don't distort later timings
+        spark.catalog.clearCache()
+        # time construction + execution together: iterative operators
+        # (e.g. connected components) run driver-side actions while the
+        # DataFrame is being BUILT, so timing only the final write would
+        # underreport them
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

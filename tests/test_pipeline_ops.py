@@ -272,3 +272,16 @@ def test_repetition_features(spark):
     r4 = out[4]
     assert r4["n_tokens"] == 1 and r4["top_word_frac"] == 1.0
     assert r4["top_bigram_frac"] == 0.0 and r4["max_run"] == 1
+
+
+def test_trained_centroids_ivf_recall(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    centroids = similarity.train_centroids(emb, k=10, max_iter=10)
+    assert len(centroids) == 10 and len(centroids[0]) == 64
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    brute = similarity.brute_force_topk(emb, q, k=3).collect()
+    ivf = similarity.ivf_topk(emb, q, centroids, k=3, nprobe=3).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(iset & bset) / len(bset) >= 0.6  # nprobe=3 of 10 trained cells

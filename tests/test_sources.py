@@ -192,3 +192,35 @@ def test_partition_pruning_on_time_slice(spark, tmp_path):
 
     unsliced = full.filter(F.col("value") > 5.0)  # not a partition column
     assert partition_filters(unsliced) == []
+
+
+def test_ingest_jsonl_permissive_quarantine(spark, tmp_path):
+    from basic_data_fusion_spark.sources.ingest import ingest_jsonl, split_corrupt
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "hello"}\n'
+                 'not json at all\n'
+                 '{"doc_id": 2, "text": "world"}\n')
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    df = ingest_jsonl(spark, str(p), schema=schema)
+    clean, bad = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert bad.count() == 1 and "not json" in bad.first()[0]
+    assert "_corrupt_record" not in clean.columns
+
+
+def test_compact_rewrites_to_target_file_count(spark, tmp_path):
+    from basic_data_fusion_spark.sources.partitioning import compact
+
+    src, dest = tmp_path / "frag", tmp_path / "compacted"
+    # 40 tiny files (one per partition)
+    spark.range(4000).repartition(40).write.parquet(str(src))
+    n_src = len([f for f in src.iterdir() if f.suffix == ".parquet"])
+    assert n_src == 40
+    n = compact(spark, str(src), str(dest), target_mb=128)
+    assert n == 1  # a few KB total → one output file
+    files = [f for f in dest.iterdir() if f.suffix == ".parquet"]
+    assert len(files) == 1
+    assert spark.read.parquet(str(dest)).count() == 4000
