@@ -399,6 +399,48 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics rarity profile: per-doc mean/min/max token
+    document-frequency + common-token fraction. Integer-derived ratios
+    only — no log(), whose libm rounding is not cross-engine stable."""
+    from basic_data_fusion_spark.operators.text import token_rarity
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return token_rarity(docs)
+
+
+_TOKEN_RARITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+inst AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS token FROM t),
+dfq AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t)
+  GROUP BY 1
+),
+s AS (
+  SELECT i.doc_id, MAX(i.n_tokens) AS n_tokens, SUM(d.df) AS sum_df,
+         MIN(d.df) AS min_df, MAX(d.df) AS max_df,
+         SUM(CASE WHEN d.df > (SELECT COUNT(*) FROM documents) / 2.0
+                  THEN 1 ELSE 0 END) AS n_common
+  FROM inst i JOIN dfq d USING (token)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       CASE WHEN s.doc_id IS NULL THEN 0.0
+            ELSE CAST(s.sum_df AS DOUBLE) / s.n_tokens END AS mean_df,
+       s.min_df, s.max_df,
+       CASE WHEN s.doc_id IS NULL THEN 0.0
+            ELSE CAST(s.n_common AS DOUBLE) / s.n_tokens END AS common_frac
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1275,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
+        "token_rarity": q_token_rarity,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
@@ -1353,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_ORACLE,
         "corpus_curation": _curation_oracle(),
         "repetition_scores": _REPETITION_ORACLE,
+        "token_rarity": _TOKEN_RARITY_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,

@@ -178,6 +178,58 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Corpus-statistics rarity profile per document: for each token
+    INSTANCE look up its document frequency (how many docs contain the
+    token), then aggregate per doc — mean/min/max df and the fraction of
+    instances appearing in >half the corpus (``common_frac``). Low
+    mean-df flags gibberish/OOV-heavy docs; high common-frac flags
+    boilerplate — the vocabulary-based complement to the per-doc
+    repetition signals. All counts are integers → ratios are
+    bit-deterministic (no log/ln, whose libm rounding differs across
+    engines).
+
+    Two shuffles: token → df aggregation, then doc-id aggregation; the
+    (token, df) relation joins instance rows on the token key. At corpus
+    scale that join is a plain shuffle join (vocab can exceed broadcast
+    size); skew on stop-words is bounded because the df table has ONE
+    row per token.
+    """
+    spark = df.sparkSession
+    # blank text tokenizes to [''] — filter it so empty docs yield zero
+    # instances (and fall to the anti-join branch) instead of a '' token
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks"),
+                    F.size(toks).cast("long").alias("n_tokens")))
+    inst = base.select(id_col, "n_tokens", F.explode("toks").alias("token"))
+    docfreq = (base.select(id_col, F.explode(F.array_distinct("toks")).alias("token"))
+               .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.count()  # scalar; one cheap count job
+    half = F.lit(n_docs) / F.lit(2.0)
+    scored = (inst.join(docfreq, "token")
+              .groupBy(id_col)
+              .agg(F.first("n_tokens").alias("n_tokens"),
+                   F.sum("df").alias("__sum_df"),
+                   F.min("df").alias("min_df"),
+                   F.max("df").alias("max_df"),
+                   F.sum(F.when(F.col("df") > half, 1)
+                          .otherwise(0)).alias("__n_common")))
+    out = scored.select(
+        F.col(id_col), "n_tokens",
+        (F.col("__sum_df").cast("double") / F.col("n_tokens")).alias("mean_df"),
+        "min_df", "max_df",
+        (F.col("__n_common").cast("double") / F.col("n_tokens")).alias("common_frac"))
+    empties = (df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col), F.lit(0).cast("long").alias("n_tokens"),
+                       F.lit(0.0).alias("mean_df"),
+                       F.lit(None).cast("long").alias("min_df"),
+                       F.lit(None).cast("long").alias("max_df"),
+                       F.lit(0.0).alias("common_frac")))
+    return out.union(empties)
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   min_tokens: int = 10, max_punct_ratio: float = 0.2,
                   min_stopword_ratio: float = 0.01) -> DataFrame:

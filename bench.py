@@ -41,6 +41,7 @@ HEADLINE = [
     "corpus_curation",       # dedup->quality->lang->PII->split composite
     "dedup_clusters",        # jaccard pairs -> large-star/small-star CC labels
     "repetition_scores",     # Gopher repetition signals, single JVM pass
+    "token_rarity",          # corpus df stats joined back per token instance
     "asof_latest_order",     # as-of join (union + single window shuffle)
     "event_funnel_5m",       # time-bucketed interval join
     "pricing_rollup",        # ROLLUP grouping sets, one pass

@@ -285,3 +285,19 @@ def test_trained_centroids_ivf_recall(spark):
     bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
     iset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(iset & bset) / len(bset) >= 0.6  # nprobe=3 of 10 trained cells
+
+
+def test_token_rarity_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "common common rare1"), (2, "common rare2"), (3, "common"), (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.token_rarity(docs).collect()}
+    # df: common=3 docs, rare1=1, rare2=1; n_docs=4, half=2.0
+    r1 = out[1]
+    assert r1["n_tokens"] == 3
+    assert r1["mean_df"] == (3 + 3 + 1) / 3
+    assert r1["min_df"] == 1 and r1["max_df"] == 3
+    assert r1["common_frac"] == 2 / 3          # two 'common' instances of 3
+    assert out[3]["common_frac"] == 1.0 and out[3]["mean_df"] == 3.0
+    assert out[4]["n_tokens"] == 0 and out[4]["mean_df"] == 0.0
+    assert out[4]["min_df"] is None

@@ -224,3 +224,38 @@ def test_compact_rewrites_to_target_file_count(spark, tmp_path):
     files = [f for f in dest.iterdir() if f.suffix == ".parquet"]
     assert len(files) == 1
     assert spark.read.parquet(str(dest)).count() == 4000
+
+
+def test_delete_rows_partitioned_touches_only_affected(spark, tmp_path):
+    from basic_data_fusion_spark.sources.partitioning import (
+        delete_rows_partitioned,
+        write_time_partitioned,
+    )
+
+    rows = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+            (2, "2024-01-02 10:00:00"), (3, "2024-01-02 11:00:00"),
+            (3, "2024-01-03 10:00:00")]
+    df = (spark.createDataFrame(rows, "user_id long, ts_s string")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s"))
+    path = str(tmp_path / "events_part")
+    write_time_partitioned(df, path)
+
+    import os
+    def files_with_mtime(day):
+        d = os.path.join(path, f"event_date={day}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+    before_d2, before_d3 = files_with_mtime("2024-01-02"), files_with_mtime("2024-01-03")
+
+    # user 1 only appears on 2024-01-01 → exactly one partition rewritten
+    n = delete_rows_partitioned(spark, path, F.col("user_id") == 1)
+    assert n == 1
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("user_id") == 1).count() == 0
+    assert after.count() == 4                      # other rows intact
+    # untouched partitions keep their exact files (same names and mtimes)
+    assert files_with_mtime("2024-01-02") == before_d2
+    assert files_with_mtime("2024-01-03") == before_d3
+
+    # no-match predicate rewrites nothing
+    assert delete_rows_partitioned(spark, path, F.col("user_id") == 99) == 0
