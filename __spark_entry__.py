@@ -1091,6 +1091,55 @@ def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_qty", "sum_revenue"))
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: order counts/totals across every combination
+    of (orderstatus, orderpriority) — all four grouping levels from one
+    aggregation pass (single shuffle, map-side partials)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    o = _catalog(spark, sf_dir).load("orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 fixed_point_sum(F.col("o_totalprice")).alias("sum_totalprice"))
+            .select("o_orderstatus", "o_orderpriority", "gid",
+                    "n_orders", "sum_totalprice"))
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT)) / 1000000.0
+         AS sum_totalprice
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_median_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (median + quartiles of acctbal per
+    market segment) — the grouped form of the A6 distribution surface;
+    one hash-aggregation, grouping key is the 5-value segment."""
+    cust = _catalog(spark, sf_dir).load("customer")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("q25"),
+                 F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median"),
+                 F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("q75")))
+
+
+_MEDIAN_BY_SEGMENT_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+       ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median,
+       ROUND(quantile_cont(c_acctbal, 0.75), 4) AS q75
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 _ROLLUP_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        GROUPING(l_returnflag, l_linestatus) AS gid,
@@ -1337,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": q_retention_weekly,
         "customers_no_orders": q_customers_no_orders,
         "pricing_rollup": q_pricing_rollup,
+        "orders_cube": q_orders_cube,
+        "median_by_segment": q_median_by_segment,
         "hash_sample_orders": q_hash_sample_orders,
         "stratified_sample_docs": q_stratified_sample_docs,
         "events_interarrival": q_events_interarrival,
@@ -1371,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": _RETENTION_ORACLE,
         "customers_no_orders": _NO_ORDERS_ORACLE,
         "pricing_rollup": _ROLLUP_ORACLE,
+        "orders_cube": _CUBE_ORACLE,
+        "median_by_segment": _MEDIAN_BY_SEGMENT_ORACLE,
         "hash_sample_orders": _HASH_SAMPLE_ORACLE,
         "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "events_interarrival": _INTERARRIVAL_ORACLE,

@@ -145,3 +145,15 @@ def two_phase_agg(df: DataFrame, keys: list[str], aggs: list[Column],
     salted = df.withColumn(SALT, (F.rand(seed) * salt).cast("int"))
     partial = salted.groupBy(*keys, SALT).agg(*aggs)
     return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Key-skew diagnosis before a join/groupBy: the top-k heaviest keys
+    with count and share of total — the number to check against
+    `spark.sql.adaptive.skewJoin` thresholds (or to decide salting).
+    One aggregation + a tiny top-k sort; the share division is
+    integer-derived and deterministic."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.count()
+    return (counts.orderBy(F.desc("n_rows"), F.asc(key)).limit(top_k)
+            .withColumn("share", F.col("n_rows").cast("double") / F.lit(total)))

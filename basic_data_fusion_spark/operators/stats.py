@@ -402,3 +402,19 @@ def grouped_normality(df: DataFrame, group_col: str, value_col: str,
 
     return (df.select(F.col(group_col).cast("string"), value_col)
             .groupBy(group_col).applyInPandas(per_group, schema))
+
+
+# ---------------- interactive tier: approximate quantiles ----------------
+
+def approx_quantiles(df: DataFrame, column: str,
+                     probabilities: list[float] | None = None,
+                     relative_error: float = 0.001) -> list[float]:
+    """Greenwald-Khanna approximate quantiles — the interactive tier for
+    the A6/T2 percentile surface. The exact `percentile()` used by the
+    oracle tier buffers every value into ONE final merge (a global sort
+    per column); the GK sketch is a bounded-memory single pass with
+    mergeable per-partition state, so it is the only viable form at
+    100 TB. `relative_error` bounds rank error: 0.001 on 1e12 rows is
+    ±1e9 ranks. Returns the quantile values (driver-side floats)."""
+    probs = probabilities or [0.25, 0.5, 0.75]
+    return df.approxQuantile(column, list(probs), relative_error)

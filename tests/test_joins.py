@@ -137,3 +137,13 @@ def test_interval_join_rejects_shared_column_names(spark):
                                "k long, ts timestamp")
     with pytest.raises(ValueError, match="disjoint"):
         interval_join(df, df, "k", "k", "ts", "ts", 0.0, 60.0)
+
+
+def test_skew_report_shares(spark):
+    from basic_data_fusion_spark.operators.joins import skew_report
+
+    rows = [(1,)] * 70 + [(2,)] * 20 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    rep = skew_report(df, "k", top_k=2).collect()
+    assert [r["k"] for r in rep] == [1, 2]
+    assert rep[0]["n_rows"] == 70 and rep[0]["share"] == 0.7

@@ -202,3 +202,15 @@ def test_grouped_normality_matches_driver_scipy(spark):
         assert abs(r["shapiro_w"] - w) < 1e-12
         assert abs(r["shapiro_p"] - p) < 1e-12
         assert abs(r["anderson_stat"] - sps.anderson(vals).statistic) < 1e-12
+
+
+def test_approx_quantiles_near_exact(spark):
+    from basic_data_fusion_spark.operators.stats import approx_quantiles
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    approx = approx_quantiles(cust, "c_acctbal", [0.25, 0.5, 0.75], 0.01)
+    exact = list(cust.selectExpr(
+        "percentile(c_acctbal, array(0.25, 0.5, 0.75)) AS p").first()["p"])
+    spread = max(exact) - min(exact)
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= 0.05 * spread + 1e-9
