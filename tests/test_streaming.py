@@ -239,3 +239,50 @@ def test_streaming_exact_dedup_drops_redeliveries(spark, tmp_path):
     # batch path: same keep-one semantics via plain dropDuplicates
     bout = streaming_exact_dedup(batch, ["event_id"])
     assert sorted(r["event_id"] for r in bout.collect()) == [1, 2, 3]
+
+
+def test_streaming_corpus_ingestion_end_to_end(spark, tmp_path):
+    """Composite live-ingestion pipeline: JSONL file stream → quality
+    gate → watermark-bounded exact dedup → exactly-once parquet sink.
+    Ties the sources, text, streaming-dedup and sink layers together the
+    way a production corpus ingester would chain them."""
+    from basic_data_fusion_spark.operators.text import quality_score
+    from basic_data_fusion_spark.streaming.dedup import streaming_exact_dedup
+    from basic_data_fusion_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+        read_sink,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and runs far away today"
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "%s", "ts": "2024-01-01 00:00:01"}\n' % good
+        + '{"doc_id": 2, "text": "!!! ??? ###", "ts": "2024-01-01 00:00:02"}\n'
+        + '{"doc_id": 1, "text": "%s", "ts": "2024-01-01 00:00:01"}\n' % good)
+    (indir / "b2.jsonl").write_text(
+        '{"doc_id": 1, "text": "%s", "ts": "2024-01-01 00:00:01"}\n' % good
+        + '{"doc_id": 3, "text": "%s now", "ts": "2024-01-01 00:03:00"}\n' % good)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType()),
+                         StructField("ts", TimestampType())])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").json(str(indir)))
+    gated = quality_score(stream).filter("keep").select("doc_id", "text", "ts")
+    deduped = streaming_exact_dedup(gated, ["doc_id"], "ts", "10 minutes")
+    q = exactly_once_parquet_sink(deduped, str(tmp_path / "out"),
+                                  str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    out = read_sink(spark, str(tmp_path / "out"))
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # doc 2 fails quality; doc 1's three copies collapse to one
+    assert got == [1, 3]
