@@ -399,6 +399,92 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token consecutive chunks per document
+    (last ragged) — pure token-index arithmetic, one explode, no
+    shuffle."""
+    from basic_data_fusion_spark.operators.packing import chunk_documents
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return chunk_documents(docs, chunk_tokens=64)
+
+
+_CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+x AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM c
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx*64+1 : chunk_idx*64+64], ' ') AS chunk_text,
+       least(CAST(64 AS BIGINT), n - chunk_idx*64) AS n_tokens
+FROM x
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget sequence packing (contiguous fill, 256-token packs):
+    a doc belongs to the pack its running token offset starts in."""
+    from basic_data_fusion_spark.operators.packing import pack_sequences
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return pack_sequences(docs, budget=256)
+
+
+_PACK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥5 word 3-grams
+    with the held-out slice (doc_id % 29 = 0 stands in for a benchmark
+    set) — the pre-training leak check."""
+    from basic_data_fusion_spark.operators.dedup import cross_corpus_overlap
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = docs.filter(F.col("doc_id") % 29 == 0)
+    train = docs.filter(F.col("doc_id") % 29 != 0)
+    return cross_corpus_overlap(train, held, n=3, min_common=5)
+
+
+_DECONTAM_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - 2, 1)),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM d
+),
+tr AS (SELECT doc_id AS train_id, shingle FROM s WHERE doc_id % 29 <> 0),
+ev AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM s WHERE doc_id % 29 = 0)
+SELECT train_id, eval_id, COUNT(*) AS n_common
+FROM tr JOIN ev USING (shingle)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+"""
+
+
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics rarity profile: per-doc mean/min/max token
     document-frequency + common-token fraction. Integer-derived ratios
@@ -1367,6 +1453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
         "token_rarity": q_token_rarity,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "decontam_overlap": q_decontam_overlap,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_dedup": q_minhash_dedup,
@@ -1450,6 +1539,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _curation_oracle(),
         "repetition_scores": _REPETITION_ORACLE,
         "token_rarity": _TOKEN_RARITY_ORACLE,
+        "chunk_documents": _CHUNK_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
+        "decontam_overlap": _DECONTAM_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,

@@ -223,6 +223,29 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select("id_a", "id_b", "jaccard"))
 
 
+# ---------------- cross-corpus decontamination ----------------
+
+def cross_corpus_overlap(train: DataFrame, held_out: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3, min_common: int = 2) -> DataFrame:
+    """Benchmark decontamination: training documents sharing ≥
+    ``min_common`` word n-grams with any held-out document —
+    ``(train_id, eval_id, n_common)``. Standard practice before
+    training (e.g. GPT-3 §C / PaLM app.): drop or flag train docs that
+    leak evaluation content. Same shuffle shape as the jaccard tier —
+    join on the shingle, never doc×doc; the held-out side is typically
+    tiny (benchmarks), so its shingle relation broadcasts."""
+    tr = shingle_table(
+        train.repartition(train.sparkSession.sparkContext.defaultParallelism),
+        text_col, id_col, n).withColumnRenamed(id_col, "train_id")
+    ev = (shingle_table(held_out, text_col, id_col, n)
+          .withColumnRenamed(id_col, "eval_id").distinct())
+    return (tr.join(ev, "shingle")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
+
+
 # ---------------- cluster assembly: connected components ----------------
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",

@@ -1,0 +1,81 @@
+"""Context-window preparation: document chunking and sequence packing.
+
+The last mile of a training-data pipeline — after dedup/quality/PII the
+corpus must be cut into model-context-sized pieces and packed into
+fixed-token-budget training rows. The reference has nothing comparable
+(its unit of work is a row, SURVEY §1.1); both operators are pure
+DataFrame expressions with deterministic, oracle-checkable output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _clean_tokens(text_col: str):
+    # blank text tokenizes to [''] — drop it so empty docs yield no chunks
+    return F.filter(tokens(F.col(text_col)), lambda x: x != "")
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into consecutive ``chunk_tokens``-token chunks
+    (last chunk ragged): ``(id, chunk_idx, chunk_text, n_tokens)``. One
+    explode per document — no shuffle, no Python; chunk boundaries are
+    token-index arithmetic so any engine reproduces them exactly.
+    Empty/blank documents produce no chunks."""
+    spark = df.sparkSession
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), _clean_tokens(text_col).alias("toks"))
+            .filter(F.size("toks") > 0))
+    n = F.size("toks")
+    n_chunks = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
+    out = (base.select(
+        F.col(id_col), "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")))
+    start = F.col("chunk_idx") * chunk_tokens + 1
+    piece = F.slice("toks", start, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"))
+
+
+def pack_sequences(df: DataFrame, budget: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   bucket_col=None) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs:
+    ``(id, n_tokens, pack_id)``. Contiguous-fill semantics: docs are
+    taken in ``id`` order and a doc belongs to the pack its STARTING
+    offset falls in (`floor(running_offset / budget)`), so a pack can
+    overflow by at most one document — the standard pack-then-truncate
+    layout, and a deterministic definition both engines compute
+    identically.
+
+    The running sum is a window over a global order — a single-partition
+    sort at the extreme. That is fine up to ~billions of rows of (id,
+    count) pairs (the window sees two longs per doc, never text); beyond
+    that pass ``bucket_col`` (e.g. a hash bucket): packing then runs
+    per bucket in parallel and ``pack_id`` is unique via
+    (bucket, local_pack) composition."""
+    toks = F.coalesce(F.size(_clean_tokens(text_col)), F.lit(0)).cast("long")
+    base = df.select(F.col(id_col), toks.alias("n_tokens"),
+                     *([F.col(bucket_col)] if bucket_col else []))
+    if bucket_col:
+        w = Window.partitionBy(bucket_col).orderBy(id_col) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    else:
+        w = Window.orderBy(id_col) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    local_pack = F.floor(offset / F.lit(float(budget))).cast("long")
+    if bucket_col:
+        pack = F.concat_ws("_", F.col(bucket_col).cast("string"),
+                           local_pack.cast("string"))
+    else:
+        pack = local_pack
+    return base.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))

@@ -301,3 +301,48 @@ def test_token_rarity_semantics(spark):
     assert out[3]["common_frac"] == 1.0 and out[3]["mean_df"] == 3.0
     assert out[4]["n_tokens"] == 0 and out[4]["mean_df"] == 0.0
     assert out[4]["min_df"] is None
+
+
+def test_chunk_documents_boundaries(spark):
+    from basic_data_fusion_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, words), (2, "a b c"), (3, "")],
+                                 "doc_id long, text string")
+    out = sorted((r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+                 for r in chunk_documents(docs, chunk_tokens=4).collect())
+    assert out == [
+        (1, 0, 4, "w0 w1 w2 w3"), (1, 1, 4, "w4 w5 w6 w7"), (1, 2, 2, "w8 w9"),
+        (2, 0, 3, "a b c"),
+    ]  # doc 3 (empty) yields no chunks
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    from basic_data_fusion_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")],
+        "doc_id long, text string")  # token counts 3, 2, 4, 1
+    got = {r["doc_id"]: r["pack_id"]
+           for r in pack_sequences(docs, budget=4).collect()}
+    # offsets: 0, 3, 5, 9 → packs 0, 0, 1, 2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+
+    bucketed = docs.withColumn("b", (F.col("doc_id") % 2).cast("int"))
+    gb = {r["doc_id"]: r["pack_id"]
+          for r in pack_sequences(bucketed, budget=4, bucket_col="b").collect()}
+    # bucket 1: docs 1,3 offsets 0,3 → packs 1_0; doc3 starts at 3 < 4 → 1_0
+    assert gb[1] == "1_0" and gb[3] == "1_0"
+    assert gb[2] == "0_0" and gb[4] == "0_0"
+
+
+def test_cross_corpus_overlap_detects_leak(spark):
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [(1, leak), (2, "completely different content about engines")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(100, leak), (101, "unrelated benchmark question text")],
+        "doc_id long, text string")
+    hits = dedup.cross_corpus_overlap(train, eval_df, n=3, min_common=5).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in hits] == [(1, 100)]
