@@ -226,3 +226,44 @@ def sample_frames(df: DataFrame, every_n: int = 10, frame_size: int = 1024,
             yield pd.DataFrame(rows, columns=[id_col, "frame_index", "frame_data"])
 
     return df.select(id_col, data_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms_level", DoubleType()),
+    StructField("peak_level", DoubleType()),
+    StructField("decode_ok", IntegerType()),
+])
+
+
+def decode_audio(df: DataFrame, id_col: str = "media_id",
+                 data_col: str = "data",
+                 rows_per_batch: int = 64) -> DataFrame:
+    """Audio decode → (sample_rate, duration, RMS/peak level). The audio
+    codecs (soundfile/librosa) are not in this container, so the decode
+    is a DETERMINISTIC STAND-IN (content-hash derived, ``decode_ok=0``);
+    the Spark-side plumbing — binary column in, Arrow batch shapes,
+    typed metadata out — is the real contract a codec drops into (swap
+    the body of the per-row branch, keep the schema)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_batch))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rates = [8000, 16000, 22050, 44100, 48000]
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(data) if data is not None else b""
+                v = _content_rng_values(data, 4)
+                rows.append((mid, rates[int(v[0] * len(rates))],
+                             round(v[1] * 600.0, 3),
+                             round(v[2] * 0.5, 6),
+                             round(min(1.0, v[2] * 0.5 + v[3] * 0.5), 6), 0))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "sample_rate", "duration_s", "rms_level",
+                "peak_level", "decode_ok"])
+
+    return df.select(id_col, data_col).mapInPandas(run, AUDIO_SCHEMA)

@@ -71,3 +71,19 @@ def test_resize_gated():
     if not M.HAS_PIL:
         with pytest.raises(NotImplementedError):
             M.resize_images(None, 8, 8)
+
+
+def test_decode_audio_plumbing(spark):
+    from basic_data_fusion_spark.operators.multimodal import decode_audio
+
+    rows = [(1, b"fake-wav-bytes-1"), (2, b"fake-wav-bytes-2"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert r["decode_ok"] == 0                     # stand-in flagged
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert 0.0 <= r["rms_level"] <= r["peak_level"] <= 1.0
+    # deterministic: same bytes → same metadata
+    again = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert again[1] == out[1]

@@ -7,8 +7,19 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 import __spark_entry__ as entrymod
 from tests.conftest import SF0001
+
+
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    # other tests persist relations over the same tables (EP3 caches the
+    # joined base); a cached plan compiles to InMemoryTableScan and hides
+    # the scan-level properties being asserted here
+    spark.catalog.clearCache()
+    yield
 
 
 def _final_plan(df) -> str:
