@@ -1425,6 +1425,109 @@ LIMIT 20
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical map-reduce TF-IDF: tf relation → df relation → join →
+    per-doc top-3 rank. Log-free idf (tf·N/df) keeps the score
+    IEEE-exact across engines (see operators/text.tfidf_terms)."""
+    from basic_data_fusion_spark.operators.text import tfidf_terms
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return tfidf_terms(docs, k=3).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+_TFIDF_ORACLE = r"""
+WITH inst AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM inst WHERE token <> '' GROUP BY 1, 2
+),
+dfr AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+         CAST(tf.tf AS DOUBLE) * n.n / dfr.df AS score
+  FROM tf JOIN dfr USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson token diversity per doc — integer-derived,
+    log-free repetition signal (operators/text.token_diversity)."""
+    from basic_data_fusion_spark.operators.text import token_diversity
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return token_diversity(docs)
+
+
+_TOKEN_DIVERSITY_ORACLE = r"""
+WITH inst AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM inst WHERE token <> '' GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * tf) AS sum_sq,
+         COUNT(*) AS n_distinct
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(1 AS DOUBLE) - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens)
+         AS simpson
+FROM agg
+UNION ALL
+SELECT d.doc_id, 0, 0, NULL
+FROM documents d LEFT JOIN agg USING (doc_id)
+WHERE agg.doc_id IS NULL
+"""
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group via rank window: 3 highest-value orders per
+    market segment. The groupBy-free top-k idiom — one shuffle on the
+    partition key, heap-free; ties broken deterministically on the
+    order key. The customer side of the join is the small relation
+    after projection and broadcasts under AQE."""
+    cat = _catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    cust = cat.load("customer").select("c_custkey", "c_mktsegment")
+    orders = cat.load("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    joined = orders.join(F.broadcast(cust),
+                         orders.o_custkey == cust.c_custkey, "inner")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (joined.select("c_mktsegment", "o_orderkey", "o_totalprice")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 3))
+
+
+_TOP_ORDERS_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC)
+           AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rnk <= 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -1484,6 +1587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_deciles": q_acctbal_deciles,
         "cohort_setops": q_cohort_setops,
         "vocab_top_tokens": q_vocab_top_tokens,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_diversity": q_token_diversity,
+        "top_orders_per_segment": q_top_orders_per_segment,
     }
 
 
@@ -1520,6 +1626,9 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_deciles": _DECILES_ORACLE,
         "cohort_setops": _SETOPS_ORACLE,
         "vocab_top_tokens": _VOCAB_ORACLE,
+        "tfidf_top_terms": _TFIDF_ORACLE,
+        "token_diversity": _TOKEN_DIVERSITY_ORACLE,
+        "top_orders_per_segment": _TOP_ORDERS_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -9,7 +9,7 @@ the hot path). Designed for the ``documents`` table schema
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal stopword profiles for the n-gram/stopword language heuristic.
@@ -227,6 +227,74 @@ def token_rarity(df: DataFrame, text_col: str = "text",
                        F.lit(None).cast("long").alias("min_df"),
                        F.lit(None).cast("long").alias("max_df"),
                        F.lit(0.0).alias("common_frac")))
+    return out.union(empties)
+
+
+def tfidf_terms(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    canonical map-reduce term-weighting pipeline (tf relation → df
+    relation → join → per-doc rank). Keyword extraction / topic
+    labelling primitive for corpus curation.
+
+    Scoring uses the log-free idf variant ``tf * N / df``: ranking by it
+    is order-equivalent to ``tf * (N/df)`` with a monotone idf, and —
+    unlike ``ln``, whose libm rounding differs across engines — IEEE-754
+    ``*``/``/`` on integer-derived doubles is correctly rounded, so the
+    score is bit-deterministic and oracle-checkable.
+
+    Plan shape (the canonical one for this workload): explode stays in
+    the scan stage with map-side partial aggregation; shuffle 1 keys
+    (doc, token) for tf; shuffle 2 keys token for df (one row per token,
+    so stop-word skew cannot concentrate); the tf⋈df join broadcasts the
+    df relation when the vocabulary is small enough, else AQE picks a
+    shuffle join; shuffle 3 keys doc for the rank window. No driver
+    action — N comes from a 1-row agg cross-joined in, keeping the whole
+    thing one lazy plan.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    inst = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = inst.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (tf.join(docfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "token", "tf", "df",
+                      (F.col("tf").cast("double") * F.col("__n") / F.col("df"))
+                      .alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "token", "tf", "df", "score", "rnk"))
+
+
+def token_diversity(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution diversity via the Gini-Simpson
+    index ``1 - Σ tf² / n²`` (probability two random token draws
+    differ). Near-0 flags degenerate/repetitive docs the way entropy
+    would — but stays integer-derived (sums of tf and tf² are exact
+    BIGINTs; the single double division is IEEE-exact), so it is
+    cross-engine deterministic where ``Σ p·ln p`` is not.
+
+    Two shuffles — (doc, token) for tf, then doc — both with map-side
+    combine. Empty docs surface with n_tokens=0 and NULL diversity.
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    inst = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = inst.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    agg = (tf.groupBy(id_col)
+           .agg(F.sum("tf").alias("n_tokens"),
+                F.sum(F.col("tf") * F.col("tf")).alias("sum_sq"),
+                F.count(F.lit(1)).alias("n_distinct")))
+    out = agg.select(
+        id_col, "n_tokens", "n_distinct",
+        (F.lit(1.0) - F.col("sum_sq").cast("double")
+         / (F.col("n_tokens") * F.col("n_tokens"))).alias("simpson"))
+    empties = (df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col), F.lit(0).cast("long").alias("n_tokens"),
+                       F.lit(0).cast("long").alias("n_distinct"),
+                       F.lit(None).cast("double").alias("simpson")))
     return out.union(empties)
 
 

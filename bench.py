@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_clusters",        # jaccard pairs -> large-star/small-star CC labels
     "repetition_scores",     # Gopher repetition signals, single JVM pass
     "token_rarity",          # corpus df stats joined back per token instance
+    "tfidf_top_terms",       # map-reduce tf-idf: tf -> df -> join -> rank
+
     "chunk_documents",       # context-window chunking, explode only
     "decontam_overlap",      # cross-corpus n-gram leak check
     "asof_latest_order",     # as-of join (union + single window shuffle)

@@ -346,3 +346,34 @@ def test_cross_corpus_overlap_detects_leak(spark):
         "doc_id long, text string")
     hits = dedup.cross_corpus_overlap(train, eval_df, n=3, min_common=5).collect()
     assert [(r["train_id"], r["eval_id"]) for r in hits] == [(1, 100)]
+
+
+def test_tfidf_terms_ranking_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana shared"), (2, "shared cherry"), (3, "")],
+        "doc_id long, text string")
+    out = text.tfidf_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 is empty -> no rows at all
+    assert set(by_doc) == {1, 2}
+    d1 = sorted(by_doc[1], key=lambda r: r["rnk"])
+    # apple: tf=2 df=1 score=2*3/1=6 ; banana: tf=1 df=1 score=3 ;
+    # shared: tf=1 df=2 score=1.5 -> top2 = apple, banana
+    assert [r["token"] for r in d1] == ["apple", "banana"]
+    assert d1[0]["tf"] == 2 and d1[0]["df"] == 1 and d1[0]["score"] == 6.0
+    d2 = sorted(by_doc[2], key=lambda r: r["rnk"])
+    # cherry (3.0) beats shared (1.5); equal-score ties fall back to token asc
+    assert [r["token"] for r in d2] == ["cherry", "shared"]
+
+
+def test_token_diversity_bounds_and_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.token_diversity(docs).collect()}
+    assert out[1]["simpson"] == 0.0                       # degenerate: one type
+    assert out[2]["simpson"] == 1 - 4 / 16                # uniform over 4 types
+    assert out[2]["n_distinct"] == 4
+    assert out[3]["n_tokens"] == 0 and out[3]["simpson"] is None
