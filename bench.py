@@ -89,17 +89,25 @@ def main() -> None:
             continue
         for _ in range(warmup):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # drop DataFrame caches persisted inside operators (LSH banding,
-        # shingle sets, …) so each measured query starts cache-cold and
-        # earlier queries' leftovers don't distort later timings
-        spark.catalog.clearCache()
+        # clearCache before each measured run: drop DataFrame caches
+        # persisted inside operators (LSH banding, shingle sets, …) so
+        # every run starts cache-cold and earlier queries' leftovers
+        # don't distort later timings.
         # time construction + execution together: iterative operators
         # (e.g. connected components) run driver-side actions while the
         # DataFrame is being BUILT, so timing only the final write would
-        # underreport them
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # underreport them. Best-of-R (R=SPARK_GRAFT_RUNS, default 2):
+        # single-shot timings on a shared box occasionally absorb a GC
+        # pause or a competing process; the minimum is the standard
+        # estimator of a query's intrinsic cost.
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
