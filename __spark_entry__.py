@@ -231,12 +231,15 @@ def _det_sql():
         "density_2d_lineitem": ds.density_2d_sql(
             "lineitem", "l_quantity", "l_discount", bins_x=8, bins_y=8),
         "pricing_summary": ds.pricing_summary_sql(),
+        "shipping_priority": ds.shipping_priority_sql(),
+        "regional_volume": ds.regional_volume_sql(),
     }
 
 
 def _make_det_query(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+        _register_views(spark, sf_dir, ["customer", "orders", "lineitem",
+                                        "supplier", "nation", "region"])
         return spark.sql(sql)
     return run
 
@@ -527,6 +530,84 @@ FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 """
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal: drop tokens present in >50% of documents
+    and re-assemble each doc from its surviving tokens in original order
+    (word-granularity version of CCNet/RefinedWeb repeated-line removal)."""
+    from basic_data_fusion_spark.operators.text import strip_high_df_tokens
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return strip_high_df_tokens(docs, max_df_frac=0.5)
+
+
+_BOILERPLATE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(toks) AS token,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM t),
+dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+banned AS (
+  SELECT token FROM dfq
+  WHERE CAST(df AS DOUBLE) > CAST(0.5 AS DOUBLE) * (SELECT COUNT(*) FROM documents)
+),
+kept AS (SELECT * FROM w WHERE token NOT IN (SELECT token FROM banned)),
+reb AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY i) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
+FROM t LEFT JOIN reb USING (doc_id)
+"""
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-gated corpus filter: keep each language's top quartile by
+    quality score (corpus rebalancing by quality band — the selection step
+    that follows scoring in a pretraining pipeline). Total order (score,
+    n_tokens, doc_id) makes PERCENT_RANK and hence the kept set exactly
+    reproducible; integer-count percent_rank divisions are
+    bit-deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    from basic_data_fusion_spark.operators.text import quality_score
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    w = Window.partitionBy("lang").orderBy("quality_score", "n_tokens", "doc_id")
+    return (quality_score(docs)
+            .withColumn("quantile_rank", F.percent_rank().over(w))
+            .filter(F.col("quantile_rank") >= F.lit(0.75))
+            .select("doc_id", "lang", "quality_score", "quantile_rank"))
+
+
+def _quality_percentile_oracle() -> str:
+    # nests the quality-score oracle (defined below) as a subquery; built
+    # lazily so module definition order doesn't matter
+    return f"""
+WITH j AS (
+  SELECT q.doc_id, d.lang, q.quality_score, q.n_tokens
+  FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY quality_score, n_tokens, doc_id)
+           AS quantile_rank
+  FROM j
+)
+SELECT doc_id, lang, quality_score, quantile_rank
+FROM r WHERE quantile_rank >= CAST(0.75 AS DOUBLE)
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -621,6 +702,16 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _catalog(spark, sf_dir).load("embeddings")
     return embedding_near_dups(emb, threshold=0.99, planes=12)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells → within-cell cosine pairs → greedy
+    lowest-id-wins keep flags. Rows-only check (k-means isn't
+    SQL-expressible); planted-duplicate recall is pytest-verified."""
+    from basic_data_fusion_spark.operators.similarity import semantic_dedup
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    return semantic_dedup(emb, k=8, threshold=0.95)
 
 
 def q_substudy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1556,6 +1647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
         "token_rarity": q_token_rarity,
+        "boilerplate_strip": q_boilerplate_strip,
+        "quality_percentile": q_quality_percentile,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontam_overlap": q_decontam_overlap,
@@ -1565,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "events_tumbling_daily": q_events_tumbling_daily,
@@ -1601,7 +1695,8 @@ def oracle_sql() -> dict[str, str]:
     det = dict(_det_sql())  # shared text: the oracle runs the same SQL
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
     det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
-    # minhash_dedup / simhash_near_dups / embedding_near_dups intentionally
+    # minhash_dedup / simhash_near_dups / embedding_near_dups /
+    # semantic_dedup intentionally
     # have NO oracle (engine-specific xxhash64 / seeded hyperplanes) →
     # driver records the weaker rows-only check; recall is pytest-verified.
     return {
@@ -1648,6 +1743,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _curation_oracle(),
         "repetition_scores": _REPETITION_ORACLE,
         "token_rarity": _TOKEN_RARITY_ORACLE,
+        "boilerplate_strip": _BOILERPLATE_ORACLE,
+        "quality_percentile": _quality_percentile_oracle(),
         "chunk_documents": _CHUNK_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "decontam_overlap": _DECONTAM_ORACLE,

@@ -305,3 +305,63 @@ SELECT CAST(COUNT({c}) AS BIGINT) AS n,
        ROUND({percentile_fn}({c}, 0.75), 4) - ROUND({percentile_fn}({c}, 0.25), 4) AS iqr
 FROM {table} WHERE {c} IS NOT NULL
 """
+
+
+def shipping_priority_sql(segment: str = "BUILDING",
+                          cutoff: str = "1998-01-01", k: int = 10) -> str:
+    """TPC-H Q3-shaped shipping priority: customer ⋈ orders ⋈ lineitem
+    (3-way equi-join), per-order fixed-point revenue, deterministic top-k.
+
+    Scale reasoning: revenue term |l_extendedprice·(1−l_discount)| ≤ ~1.1e5
+    with exactly 4 decimal places (2-dp price × 2-dp discount), so s=1e4
+    quantizes EXACTLY and |v|·s·rows ≈ 1e5·1e4·6e5 ≪ 2^63 at sf ≤ 1.
+    Top-k is well-defined under ties via the (revenue DESC, o_orderkey ASC)
+    ROW_NUMBER — LIMIT alone would be nondeterministic across engines.
+
+    Plan shape at scale: both filters push to their scans; customer(segment)
+    broadcasts; the orders⋈lineitem join shuffles on orderkey once and the
+    GROUP BY reuses that partitioning (same key → no second exchange)."""
+    rev = fs("l_extendedprice * (1 - l_discount)", 1e4)
+    return f"""
+WITH g AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority, {rev} AS revenue
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = '{segment}'
+    AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+    AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+),
+r AS (
+  SELECT g.*, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rk
+  FROM g
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= {k}
+"""
+
+
+def regional_volume_sql(region: str = "ASIA", date_lo: str = "1996-01-01",
+                        date_hi: str = "1999-01-01") -> str:
+    """TPC-H Q5-shaped local-supplier volume: a 6-way snowflake join
+    (region → nation → supplier ⋈ lineitem ⋈ orders ⋈ customer) with the
+    "local" constraint c_nationkey = s_nationkey, fixed-point revenue per
+    nation. Exercises Catalyst join reordering end-to-end: region/nation/
+    supplier/customer are all broadcast-side, so the only shuffle left is
+    orders ⋈ lineitem on orderkey followed by the tiny n_name aggregate.
+    Same s=1e4 exact-quantization argument as shipping_priority_sql."""
+    rev = fs("l_extendedprice * (1 - l_discount)", 1e4)
+    return f"""
+SELECT n_name, {rev} AS revenue, COUNT(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{date_hi} 00:00:00'
+GROUP BY n_name
+"""

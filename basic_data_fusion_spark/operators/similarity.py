@@ -171,3 +171,42 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, F.col(id_col).alias("neighbor_id"), "cosine_sim", "rank"))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   threshold: float = 0.95, seed: int = 42,
+                   centroids: list[list[float]] | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer,
+    compare pairs ONLY within a cluster, and greedily drop every vector
+    that has a ≥``threshold``-cosine neighbor with a smaller id.
+
+    Returns one row per input vector: ``(id, cell, keep)``.
+
+    Scale shape: clustering reduces the pair candidate space from n² to
+    Σ|cell|² ≈ n²/k — pick k ∝ n/target_cell_size at corpus scale so each
+    cell's self-join stays executor-sized (the join shuffles on the cell
+    key only). Greedy lowest-id-wins needs no iteration, unlike
+    connected-components canonicalization, and is the policy used by the
+    reference pipelines this mirrors. Deterministic end to end: seeded
+    k-means centroids fold into the plan as literals and the tie-break is
+    the total order on ids.
+    """
+    if centroids is None:
+        centroids = train_centroids(df, k=k, vec_col=vec_col, seed=seed)
+    indexed = ivf_index(df, centroids, id_col, vec_col)
+    a = indexed.select("cell", F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("__va"))
+    b = indexed.select("cell", F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("__vb"))
+    dropped = (a.join(b, "cell")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(cosine(F.col("__va"), F.col("__vb"))
+                       >= F.lit(float(threshold)))
+               .select(F.col("id_b").alias(id_col))
+               .distinct())
+    return (indexed
+            .join(dropped.withColumn("__dropped", F.lit(True)), id_col, "left")
+            .select(F.col(id_col), F.col("cell"),
+                    F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep")))

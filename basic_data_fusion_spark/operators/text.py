@@ -375,3 +375,50 @@ def text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("detected_lang", detect_language(F.col(text_col)))
             .withColumn("bpe_tokens", bpe_ish_token_count(F.col(text_col)))
             .withColumn("fingerprint", fingerprint(F.col(text_col))))
+
+
+def strip_high_df_tokens(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_df_frac: float = 0.5) -> DataFrame:
+    """Corpus-level boilerplate removal: delete every token whose document
+    frequency exceeds ``max_df_frac`` of the corpus and re-assemble each
+    document from its surviving tokens in original order (the line/段落-
+    level analogue is what CCNet/RefinedWeb run over Common Crawl; with
+    whitespace tokens this is the same plan at word granularity).
+
+    Returns one row per input document: ``doc_id, clean_text, n_tokens,
+    n_removed`` — docs whose every token is boilerplate come back with
+    ``clean_text = ''``.
+
+    Plan shape: positional explode → token-level document-frequency
+    aggregation (ONE row per vocab entry, so the shuffle is vocab-bounded,
+    not corpus-bounded) → the banned set is tiny by construction (tokens
+    in >max_df_frac of docs — bounded by 1/max_df_frac · vocab mass) and
+    broadcasts into a LEFT ANTI join against token instances → per-doc
+    re-assembly groups on the id key. Two shuffles total at any scale;
+    no driver-side data beyond the n_docs scalar.
+    """
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks"),
+                    F.size(toks).cast("long").alias("n_tokens")))
+    inst = base.select(id_col, F.posexplode("toks").alias("pos", "token"))
+    docfreq = (base.select(id_col, F.explode(F.array_distinct("toks")).alias("token"))
+               .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.count()  # scalar; one cheap count job
+    banned = docfreq.filter(
+        F.col("df").cast("double") > F.lit(float(max_df_frac)) * F.lit(n_docs))
+    kept = inst.join(F.broadcast(banned.select("token")), "token", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("__n_kept"),
+                    F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"])).alias("__clean")))
+    return (base.select(id_col, "n_tokens")
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+                    F.col("n_tokens"),
+                    (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+                    .alias("n_removed")))

@@ -49,6 +49,10 @@ HEADLINE = [
     "asof_latest_order",     # as-of join (union + single window shuffle)
     "event_funnel_5m",       # time-bucketed interval join
     "pricing_rollup",        # ROLLUP grouping sets, one pass
+    "shipping_priority",     # TPC-H Q3-shaped 3-way join + grouped top-k
+    "regional_volume",       # TPC-H Q5-shaped 6-way snowflake join
+    "boilerplate_strip",     # corpus df-threshold strip + doc re-assembly
+    "semantic_dedup",        # k-means cells + within-cell cosine dedup
 ]
 
 

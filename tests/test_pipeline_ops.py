@@ -377,3 +377,60 @@ def test_token_diversity_bounds_and_empties(spark):
     assert out[2]["simpson"] == 1 - 4 / 16                # uniform over 4 types
     assert out[2]["n_distinct"] == 4
     assert out[3]["n_tokens"] == 0 and out[3]["simpson"] is None
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-identical copy with a HIGHER id → must be dropped
+        rows.append((100 + i, [float(x) for x in v + rng.normal(0, 0.005, 64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r.asDict() for r in
+           similarity.semantic_dedup(df, k=4, threshold=0.99).collect()}
+    assert len(out) == 24                      # one row per input vector
+    for i in range(12):
+        assert out[i]["keep"] is True          # lowest id of each pair survives
+        assert out[100 + i]["keep"] is False   # its planted copy is dropped
+        # copy lands in the same k-means cell as its original (they are
+        # ~identical vectors), which is what makes the within-cell
+        # comparison complete for true near-dups
+        assert out[100 + i]["cell"] == out[i]["cell"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    a = sorted(similarity.semantic_dedup(emb, k=8).collect())
+    b = sorted(similarity.semantic_dedup(emb, k=8).collect())
+    assert a == b  # seeded k-means + id-ordered greedy → stable output
+
+
+def test_strip_high_df_tokens_semantics(spark):
+    docs = spark.createDataFrame(
+        [(1, "common noise alpha common"),   # 'common' df=3/4 > 0.5 → banned
+         (2, "common beta"),
+         (3, "Common gamma  beta"),          # lowercase fold; multi-space
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           text.strip_high_df_tokens(docs, max_df_frac=0.5).collect()}
+    # df: common=3, beta=2, others=1; n_docs=4 → banned = {common} (3 > 2.0)
+    assert out[1] == {"doc_id": 1, "clean_text": "noise alpha",
+                      "n_tokens": 4, "n_removed": 2}
+    assert out[2] == {"doc_id": 2, "clean_text": "beta",
+                      "n_tokens": 2, "n_removed": 1}
+    assert out[3] == {"doc_id": 3, "clean_text": "gamma beta",
+                      "n_tokens": 3, "n_removed": 1}
+    assert out[4] == {"doc_id": 4, "clean_text": "", "n_tokens": 0,
+                      "n_removed": 0}
+
+
+def test_strip_high_df_tokens_all_banned(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           text.strip_high_df_tokens(docs, max_df_frac=0.5).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["clean_text"] == "" and out[i]["n_removed"] == 1
