@@ -1429,6 +1429,37 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (time-based, vs running_spend's ROWS frame):
+    per-user trailing-7-day event-value sum and count. The frame bound is
+    on epoch MICROseconds — exact on both engines, where a seconds cast
+    would truncate sub-second timestamps differently. In-partition frame
+    scan after one shuffle on user_id; fixed-point sum keeps every frame
+    total bit-deterministic."""
+    from pyspark.sql import Window
+
+    ev = _catalog(spark, sf_dir).load("events")
+    us = F.unix_micros(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(us)
+         .rangeBetween(-7 * 86400 * 1_000_000, 0))
+    fp = F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("bigint")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (F.sum(fp).over(w) / F.lit(1_000_000.0)).alias("trailing_7d_sum"),
+        F.count(F.lit(1)).over(w).alias("n_events_7d"))
+
+
+_TRAILING_7D_ORACLE = """
+SELECT user_id, event_id, ts,
+       SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) OVER w
+         / 1000000.0 AS trailing_7d_sum,
+       COUNT(*) OVER w AS n_events_7d
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE ranking family: global account-balance deciles (deterministic
     tie-break on custkey), reduced to per-decile bounds + counts.
@@ -1678,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "events_interarrival": q_events_interarrival,
         "running_spend": q_running_spend,
+        "trailing_7d_value": q_trailing_7d_value,
         "acctbal_deciles": q_acctbal_deciles,
         "cohort_setops": q_cohort_setops,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -1718,6 +1750,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": _STRATIFIED_SAMPLE_ORACLE,
         "events_interarrival": _INTERARRIVAL_ORACLE,
         "running_spend": _RUNNING_SPEND_ORACLE,
+        "trailing_7d_value": _TRAILING_7D_ORACLE,
         "acctbal_deciles": _DECILES_ORACLE,
         "cohort_setops": _SETOPS_ORACLE,
         "vocab_top_tokens": _VOCAB_ORACLE,

@@ -63,3 +63,36 @@ def test_pricing_summary_single_shuffle(spark):
     assert n_exchanges <= 2, (  # 1 agg shuffle (+1 AQE read is same exchange)
         f"grouped aggregate should shuffle once, saw {n_exchanges} exchanges")
     assert "partial" in plan.lower(), "map-side partial aggregation missing"
+
+
+def test_shipping_priority_broadcast_and_pushdown(spark):
+    df = entrymod.queries()["shipping_priority"](spark, SF0001)
+    plan = _final_plan(df)
+    # the filtered customer side must broadcast; the only sort-merge-worthy
+    # relation pair is orders ⋈ lineitem on orderkey
+    assert "BroadcastHashJoin" in plan
+    pushed = [m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]+)\]", plan)
+              if m.group(1).strip()]
+    assert any("c_mktsegment" in p for p in pushed), "segment filter must reach scan"
+    assert any("o_orderdate" in p for p in pushed), "date filter must reach scan"
+    assert any("l_shipdate" in p for p in pushed), "shipdate filter must reach scan"
+
+
+def test_regional_volume_all_dims_broadcast(spark):
+    df = entrymod.queries()["regional_volume"](spark, SF0001)
+    plan = _final_plan(df)
+    # region/nation/supplier/customer are all broadcast-side: the 6-way
+    # join must compile to ≥4 broadcast joins and at most ONE shuffle
+    # exchange feeding a join (orders ⋈ lineitem)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    pushed = [m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]+)\]", plan)
+              if m.group(1).strip()]
+    assert any("r_name" in p for p in pushed), "region filter must reach scan"
+
+
+def test_boilerplate_strip_broadcast_anti_join(spark):
+    df = entrymod.queries()["boilerplate_strip"](spark, SF0001)
+    plan = _final_plan(df)
+    # the banned-token set must broadcast into the anti join — a shuffled
+    # anti join on the token key would re-shuffle the whole corpus
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
