@@ -134,16 +134,20 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
     quantization). Centroids are driver-provided literals (train with
-    ml.clustering.KMeans or any offline pass)."""
-    best_cell = F.lit(-1)
-    best_sim = F.lit(float("-inf"))
-    for i, cvec in enumerate(centroids):
-        plane = F.array(*[F.lit(float(x)) for x in cvec])
-        s = cosine(F.col(vec_col), plane)
-        cond = s > best_sim
-        best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-        best_sim = F.when(cond, s).otherwise(best_sim)
-    return df.select(F.col(id_col), F.col(vec_col), best_cell.alias("cell"))
+    ml.clustering.KMeans or any offline pass).
+
+    The argmax materializes all k cosines into ONE array column and takes
+    ``array_position(sims, array_max(sims))`` — each cosine is evaluated
+    exactly once. (A chained ``when(s > best, …)`` argmax duplicates the
+    running-best expression at every step: the tree grows ~2^k copies of
+    the 64-term cosine aggregate and codegen explodes — measured 30+ s on
+    2k rows at k=8 before this shape.) First-max wins, so centroid-order
+    ties break deterministically toward the lower cell index."""
+    sims = F.array(*[
+        cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+        for cvec in centroids])
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
@@ -194,16 +198,30 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     the total order on ids.
     """
     if centroids is None:
-        centroids = train_centroids(df, k=k, vec_col=vec_col, seed=seed)
-    indexed = ivf_index(df, centroids, id_col, vec_col)
+        # a coarse quantizer doesn't need convergence — 8 Lloyd rounds
+        # place cells well enough for near-dup candidate generation (the
+        # exact cosine re-check decides membership, so cell quality only
+        # affects recall at the margins, and FAISS-style practice trains
+        # the quantizer on few iterations / a sample for the same reason)
+        centroids = train_centroids(df, k=k, vec_col=vec_col, seed=seed,
+                                    max_iter=8)
+    # both sides of the within-cell self-join consume the assignment —
+    # persist so the k-cosine argmax isn't evaluated twice (the same
+    # pattern as the LSH banding persist); per-vector norms are computed
+    # ONCE here so the pair predicate is a single dot product instead of
+    # three 64-term aggregates
+    indexed = (ivf_index(df, centroids, id_col, vec_col)
+               .withColumn("__norm", norm(F.col(vec_col)))
+               .persist())
     a = indexed.select("cell", F.col(id_col).alias("id_a"),
-                       F.col(vec_col).alias("__va"))
+                       F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"))
     b = indexed.select("cell", F.col(id_col).alias("id_b"),
-                       F.col(vec_col).alias("__vb"))
+                       F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb"))
     dropped = (a.join(b, "cell")
                .filter(F.col("id_a") < F.col("id_b"))
-               .filter(cosine(F.col("__va"), F.col("__vb"))
-                       >= F.lit(float(threshold)))
+               .filter((F.col("__na") > 0) & (F.col("__nb") > 0)
+                       & (dot(F.col("__va"), F.col("__vb"))
+                          >= F.lit(float(threshold)) * F.col("__na") * F.col("__nb")))
                .select(F.col("id_b").alias(id_col))
                .distinct())
     return (indexed
