@@ -588,6 +588,66 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "quality_score", "quantile_rank"))
 
 
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (CCNet-style statistical filter): mean
+    −ln p(token) per doc under the corpus's own unigram distribution.
+    Each instance surprisal quantized to an 8-dp integer before any
+    cross-row sum → bit-deterministic oracle."""
+    from basic_data_fusion_spark.operators.text import lm_surprisal
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return lm_surprisal(docs)
+
+
+_LM_SURPRISAL_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(toks) AS token FROM t),
+freq AS (SELECT token, COUNT(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM w),
+d AS (
+  SELECT w.doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(ROUND(-ln(CAST(f.c AS DOUBLE) / tot.n)
+                        * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT)) AS ss
+  FROM w JOIN freq f USING (token) CROSS JOIN tot
+  GROUP BY w.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(d.n_tokens, 0) AS n_tokens,
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            ELSE (CAST(d.ss AS DOUBLE) / CAST(100000000.0 AS DOUBLE))
+                 / d.n_tokens END AS mean_surprisal
+FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
+"""
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-way training-shard plan: md5-nibble routing +
+    reproducible within-shard order — the engine-portable global shuffle
+    that precedes training-data serialization."""
+    from basic_data_fusion_spark.sources.partitioning import shard_assignments
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return shard_assignments(docs)
+
+
+_SHARD_PLAN_ORACLE = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY strpos('0123456789abcdef', substr(hx, 1, 1))
+         ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
 def _quality_percentile_oracle() -> str:
     # nests the quality-score oracle (defined below) as a subquery; built
     # lazily so module definition order doesn't matter
@@ -1680,6 +1740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "boilerplate_strip": q_boilerplate_strip,
         "quality_percentile": q_quality_percentile,
+        "lm_surprisal": q_lm_surprisal,
+        "shard_plan": q_shard_plan,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "decontam_overlap": q_decontam_overlap,
@@ -1778,6 +1840,8 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": _TOKEN_RARITY_ORACLE,
         "boilerplate_strip": _BOILERPLATE_ORACLE,
         "quality_percentile": _quality_percentile_oracle(),
+        "lm_surprisal": _LM_SURPRISAL_ORACLE,
+        "shard_plan": _SHARD_PLAN_ORACLE,
         "chunk_documents": _CHUNK_ORACLE,
         "pack_sequences": _PACK_ORACLE,
         "decontam_overlap": _DECONTAM_ORACLE,

@@ -422,3 +422,49 @@ def strip_high_df_tokens(df: DataFrame, text_col: str = "text",
                     F.col("n_tokens"),
                     (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
                     .alias("n_removed")))
+
+
+def lm_surprisal(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Unigram-LM scoring (the statistical-LM quality filter of CCNet,
+    Wenzek et al. 2019, arXiv:1911.00359, with the corpus's own unigram
+    distribution standing in for the external KenLM): per-document mean
+    token surprisal −ln p(tok). Low mean surprisal flags boilerplate
+    (all-common tokens), high flags gibberish/OOV-heavy docs — used as a
+    band-pass filter between quantile cuts.
+
+    Bit-determinism across engines: libm ``ln`` may differ in the last
+    ulp between the JVM and the oracle's C library, so each instance's
+    surprisal is quantized to 8 dp as an INTEGER once, and every
+    cross-row reduction is an integer sum; the final mean divides the
+    integer total by (1e8 · n_tokens) in a fixed expression order.
+
+    Plan: one explode → vocab-sized count aggregation (+ a 1-row total) →
+    broadcast join back to instances → per-doc aggregation. Same two-
+    shuffle shape as token_rarity; the unigram table has ONE row per
+    vocab entry so it broadcasts at any corpus scale with a bounded
+    vocabulary.
+    """
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks")))
+    inst = base.select(id_col, F.explode("toks").alias("token"))
+    freq = inst.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = inst.agg(F.count(F.lit(1)).alias("n"))
+    s_int = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
+                    * F.lit(1e8), 0).cast("bigint")
+    scored = (inst
+              .join(F.broadcast(freq), "token")
+              .crossJoin(F.broadcast(total))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.sum(s_int).alias("__ss")))
+    out = scored.select(
+        F.col(id_col), "n_tokens",
+        ((F.col("__ss").cast("double") / F.lit(1e8)) / F.col("n_tokens"))
+        .alias("mean_surprisal"))
+    empties = (df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col), F.lit(0).cast("long").alias("n_tokens"),
+                       F.lit(None).cast("double").alias("mean_surprisal")))
+    return out.union(empties)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -117,3 +117,45 @@ def delete_rows_partitioned(spark: SparkSession, path: str, predicate,
         return n_affected
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def shard_assignments(df: DataFrame, id_col: str = "doc_id",
+                      order_col: str | None = None) -> DataFrame:
+    """Deterministic 16-way training-shard plan: shard = first md5 nibble
+    of the id (engine-portable, balanced in expectation, no RNG state);
+    within-shard position = rank by (md5, id) — i.e. a reproducible
+    global shuffle, the last step before serializing training data.
+    Returns ``(id, shard, pos)``.
+
+    Scale shape: the md5 expressions are embarrassingly parallel; the
+    only shuffle is the per-shard rank (16 partitions regardless of
+    corpus size). For >16 shards compose nibbles; for shard-count that
+    must scale with data, write with ``write_sharded`` instead, which
+    never ranks globally.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.position(F.substring(h, 1, 1), F.lit("0123456789abcdef")) - 1)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (df.select(F.col(id_col), h.alias("__h"),
+                      shard.cast("int").alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select(id_col, "shard", "pos"))
+
+
+def write_sharded(df: DataFrame, path: str, id_col: str = "doc_id",
+                  n_shards: int = 16) -> None:
+    """Materialize hash-sharded training data: one directory per shard
+    (``shard=N/``), rows routed by md5 of the id so re-runs and engines
+    agree byte-for-byte on membership. Rows are sorted within each
+    shard's partitions by the hash — a deterministic intra-shard shuffle
+    that breaks source ordering (the usual pre-training requirement)
+    without any global sort."""
+    h = F.md5(F.col(id_col).cast("string"))
+    out = (df.withColumn("__h", h)
+           .withColumn("shard",
+                       F.pmod(F.conv(F.substring("__h", 1, 8), 16, 10)
+                              .cast("long"), F.lit(n_shards)).cast("int")))
+    (out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -53,6 +53,7 @@ HEADLINE = [
     "regional_volume",       # TPC-H Q5-shaped 6-way snowflake join
     "boilerplate_strip",     # corpus df-threshold strip + doc re-assembly
     "semantic_dedup",        # k-means cells + within-cell cosine dedup
+    "lm_surprisal",          # corpus unigram-LM mean surprisal per doc
 ]
 
 
