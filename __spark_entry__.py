@@ -1710,6 +1710,262 @@ WHERE rnk <= 3
 """
 
 
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelation (TPC-H Q4 shape): orders placed in 1996H1 with
+    at least one lineitem shipped >60 days after the order date, counted
+    per priority. The EXISTS is a LEFT SEMI join (operators/relational):
+    equi term on the order key drives one shuffle; the 60-day lag is the
+    residual predicate — outer rows are never fanned out or DISTINCTed."""
+    from basic_data_fusion_spark.operators.relational import exists_semi
+
+    cat = _catalog(spark, sf_dir)
+    orders = (cat.load("orders")
+              .where((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1996-07-01"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = cat.load("lineitem").select("l_orderkey", "l_shipdate")
+    late = exists_semi(
+        orders, li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")))
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+_LATE_SHIPMENT_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue carried by
+    lineitems whose quantity is below 20% of their part's average
+    quantity. Decorrelated into one grouped pass + join-back
+    (operators/relational.below_group_fraction); the per-part threshold
+    is exact-integer-sum / count so the comparison is the same double on
+    every engine. Revenue is a fixed-point sum (bit-deterministic)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.relational import below_group_fraction
+
+    li = (_catalog(spark, sf_dir).load("lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    small = below_group_fraction(li, "l_partkey", "l_quantity", 0.2)
+    return small.agg(
+        (fixed_point_sum(F.col("l_extendedprice"), scale=100) / 7.0)
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+_SMALL_LOT_ORACLE = """
+WITH p AS (
+  SELECT l_partkey AS pk,
+         SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem JOIN p ON l_partkey = p.pk
+WHERE l_quantity < 0.2 * p.avg_qty
+"""
+
+
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-gated IN subquery (TPC-H Q18 shape): customers holding
+    orders whose total lineitem quantity exceeds 250. The IN list is
+    relational.having_keys (grouped agg with map-side combine → key
+    list) composed with a LEFT SEMI join into orders; customer resolves
+    by broadcast. No driver-side key list, no IN literal explosion."""
+    from basic_data_fusion_spark.operators.relational import having_keys
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.load("lineitem").select("l_orderkey", "l_quantity")
+    keys = having_keys(li, "l_orderkey",
+                       F.sum("l_quantity").alias("total_qty"),
+                       F.col("total_qty") > 250)
+    orders = cat.load("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    big = orders.join(keys, orders.o_orderkey == keys.l_orderkey, "left_semi")
+    cust = cat.load("customer").select("c_custkey", "c_name")
+    # re-aggregate the quantity for the output (sum is exact: integral)
+    totals = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("total_qty"))
+              .where(F.col("total_qty") > 250))
+    return (big.join(F.broadcast(cust),
+                     big.o_custkey == cust.c_custkey, "inner")
+            .join(totals, big.o_orderkey == totals.l_orderkey, "inner")
+            .select("c_name", "c_custkey", "o_orderkey", "o_totalprice",
+                    "total_qty"))
+
+
+_BIG_ORDER_ORACLE = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, t.total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250) t
+  ON o.o_orderkey = t.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+"""
+
+
+def q_wealthy_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar subquery + NOT EXISTS (TPC-H Q22 shape): customers
+    with above-average positive balance and no order since 2000-01-01
+    (lapsed accounts), grouped by nation. The global average stays
+    in-plan as a broadcast 1-row relation
+    (relational.above_global_scalar) — no driver collect; the NOT
+    EXISTS is a LEFT ANTI join whose inner side is pre-filtered so the
+    anti probe only carries recent orders; the per-nation balance sum
+    is fixed-point."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.relational import (
+        above_global_scalar,
+        not_exists_anti,
+        positive_mean_cents,
+    )
+
+    cat = _catalog(spark, sf_dir)
+    cust = cat.load("customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    rich = above_global_scalar(cust, "c_acctbal",
+                               positive_mean_cents(cust, "c_acctbal"),
+                               "__global_avg")
+    orders = (cat.load("orders")
+              .where(F.col("o_orderdate") >= "2000-01-01")
+              .select("o_custkey"))
+    idle = not_exists_anti(rich, orders,
+                           F.col("c_custkey") == F.col("o_custkey"))
+    return (idle.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 fixed_point_sum(F.col("c_acctbal"), scale=100)
+                 .alias("total_acctbal")))
+
+
+_WEALTHY_IDLE_ORACLE = """
+WITH avg_bal AS (
+  SELECT SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+           / COUNT(c_acctbal) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS n_custs,
+       SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+         AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: near-identical part names by Levenshtein distance
+    ≤ 4, blocked on the name's last token so candidate generation never
+    approaches the full cross product (operators/linkage). Distinct
+    names are paired (the scale path: match the name dictionary, not
+    the row set) and edit distance runs JVM-side in the join residual."""
+    from basic_data_fusion_spark.operators.linkage import blocked_fuzzy_pairs
+
+    names = (_catalog(spark, sf_dir).load("part")
+             .select(F.col("p_name").alias("name")).distinct())
+    pairs = blocked_fuzzy_pairs(
+        names, id_col="name", text_col="name",
+        block=F.element_at(F.split(F.col("name"), " "), -1),
+        max_distance=4)
+    return pairs.select(F.col("id_a").alias("name_a"),
+                        F.col("id_b").alias("name_b"), "distance")
+
+
+_FUZZY_PART_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+blocked AS (
+  SELECT name, (string_split(name, ' '))[-1] AS blk FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
+def q_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot compaction (CDC read side): the latest event
+    per (user, event type), deterministic on (ts, event_id). rank-1
+    window → WindowGroupLimit partial top-1 before the shuffle
+    (operators/linkage.latest_snapshot), so state depth never inflates
+    the exchange."""
+    from basic_data_fusion_spark.operators.linkage import latest_snapshot
+
+    ev = (_catalog(spark, sf_dir).load("events")
+          .select("user_id", "event_type", "ts", "event_id", "value"))
+    snap = latest_snapshot(ev, ["user_id", "event_type"], "ts", "event_id")
+    return snap.select("user_id", "event_type",
+                       F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+
+
+_LATEST_EVENT_ORACLE = """
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_daily_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per-user daily purchase totals
+    densified onto each user's own calendar span with forward fill
+    (operators/linkage.gap_fill_daily). The calendar is generated on
+    executors (sequence + explode), the fill is one
+    last(ignorenulls) window pass; daily totals are fixed-point."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.linkage import gap_fill_daily
+
+    ev = _catalog(spark, sf_dir).load("events")
+    daily = (ev.where(F.col("event_type") == "purchase")
+             .groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(fixed_point_sum(F.col("value")).alias("day_value")))
+    dense = gap_fill_daily(daily, key="user_id", day_col="day",
+                           value_col="day_value")
+    # ISO-string day: Spark DateType and DuckDB DATE reach pandas as
+    # different dtypes (date vs datetime64) and would hash-mismatch
+    return dense.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) / 1000000.0
+           AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span
+)
+SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+       d.day_value IS NOT NULL AS observed
+FROM grid g LEFT JOIN daily d USING (user_id, day)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -1778,6 +2034,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_diversity": q_token_diversity,
         "top_orders_per_segment": q_top_orders_per_segment,
+        "late_shipment_priority": q_late_shipment_priority,
+        "small_lot_revenue": q_small_lot_revenue,
+        "big_order_customers": q_big_order_customers,
+        "wealthy_idle_customers": q_wealthy_idle_customers,
+        "fuzzy_part_pairs": q_fuzzy_part_pairs,
+        "latest_event_state": q_latest_event_state,
+        "daily_value_gapfill": q_daily_value_gapfill,
     }
 
 
@@ -1819,6 +2082,13 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_ORACLE,
         "token_diversity": _TOKEN_DIVERSITY_ORACLE,
         "top_orders_per_segment": _TOP_ORDERS_ORACLE,
+        "late_shipment_priority": _LATE_SHIPMENT_ORACLE,
+        "small_lot_revenue": _SMALL_LOT_ORACLE,
+        "big_order_customers": _BIG_ORDER_ORACLE,
+        "wealthy_idle_customers": _WEALTHY_IDLE_ORACLE,
+        "fuzzy_part_pairs": _FUZZY_PART_ORACLE,
+        "latest_event_state": _LATEST_EVENT_ORACLE,
+        "daily_value_gapfill": _GAPFILL_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -54,6 +54,10 @@ HEADLINE = [
     "boilerplate_strip",     # corpus df-threshold strip + doc re-assembly
     "semantic_dedup",        # k-means cells + within-cell cosine dedup
     "lm_surprisal",          # corpus unigram-LM mean surprisal per doc
+    "late_shipment_priority",  # EXISTS -> semi join w/ non-equi residual
+    "big_order_customers",   # HAVING-IN subquery -> keys + semi join
+    "latest_event_state",    # changelog->snapshot, WindowGroupLimit top-1
+    "daily_value_gapfill",   # calendar densify + forward-fill window
 ]
 
 
