@@ -1966,6 +1966,126 @@ FROM grid g LEFT JOIN daily d USING (user_id, day)
 """
 
 
+def q_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond ROLLUP/CUBE): per-status,
+    per-priority, and grand-total aggregates from ONE pass —
+    ((status), (priority), ()) is not a rollup prefix chain nor a full
+    cube, so it needs the explicit grouping-set API. Same single-shuffle
+    property as rollup: the Expand operator replicates rows per set and
+    map-side partials combine before the exchange."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    return (orders.groupingSets(
+                [["o_orderstatus"], ["o_orderpriority"], []],
+                "o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 fixed_point_sum(F.col("o_totalprice")).alias("sum_totalprice"))
+            .select("o_orderstatus", "o_orderpriority", "gid", "n_orders",
+                    "sum_totalprice"))
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT)) / 1000000.0
+         AS sum_totalprice
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/linkage.scd2_history): each
+    customer's order-status timeline compressed to value intervals —
+    consecutive same-status orders collapse, each surviving change row
+    carries [valid_from, valid_to) and is_current. Both window passes
+    share one (custkey) exchange."""
+    from basic_data_fusion_spark.operators.linkage import scd2_history
+
+    orders = (_catalog(spark, sf_dir).load("orders")
+              .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"))
+    hist = scd2_history(orders, ["o_custkey"], "o_orderdate", "o_orderkey",
+                        change_cols=["o_orderstatus"])
+    # o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+    # preserves the wall clock and unix_micros matches DuckDB's epoch_us
+    return hist.select(
+        "o_custkey", "o_orderstatus",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current")
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         LAG(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+  SELECT * FROM ordered
+  WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(LEAD(o_orderdate) OVER w) AS valid_to_us,
+       (LEAD(o_orderdate) OVER w) IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_numbered_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.12): a LATERAL table function numbering
+    each document's tokens. The same result is expressible natively with
+    ``posexplode`` (and the JVM path is what production queries should
+    use — see vocab_top_tokens); this query exists to pin the
+    arrow-batched UDTF extension mechanism end-to-end: class-based
+    ``eval`` generator, LATERAL join correlation, schema enforcement,
+    and oracle parity for a Python row producer."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string, n_chars bigint")
+    class NumberedTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in re.split(r"\s+", text.lower()):
+                if tok:
+                    pos += 1
+                    yield pos, tok, len(tok)
+
+    spark.udtf.register("numbered_tokens", NumberedTokens)
+    _register_views(spark, sf_dir, ["documents"])
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.token, t.n_chars
+        FROM documents d, LATERAL numbered_tokens(d.text) t
+    """)
+
+
+_NUMBERED_TOKENS_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id, i, arr[i] AS token
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '\s+') AS arr
+        FROM documents) t,
+       LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) u
+  WHERE arr[i] <> ''
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos,
+       token,
+       CAST(length(token) AS BIGINT) AS n_chars
+FROM raw
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -2041,6 +2161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": q_fuzzy_part_pairs,
         "latest_event_state": q_latest_event_state,
         "daily_value_gapfill": q_daily_value_gapfill,
+        "order_grouping_sets": q_order_grouping_sets,
+        "order_status_scd2": q_order_status_scd2,
+        "numbered_tokens_udtf": q_numbered_tokens_udtf,
     }
 
 
@@ -2089,6 +2212,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_part_pairs": _FUZZY_PART_ORACLE,
         "latest_event_state": _LATEST_EVENT_ORACLE,
         "daily_value_gapfill": _GAPFILL_ORACLE,
+        "order_grouping_sets": _GROUPING_SETS_ORACLE,
+        "order_status_scd2": _SCD2_ORACLE,
+        "numbered_tokens_udtf": _NUMBERED_TOKENS_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -74,6 +74,34 @@ def latest_snapshot(df: DataFrame, keys: list[str], ts_col: str,
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def scd2_history(df: DataFrame, keys: list[str], ts_col: str, tiebreak: str,
+                 change_cols: list[str]) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a changelog: one
+    row per *value interval* — consecutive rows whose ``change_cols``
+    are unchanged collapse into the earliest row of the run, and each
+    surviving row gains ``valid_from`` (its own timestamp),
+    ``valid_to`` (the next change's timestamp, NULL while current) and
+    ``is_current``.
+
+    Two window passes over the same ``(keys) ORDER BY (ts, tiebreak)``
+    spec: pass 1 compares each row's change-struct to its ``lag`` and
+    drops no-change rows; pass 2 takes ``lead(ts)`` over the survivors.
+    Both windows hash-partition on the same keys, so Catalyst reuses
+    one exchange — history depth costs one shuffle total. The
+    null-safe struct comparison makes NULL attribute values compare
+    stable (NULL -> NULL is "no change").
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                          F.col(tiebreak).asc())
+    cur = F.struct(*[F.col(c) for c in change_cols])
+    changed = ~F.lag(cur).over(w).eqNullSafe(cur)  # first row: lag NULL -> True
+    hist = df.withColumn("__chg", changed).where(F.col("__chg")).drop("__chg")
+    return (hist
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead(ts_col).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull()))
+
+
 def gap_fill_daily(df: DataFrame, key: str, day_col: str, value_col: str,
                    observed_flag: str = "observed") -> DataFrame:
     """Densify a sparse per-key daily series onto each key's own

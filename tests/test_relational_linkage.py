@@ -109,6 +109,34 @@ def test_latest_snapshot_plan_uses_group_limit(spark):
     assert "WindowGroupLimit" in plan  # partial top-1 before the exchange
 
 
+def test_scd2_history_collapses_runs(spark):
+    rows = [(1, 1, "A"), (1, 2, "A"),   # no-change row collapses
+            (1, 3, "B"), (1, 4, "A"),   # A again: NEW interval (type 2)
+            (2, 1, None), (2, 2, None),  # NULL -> NULL is "no change"
+            (2, 3, "C")]
+    df = spark.createDataFrame(rows, "k long, ts long, status string")
+    hist = linkage.scd2_history(df, ["k"], "ts", "ts", ["status"])
+    got = [(r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+           for r in hist.orderBy("k", "valid_from").collect()]
+    assert got == [
+        (1, "A", 1, 3, False),
+        (1, "B", 3, 4, False),
+        (1, "A", 4, None, True),
+        (2, None, 1, 3, False),
+        (2, "C", 3, None, True),
+    ]
+
+
+def test_scd2_history_single_exchange(spark):
+    df = spark.createDataFrame(
+        [(i % 5, i, "s" + str(i % 2)) for i in range(50)],
+        "k long, ts long, status string")
+    hist = linkage.scd2_history(df, ["k"], "ts", "ts", ["status"])
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    # both window passes hash-partition on k -> Catalyst reuses ONE shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_gap_fill_daily_fills_and_flags(spark):
     import datetime as dt
 
