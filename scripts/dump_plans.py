@@ -23,6 +23,14 @@ PICK_NOTES = {
                      "never text.",
     "corpus_curation": "One content-hash exchange for dedup; every later stage "
                        "is a JVM projection (no BatchEvalPython anywhere).",
+    "late_shipment_priority": "EXISTS as LeftSemi: equi term is the shuffle key, "
+                              "the 60-day lag rides as the join residual; no "
+                              "outer fan-out, inner columns never materialize.",
+    "latest_event_state": "Changelog compaction: rank-1 collapses to "
+                          "WindowGroupLimit Partial BEFORE the exchange — "
+                          "shuffle carries one row per (key, partition).",
+    "order_status_scd2": "Both SCD2 window passes share ONE "
+                         "hashpartitioning(custkey) exchange.",
 }
 MAX_LINES = 40
 
