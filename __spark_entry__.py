@@ -2103,6 +2103,342 @@ FROM raw
 """
 
 
+# ---------------------------------------------------------------------------
+# Decision-support shapes, second wave (TPC-H Q7/Q13/Q14/Q15/Q16/Q19) +
+# reshape/stat extensions (melt, grouped z-score, MAD audit, group sample)
+# ---------------------------------------------------------------------------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation (TPC-H Q13 shape): distribution of customers
+    by how many non-urgent orders they placed. The outer-join condition
+    lives in the join (filtering the spoke BEFORE the left join), so
+    order-less customers survive with count 0. Plan: broadcast-ably
+    small customer side builds against the filtered orders; first
+    grouped count partial-aggregates map-side, second is |distinct
+    counts| rows — two shuffles total, both on shrinking data."""
+    cat = _catalog(spark, sf_dir)
+    cust = cat.load("customer").select("c_custkey")
+    orders = (cat.load("orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_ORDER_DISTRIBUTION_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) per_cust
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14 shape): % of March-1997
+    revenue from PROMO-type parts. One broadcast join (part is a
+    dimension) + a single agg computing both the CASE-gated and total
+    fixed-point sums in one pass — never two scans for numerator and
+    denominator."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    li = (cat.load("lineitem")
+          .where((F.col("l_shipdate") >= "1997-03-01")
+                 & (F.col("l_shipdate") < "1997-04-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    pt = cat.load("part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        (F.lit(100.0) * fixed_point_sum(promo, scale=100)
+         / fixed_point_sum(rev, scale=100)).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+_PROMO_RATIO_ORACLE = """
+SELECT 100.0 * (SUM(CAST(ROUND(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1.0 - l_discount)
+                                    ELSE 0.0 END * 100.0, 0) AS BIGINT)) / 100.0)
+             / (SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax membership (TPC-H Q15 shape): supplier(s) with the maximum
+    Q1-1997 revenue. The revenue relation is computed ONCE and reused
+    for both the max and the equality filter
+    (relational.equals_global_scalar keeps the 1-row max in-plan,
+    broadcast — no driver round-trip, ties all returned)."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.relational import equals_global_scalar
+
+    cat = _catalog(spark, sf_dir)
+    li = (cat.load("lineitem")
+          .where((F.col("l_shipdate") >= "1997-01-01")
+                 & (F.col("l_shipdate") < "1997-04-01"))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = li.groupBy("l_suppkey").agg(
+        fixed_point_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            scale=100).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    top = equals_global_scalar(rev, "total_revenue", mx, "__max_rev")
+    sup = cat.load("supplier").select("s_suppkey", "s_name")
+    return (top.join(F.broadcast(sup), top["l_suppkey"] == sup["s_suppkey"])
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_disjunctive_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicate (TPC-H Q19 shape): revenue
+    from three OR-ed (brand, size-range, quantity-range) branches. The
+    whole disjunction is one JVM predicate evaluated after the broadcast
+    join build — Catalyst extracts the common `p_partkey` equi-key, so
+    the OR never degrades the join to nested-loop, and per-branch
+    attribute bounds (p_size ≥ 1, quantity windows) still push to the
+    scans as conjunctive envelopes."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.load("lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    pt = cat.load("part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+    branch = (
+        ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1.0, 20.0))
+        | ((F.col("p_brand") == "Brand#8") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10.0, 30.0))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20.0, 40.0)))
+    return j.where(branch).agg(
+        fixed_point_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            scale=100).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+_DISJUNCTIVE_ORACLE = """
+SELECT SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#8' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20.0 AND 40.0)
+"""
+
+
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-IN exclusion + grouped COUNT(DISTINCT) (TPC-H Q16 shape):
+    how many distinct suppliers ship each retained (brand, type, size)
+    part class, excluding negative-balance suppliers. The NOT IN is a
+    broadcast LEFT ANTI join (relational.not_exists_anti); part filters
+    evaluate on the broadcast dimension before the build. COUNT(DISTINCT
+    suppkey) per group expands to a two-phase aggregate on (group,
+    suppkey) — partial combine makes the shuffle carry unique pairs
+    only."""
+    from basic_data_fusion_spark.operators.relational import not_exists_anti
+
+    cat = _catalog(spark, sf_dir)
+    li = cat.load("lineitem").select("l_partkey", "l_suppkey")
+    pt = (cat.load("part")
+          .where((F.col("p_brand") != "Brand#13") & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    complained = (cat.load("supplier")
+                  .where(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    kept = not_exists_anti(
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]),
+        complained, F.col("l_suppkey") == F.col("s_suppkey"))
+    return (kept.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+_PART_VARIETY_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake nation-pair volume (TPC-H Q7 shape): revenue between
+    every (supplier nation, customer nation) pair per ship year. Join
+    order keeps the two big facts (lineitem ⋈ orders on the order key)
+    as the only shuffle join; supplier, customer and both nation aliases
+    broadcast. Output is |nations|² × years rows — group-by on derived
+    year plus two broadcast-joined names."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    li = (cat.load("lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"))
+    orders = cat.load("orders").select("o_orderkey", "o_custkey")
+    cust = cat.load("customer").select("c_custkey", "c_nationkey")
+    sup = cat.load("supplier").select("s_suppkey", "s_nationkey")
+    n1 = cat.load("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = cat.load("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+         .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(fixed_point_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                scale=100).alias("volume")))
+
+
+_NATION_PAIR_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0) AS BIGINT)) / 100.0
+         AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+def q_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (reshape.melt — the inverse of A7 enwiden) over
+    lineitem's four measure columns, then a grouped fixed-point sum per
+    measure. The unpivot is shuffle-free (partition-local Expand); the
+    only exchange is the 4-group aggregate."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.reshape import melt
+
+    li = _catalog(spark, sf_dir).load("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+    long = melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                var_name="measure", value_name="value")
+    return long.groupBy("measure").agg(
+        fixed_point_sum(F.col("value"), scale=10000).alias("total"),
+        F.count(F.lit(1)).alias("n"))
+
+
+_MELT_ORACLE = """
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       SUM(CAST(ROUND(value * 10000.0, 0) AS BIGINT)) / 10000.0 AS total,
+       COUNT(*) AS n
+FROM long GROUP BY measure
+"""
+
+
+def q_zscore_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group standardization (stats.grouped_zscore): z-score of each
+    customer's balance within its market segment — grouped moments once,
+    joined back (no whole-table window sort)."""
+    from basic_data_fusion_spark.operators.stats import grouped_zscore
+
+    cust = _catalog(spark, sf_dir).load("customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    return (grouped_zscore(cust, "c_mktsegment", "c_acctbal")
+            .select("c_custkey", "c_mktsegment", "zscore"))
+
+
+_ZSCORE_ORACLE = """
+WITH st AS (
+  SELECT c_mktsegment AS seg,
+         SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) / 100.0 AS s,
+         SUM(CAST(ROUND((c_acctbal * c_acctbal) * 100.0, 0) AS BIGINT)) / 100.0 AS s2,
+         COUNT(c_acctbal) AS n
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c_mktsegment,
+       CASE WHEN SQRT((s2 - n * (s / n) * (s / n)) / (n - 1)) > 0.0
+            THEN ROUND((c_acctbal - s / n)
+                       / SQRT((s2 - n * (s / n) * (s / n)) / (n - 1)), 4)
+       END AS zscore
+FROM customer JOIN st ON c_mktsegment = st.seg
+"""
+
+
+def q_mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier audit (deterministic tier): exact median,
+    MAD and 3×MAD fence counts per market segment; only the exact-
+    quantile function name differs between engines."""
+    from basic_data_fusion_spark.operators.deterministic_sql import mad_outliers_sql
+
+    _register_views(spark, sf_dir, ["customer"])
+    return spark.sql(
+        mad_outliers_sql("customer", "c_mktsegment", "c_acctbal", "percentile"))
+
+
+def q_segment_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (aggregations.per_group_hash_sample):
+    20 customers per market segment ranked by md5(key) — reproducible on
+    any partitioning, verifiable cross-engine."""
+    from basic_data_fusion_spark.operators.aggregations import per_group_hash_sample
+
+    cust = _catalog(spark, sf_dir).load("customer").select(
+        "c_custkey", "c_mktsegment")
+    return per_group_hash_sample(cust, "c_mktsegment", "c_custkey", 20)
+
+
+_SEGMENT_SAMPLE_ORACLE = """
+SELECT c_custkey, c_mktsegment, CAST(rn AS INT) AS sample_rank
+FROM (SELECT c_custkey, c_mktsegment,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                         c_custkey) AS rn
+      FROM customer) ranked
+WHERE rn <= 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_merge": q_flagship_merge,
@@ -2181,6 +2517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_grouping_sets": q_order_grouping_sets,
         "order_status_scd2": q_order_status_scd2,
         "numbered_tokens_udtf": q_numbered_tokens_udtf,
+        "customer_order_distribution": q_customer_order_distribution,
+        "promo_revenue_ratio": q_promo_revenue_ratio,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "disjunctive_parts_revenue": q_disjunctive_parts_revenue,
+        "part_supplier_variety": q_part_supplier_variety,
+        "nation_pair_trade": q_nation_pair_trade,
+        "melt_measures": q_melt_measures,
+        "zscore_by_segment": q_zscore_by_segment,
+        "mad_outliers_by_segment": q_mad_outliers_by_segment,
+        "segment_sample": q_segment_sample,
     }
 
 
@@ -2189,9 +2535,13 @@ def oracle_sql() -> dict[str, str]:
 
     from basic_data_fusion_spark.operators.deterministic_sql import iqr_outliers_sql
 
+    from basic_data_fusion_spark.operators.deterministic_sql import mad_outliers_sql
+
     det = dict(_det_sql())  # shared text: the oracle runs the same SQL
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
     det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
+    det["mad_outliers_by_segment"] = mad_outliers_sql(
+        "customer", "c_mktsegment", "c_acctbal", "quantile_cont")
     # minhash_dedup / simhash_near_dups / embedding_near_dups /
     # semantic_dedup intentionally
     # have NO oracle (engine-specific xxhash64 / seeded hyperplanes) →
@@ -2232,6 +2582,15 @@ def oracle_sql() -> dict[str, str]:
         "order_grouping_sets": _GROUPING_SETS_ORACLE,
         "order_status_scd2": _SCD2_ORACLE,
         "numbered_tokens_udtf": _NUMBERED_TOKENS_ORACLE,
+        "customer_order_distribution": _ORDER_DISTRIBUTION_ORACLE,
+        "promo_revenue_ratio": _PROMO_RATIO_ORACLE,
+        "top_revenue_supplier": _TOP_SUPPLIER_ORACLE,
+        "disjunctive_parts_revenue": _DISJUNCTIVE_ORACLE,
+        "part_supplier_variety": _PART_VARIETY_ORACLE,
+        "nation_pair_trade": _NATION_PAIR_ORACLE,
+        "melt_measures": _MELT_ORACLE,
+        "zscore_by_segment": _ZSCORE_ORACLE,
+        "segment_sample": _SEGMENT_SAMPLE_ORACLE,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
                    MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies

@@ -14,6 +14,7 @@ from operator import and_
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def count_distinct_keys(df: DataFrame, key: str, approx: bool = False,
@@ -182,3 +183,27 @@ def filtering_report(base_df: DataFrame, key: str,
         breakdowns[label] = demographics_breakdown(
             stepped, key, age_col, sex_col, session_col)
     return {"impact": impact, "breakdowns": breakdowns}
+
+
+def per_group_hash_sample(df: DataFrame, group_col: str, key: str,
+                          k: int) -> DataFrame:
+    """Deterministic k-per-group sample (bounded reservoir without
+    randomness): rank rows inside each group by ``md5(key)`` and keep the
+    first ``k``. Seedless and partitioning-invariant — the same (group,
+    key) set yields the same sample on any cluster, so downstream runs
+    are reproducible and cross-engine verifiable (md5 of the decimal
+    string is identical everywhere), unlike ``df.sample`` whose output
+    depends on partition layout.
+
+    Plan: one shuffle on ``group_col``; Spark inserts WindowGroupLimit
+    (partial top-k before the exchange) for the rank-filter shape, so
+    only ~k rows per group per input partition reach the shuffle. For
+    heavily skewed groups at the 100 TB tier, pre-filter with a hash
+    threshold (functions/scalars.stratified_keep) to cap the window
+    input first.
+    """
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .withColumnRenamed("__rn", "sample_rank"))

@@ -365,3 +365,43 @@ WHERE r_name = '{region}'
   AND o_orderdate <  TIMESTAMP '{date_hi} 00:00:00'
 GROUP BY n_name
 """
+
+
+def mad_outliers_sql(table: str, group_col: str, column: str,
+                     percentile_fn: str) -> str:
+    """Per-group robust dispersion: exact median, MAD (median absolute
+    deviation) and the count of rows beyond the 3×MAD fence — the
+    outlier audit A10 runs with IQR fences, re-based on the robust
+    estimator that tolerates up to 50% contamination. ``percentile_fn``
+    is the only engine-specific token ('percentile' Spark /
+    'quantile_cont' DuckDB). Median and MAD are rounded to 4 decimals
+    BEFORE the fence comparison so the engines' differing interpolation
+    expression trees cannot flip a boundary row.
+
+    Plan shape (Spark): two grouped exact-percentile passes (each one
+    shuffle on the group key) + a final grouped count; the |groups|-row
+    med/mad relations broadcast back. Exact medians sort per group — at
+    the 100 TB tier substitute approx_percentile via stats.approx_quantiles
+    and keep this form for verification runs.
+    """
+    g, c, fn = group_col, column, percentile_fn
+    three = lit(3.0)
+    return f"""
+WITH med AS (
+  SELECT {g} AS grp, ROUND({fn}({c}, 0.5), 4) AS med
+  FROM {table} WHERE {c} IS NOT NULL GROUP BY {g}
+),
+mad AS (
+  SELECT t.{g} AS grp, ROUND({fn}(ABS(t.{c} - m.med), 0.5), 4) AS mad
+  FROM {table} t JOIN med m ON t.{g} = m.grp
+  WHERE t.{c} IS NOT NULL GROUP BY t.{g}
+)
+SELECT t.{g}, MIN(m.med) AS median, MIN(d.mad) AS mad,
+       COUNT(CASE WHEN ABS(t.{c} - m.med) > {three} * d.mad THEN 1 END) AS n_outliers,
+       COUNT(*) AS n
+FROM {table} t
+JOIN med m ON t.{g} = m.grp
+JOIN mad d ON t.{g} = d.grp
+WHERE t.{c} IS NOT NULL
+GROUP BY t.{g}
+"""

@@ -104,6 +104,19 @@ def above_global_scalar(df: DataFrame, value_col: str,
             .drop(scalar_col))
 
 
+def equals_global_scalar(df: DataFrame, value_col: str,
+                         scalar_df: DataFrame, scalar_col: str) -> DataFrame:
+    """``df WHERE value = (SELECT scalar FROM ...)`` — the argmax-membership
+    shape (TPC-H Q15's ``total_revenue = (SELECT MAX(total_revenue) ...)``).
+    Same in-plan mechanics as :func:`above_global_scalar`: the 1-row
+    aggregate broadcasts into a filter, so finding "all rows at the
+    maximum" costs one extra 1-row stage instead of a driver round-trip,
+    and ties at the max are all returned (Q15 semantics)."""
+    return (df.crossJoin(F.broadcast(scalar_df))
+            .where(F.col(value_col) == F.col(scalar_col))
+            .drop(scalar_col))
+
+
 def positive_mean_cents(df: DataFrame, value_col: str) -> DataFrame:
     """1-row helper: bit-deterministic mean of the positive values of a
     2-decimal column (TPC-H Q22's ``AVG(c_acctbal) WHERE c_acctbal >

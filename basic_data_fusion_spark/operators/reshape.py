@@ -125,3 +125,21 @@ def consolidate_baseline(df: DataFrame) -> DataFrame:
         out = out.withColumn(f"{base}_BAS", F.coalesce(*[F.col(c) for c in ordered]))
         out = out.drop(*ordered)
     return out
+
+
+def melt(df: DataFrame, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """Wide→long unpivot — the inverse of :func:`enwiden` (the reference
+    only pivots long→wide, analysis/export.py:24-169; a user migrating
+    wide uploads back to the canonical long shape needs this direction).
+
+    Uses the native ``Dataset.unpivot`` (Spark's melt): a Generate-style
+    expansion with NO shuffle — each input row emits ``len(value_cols)``
+    output rows partition-locally, so the operator scales linearly and
+    preserves the upstream partitioning of ``id_cols``. Mixed numeric
+    widths are fine (Spark casts to the common type); callers that need
+    a specific type should cast ``value_cols`` first.
+    """
+    return df.unpivot([F.col(c) for c in id_cols],
+                      [F.col(c) for c in value_cols],
+                      var_name, value_name)

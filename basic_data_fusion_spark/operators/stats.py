@@ -418,3 +418,35 @@ def approx_quantiles(df: DataFrame, column: str,
     ±1e9 ranks. Returns the quantile values (driver-side floats)."""
     probs = probabilities or [0.25, 0.5, 0.75]
     return df.approxQuantile(column, list(probs), relative_error)
+
+
+def grouped_zscore(df: DataFrame, group_col: str, value_col: str,
+                   out_col: str = "zscore", decimals: int = 4) -> DataFrame:
+    """Per-group standardization: ``z = (x − mean_g) / std_g`` for every
+    row, with the group moments computed once and joined back — the
+    decorrelated form of a correlated aggregate (same shape as
+    relational.below_group_fraction, but producing a derived column
+    instead of a filter).
+
+    Plan: one grouped aggregation over the input (|groups| output rows,
+    broadcast back under the threshold) + one join — NOT a window over
+    the whole table, which would sort every partition by group for no
+    benefit when only per-group scalars are needed. Moments use
+    fixed-point sums (functions/scalars.fixed_point_sum) so mean/std are
+    the identical double on any partitioning/engine; z is rounded to
+    ``decimals`` to absorb final-division ulps. Groups with fewer than 2
+    rows or zero variance yield NULL z (no division blowup).
+    """
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    stats_df = (df.groupBy(group_col).agg(
+        fixed_point_sum(F.col(value_col), scale=100).alias("__s"),
+        fixed_point_sum(F.col(value_col) * F.col(value_col), scale=100).alias("__s2"),
+        F.count(value_col).alias("__n")))
+    mean = F.col("__s") / F.col("__n")
+    var = (F.col("__s2") - F.col("__n") * mean * mean) / (F.col("__n") - 1)
+    std = F.sqrt(var)
+    z = F.when(std > 0.0, F.round((F.col(value_col) - mean) / std, decimals))
+    return (df.join(stats_df, on=group_col, how="inner")
+            .withColumn(out_col, z)
+            .drop("__s", "__s2", "__n"))
