@@ -49,6 +49,25 @@ def is_numeric_dtype(dtype: str) -> bool:
     return any(d.startswith(t) for t in NUMERIC_TYPES)
 
 
+def normalize_timestamps(df: DataFrame, ns_cols: list[str] | None = None) -> DataFrame:
+    """Canonicalize timestamp encodings to TimestampType (µs, UTC session tz).
+
+    Parquet writers vary: TIMESTAMP(NANOS) surfaces as an epoch-ns long
+    (under ``spark.sql.legacy.parquet.nanosAsLong``), and
+    TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ. Every
+    downstream op (``unix_micros``, ``window``, ``withWatermark``) expects
+    one timestamp type, so the Catalog funnels all loads through here.
+    The session tz is pinned UTC, so the NTZ cast preserves the wall clock
+    and matches DuckDB's epoch.
+    """
+    for c in (ns_cols or []):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 @dataclass
 class MergeKeys:
     """Key-selection outcome (reference: merge_strategy.py:24-44)."""
@@ -137,9 +156,7 @@ class Catalog:
                     # as epoch-ns longs (legacy conf) and truncate to a
                     # microsecond TimestampType column.
                     self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = self.spark.read.parquet(path)
-                for c in ns_cols:
-                    df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+                df = normalize_timestamps(self.spark.read.parquet(path), ns_cols)
             self._df_cache[name] = df
         df = self._df_cache[name]
         if derive_composite:

@@ -174,9 +174,12 @@ def test_partition_pruning_on_time_slice(spark, tmp_path):
         write_time_partitioned,
     )
 
+    from basic_data_fusion_spark.catalog import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = normalize_timestamps(
+        raw, ["ts"] if dict(raw.dtypes).get("ts") == "bigint" else [])
     path = str(tmp_path / "events_by_day")
     write_time_partitioned(ev, path)
 

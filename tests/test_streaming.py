@@ -23,9 +23,11 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _ts_fix(df):
-    # events.ts is parquet TIMESTAMP(NANOS) → Spark reads an epoch-ns long
-    # (legacy conf, set by the Catalog); truncate to microsecond timestamps
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # canonicalize whatever encoding the driver wrote (ns-long / NTZ / LTZ)
+    from basic_data_fusion_spark.catalog import normalize_timestamps
+
+    ns_cols = ["ts"] if dict(df.dtypes).get("ts") == "bigint" else []
+    return normalize_timestamps(df, ns_cols)
 
 
 def _events_batch(spark):
