@@ -915,7 +915,7 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_PROPS_ORACLE = """
 SELECT event_type,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -1103,7 +1103,9 @@ runs AS (
 rl AS (SELECT doc_id, COUNT(*) AS run_len FROM runs GROUP BY doc_id, word, grp),
 ragg AS (SELECT doc_id, MAX(run_len) AS max_run FROM rl GROUP BY 1)
 SELECT d.doc_id,
-       COALESCE(a.n_tokens, 0) AS n_tokens,
+       -- SUM(BIGINT) is HUGEINT in DuckDB and fetches as float64; cast back
+       -- so the driver's dtype-sensitive value hash sees BIGINT like Spark
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CASE WHEN a.n_tokens IS NULL THEN 0.0
             ELSE CAST(a.n_distinct AS DOUBLE) / a.n_tokens END AS distinct_ratio,
        CASE WHEN a.n_tokens IS NULL THEN 0.0
@@ -1473,7 +1475,7 @@ WITH g AS (
   FROM events
 )
 SELECT user_id, COUNT(*) AS n_events, COUNT(gap_us) AS n_gaps,
-       SUM(gap_us) AS sum_gap_us, MAX(gap_us) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us, MAX(gap_us) AS max_gap_us,
        ROUND(SUM(gap_us) / (COUNT(gap_us) * 1000000.0), 4) AS avg_gap_s
 FROM g GROUP BY user_id
 """
@@ -1684,7 +1686,7 @@ agg AS (
          COUNT(*) AS n_distinct
   FROM tf GROUP BY doc_id
 )
-SELECT doc_id, n_tokens, n_distinct,
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct,
        CAST(1 AS DOUBLE) - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens)
          AS simpson
 FROM agg

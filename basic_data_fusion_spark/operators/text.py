@@ -114,32 +114,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def repetition_features(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
-    use these to drop boilerplate/spam): type-token ratio, most-frequent
-    word/bigram mass, longest same-word run. The reference has no
-    repetition analysis; this extends its quality surface
-    (analysis/statistics.py value-counts idiom) to corpus curation.
-
-    All-JVM, no shuffle, no explode. The token/bigram arrays are
-    materialized through staged projections: a nested higher-order
-    function re-evaluates its argument subtree once per OUTER array
-    element, so feeding ``split(...)`` directly into
-    ``transform(distinct, w -> filter(toks, ...))`` re-tokenizes the
-    document u times per row (~16× slower end-to-end measured at sf0.1).
-    Per-doc cost is O(distinct_words × n_tokens), fine for
-    web-document-sized texts (the intended unit); for book-length inputs
-    switch to the explode + two-level groupBy formulation instead.
-    Ratios are integer-count divisions → bit-deterministic cross-engine.
-    Input is repartitioned — the pass is CPU-bound and a single-file
-    parquet source would otherwise pin it to one core.
-    """
-    spark = df.sparkSession
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
-            .select(F.col(id_col),
-                    tokens(F.col(text_col)).alias("toks"),
-                    token_count(F.col(text_col)).cast("long").alias("n_tokens")))
+def _repetition_hof(base: DataFrame, id_col: str) -> DataFrame:
+    """HOF tier: all-JVM, no shuffle, no explode. O(distinct_words ×
+    n_tokens) per document — the right trade for web-document-sized
+    texts, where distinct_words is small and avoiding three shuffles
+    dominates. The token/bigram arrays are materialized through staged
+    projections: a nested higher-order function re-evaluates its argument
+    subtree once per OUTER array element, so feeding ``split(...)``
+    directly into ``transform(distinct, w -> filter(toks, ...))``
+    re-tokenizes the document u times per row (~16× slower end-to-end
+    measured at sf0.1)."""
     t, n = F.col("toks"), F.col("n_tokens")
     staged = base.select(
         F.col(id_col), "toks", "n_tokens",
@@ -178,6 +162,87 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     )
 
 
+def _repetition_explode(base: DataFrame, id_col: str) -> DataFrame:
+    """Explode tier: positional explode → two-level groupBy (word counts,
+    lead() bigrams, gaps-and-islands runs). O(n_tokens) work per document
+    spread across the cluster — three extra shuffles, but no per-row
+    O(u×n) loop, so book-length inputs (where distinct_words ≈ n_tokens
+    makes the HOF tier quadratic) stay linear. Bit-identical output to
+    the HOF tier (same integer-count divisions)."""
+    inst = (base.filter(F.col("n_tokens") > 0)
+            .select(F.col(id_col), F.posexplode("toks").alias("pos", "word")))
+    wc = inst.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.groupBy(id_col).agg(F.max("c").alias("__top_word"),
+                                 F.count(F.lit(1)).alias("__n_distinct"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (inst.withColumn("__nxt", F.lead("word").over(w))
+          .filter(F.col("__nxt").isNotNull())
+          .select(id_col, F.concat_ws(" ", "word", "__nxt").alias("bigram")))
+    bagg = (bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col).agg(F.max("c").alias("__top_bigram"),
+                                 F.sum("c").alias("__n_bigrams")))
+    rw = Window.partitionBy(id_col, "word").orderBy("pos")
+    runs = (inst.withColumn("__grp", F.col("pos") - F.row_number().over(rw))
+            .groupBy(id_col, "word", "__grp").agg(F.count(F.lit(1)).alias("run_len"))
+            .groupBy(id_col).agg(F.max("run_len").alias("__max_run")))
+    n = F.col("n_tokens")
+    return (base.select(id_col, "n_tokens")
+            .join(agg, id_col, "left").join(bagg, id_col, "left")
+            .join(runs, id_col, "left")
+            .select(
+                F.col(id_col), n.alias("n_tokens"),
+                F.when(n == 0, F.lit(0.0))
+                 .otherwise(F.col("__n_distinct").cast("double") / n)
+                 .alias("distinct_ratio"),
+                F.when(n == 0, F.lit(0.0))
+                 .otherwise(F.col("__top_word").cast("double") / n)
+                 .alias("top_word_frac"),
+                F.when(F.col("__n_bigrams").isNull(), F.lit(0.0))
+                 .otherwise(F.col("__top_bigram").cast("double") / F.col("__n_bigrams"))
+                 .alias("top_bigram_frac"),
+                F.coalesce(F.col("__max_run"), F.lit(0)).cast("long").alias("max_run")))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        long_doc_strategy: str = "hof",
+                        long_doc_tokens: int = 20_000) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    use these to drop boilerplate/spam): type-token ratio, most-frequent
+    word/bigram mass, longest same-word run. The reference has no
+    repetition analysis; this extends its quality surface
+    (analysis/statistics.py value-counts idiom) to corpus curation.
+
+    ``long_doc_strategy`` selects the execution tier (both produce
+    bit-identical output — ratios are integer-count divisions):
+
+    - ``"hof"`` (default): all-JVM higher-order functions, zero shuffles,
+      O(distinct_words × n_tokens) per doc — fastest for web documents.
+    - ``"explode"``: positional explode + two-level groupBy, O(n_tokens)
+      spread across the cluster — linear on book-length inputs where the
+      HOF tier degrades quadratically.
+    - ``"auto"``: per-document dispatch on ``long_doc_tokens`` — short
+      docs take the HOF tier, long docs the explode tier, results union.
+
+    Input is repartitioned — the pass is CPU-bound and a single-file
+    parquet source would otherwise pin it to one core.
+    """
+    if long_doc_strategy not in ("hof", "explode", "auto"):
+        raise ValueError(f"unknown long_doc_strategy: {long_doc_strategy!r}")
+    spark = df.sparkSession
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col),
+                    tokens(F.col(text_col)).alias("toks"),
+                    token_count(F.col(text_col)).cast("long").alias("n_tokens")))
+    if long_doc_strategy == "hof":
+        return _repetition_hof(base, id_col)
+    if long_doc_strategy == "explode":
+        return _repetition_explode(base, id_col)
+    return (_repetition_hof(base.filter(F.col("n_tokens") <= long_doc_tokens), id_col)
+            .unionByName(_repetition_explode(
+                base.filter(F.col("n_tokens") > long_doc_tokens), id_col)))
+
+
 def token_rarity(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Corpus-statistics rarity profile per document: for each token
@@ -194,7 +259,10 @@ def token_rarity(df: DataFrame, text_col: str = "text",
     (token, df) relation joins instance rows on the token key. At corpus
     scale that join is a plain shuffle join (vocab can exceed broadcast
     size); skew on stop-words is bounded because the df table has ONE
-    row per token.
+    row per token. The corpus size enters the plan as a broadcast 1-row
+    aggregate cross-joined onto the vocab-sized df relation (NOT an eager
+    ``df.count()``) — the whole operator stays one lazy plan with no
+    driver-side job.
     """
     spark = df.sparkSession
     # blank text tokenizes to [''] — filter it so empty docs yield zero
@@ -204,17 +272,17 @@ def token_rarity(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), toks.alias("toks"),
                     F.size(toks).cast("long").alias("n_tokens")))
     inst = base.select(id_col, "n_tokens", F.explode("toks").alias("token"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
     docfreq = (base.select(id_col, F.explode(F.array_distinct("toks")).alias("token"))
-               .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
-    n_docs = df.count()  # scalar; one cheap count job
-    half = F.lit(n_docs) / F.lit(2.0)
+               .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+               .crossJoin(F.broadcast(n_docs)))
     scored = (inst.join(docfreq, "token")
               .groupBy(id_col)
               .agg(F.first("n_tokens").alias("n_tokens"),
                    F.sum("df").alias("__sum_df"),
                    F.min("df").alias("min_df"),
                    F.max("df").alias("max_df"),
-                   F.sum(F.when(F.col("df") > half, 1)
+                   F.sum(F.when(F.col("df") > F.col("__n_docs") / F.lit(2.0), 1)
                           .otherwise(0)).alias("__n_common")))
     out = scored.select(
         F.col(id_col), "n_tokens",
@@ -396,7 +464,9 @@ def strip_high_df_tokens(df: DataFrame, text_col: str = "text",
     in >max_df_frac of docs — bounded by 1/max_df_frac · vocab mass) and
     broadcasts into a LEFT ANTI join against token instances → per-doc
     re-assembly groups on the id key. Two shuffles total at any scale;
-    no driver-side data beyond the n_docs scalar.
+    the corpus size enters as a broadcast 1-row aggregate cross-joined
+    onto the vocab-sized df relation — no eager ``df.count()``, the whole
+    operator is one lazy plan.
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
@@ -406,9 +476,10 @@ def strip_high_df_tokens(df: DataFrame, text_col: str = "text",
     inst = base.select(id_col, F.posexplode("toks").alias("pos", "token"))
     docfreq = (base.select(id_col, F.explode(F.array_distinct("toks")).alias("token"))
                .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
-    n_docs = df.count()  # scalar; one cheap count job
-    banned = docfreq.filter(
-        F.col("df").cast("double") > F.lit(float(max_df_frac)) * F.lit(n_docs))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n_docs"))
+    banned = (docfreq.crossJoin(F.broadcast(n_docs))
+              .filter(F.col("df").cast("double")
+                      > F.lit(float(max_df_frac)) * F.col("__n_docs")))
     kept = inst.join(F.broadcast(banned.select("token")), "token", "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.count(F.lit(1)).cast("long").alias("__n_kept"),
@@ -440,10 +511,14 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     integer total by (1e8 · n_tokens) in a fixed expression order.
 
     Plan: one explode → vocab-sized count aggregation (+ a 1-row total) →
-    broadcast join back to instances → per-doc aggregation. Same two-
-    shuffle shape as token_rarity; the unigram table has ONE row per
-    vocab entry so it broadcasts at any corpus scale with a bounded
-    vocabulary.
+    join back to instances → per-doc aggregation. Same two-shuffle shape
+    as token_rarity. The unigram table is deliberately NOT broadcast-
+    hinted: a web-corpus whitespace-token vocabulary is unbounded (URLs,
+    typos, code), so the join strategy is left to AQE — it broadcasts
+    when the measured vocab is small and falls back to a shuffle join
+    when it isn't. (Contrast strip_high_df_tokens, whose banned set IS
+    bounded by construction — df > frac·N caps it at vocab_mass/frac —
+    and keeps its explicit broadcast.)
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
@@ -455,7 +530,7 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     s_int = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
                     * F.lit(1e8), 0).cast("bigint")
     scored = (inst
-              .join(F.broadcast(freq), "token")
+              .join(freq, "token")
               .crossJoin(F.broadcast(total))
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -56,7 +56,35 @@ def canonical_rows(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+def _numeric_kind(dtype) -> str | None:
+    k = getattr(dtype, "kind", None)
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return None
+
+
+def assert_numeric_kinds_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                               name: str = "?"):
+    """The driver's value hash is dtype-sensitive: a BIGINT column on one
+    side fetched as float64 on the other (e.g. DuckDB SUM(BIGINT) →
+    HUGEINT → float64) hash-mismatches even when every value is equal.
+    Catch that class locally: a column may not be integer-kind on one side
+    and float-kind on the other. (Columns with NULLs surface as float64 on
+    BOTH sides, so the comparison stays symmetric.)"""
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk = _numeric_kind(spark_pdf[c].dtype)
+        ok = _numeric_kind(oracle_pdf[c].dtype)
+        if sk and ok and sk != ok:
+            raise AssertionError(
+                f"[{name}] numeric dtype-kind mismatch on column {c!r}: "
+                f"spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype} — "
+                f"the driver's value hash WILL differ; align the oracle CAST")
+
+
 def assert_df_equal(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "?"):
+    assert_numeric_kinds_match(spark_pdf, oracle_pdf, name)
     scols, srows = canonical_rows(spark_pdf)
     ocols, orows = canonical_rows(oracle_pdf)
     assert scols == ocols, f"[{name}] column mismatch: spark={scols} oracle={ocols}"

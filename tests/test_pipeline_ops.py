@@ -274,6 +274,30 @@ def test_repetition_features(spark):
     assert r4["top_bigram_frac"] == 0.0 and r4["max_run"] == 1
 
 
+def test_repetition_strategies_identical(spark):
+    """The explode tier and the auto dispatch must be bit-identical to the
+    HOF tier — including on a long document that crosses the auto
+    threshold and on empty/whitespace docs."""
+    long_doc = " ".join(["tok%d" % (i % 37) for i in range(300)])
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y x y"), (3, ""), (4, "solo"),
+         (5, long_doc), (6, "  "), (7, "r r r r r r")],
+        "doc_id long, text string").union(
+        spark.read.parquet(f"{SF0001}/documents.parquet")
+        .select("doc_id", "text").limit(50)
+        .withColumn("doc_id", F.col("doc_id") + 1000))
+    hof = {r["doc_id"]: r.asDict()
+           for r in text.repetition_features(docs).collect()}
+    for strategy in ("explode", "auto"):
+        got = {r["doc_id"]: r.asDict()
+               for r in text.repetition_features(
+                   docs, long_doc_strategy=strategy,
+                   long_doc_tokens=100).collect()}
+        assert got == hof, f"strategy={strategy} diverges from hof"
+    with pytest.raises(ValueError):
+        text.repetition_features(docs, long_doc_strategy="nope")
+
+
 def test_trained_centroids_ivf_recall(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     centroids = similarity.train_centroids(emb, k=10, max_iter=10)
