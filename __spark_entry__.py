@@ -756,12 +756,26 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH near-dup pairs (cosine ≥ 0.99); rows-only check,
-    recall pytest-verified against the exhaustive tier."""
+    """Hyperplane-LSH near-dup pairs (cosine ≥ 0.99).
+
+    Random sf embeddings never reach 0.99 (max pairwise cosine at
+    sf0.01 is ~0.51), so the corpus is salted with 10 PLANTED
+    duplicates — copies of vec_id<10 scaled by 1.5 (same direction,
+    cosine exactly 1) under id+1_000_000. The LSH must recover exactly
+    those pairs; the driver cross-checks against an exhaustive all-pairs
+    fixed-point SQL oracle, so both false positives AND false negatives
+    hash-mismatch. Deterministic scoring tier for bit-comparability."""
     from basic_data_fusion_spark.operators.similarity import embedding_near_dups
 
     emb = _catalog(spark, sf_dir).load("embeddings")
-    return embedding_near_dups(emb, threshold=0.99, planes=12)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"))
+    planted = (base.filter(F.col("vec_id") < 10)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.expr("transform(embedding, x -> x * 1.5d)").alias("embedding")))
+    return embedding_near_dups(base.unionByName(planted), threshold=0.99,
+                               planes=12, deterministic=True)
 
 
 _SEMDEDUP_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
@@ -1175,6 +1189,77 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+"""
+
+# Exhaustive all-pairs check for the LSH near-dup query: every pair with
+# fixed-point cosine ≥ 0.99 over (embeddings ∪ planted copies). The LSH
+# result must equal this set exactly — at sf scales the only qualifying
+# pairs are the 10 planted ones (max random-pair cosine ≈ 0.51), and
+# identical-direction copies always share the full sign sketch.
+_EMBEDDING_NEAR_DUPS_ORACLE = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+  FROM embeddings WHERE vec_id < 10
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+parts AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(ROUND(a.e[i] * b.e[i]
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS dot,
+         SUM(CAST(ROUND(a.e[i] * a.e[i]
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(b.e[i] * b.e[i]
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM base a JOIN base b ON a.vec_id < b.vec_id CROSS JOIN dims
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a, id_b, dot / (SQRT(aa) * SQRT(bb)) AS cosine_sim
+FROM parts
+WHERE dot / (SQRT(aa) * SQRT(bb)) >= 0.99
+"""
+
+
+def _media_features_oracle() -> str:
+    """DuckDB replay of the stand-in codec (multimodal.py:_content_rng_values):
+    v_j = le64(sha256(utf8(text) + le32(0))[8j:8j+8]) / 2^64, width/height =
+    int(v*1024)+1, mean_intensity = v2*255. The hugeint→double cast and
+    power-of-two division round identically to Python's int/2**64, so the
+    check is bit-exact (validated over all sf0.01 docs)."""
+    def le64(byte0: int) -> str:
+        terms = []
+        for j in range(8):
+            pos = 2 * (byte0 + j) + 1
+            b = (f"(strpos('0123456789abcdef', substr(hx,{pos},1))-1)*16"
+                 f" + (strpos('0123456789abcdef', substr(hx,{pos + 1},1))-1)")
+            terms.append(f"CAST({b} AS HUGEINT) * {256 ** j}::HUGEINT")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+WITH h AS (
+  SELECT doc_id AS media_id,
+         sha256(COALESCE(text, '') || repeat(chr(0), 4)) AS hx
+  FROM documents
+), v AS (
+  SELECT media_id,
+         CAST({le64(0)} AS DOUBLE) / 18446744073709551616.0 AS v0,
+         CAST({le64(8)} AS DOUBLE) / 18446744073709551616.0 AS v1,
+         CAST({le64(16)} AS DOUBLE) / 18446744073709551616.0 AS v2
+  FROM h
+)
+SELECT media_id,
+       CAST(FLOOR(v0 * 1024) AS INT) + 1 AS width,
+       CAST(FLOOR(v1 * 1024) AS INT) + 1 AS height,
+       CAST(3 AS INT) AS channels,
+       v2 * 255.0 AS mean_intensity,
+       CAST(0 AS INT) AS decode_ok,
+       CAST(8 AS INT) AS feature_dim
+FROM v
 """
 
 
@@ -2442,48 +2527,14 @@ WHERE rn <= 20
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver's CORRECTNESS check covers the first 50
+    # keys.  Rounds 1-2 verified the "classic" 45 (flagship/stats/text-pipeline)
+    # — those are demoted to the tail; the window now holds the 45 queries the
+    # driver has never hash-checked (windows, rollup/cube/grouping-sets,
+    # as-of/interval joins, funnel/retention, set-ops, SCD2, gap-fill, UDTF,
+    # second TPC-H wave, melt, z-score, MAD, media_features) plus the five
+    # oracle-less rows-only checks so they stay monitored every round.
     return {
-        "flagship_merge": q_flagship_merge,
-        "participant_count": q_participant_count,
-        "segment_breakdown": q_segment_breakdown,
-        "acctbal_minmax": q_acctbal_minmax,
-        "distinct_segments": q_distinct_segments,
-        "top_segments": q_top_segments,
-        "numeric_ranges_lineitem": q_numeric_ranges_lineitem,
-        "filter_impact": q_filter_impact,
-        "enwiden_events": q_enwiden_events,
-        "baseline_consolidation": q_baseline_consolidation,
-        "column_summary": q_column_summary,
-        "dist_stats_acctbal": q_dist_stats_acctbal,
-        "iqr_outliers_acctbal": q_iqr_outliers,
-        "substudy_filter": q_substudy_filter,
-        "longitudinal_merge": q_longitudinal_merge,
-        "distinct_capped": q_distinct_capped,
-        "categorical_summary": q_categorical_summary,
-        **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
-        "dedup_exact": q_dedup_exact,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "pii_scrub": q_pii_scrub,
-        "corpus_curation": q_corpus_curation,
-        "repetition_scores": q_repetition_scores,
-        "token_rarity": q_token_rarity,
-        "boilerplate_strip": q_boilerplate_strip,
-        "quality_percentile": q_quality_percentile,
-        "lm_surprisal": q_lm_surprisal,
-        "shard_plan": q_shard_plan,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "decontam_overlap": q_decontam_overlap,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_near_dups": q_simhash_near_dups,
-        "embedding_topk": q_embedding_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "semantic_dedup": q_semantic_dedup,
-        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "events_tumbling_daily": q_events_tumbling_daily,
         "events_sliding": q_events_sliding,
@@ -2529,6 +2580,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_by_segment": q_zscore_by_segment,
         "mad_outliers_by_segment": q_mad_outliers_by_segment,
         "segment_sample": q_segment_sample,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dups": q_simhash_near_dups,
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_topk": q_ivf_topk,
+        # --- proven green in rounds 1-2 (CORRECTNESS_r01/r02); past the
+        # driver's 50-key window but still parametrized by
+        # tests/test_oracle_parity.py every run ---
+        "flagship_merge": q_flagship_merge,
+        "participant_count": q_participant_count,
+        "segment_breakdown": q_segment_breakdown,
+        "acctbal_minmax": q_acctbal_minmax,
+        "distinct_segments": q_distinct_segments,
+        "top_segments": q_top_segments,
+        "numeric_ranges_lineitem": q_numeric_ranges_lineitem,
+        "filter_impact": q_filter_impact,
+        "enwiden_events": q_enwiden_events,
+        "baseline_consolidation": q_baseline_consolidation,
+        "column_summary": q_column_summary,
+        "dist_stats_acctbal": q_dist_stats_acctbal,
+        "iqr_outliers_acctbal": q_iqr_outliers,
+        "substudy_filter": q_substudy_filter,
+        "longitudinal_merge": q_longitudinal_merge,
+        "distinct_capped": q_distinct_capped,
+        "categorical_summary": q_categorical_summary,
+        **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
+        "corpus_curation": q_corpus_curation,
+        "repetition_scores": q_repetition_scores,
+        "token_rarity": q_token_rarity,
+        "boilerplate_strip": q_boilerplate_strip,
+        "quality_percentile": q_quality_percentile,
+        "lm_surprisal": q_lm_surprisal,
+        "shard_plan": q_shard_plan,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "decontam_overlap": q_decontam_overlap,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_topk": q_embedding_topk,
     }
 
 
@@ -2544,12 +2639,13 @@ def oracle_sql() -> dict[str, str]:
     det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
     det["mad_outliers_by_segment"] = mad_outliers_sql(
         "customer", "c_mktsegment", "c_acctbal", "quantile_cont")
-    # minhash_dedup / simhash_near_dups / embedding_near_dups /
-    # semantic_dedup intentionally
-    # have NO oracle (engine-specific xxhash64 / seeded hyperplanes) →
+    # minhash_dedup / simhash_near_dups / semantic_dedup intentionally
+    # have NO oracle (engine-specific xxhash64 / seeded k-means) →
     # driver records the weaker rows-only check; recall is pytest-verified.
     return {
         **det,
+        "media_features": _media_features_oracle(),
+        "embedding_near_dups": _EMBEDDING_NEAR_DUPS_ORACLE,
         "events_tumbling_daily": _TUMBLING_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,

@@ -72,16 +72,20 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.95,
                         planes: int = 16, seed: int = 42,
-                        exhaustive: bool = False) -> DataFrame:
+                        exhaustive: bool = False,
+                        deterministic: bool = False) -> DataFrame:
     """Pairs with cosine ≥ threshold. ``exhaustive=True`` compares all
     pairs (oracle tier). Default: random-hyperplane LSH — pairs must share
     their full sign-sketch bucket; near-identical vectors almost surely do.
-    Shuffle key = 16-bit sketch, never the O(n²) pair space."""
+    Shuffle key = 16-bit sketch, never the O(n²) pair space.
+    ``deterministic=True`` scores with the fixed-point cosine so results
+    are bit-comparable to a single-node SQL oracle."""
+    sim_fn = fixed_point_cosine if deterministic else cosine
     if exhaustive:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-        return (pairs.withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+        return (pairs.withColumn("cosine_sim", sim_fn(F.col("__va"), F.col("__vb")))
                 .filter(F.col("cosine_sim") >= threshold)
                 .select("id_a", "id_b", "cosine_sim"))
     sketched = df.select(F.col(id_col),
@@ -91,7 +95,7 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     b = sketched.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket")
     return (a.join(b, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine_sim", cosine(F.col("__va"), F.col("__vb")))
+            .withColumn("cosine_sim", sim_fn(F.col("__va"), F.col("__vb")))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim").distinct())
 
