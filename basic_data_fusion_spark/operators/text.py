@@ -230,10 +230,15 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     if long_doc_strategy not in ("hof", "explode", "auto"):
         raise ValueError(f"unknown long_doc_strategy: {long_doc_strategy!r}")
     spark = df.sparkSession
+    # NULL text normalizes to the empty doc: without the coalesce,
+    # size(NULL)=NULL fails BOTH auto-tier predicates (silently dropping
+    # the row) and the hof/explode tiers disagree (NULL vs 0 max_run) —
+    # breaking the bit-identical guarantee.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     base = (df.repartition(spark.sparkContext.defaultParallelism)
             .select(F.col(id_col),
-                    tokens(F.col(text_col)).alias("toks"),
-                    token_count(F.col(text_col)).cast("long").alias("n_tokens")))
+                    tokens(txt).alias("toks"),
+                    token_count(txt).cast("long").alias("n_tokens")))
     if long_doc_strategy == "hof":
         return _repetition_hof(base, id_col)
     if long_doc_strategy == "explode":

@@ -199,6 +199,52 @@ def test_filtering_report_composite(spark):
     assert segs <= {"AUTOMOBILE", "BUILDING"}
 
 
+def test_filter_impact_individual_standalone_counts(spark):
+    """Each predicate alone vs baseline — order-independent, unlike the
+    cumulative cascade."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        filter_impact_individual,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    steps = [
+        ("segment", F.col("c_mktsegment").isin(["AUTOMOBILE", "BUILDING"])),
+        ("acctbal", F.col("c_acctbal").between(1000.0, 8000.0)),
+    ]
+    got = {r["step"]: r for r in
+           filter_impact_individual(cust, "c_custkey", steps).collect()}
+    baseline = cust.select("c_custkey").distinct().count()
+    for label, pred in steps:
+        expect = cust.filter(pred).select("c_custkey").distinct().count()
+        assert got[label]["n_remaining"] == expect
+        assert got[label]["n_removed"] == baseline - expect
+        assert got[label]["pct_removed"] == pytest.approx(
+            100.0 * (baseline - expect) / baseline)
+    # swapping step order must not change any standalone row
+    swapped = {r["step"]: r["n_remaining"] for r in
+               filter_impact_individual(cust, "c_custkey", steps[::-1]).collect()}
+    assert swapped == {k: v["n_remaining"] for k, v in got.items()}
+
+
+def test_categorical_summary_single_plan(spark):
+    """One-pass categorical summary: counts, uniques, ordered top-k, and
+    all-NULL columns retained with empty arrays."""
+    from basic_data_fusion_spark.operators.aggregations import categorical_summary
+
+    df = spark.createDataFrame(
+        [("a", "x", None), ("b", "x", None), ("a", "y", None), ("a", None, None)],
+        "c1 string, c2 string, c3 string")
+    out = {r["column"]: r for r in
+           categorical_summary(df, ["c1", "c2", "c3"], top_k=2).collect()}
+    assert out["c1"]["n_non_null"] == 4 and out["c1"]["n_unique"] == 2
+    assert out["c1"]["top_values"] == ["a", "b"]
+    assert out["c1"]["top_counts"] == [3, 1]
+    assert out["c2"]["n_non_null"] == 3 and out["c2"]["n_unique"] == 2
+    assert out["c2"]["top_values"] == ["x", "y"]
+    assert out["c3"]["n_non_null"] == 0 and out["c3"]["n_unique"] == 0
+    assert out["c3"]["top_values"] == [] and out["c3"]["top_counts"] == []
+
+
 def test_approx_count_distinct_tier(spark):
     from basic_data_fusion_spark.operators.aggregations import count_distinct_keys
 
@@ -281,11 +327,13 @@ def test_repetition_strategies_identical(spark):
     long_doc = " ".join(["tok%d" % (i % 37) for i in range(300)])
     docs = spark.createDataFrame(
         [(1, "a a a b"), (2, "x y x y"), (3, ""), (4, "solo"),
-         (5, long_doc), (6, "  "), (7, "r r r r r r")],
+         (5, long_doc), (6, "  "), (7, "r r r r r r"), (8, None)],
         "doc_id long, text string").union(
         spark.read.parquet(f"{SF0001}/documents.parquet")
-        .select("doc_id", "text").limit(50)
+        .select("doc_id", "text").orderBy("doc_id").limit(50)
         .withColumn("doc_id", F.col("doc_id") + 1000))
+    assert 8 in {r["doc_id"] for r in text.repetition_features(docs).collect()}, \
+        "NULL-text doc must not be dropped"
     hof = {r["doc_id"]: r.asDict()
            for r in text.repetition_features(docs).collect()}
     for strategy in ("explode", "auto"):
