@@ -108,22 +108,42 @@ def numeric_summary(df: DataFrame, columns: list[str]) -> DataFrame:
 
 
 def categorical_summary(df: DataFrame, columns: list[str], top_k: int = 5) -> DataFrame:
-    """A5 categorical half: per column, distinct count + top-k values.
-    One groupBy per column (columns are few; each is a narrow agg)."""
+    """A5 categorical half: per column, non-null count, distinct count and
+    top-k values — ONE lazy plan for all columns. The table unpivots to
+    (column, value) rows in a single scan; per-value counts group once on
+    (column, value); totals and the windowed top-k derive from that
+    counts relation. Replaces the per-column ``.first()``/``.collect()``
+    loop (2 Spark jobs per column) with one job regardless of column
+    count — at 100 TB the scan dominates, so N columns for the price of
+    one pass."""
     spark = df.sparkSession
-    parts = []
-    for c in columns:
-        topk = top_k_categories(df.where(F.col(c).isNotNull()), c, top_k)
-        stats = df.agg(
-            F.count(c).alias("n_non_null"),
-            F.countDistinct(c).alias("n_unique"),
-        ).first()
-        vals = topk.collect()
-        parts.append((c, stats["n_non_null"], stats["n_unique"],
-                      [str(r[c]) for r in vals], [r["n"] for r in vals]))
-    return spark.createDataFrame(
-        parts, "column string, n_non_null long, n_unique long, "
-               "top_values array<string>, top_counts array<long>")
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])).alias("s")).select("s.column", "s.value")
+    counts = (stacked.where(F.col("value").isNotNull())
+              .groupBy("column", "value").agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy("column").agg(
+        F.sum("n").alias("n_non_null"),
+        F.count(F.lit(1)).alias("n_unique"))
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    tk = (counts.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= top_k)
+          .groupBy("column")
+          .agg(F.sort_array(F.collect_list(F.struct("__rn", "value", "n")))
+               .alias("__tk")))
+    # literal column list keeps all-NULL columns in the output (they have
+    # no counts rows), mirroring the previous materialized behavior
+    cols_df = spark.createDataFrame([(c,) for c in columns], "column string")
+    return (cols_df.join(totals, "column", "left").join(tk, "column", "left")
+            .select(
+                "column",
+                F.coalesce(F.col("n_non_null"), F.lit(0).cast("long")).alias("n_non_null"),
+                F.coalesce(F.col("n_unique"), F.lit(0).cast("long")).alias("n_unique"),
+                F.coalesce(F.transform("__tk", lambda x: x["value"]),
+                           F.array().cast("array<string>")).alias("top_values"),
+                F.coalesce(F.transform("__tk", lambda x: x["n"]),
+                           F.array().cast("array<long>")).alias("top_counts")))
 
 
 # ---------------- A13 / §2.10: filtering-impact report ----------------
@@ -134,19 +154,26 @@ def filter_impact_report(base_df: DataFrame, key: str,
     one row per step with remaining / removed counts and removal %.
 
     ``steps`` is the ordered [(label, predicate)] list — the reference's fixed
-    order substudy → session → age → behavioral. The base relation should be
-    ``.cache()``d by the caller; each step is one countDistinct over the
-    cached plan instead of the reference's full re-read per step.
+    order substudy → session → age → behavioral. ONE aggregation pass
+    computes every step: the baseline plus each cumulative conjunction runs
+    as a conditional ``count_distinct(when(preds, key))`` in a single
+    ``agg`` — one table scan and one job for N steps, versus the
+    reference's N+1 full re-reads (and this module's previous N+1 jobs
+    over a cached plan). At 100 TB the scan is the cost; N is free.
     """
     spark = base_df.sparkSession
-    baseline = base_df.select(key).agg(F.countDistinct(key)).first()[0]
-    rows = [("baseline", baseline, 0, 0.0, 0.0)]
+    aggs = [F.countDistinct(key).alias("__s0")]
     preds: list[Column] = []
-    prev = baseline
-    for label, pred in steps:
+    for i, (_, pred) in enumerate(steps, start=1):
         preds.append(pred)
-        remaining = (base_df.filter(reduce(and_, preds))
-                     .agg(F.countDistinct(key)).first()[0])
+        aggs.append(F.count_distinct(
+            F.when(reduce(and_, preds), F.col(key))).alias(f"__s{i}"))
+    counts = base_df.agg(*aggs).first()
+    baseline = counts["__s0"]
+    rows = [("baseline", baseline, 0, 0.0, 0.0)]
+    prev = baseline
+    for i, (label, _) in enumerate(steps, start=1):
+        remaining = counts[f"__s{i}"]
         removed = prev - remaining
         # raw doubles (not rounded): integer-derived IEEE division is
         # bit-deterministic across engines; rounding is a display concern
@@ -157,6 +184,31 @@ def filter_impact_report(base_df: DataFrame, key: str,
     return spark.createDataFrame(
         rows, "step string, n_remaining long, n_removed long, "
               "pct_removed double, cum_pct_removed double")
+
+
+def filter_impact_individual(base_df: DataFrame, key: str,
+                             steps: list[tuple[str, Column]]) -> DataFrame:
+    """Per-filter STANDALONE impact (reference: analysis/filtering.py:385-505
+    computes each filter's individual removal alongside the combined
+    cascade): every predicate is applied ALONE against the unfiltered
+    baseline, answering "how much does this one criterion cost?"
+    independent of step order. Same one-pass shape as the cumulative
+    report — baseline + one conditional count_distinct per filter in a
+    single aggregation job."""
+    spark = base_df.sparkSession
+    aggs = [F.countDistinct(key).alias("__base")]
+    for i, (_, pred) in enumerate(steps):
+        aggs.append(F.count_distinct(F.when(pred, F.col(key))).alias(f"__s{i}"))
+    counts = base_df.agg(*aggs).first()
+    baseline = counts["__base"]
+    rows = []
+    for i, (label, _) in enumerate(steps):
+        remaining = counts[f"__s{i}"]
+        removed = baseline - remaining
+        pct = (100.0 * removed) / baseline if baseline else 0.0
+        rows.append((label, remaining, removed, pct))
+    return spark.createDataFrame(
+        rows, "step string, n_remaining long, n_removed long, pct_removed double")
 
 
 def filtering_report(base_df: DataFrame, key: str,

@@ -101,14 +101,75 @@ def data_profile(df: DataFrame, sample_n: int | None = None, seed: int = 42,
     return profile
 
 
+def profiling_sections(df: DataFrame, numeric_cols: list[str] | None = None,
+                       sample_n: int = 100, seed: int = 42,
+                       corr_threshold: float = 0.7,
+                       deterministic: bool = False) -> dict[str, DataFrame]:
+    """A12 native fallback: the ydata-profiling headline sections as
+    DataFrames — per-column numeric stats, missingness, correlations, and
+    a bounded sample (reference pages/profiling.py:279-345 renders the
+    same four blocks from the ProfileReport object). No optional
+    libraries; every section is a Spark plan.
+
+    ``deterministic=True`` swaps the stats section's mean/std/median for
+    the fixed-point / rounded-percentile forms so the section is
+    bit-comparable to a single-node SQL oracle (see
+    functions/scalars.fixed_point_sum for the overflow envelope)."""
+    from ..functions.scalars import fixed_point_sum
+    from .aggregations import numeric_summary
+    from .stats import high_correlation_pairs
+
+    numeric = numeric_cols or [c for c, t in df.dtypes if is_numeric_dtype(t)]
+    if deterministic:
+        spark = df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in numeric:
+            col = F.col(c).cast("double")
+            s, ss = fixed_point_sum(col), fixed_point_sum(col * col)
+            n = F.count(col)
+            aggs += [
+                n.alias(f"n__{c}"),
+                (s / n).alias(f"mean__{c}"),
+                F.round(F.expr(f"percentile(CAST(`{c}` AS DOUBLE), 0.5)"), 4)
+                 .alias(f"median__{c}"),
+                # sample variance from fixed-point sums: identical operand
+                # doubles → identical IEEE arithmetic on any engine
+                F.when(n > 1, F.sqrt((ss - (s * s) / n) / (n - F.lit(1))))
+                 .alias(f"std__{c}"),
+                F.min(col).alias(f"min__{c}"),
+                F.max(col).alias(f"max__{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        data = [(c, row[f"n__{c}"], row["__total"] - row[f"n__{c}"],
+                 row[f"mean__{c}"], row[f"median__{c}"], row[f"std__{c}"],
+                 row[f"min__{c}"], row[f"max__{c}"]) for c in numeric]
+        stats_df = spark.createDataFrame(
+            data, "column string, n_non_null long, n_missing long, mean double, "
+                  "median double, std double, min double, max double")
+    else:
+        stats_df = numeric_summary(df, numeric).drop("pct_missing")
+    sections: dict[str, DataFrame] = {
+        "stats": stats_df,
+        "missing": missing_report(df),
+        "sample": uniform_sample(df, sample_n, seed),
+    }
+    if len(numeric) >= 2:
+        corr = correlation_matrix(df, numeric, "pearson")
+        sections["correlations"] = corr
+        sections["high_correlations"] = high_correlation_pairs(corr, corr_threshold)
+    return sections
+
+
 def profiling_report(df: DataFrame, sample_n: int = 5000, minimal: bool = True,
                      seed: int = 42):
     """A12: ydata-profiling HTML report on a bounded Arrow-collected sample
     (explicitly a driver-side op, reference: pages/profiling.py:279-345).
-    Falls back to ``data_profile`` when ydata-profiling isn't installed."""
+    Falls back to the native ``profiling_sections`` DataFrames when
+    ydata-profiling isn't installed — the report's headline content
+    without the library."""
     try:
         from ydata_profiling import ProfileReport
     except Exception:
-        return data_profile(df, sample_n=sample_n, seed=seed)
+        return profiling_sections(df, sample_n=min(sample_n, 1000), seed=seed)
     pdf = uniform_sample(df, sample_n, seed).toPandas()
     return ProfileReport(pdf, minimal=minimal)

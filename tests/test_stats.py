@@ -177,6 +177,39 @@ def test_distribution_stats_and_profile(num_df):
     assert prof["correlations"].count() == 1
 
 
+def test_profiling_sections_native(num_df):
+    """A12 fallback runs with NO optional libraries: every headline
+    section (stats, missing, correlations, sample) is a DataFrame."""
+    df, pdf = num_df
+    sections = quality.profiling_sections(df.select("x", "y"), sample_n=50)
+    stats_rows = {r["column"]: r for r in sections["stats"].collect()}
+    assert set(stats_rows) == {"x", "y"}
+    assert stats_rows["x"]["n_non_null"] == 400
+    assert stats_rows["x"]["mean"] == pytest.approx(pdf.x.mean())
+    assert stats_rows["x"]["std"] == pytest.approx(pdf.x.std(ddof=1))
+    assert sections["missing"].count() == 2
+    assert sections["correlations"].count() == 1
+    assert sections["sample"].count() <= 50
+    # deterministic tier: fixed-point mean/std still approximate the truth
+    det = {r["column"]: r for r in
+           quality.profiling_sections(df.select("x", "y"),
+                                      deterministic=True)["stats"].collect()}
+    assert det["x"]["mean"] == pytest.approx(pdf.x.mean(), abs=1e-4)
+    assert det["x"]["std"] == pytest.approx(pdf.x.std(ddof=1), abs=1e-3)
+
+
+def test_profiling_report_fallback_is_native(num_df):
+    """Without ydata-profiling the report degrades to the native sections
+    dict (with it, to a ProfileReport) — either way it runs."""
+    df, _ = num_df
+    rep = quality.profiling_report(df.select("x", "y"), sample_n=100)
+    try:
+        import ydata_profiling  # noqa: F401
+        assert type(rep).__name__ == "ProfileReport"
+    except ImportError:
+        assert set(rep) >= {"stats", "missing", "sample"}
+
+
 def test_uniform_sample_bounds(num_df):
     df, _ = num_df
     assert stats.uniform_sample(df, 100).count() <= 100
