@@ -199,6 +199,33 @@ def ingest_directory(spark: SparkSession, data_dir: str,
     return tables, results
 
 
+def detect_duplicate_files(spark: SparkSession, data_dir: str,
+                           glob: str = "*.csv") -> DataFrame:
+    """Byte-level duplicate-FILE detection (reference:
+    file_handling/upload.py:47-92 rejects an upload whose raw-byte MD5
+    matches an already-stored file; this is the batch sweep of the same
+    check). Complements the row-content fingerprinting in
+    operators/dedup.py — identical files are caught before any parse.
+
+    Spark-native: the ``binaryFile`` source reads each file's bytes
+    executor-side and ``md5(content)`` hashes them there — file content
+    never moves through the driver and never shuffles (only the
+    (path, digest, length) triple does). One row per duplicated digest
+    with the lexicographically-first path as canonical, mirroring the
+    min-id convention of ``dedup.exact_duplicates``."""
+    bf = (spark.read.format("binaryFile").option("pathGlobFilter", glob)
+          .load(data_dir)
+          .select("path", F.md5(F.col("content")).alias("content_md5"),
+                  "length"))
+    return (bf.groupBy("content_md5")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.min("length").alias("n_bytes"),
+                 F.sort_array(F.collect_list("path")).alias("paths"))
+            .filter(F.col("n_files") > 1)
+            .select("content_md5", "n_files", "n_bytes",
+                    F.element_at("paths", 1).alias("canonical_path"), "paths"))
+
+
 def ingest_jsonl(spark: SparkSession, path: str, schema=None,
                  corrupt_col: str = "_corrupt_record") -> DataFrame:
     """JSON-lines ingest — the interchange format of web-crawl / LLM

@@ -105,11 +105,12 @@ def main() -> None:
         # time construction + execution together: iterative operators
         # (e.g. connected components) run driver-side actions while the
         # DataFrame is being BUILT, so timing only the final write would
-        # underreport them. Best-of-R (R=SPARK_GRAFT_RUNS, default 2):
+        # underreport them. Best-of-R (R=SPARK_GRAFT_RUNS, default 3):
         # single-shot timings on a shared box occasionally absorb a GC
         # pause or a competing process; the minimum is the standard
-        # estimator of a query's intrinsic cost.
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "2")))
+        # estimator of a query's intrinsic cost. (Default raised 2→3 in
+        # round 3: two sub-second queries moved >1.25× on n=2 jitter.)
+        runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
         best = float("inf")
         for _ in range(runs):
             spark.catalog.clearCache()

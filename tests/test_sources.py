@@ -55,6 +55,23 @@ def test_validate_rejects_bad_files(tmp_path, spark):
     assert not r3.ok and any("duplicate column names" in e for e in r3.errors)
 
 
+def test_detect_duplicate_files_byte_level(tmp_path, spark):
+    """Planted identical files: same bytes → same MD5 group; the
+    lexicographically-first path is canonical. Distinct content (even
+    same parsed rows, different whitespace) stays out."""
+    (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+    (tmp_path / "b.csv").write_text("x,y\n1,2\n")          # byte-identical
+    (tmp_path / "c.csv").write_text("x,y\n1,2\n\n")        # differs by a byte
+    rows = I.detect_duplicate_files(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    grp = rows[0]
+    assert grp["n_files"] == 2
+    assert grp["canonical_path"].endswith("a.csv")
+    assert [p[-5:] for p in grp["paths"]] == ["a.csv", "b.csv"]
+    import hashlib
+    assert grp["content_md5"] == hashlib.md5(b"x,y\n1,2\n").hexdigest()
+
+
 def test_validate_size_cap(tmp_path, spark):
     p = tmp_path / "big.csv"
     p.write_text("a,b\n" + "1,2\n" * 1000)
