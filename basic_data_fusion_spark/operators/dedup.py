@@ -50,6 +50,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+# ---------------- tier 1b: line-level (sub-document) ----------------
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_docs: int = 2) -> DataFrame:
+    """Corpus-level LINE deduplication (C4, Raffel et al. 2020 §2.2;
+    RefinedWeb, Penedo et al. 2023 §3.3): a line whose trimmed content
+    appears in ≥ ``min_docs`` DISTINCT documents is boilerplate (nav
+    bars, cookie banners, license headers) and is removed from EVERY
+    document. Within-document repetition alone never bans a line, and
+    blank lines are structural — never counted, never removed. The
+    reference has no corpus-level curation; this extends its
+    duplicate-detection surface (file_handling/upload.py content hash)
+    below document granularity.
+
+    Returns (id, clean_text, n_lines, n_removed) for every input doc.
+
+    Scale shape: lines shuffle by ``md5(trim(line))`` — a bounded key,
+    never the document body — for the distinct-doc count; the banned
+    relation (one row per frequent line) anti-joins back, and AQE
+    broadcasts it when small. Re-assembly sorts each doc's surviving
+    (pos, line) pairs inside one aggregation — no window, one shuffle by
+    doc id. All JVM expressions; no Python touches row data."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+         .alias("pos", "line"))
+    keyed = lines.withColumn("__k", F.md5(F.trim(F.col("line"))))
+    banned = (keyed.filter(F.trim("line") != "")
+              .groupBy("__k")
+              .agg(F.countDistinct(id_col).alias("__line_df"))
+              .filter(F.col("__line_df") >= min_docs)
+              .select("__k"))
+    kept = (keyed.join(banned, "__k", "left_anti")
+            .groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                         lambda x: x["line"]),
+                     "\n").alias("clean_text"),
+                 F.count(F.lit(1)).alias("__n_kept")))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+         .cast("long").alias("n_lines"))
+    return (base.join(kept, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_lines",
+                    (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 # ---------------- shingles ----------------
 
 def word_shingles(col: Column, n: int = 3) -> Column:

@@ -1,0 +1,124 @@
+"""Data-selection operators: importance weighting for corpus curation.
+
+Beyond the reference's surface (BASELINE.json north star): DSIR-style
+importance resampling (Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling", arXiv:2302.03169) scores every raw
+document by how target-like its hashed n-gram profile is — the standard
+way to tilt a 100 TB crawl toward a quality/domain target without
+training a classifier.
+
+All hot paths are JVM expressions. The bucket models are tiny (≤ the
+hashed feature-space size) and broadcast; only (doc, bucket) pairs ever
+shuffle. Log terms are rounded to fixed point per BUCKET (not per doc)
+before the integer per-doc accumulation, so results are bit-deterministic
+across partitionings and engines (the lm_surprisal pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+_SCALE = 100_000_000.0  # 1e8 fixed-point for per-bucket log ratios
+
+
+def hashed_ngram_bucket(col: Column, buckets: int) -> Column:
+    """Portable hashed-feature id: first 8 hex chars of md5 → uint32 →
+    mod buckets. md5 (not xxhash64) so a single-node SQL oracle computes
+    the identical bucket."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % F.lit(buckets))
+
+
+def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
+                       buckets: int) -> DataFrame:
+    """One row per hashed unigram/bigram INSTANCE. Tokenization matches
+    operators/text.tokens; bigrams via the staged-projection idiom
+    (see _repetition_hof) so the document is tokenized once."""
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    cols = [F.col(id_col)] if id_col else []
+    staged = df.select(*cols, toks.alias("__toks"),
+                       F.size(toks).alias("__n"))
+    grams = F.concat(
+        F.col("__toks"),
+        F.when(F.col("__n") >= 2,
+               F.transform(F.sequence(F.lit(1), (F.col("__n") - 1).cast("int")),
+                           lambda i: F.concat_ws(" ", F.slice("__toks", i, 2))))
+         .otherwise(F.array().cast("array<string>")))
+    out_cols = cols + [F.explode(grams).alias("__gram")]
+    return (staged.select(*out_cols)
+            .withColumn("bucket", hashed_ngram_bucket(F.col("__gram"), buckets))
+            .drop("__gram"))
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 4096) -> DataFrame:
+    """Per-document DSIR log importance weight
+    ``Σ_f c_f · (ln p_target(f) − ln p_raw(f))`` over hashed
+    unigram+bigram features with add-one smoothing (arXiv:2302.03169
+    §2.2; resample by these weights to tilt raw data toward the target).
+
+    Returns (id, n_features, log_weight); docs with no features (empty
+    text) carry NULL log_weight.
+
+    Scale shape: the two bucket models are groupBy-count aggregations
+    over hashed ids (≤ ``buckets`` rows each) with their totals attached
+    as broadcast 1-row aggregates — no eager count, one lazy plan. The
+    per-bucket log ratio is rounded to 1e-8 fixed point ONCE, then each
+    document accumulates ``Σ c_f · ratio_fixed`` in exact integer
+    arithmetic — partitioning cannot reorder a float sum. The ratio
+    table broadcasts onto the (doc, bucket) counts; one shuffle by
+    bucket, one by doc id."""
+    b = F.lit(buckets)
+    raw_inst = _feature_instances(raw, text_col, id_col, buckets)
+    tgt_inst = _feature_instances(target, text_col, None, buckets)
+
+    raw_counts = raw_inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt_inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw_tot = raw_inst.agg(F.count(F.lit(1)).alias("__tr"))
+    tgt_tot = tgt_inst.agg(F.count(F.lit(1)).alias("__tt"))
+
+    ratio = (raw_counts.join(tgt_counts, "bucket", "full")
+             .select("bucket",
+                     F.coalesce("cr", F.lit(0)).alias("cr"),
+                     F.coalesce("ct", F.lit(0)).alias("ct"))
+             .crossJoin(F.broadcast(raw_tot))
+             .crossJoin(F.broadcast(tgt_tot))
+             .select(
+                 "bucket",
+                 F.round((F.log((F.col("ct") + 1).cast("double")
+                                / (F.col("__tt") + b).cast("double"))
+                          - F.log((F.col("cr") + 1).cast("double")
+                                  / (F.col("__tr") + b).cast("double")))
+                         * F.lit(_SCALE), 0).cast("long").alias("__lr_fixed")))
+
+    doc_counts = (raw_inst.groupBy(id_col, "bucket")
+                  .agg(F.count(F.lit(1)).alias("n")))
+    scored = (doc_counts.join(F.broadcast(ratio), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum("n").alias("n_features"),
+                   (F.sum(F.col("n") * F.col("__lr_fixed")).cast("double")
+                    / F.lit(_SCALE)).alias("log_weight")))
+    return (raw.select(id_col)
+            .join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+                    "log_weight"))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 4096) -> DataFrame:
+    """Top-k selection by DSIR weight with a deterministic id tie-break.
+    (The paper resamples with Gumbel noise; a deterministic rank keeps
+    the pipeline reproducible — seeded Gumbel keys can be added as
+    ``-ln(-ln(u))`` over a hash-derived uniform without changing the
+    shape.) Global top-k: Spark's sort-limit runs as per-partition
+    top-k + a k-row driver merge, never a full sort."""
+    w = dsir_log_weights(raw, target, text_col, id_col, buckets)
+    return (w.filter(F.col("log_weight").isNotNull())
+            .orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k))

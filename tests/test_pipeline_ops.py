@@ -199,6 +199,53 @@ def test_filtering_report_composite(spark):
     assert segs <= {"AUTOMOBILE", "BUILDING"}
 
 
+def test_line_dedup_corpus_boilerplate(spark):
+    """A line in ≥2 distinct docs is removed everywhere (even its
+    within-doc repeats); within-doc-only repetition and blank lines
+    survive; empty/NULL docs pass through."""
+    from basic_data_fusion_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "COOKIE BANNER\nunique line one\nCOOKIE BANNER"),
+         (2, "  COOKIE BANNER  \nunique line two"),   # trim-matched
+         (3, "twice\ntwice\n\nkept"),                  # within-doc only
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "unique line one" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "unique line two" and out[2]["n_removed"] == 1
+    assert out[3]["clean_text"] == "twice\ntwice\n\nkept"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[5]["clean_text"] == ""
+    # min_docs=3: nothing crosses the threshold any more
+    all_clean = line_dedup(docs, min_docs=3).collect()
+    assert all(r["n_removed"] == 0 for r in all_clean)
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """DSIR log-weights must rank target-like docs above off-target docs:
+    with an English target over the mixed-language corpus, the top
+    decile by weight is overwhelmingly English."""
+    from basic_data_fusion_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_select,
+    )
+
+    raw = spark.read.parquet(f"{SF0001}/documents.parquet")
+    tgt = raw.filter(F.col("lang") == "en")
+    w = dsir_log_weights(raw, tgt, buckets=1024)
+    assert w.count() == raw.count()           # every doc scored
+    en = {r[0] for r in tgt.select("doc_id").collect()}
+    top = [r["doc_id"] for r in dsir_select(raw, tgt, 50, buckets=1024).collect()]
+    frac = sum(1 for i in top if i in en) / len(top)
+    assert frac >= 0.8, f"top-50 should be mostly target-like, got {frac}"
+    # weights are deterministic across re-computation (fixed-point ratios)
+    w2 = dsir_log_weights(raw, tgt, buckets=1024)
+    a = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    b = {r["doc_id"]: r["log_weight"] for r in w2.collect()}
+    assert a == b
+
+
 def test_filter_impact_individual_standalone_counts(spark):
     """Each predicate alone vs baseline — order-independent, unlike the
     cumulative cascade."""
