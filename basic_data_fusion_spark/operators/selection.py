@@ -65,22 +65,25 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     Returns (id, n_features, log_weight); docs with no features (empty
     text) carry NULL log_weight.
 
-    Scale shape: the two bucket models are groupBy-count aggregations
-    over hashed ids (≤ ``buckets`` rows each) with their totals attached
-    as broadcast 1-row aggregates — no eager count, one lazy plan. The
+    Scale shape: feature explosion — the CPU-heavy part at corpus scale —
+    runs ONCE per corpus in the plan: the raw side aggregates straight to
+    (doc, bucket) counts and every coarser relation derives from that
+    (bucket totals = Σ over docs, corpus total = Σ over buckets, each a
+    tiny ≤``buckets``-row aggregation whose exchange Spark reuses), and
+    the target side likewise rolls up from its bucket counts. The
     per-bucket log ratio is rounded to 1e-8 fixed point ONCE, then each
     document accumulates ``Σ c_f · ratio_fixed`` in exact integer
     arithmetic — partitioning cannot reorder a float sum. The ratio
-    table broadcasts onto the (doc, bucket) counts; one shuffle by
-    bucket, one by doc id."""
+    table (≤ ``buckets`` rows) broadcasts onto the (doc, bucket) counts;
+    one shuffle by bucket, one by doc id."""
     b = F.lit(buckets)
-    raw_inst = _feature_instances(raw, text_col, id_col, buckets)
-    tgt_inst = _feature_instances(target, text_col, None, buckets)
-
-    raw_counts = raw_inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_counts = tgt_inst.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    raw_tot = raw_inst.agg(F.count(F.lit(1)).alias("__tr"))
-    tgt_tot = tgt_inst.agg(F.count(F.lit(1)).alias("__tt"))
+    doc_counts = (_feature_instances(raw, text_col, id_col, buckets)
+                  .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n")))
+    raw_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("cr"))
+    tgt_counts = (_feature_instances(target, text_col, None, buckets)
+                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    raw_tot = raw_counts.agg(F.sum("cr").alias("__tr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").alias("__tt"))
 
     ratio = (raw_counts.join(tgt_counts, "bucket", "full")
              .select("bucket",
@@ -96,8 +99,6 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
                                   / (F.col("__tr") + b).cast("double")))
                          * F.lit(_SCALE), 0).cast("long").alias("__lr_fixed")))
 
-    doc_counts = (raw_inst.groupBy(id_col, "bucket")
-                  .agg(F.count(F.lit(1)).alias("n")))
     scored = (doc_counts.join(F.broadcast(ratio), "bucket")
               .groupBy(id_col)
               .agg(F.sum("n").alias("n_features"),

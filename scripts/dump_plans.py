@@ -31,6 +31,15 @@ PICK_NOTES = {
                           "shuffle carries one row per (key, partition).",
     "order_status_scd2": "Both SCD2 window passes share ONE "
                          "hashpartitioning(custkey) exchange.",
+    "market_share": "Seven-relation snowflake: every dimension broadcasts "
+                    "(no SortMergeJoin), lineitem never shuffles for the "
+                    "joins; the one exchange is the per-year aggregate.",
+    "line_dedup": "Lines shuffle by md5(trim) for the distinct-doc count; "
+                  "the banned relation broadcasts into a LeftAnti join; "
+                  "re-assembly is one doc-id aggregation.",
+    "dsir_weights": "Feature explosion aggregates straight to (doc,bucket); "
+                    "bucket totals and the corpus total roll up from it "
+                    "(exchange reuse), the ratio table broadcasts back.",
 }
 MAX_LINES = 40
 

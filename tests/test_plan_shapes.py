@@ -90,6 +90,41 @@ def test_regional_volume_all_dims_broadcast(spark):
     assert any("r_name" in p for p in pushed), "region filter must reach scan"
 
 
+def test_market_share_all_dims_broadcast(spark):
+    """Q8-shaped 7-relation snowflake: at dimension-scale inputs every
+    join must be broadcast-hash (the fact table never shuffles for a
+    join) and only the year-aggregate exchanges."""
+    df = entrymod.queries()["market_share"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "SortMergeJoin" not in plan, "a dimension fell back to sort-merge"
+    assert "BroadcastHashJoin" in plan
+    pushed = [m.group(1) for m in re.finditer(r"PushedFilters: \[([^\]]+)\]", plan)]
+    assert any("p_type" in p for p in pushed), "part-type filter must reach the scan"
+    assert any("r_name" in p for p in pushed), "region filter must reach the scan"
+
+
+def test_forecast_revenue_scan_only(spark):
+    """Q6 shape: no joins — the plan is a pushed-down scan plus one
+    aggregate; every predicate reaches the parquet reader."""
+    df = entrymod.queries()["forecast_revenue"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "Join" not in plan
+    pushed = " ".join(m.group(1) for m in
+                      re.finditer(r"PushedFilters: \[([^\]]+)\]", plan))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} predicate not pushed to scan"
+
+
+def test_line_dedup_banned_broadcast_anti(spark):
+    """Corpus line dedup: the banned-line relation must anti-join via
+    broadcast (it is tiny relative to the line table) and no Python
+    stage may appear."""
+    df = entrymod.queries()["line_dedup"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_boilerplate_strip_broadcast_anti_join(spark):
     df = entrymod.queries()["boilerplate_strip"](spark, SF0001)
     plan = _final_plan(df)
