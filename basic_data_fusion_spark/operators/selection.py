@@ -82,8 +82,13 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     raw_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("cr"))
     tgt_counts = (_feature_instances(target, text_col, None, buckets)
                   .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
-    raw_tot = raw_counts.agg(F.sum("cr").alias("__tr"))
-    tgt_tot = tgt_counts.agg(F.sum("ct").alias("__tt"))
+    # SUM over an EMPTY counts relation is NULL, not 0 — an empty target
+    # corpus (filter matched nothing) must degrade to the uniform prior,
+    # not to NULL weights
+    raw_tot = raw_counts.agg(
+        F.coalesce(F.sum("cr"), F.lit(0).cast("long")).alias("__tr"))
+    tgt_tot = tgt_counts.agg(
+        F.coalesce(F.sum("ct"), F.lit(0).cast("long")).alias("__tt"))
 
     ratio = (raw_counts.join(tgt_counts, "bucket", "full")
              .select("bucket",

@@ -58,6 +58,13 @@ HEADLINE = [
     "big_order_customers",   # HAVING-IN subquery -> keys + semi join
     "latest_event_state",    # changelog->snapshot, WindowGroupLimit top-1
     "daily_value_gapfill",   # calendar densify + forward-fill window
+
+    # new in round 3 (absent from BENCH_r01/r02 — compare per-query, not
+    # by total, across rounds)
+    "line_dedup",            # corpus line-level boilerplate sweep (C4-style)
+    "dsir_weights",          # hashed n-gram importance weights, one explosion
+    "market_share",          # TPC-H Q8 7-relation all-broadcast snowflake
+    "filter_impact_individual",  # per-filter standalone counts, one agg pass
 ]
 
 

@@ -94,3 +94,72 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {x: find(x) for x in parent}
     assert got == expect
+
+
+@FAST
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["nav bar", "footer", "x", "y", "z", ""]),
+             min_size=1, max_size=6),
+    min_size=1, max_size=8))
+def test_line_dedup_matches_python(spark, docs):
+    """Spark line_dedup vs a direct Python reimplementation of the C4
+    rule: lines (trimmed, non-blank) present in ≥2 distinct docs vanish
+    from every doc; order and blank lines survive."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dedup.line_dedup(df).collect()}
+
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for ln in lines:
+            if ln.strip():
+                seen[ln.strip()].add(i)
+    banned = {ln for ln, d in seen.items() if len(d) >= 2}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if ln.strip() not in banned]
+        assert got[i] == ("\n".join(kept), len(lines) - len(kept))
+
+
+@FAST
+@given(texts=st.lists(st.sampled_from(
+    ["the cat", "the dog runs", "un gato", "el perro", "the the the", ""]),
+    min_size=2, max_size=8))
+def test_dsir_weights_match_python(spark, texts):
+    """Spark dsir_log_weights vs a pure-Python replay (same md5 bucket
+    hash, add-one smoothing, 1e8 fixed-point log ratios). Target = the
+    docs containing 'the'."""
+    import math
+
+    from basic_data_fusion_spark.operators.selection import dsir_log_weights
+
+    B = 64
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tgt = df.filter(F.col("text").contains("the"))
+    got = {r["doc_id"]: (r["n_features"], r["log_weight"])
+           for r in dsir_log_weights(df, tgt, buckets=B).collect()}
+
+    def grams(t: str) -> list[str]:
+        toks = [w for w in t.strip().lower().split() if w]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    raw_inst = [(i, bucket(g)) for i, t in rows for g in grams(t)]
+    tgt_inst = [b for i, b in raw_inst if "the" in texts[i]]
+    from collections import Counter
+    cr, ct = Counter(b for _, b in raw_inst), Counter(tgt_inst)
+    tr, tt = len(raw_inst), len(tgt_inst)
+    lr = {b: round((math.log((ct[b] + 1) / (tt + B))
+                    - math.log((cr[b] + 1) / (tr + B))) * 1e8)
+          for _, b in raw_inst}
+    for i, t in rows:
+        bs = [bucket(g) for g in grams(t)]
+        if not bs:
+            assert got[i] == (0, None)
+            continue
+        assert got[i][0] == len(bs)
+        assert got[i][1] == pytest.approx(sum(lr[b] for b in bs) / 1e8, abs=1e-9)
