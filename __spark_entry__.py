@@ -2604,6 +2604,39 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: train 6 merges on the documents word table, then
+    encode every doc (word-table fold + join-back; corpus scanned once).
+    Iterative argmax training is not SQL-expressible → rows-only driver
+    tier; merge-exactness is pytest-verified against a direct
+    implementation of the Sennrich algorithm."""
+    from basic_data_fusion_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    merges = bpe_train(docs, n_merges=6)
+    return (bpe_encode(docs, merges)
+            .select("doc_id", "n_bpe_tokens"))
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (GPT-3-style logistic classifier over
+    hashed token features): train English-vs-rest on the corpus, score
+    every doc. L-BFGS coefficients are float-iterative → rows-only
+    driver tier; separation quality is pytest-verified on planted
+    classes."""
+    from basic_data_fusion_spark.operators.selection import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    model = train_quality_classifier(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"), buckets=1 << 12)
+    return (quality_classifier_scores(docs, model)
+            .select("doc_id", (F.col("quality_prob") > 0.5).alias("is_target_like")))
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-table filtered aggregate (TPC-H Q6 shape): potential revenue
     increase from dropping small-lot discounts in 1997. No joins — the
@@ -2901,6 +2934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "returned_item_losses": q_returned_item_losses,
+        "bpe_encode_docs": q_bpe_encode_docs,
+        "quality_classifier": q_quality_classifier,
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
         "segment_breakdown": q_segment_breakdown,

@@ -116,6 +116,51 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
                     "log_weight"))
 
 
+def train_quality_classifier(positive: DataFrame, negative: DataFrame,
+                             text_col: str = "text", buckets: int = 1 << 14,
+                             max_iter: int = 30, reg: float = 1e-3):
+    """Fasttext-style model-based quality filter (the GPT-3 pipeline's
+    quality classifier, Brown et al. 2020 appendix A; CCNet uses the
+    same shape): logistic regression over hashed bag-of-token features,
+    positive = curated/target corpus, negative = raw crawl sample.
+
+    All JVM: ``ml.feature.HashingTF`` hashes the token array
+    executor-side (no Python featurizer), ``ml.classification.
+    LogisticRegression`` trains with L-BFGS — each iteration is one
+    map-side gradient aggregation, so training scales like any other
+    aggregation. Returns the fitted PipelineModel; apply with
+    ``quality_classifier_scores``."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    train = (positive.select(toks.alias("__toks"), F.lit(1.0).alias("label"))
+             .unionByName(
+                 negative.select(toks.alias("__toks"), F.lit(0.0).alias("label"))))
+    pipe = Pipeline(stages=[
+        HashingTF(inputCol="__toks", outputCol="features", numFeatures=buckets),
+        LogisticRegression(maxIter=max_iter, regParam=reg),
+    ])
+    return pipe.fit(train)
+
+
+def quality_classifier_scores(df: DataFrame, model, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Score documents with a trained quality classifier:
+    (id, quality_prob). ``model.transform`` runs entirely JVM-side; the
+    probability is P(label=1) = target-like."""
+    from pyspark.ml.functions import vector_to_array
+
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    scored = model.transform(df.select(F.col(id_col), toks.alias("__toks")))
+    return scored.select(
+        id_col,
+        vector_to_array("probability").getItem(1).alias("quality_prob"))
+
+
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 4096) -> DataFrame:

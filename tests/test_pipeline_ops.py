@@ -246,6 +246,82 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_bpe_train_matches_reference_algorithm(spark):
+    """Distributed BPE vs a direct implementation of Sennrich et al.'s
+    algorithm (count weighted adjacent pairs on the word table, merge the
+    argmax, repeat) — merges must match exactly, order included."""
+    from collections import Counter
+
+    from basic_data_fusion_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    corpus = [(1, "low low low low low"), (2, "lower lower newest newest"),
+              (3, "newest newest newest newest widest widest widest")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=8)
+
+    wc = Counter(w for _, t in corpus for w in t.lower().split())
+    words = {w: [*w[:-1], w[-1] + "</w>"] for w in wc}
+    expect = []
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wc[w]
+        if not pc:
+            break
+        top = max(pc.values())
+        pair = min(p for p, c in pc.items() if c == top)
+        if top < 2:
+            break
+        expect.append((pair[0], pair[1], top))
+        a, b = pair
+        for w, syms in words.items():
+            out, pend = [], None
+            for s in syms:
+                if pend == a and s == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            words[w] = out
+    assert merges == expect
+
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert enc[1]["bpe_tokens"] == ["low</w>"] * 5
+    assert enc[3]["n_bpe_tokens"] < sum(len(w) + 1 for w in
+                                        "newest newest newest newest widest widest widest".split())
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """Hashed-feature logistic quality filter: clean prose (positive)
+    vs shuffled gibberish (negative) must separate almost perfectly on
+    held-out docs, and scoring stays JVM-side."""
+    from basic_data_fusion_spark.operators.selection import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    clean = [(i, "the quick brown fox jumps over the lazy dog again and again")
+             for i in range(40)]
+    noise = [(100 + i, " ".join(f"zx{j}q{i}" for j in range(12)))
+             for i in range(40)]
+    pos = spark.createDataFrame(clean[:30], "doc_id long, text string")
+    neg = spark.createDataFrame(noise[:30], "doc_id long, text string")
+    model = train_quality_classifier(pos, neg, buckets=1 << 10)
+    held = spark.createDataFrame(clean[30:] + noise[30:], "doc_id long, text string")
+    scores = {r["doc_id"]: r["quality_prob"]
+              for r in quality_classifier_scores(held, model).collect()}
+    assert all(scores[i] > 0.5 for i, _ in clean[30:])
+    assert all(scores[i] < 0.5 for i, _ in noise[30:])
+    plan = quality_classifier_scores(held, model)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
 def test_filter_impact_individual_standalone_counts(spark):
     """Each predicate alone vs baseline — order-independent, unlike the
     cumulative cascade."""
