@@ -2604,6 +2604,17 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style zlib entropy proxy per document (Arrow mapInPandas —
+    DEFLATE has no JVM-expression form, so this is an intentional
+    Python-tier op like the multimodal codecs). Rows-only driver tier;
+    exact zlib byte counts are pytest-verified."""
+    from basic_data_fusion_spark.operators.text import compression_ratio
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return compression_ratio(docs)
+
+
 def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE: train 6 merges on the documents word table, then
     encode every doc (word-table fold + join-back; corpus scanned once).
@@ -2936,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_losses": q_returned_item_losses,
         "bpe_encode_docs": q_bpe_encode_docs,
         "quality_classifier": q_quality_classifier,
+        "compression_ratio": q_compression_ratio,
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
         "segment_breakdown": q_segment_breakdown,

@@ -548,3 +548,57 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
                .select(F.col(id_col), F.lit(0).cast("long").alias("n_tokens"),
                        F.lit(None).cast("double").alias("mean_surprisal")))
     return out.union(empties)
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6,
+                      rows_per_batch: int = 256) -> DataFrame:
+    """Per-document zlib compression ratio — the entropy-proxy quality
+    signal (Gopher, Rae et al. 2021 §A1.1 filters on it: highly
+    compressible text is repetitive boilerplate, incompressible text is
+    often binary junk or high-entropy noise; both tails get dropped).
+
+    Deliberately a PYTHON-tier op (Arrow-batched ``mapInPandas``, like
+    the multimodal codecs): DEFLATE has no JVM-expression equivalent,
+    and the signal is worth one vectorized Python pass. Ratio =
+    compressed/raw bytes of UTF-8 text; NULL text → ratio NULL.
+    Deterministic: zlib at a fixed level is stable across platforms for
+    identical input bytes.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(rows_per_batch))
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_compressed", LongType()),
+        StructField("compression_ratio", DoubleType()),
+    ])
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                rows.append((mid, len(raw), len(comp),
+                             (len(comp) / len(raw)) if raw else None))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "n_bytes", "n_compressed", "compression_ratio"])
+
+    return (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(id_col, text_col).mapInPandas(run, schema))

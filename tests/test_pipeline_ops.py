@@ -246,6 +246,24 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_compression_ratio_signal(spark):
+    """zlib entropy proxy: repetitive text compresses far better than
+    high-entropy noise; NULL text → NULL metrics; values match Python
+    zlib exactly."""
+    import zlib
+
+    rep = "spam spam spam spam spam spam spam spam spam spam " * 20
+    noise = " ".join(f"x{i}q{i * 7 % 97}z" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, noise), (3, None)], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in text.compression_ratio(docs).collect()}
+    assert out[1]["compression_ratio"] < 0.1 < out[2]["compression_ratio"]
+    assert out[3]["compression_ratio"] is None and out[3]["n_bytes"] is None
+    assert out[1]["n_compressed"] == len(zlib.compress(rep.encode(), 6))
+    assert out[2]["n_bytes"] == len(noise.encode())
+
+
 def test_bpe_train_matches_reference_algorithm(spark):
     """Distributed BPE vs a direct implementation of Sennrich et al.'s
     algorithm (count weighted adjacent pairs on the word table, merge the
