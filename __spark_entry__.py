@@ -2604,6 +2604,46 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R temperature sampling over document sources (α=0.3, expected
+    half the corpus kept): per-source rates from fixed-point-normalized
+    p^α, deterministic md5-uniform keep decisions."""
+    from basic_data_fusion_spark.operators.selection import temperature_mix
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return temperature_mix(docs, alpha=0.3, target_frac=0.5)
+
+
+def _temperature_mix_oracle(alpha: float = 0.3, target_frac: float = 0.5) -> str:
+    """DuckDB replay of selection.temperature_mix: same p^α fixed-point
+    normalization and the same md5-first-8-hex-chars uniform draw."""
+    hv = ("(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+          " * {p}::BIGINT")
+    hex8 = "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT COALESCE(SUM(n_s), 0) AS N FROM counts),
+pa AS (
+  SELECT source, n_s, tot.N,
+         CAST(ROUND(POWER(CAST(n_s AS DOUBLE) / CAST(tot.N AS DOUBLE), {alpha})
+                    * 1000000000000.0, 0) AS BIGINT) AS pa
+  FROM counts CROSS JOIN tot
+),
+z AS (SELECT COALESCE(SUM(pa), 0) AS Z FROM pa),
+rates AS (
+  SELECT source,
+         LEAST(1.0, ({target_frac} * CAST(pa.N AS DOUBLE)
+                     * (CAST(pa.pa AS DOUBLE) / CAST(z.Z AS DOUBLE)))
+                    / CAST(pa.n_s AS DOUBLE)) AS keep_rate
+  FROM pa CROSS JOIN z
+)
+SELECT d.doc_id, d.source, r.keep_rate,
+       (CAST({hex8} AS DOUBLE) / 4294967296.0) < r.keep_rate AS keep
+FROM documents d JOIN rates r USING (source)
+"""
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style zlib entropy proxy per document (Arrow mapInPandas —
     DEFLATE has no JVM-expression form, so this is an intentional
@@ -2948,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": q_bpe_encode_docs,
         "quality_classifier": q_quality_classifier,
         "compression_ratio": q_compression_ratio,
+        "temperature_mix": q_temperature_mix,
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
         "segment_breakdown": q_segment_breakdown,
@@ -3013,6 +3054,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": _FORECAST_REVENUE_ORACLE,
         "market_share": _MARKET_SHARE_ORACLE,
         "returned_item_losses": _RETURNED_ITEMS_ORACLE,
+        "temperature_mix": _temperature_mix_oracle(),
         "events_tumbling_daily": _TUMBLING_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,

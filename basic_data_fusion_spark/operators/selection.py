@@ -116,6 +116,50 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
                     "log_weight"))
 
 
+def temperature_mix(df: DataFrame, source_col: str = "source",
+                    id_col: str = "doc_id", alpha: float = 0.3,
+                    target_frac: float = 0.5) -> DataFrame:
+    """Temperature-based source rebalancing (XLM-R, Conneau et al. 2020
+    §3.1; mC4 uses the same exponent trick): sample sources with
+    probability ∝ (n_s/N)^α — α < 1 upweights small sources — keeping an
+    expected ``target_frac`` of the corpus overall.
+
+    Returns (id, source, keep_rate, keep): ``keep_rate`` is the
+    per-source acceptance probability min(1, T·q_s/n_s) and ``keep`` is
+    a DETERMINISTIC hash-uniform draw (md5 of the id, first 32 bits),
+    so reruns and engines agree row-for-row — no seeded RNG whose
+    partition layout changes the sample.
+
+    Determinism detail: p_s^α goes through libm ``pow``, whose last-ulp
+    rounding differs across engines — each p_s^α is rounded to 1e-12
+    fixed point BEFORE the integer normalization sum, the lm_surprisal
+    pattern, making every downstream double bit-identical. All stats
+    are source-level (≤ #sources rows, broadcast); the corpus pass is
+    one groupBy(source) count plus a map-side join + filter."""
+    pa_fixed = F.round(
+        F.pow(F.col("n_s").cast("double") / F.col("__N").cast("double"),
+              F.lit(float(alpha))) * F.lit(1e12), 0).cast("long")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.coalesce(F.sum("n_s"), F.lit(0).cast("long")).alias("__N"))
+    pa = (counts.crossJoin(F.broadcast(tot))
+          .select(source_col, "n_s", "__N", pa_fixed.alias("__pa")))
+    z = pa.agg(F.coalesce(F.sum("__pa"), F.lit(0).cast("long")).alias("__Z"))
+    rates = (pa.crossJoin(F.broadcast(z))
+             .select(
+                 source_col,
+                 F.least(
+                     F.lit(1.0),
+                     (F.lit(float(target_frac)) * F.col("__N").cast("double")
+                      * (F.col("__pa").cast("double") / F.col("__Z").cast("double")))
+                     / F.col("n_s").cast("double")).alias("keep_rate")))
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    return (df.select(id_col, source_col)
+            .join(F.broadcast(rates), source_col)
+            .select(id_col, source_col, "keep_rate",
+                    (u < F.col("keep_rate")).alias("keep")))
+
+
 def train_quality_classifier(positive: DataFrame, negative: DataFrame,
                              text_col: str = "text", buckets: int = 1 << 14,
                              max_iter: int = 30, reg: float = 1e-3):

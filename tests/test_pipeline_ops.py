@@ -246,6 +246,33 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_temperature_mix_rebalances_sources(spark):
+    """α<1 temperature sampling must upweight the small source (higher
+    keep_rate than the big one), hold the overall expected fraction near
+    target_frac, and be deterministic across invocations."""
+    from basic_data_fusion_spark.operators.selection import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + \
+           [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.3, target_frac=0.5).collect()
+    rates = {r["source"]: r["keep_rate"] for r in out}
+    assert rates["small"] > rates["big"]
+    # closed-form check: q_s ∝ (n_s/N)^α, rate = min(1, T·q_s/n_s);
+    # the small source saturates at 1.0 (no renormalization — matches
+    # the XLM-R formulation)
+    pb, ps = (900 / 1000) ** 0.3, (100 / 1000) ** 0.3
+    qb, qs = pb / (pb + ps), ps / (pb + ps)
+    assert rates["small"] == pytest.approx(min(1.0, 500 * qs / 100), abs=1e-9)
+    assert rates["big"] == pytest.approx(min(1.0, 500 * qb / 900), abs=1e-9)
+    expected = sum(r["keep_rate"] for r in out)
+    kept = sum(1 for r in out if r["keep"])
+    assert abs(kept - expected) < 60           # md5 draw near expectation
+    again = {(r["doc_id"], r["keep"]) for r in
+             temperature_mix(df, alpha=0.3, target_frac=0.5).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in out}
+
+
 def test_compression_ratio_signal(spark):
     """zlib entropy proxy: repetitive text compresses far better than
     high-entropy noise; NULL text → NULL metrics; values match Python
