@@ -126,3 +126,69 @@ def _toml_list(xs: list) -> str:
         else:
             parts.append('"' + str(x).replace('"', '\\"') + '"')
     return "[" + ", ".join(parts) + "]"
+
+
+def validate_spec(spec: QuerySpec, catalog) -> tuple[QuerySpec, list[str]]:
+    """Validate an (imported) spec against the live catalog, mirroring the
+    reference's import validation (query/query_export.py:184-351): invalid
+    pieces are DROPPED with a human-readable warning each — an imported
+    spec from a stale dataset degrades gracefully instead of failing the
+    whole query. Checks: structural age range (two values, lo < hi),
+    spoke tables exist, selected/filtered columns exist in their table's
+    schema, behavioral filter types are known.
+
+    Returns (cleaned QuerySpec, warnings). Catalog metadata only — no
+    Spark job runs."""
+    warnings: list[str] = []
+
+    def table_cols(name: str) -> set[str]:
+        return set(catalog.info(name).columns)
+
+    tables = []
+    for t in spec.tables:
+        if catalog.has_table(t):
+            tables.append(t)
+        else:
+            warnings.append(f"Unknown table '{t}' removed from spec")
+
+    demo = DemographicFilters(
+        age_range=spec.demographic.age_range,
+        substudies=spec.demographic.substudies,
+        sessions=spec.demographic.sessions)
+    ar = demo.age_range
+    if ar is not None:
+        if len(tuple(ar)) != 2:
+            warnings.append("Age range must be two values; dropped")
+            demo.age_range = None
+        elif float(ar[0]) >= float(ar[1]):
+            warnings.append("Age range minimum must be less than maximum; dropped")
+            demo.age_range = None
+
+    behavioral = []
+    for bf in spec.behavioral:
+        if not catalog.has_table(bf.table):
+            warnings.append(
+                f"Filter on unknown table '{bf.table}' dropped")
+            continue
+        if bf.column not in table_cols(bf.table):
+            warnings.append(
+                f"Filter on unknown column '{bf.table}.{bf.column}' dropped")
+            continue
+        behavioral.append(bf)
+
+    selected: dict[str, list[str]] = {}
+    for t, cols in spec.selected_columns.items():
+        if not catalog.has_table(t):
+            warnings.append(f"Column selection for unknown table '{t}' dropped")
+            continue
+        known = table_cols(t)
+        kept = [c for c in cols if c in known]
+        for c in cols:
+            if c not in known:
+                warnings.append(f"Unknown column '{t}.{c}' dropped from selection")
+        if kept:
+            selected[t] = kept
+
+    return QuerySpec(tables=tables, demographic=demo, behavioral=behavioral,
+                     selected_columns=selected, enwiden=spec.enwiden,
+                     consolidate_baseline=spec.consolidate_baseline), warnings

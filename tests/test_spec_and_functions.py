@@ -89,3 +89,39 @@ def test_stratified_keep_rates_and_determinism(spark):
     a = {r["id"] for r in df.filter(keep).select("id").collect()}
     b = {r["id"] for r in df.repartition(13).filter(keep).select("id").collect()}
     assert a == b
+
+
+def test_validate_spec_drops_stale_pieces(spark):
+    """An imported spec referencing tables/columns absent from the live
+    dataset degrades gracefully: each invalid piece is dropped with a
+    warning, valid parts survive (reference query_export.py:184-351)."""
+    from basic_data_fusion_spark.catalog import Catalog
+    from basic_data_fusion_spark.plans.spec import validate_spec
+
+    cat = Catalog(spark, "/root/testdata/sf0.001",
+                  primary_id="c_custkey", hub_table="customer")
+    spec = QuerySpec(
+        tables=["orders", "ghost_table"],
+        demographic=DemographicFilters(age_range=(9000.0, 100.0)),
+        behavioral=[
+            BehavioralFilter("orders", "o_orderstatus", "categorical", ["O"]),
+            BehavioralFilter("orders", "no_such_col", "range", (0, 1)),
+            BehavioralFilter("ghost_table", "x", "boolean", True),
+        ],
+        selected_columns={"orders": ["o_orderkey", "bogus"],
+                          "ghost_table": ["x"]})
+    clean, warnings = validate_spec(spec, cat)
+    assert clean.tables == ["orders"]
+    assert clean.demographic.age_range is None      # inverted range dropped
+    assert [(f.table, f.column) for f in clean.behavioral] == \
+        [("orders", "o_orderstatus")]
+    assert clean.selected_columns == {"orders": ["o_orderkey"]}
+    assert len(warnings) == 6
+    # a fully valid spec passes through untouched, no warnings
+    ok = QuerySpec(tables=["orders"],
+                   demographic=DemographicFilters(age_range=(100.0, 9000.0)),
+                   behavioral=[BehavioralFilter(
+                       "orders", "o_orderstatus", "categorical", ["O"])],
+                   selected_columns={"orders": ["o_orderkey"]})
+    clean2, w2 = validate_spec(ok, cat)
+    assert w2 == [] and clean2.tables == ["orders"]
