@@ -2604,6 +2604,18 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling tier: deterministic top-50 docs by importance
+    weight (weight desc, id asc) — the selection step downstream of
+    q_dsir_weights, planned as a sort-limit (per-partition top-k + a
+    50-row merge, no global sort)."""
+    from basic_data_fusion_spark.operators.selection import dsir_select
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                       k=50, buckets=2048)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLM-R temperature sampling over document sources (α=0.3, expected
     half the corpus kept): per-source rates from fixed-point-normalized
@@ -2989,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "compression_ratio": q_compression_ratio,
         "temperature_mix": q_temperature_mix,
+        "dsir_top_docs": q_dsir_top_docs,
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
         "segment_breakdown": q_segment_breakdown,
@@ -3055,6 +3068,10 @@ def oracle_sql() -> dict[str, str]:
         "market_share": _MARKET_SHARE_ORACLE,
         "returned_item_losses": _RETURNED_ITEMS_ORACLE,
         "temperature_mix": _temperature_mix_oracle(),
+        "dsir_top_docs": (
+            "WITH w AS (" + _dsir_weights_oracle() + ") "
+            "SELECT * FROM w WHERE log_weight IS NOT NULL "
+            "ORDER BY log_weight DESC, doc_id ASC LIMIT 50"),
         "events_tumbling_daily": _TUMBLING_ORACLE,
         "events_sliding": _SLIDING_ORACLE,
         "events_sessions": _SESSIONS_ORACLE,
