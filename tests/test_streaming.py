@@ -243,6 +243,47 @@ def test_streaming_exact_dedup_drops_redeliveries(spark, tmp_path):
     assert sorted(r["event_id"] for r in bout.collect()) == [1, 2, 3]
 
 
+def test_streaming_quality_classifier_scores_match_batch(spark, tmp_path):
+    """The trained quality classifier is a deterministic transformer, so
+    it applies unchanged to a readStream source — streaming scores must
+    equal batch scores row-for-row (model-on-stream, the live-ingestion
+    quality gate at scale)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from basic_data_fusion_spark.operators.selection import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    noise = "zx1q zx2q zx3q zx4q zx5q zx6q zx7q zx8q"
+    pos = spark.createDataFrame([(i, clean) for i in range(20)],
+                                "doc_id long, text string")
+    neg = spark.createDataFrame([(i, noise) for i in range(20)],
+                                "doc_id long, text string")
+    model = train_quality_classifier(pos, neg, buckets=1 << 10)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    (indir / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "%s"}\n' % clean
+        + '{"doc_id": 2, "text": "%s"}\n' % noise)
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    stream = spark.readStream.schema(schema).json(str(indir))
+    scored = quality_classifier_scores(stream, model)
+    q = (scored.writeStream.format("memory").queryName("scored_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["doc_id"]: r["quality_prob"]
+           for r in spark.sql("SELECT * FROM scored_stream").collect()}
+    batch = {r["doc_id"]: r["quality_prob"] for r in quality_classifier_scores(
+        spark.createDataFrame([(1, clean), (2, noise)],
+                              "doc_id long, text string"), model).collect()}
+    assert got == batch
+    assert got[1] > 0.5 > got[2]
+
+
 def test_streaming_corpus_ingestion_end_to_end(spark, tmp_path):
     """Composite live-ingestion pipeline: JSONL file stream → quality
     gate → watermark-bounded exact dedup → exactly-once parquet sink.
