@@ -127,12 +127,16 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    r2_set = set(HEADLINE[:35])  # the queries BENCH_r01/r02 also measured
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # round-over-round comparability: the pre-round-3 headline subset
+        "subtotal_r02_comparable": round(
+            sum(v for k, v in timings.items() if k in r2_set), 4),
     }))
     spark.stop()
 
