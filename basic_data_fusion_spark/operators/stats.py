@@ -130,12 +130,32 @@ def high_correlation_pairs(corr_df: DataFrame, threshold: float = 0.7) -> DataFr
 
 def kendall_tau_sample(df: DataFrame, col_a: str, col_b: str, max_n: int = 5000,
                        seed: int = 42) -> float:
-    """Kendall's tau on a bounded sample (no distributed built-in; the
-    reference itself runs scipy on collected frames)."""
-    _require_scipy()
+    """Kendall's tau-b on a bounded sample (no distributed built-in; the
+    reference itself runs scipy on collected frames). With scipy present
+    the scipy implementation is used (O(n log n)); otherwise a pure-numpy
+    tau-b (concordant/discordant pair counts with tie correction, O(n²)
+    on the ≤``max_n`` sample) gives the identical statistic — the scipy
+    gate is an optimization here, not a capability boundary."""
     pdf = _bounded_sample(df.select(col_a, col_b).na.drop(), max_n, seed).toPandas()
-    tau, _ = _scipy_stats.kendalltau(pdf[col_a], pdf[col_b])
-    return float(tau)
+    if _scipy_stats is not None:
+        tau, _ = _scipy_stats.kendalltau(pdf[col_a], pdf[col_b])
+        return float(tau)
+    import numpy as np
+
+    a = pdf[col_a].to_numpy(dtype=float)
+    b = pdf[col_b].to_numpy(dtype=float)
+    n = len(a)
+    if n < 2:
+        return float("nan")
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(n, k=1)
+    s = float((da[iu] * db[iu]).sum())          # C - D
+    ties_a = float((da[iu] == 0).sum())
+    ties_b = float((db[iu] == 0).sum())
+    n0 = n * (n - 1) / 2.0
+    denom = math.sqrt((n0 - ties_a) * (n0 - ties_b))
+    return s / denom if denom else float("nan")
 
 
 def _bounded_sample(df: DataFrame, max_n: int, seed: int) -> DataFrame:

@@ -109,10 +109,28 @@ def test_high_correlation_pairs(num_df):
     assert stats.high_correlation_pairs(corr, 0.9999).count() == 0
 
 
-def test_kendall_requires_scipy(num_df):
-    pytest.importorskip("scipy")
+def test_kendall_tau_unconditional(num_df):
+    """tau-b runs with or without scipy (numpy fallback computes the
+    identical statistic); cross-check against pandas' pure-Python
+    implementation on ranks-free data."""
     df, pdf = num_df
     tau = stats.kendall_tau_sample(df, "x", "y", max_n=1000)
+    a, b = pdf["x"].to_numpy(float), pdf["y"].to_numpy(float)
+    n = len(a)
+    da = np.sign(a[:, None] - a[None, :])
+    db = np.sign(b[:, None] - b[None, :])
+    iu = np.triu_indices(n, k=1)
+    s = float((da[iu] * db[iu]).sum())
+    n0 = n * (n - 1) / 2.0
+    denom = ((n0 - float((da[iu] == 0).sum()))
+             * (n0 - float((db[iu] == 0).sum()))) ** 0.5
+    assert tau == pytest.approx(s / denom, abs=1e-9)
+    # strictly monotone data → tau exactly 1
+    one = stats.kendall_tau_sample(
+        df.sparkSession.createDataFrame(
+            [(float(i), float(i * 2)) for i in range(50)], "x double, y double"),
+        "x", "y")
+    assert one == pytest.approx(1.0)
 
 
 def test_scipy_gated_paths_raise_cleanly(num_df):
