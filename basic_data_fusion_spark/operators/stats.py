@@ -216,23 +216,86 @@ def distribution_stats(df: DataFrame, column: str) -> dict:
     return s
 
 
-# ---------------- T3: normality tests (bounded + scipy) ----------------
+# ---------------- T3: normality tests (bounded sample) ----------------
+
+def _skewtest_z(vals) -> float:
+    """D'Agostino skewness z (the published transformation scipy's
+    ``skewtest`` implements; n ≥ 8)."""
+    import numpy as np
+
+    x = np.asarray(vals, dtype=float)
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    g1 = m3 / m2 ** 1.5 if m2 > 0 else 0.0
+    y = g1 * math.sqrt(((n + 1) * (n + 3)) / (6.0 * (n - 2)))
+    beta2 = (3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+             / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)))
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    if y == 0:
+        y = 1.0
+    return delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1.0))
+
+
+def _kurtosistest_z(vals) -> float:
+    """Anscombe-Glynn kurtosis z (scipy's ``kurtosistest`` formulas;
+    n ≥ 5)."""
+    import numpy as np
+
+    x = np.asarray(vals, dtype=float)
+    n = len(x)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m4 = ((x - m) ** 4).mean()
+    b2 = m4 / (m2 * m2) if m2 > 0 else 3.0
+    e = 3.0 * (n - 1) / (n + 1)
+    var = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xx = (b2 - e) / math.sqrt(var)
+    sqrtbeta1 = (6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+                 * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+    a = 6.0 + 8.0 / sqrtbeta1 * (2.0 / sqrtbeta1
+                                 + math.sqrt(1.0 + 4.0 / sqrtbeta1 ** 2))
+    term1 = 1.0 - 2.0 / (9.0 * a)
+    denom = 1.0 + xx * math.sqrt(2.0 / (a - 4.0))
+    if denom == 0:
+        return float("nan")
+    term2 = math.copysign(abs((1.0 - 2.0 / a) / abs(denom)) ** (1.0 / 3.0), denom)
+    return (term1 - term2) / math.sqrt(2.0 / (9.0 * a))
+
+
+def dagostino_k2(vals) -> tuple[float, float]:
+    """D'Agostino-Pearson omnibus K² and its p-value (χ², 2 dof — whose
+    survival function is exactly exp(-K²/2), so NO scipy is needed).
+    Identical formulas to ``scipy.stats.normaltest``."""
+    zs, zk = _skewtest_z(vals), _kurtosistest_z(vals)
+    k2 = zs * zs + zk * zk
+    return k2, math.exp(-k2 / 2.0)
+
 
 def normality_tests(df: DataFrame, column: str, max_n: int = 5000, seed: int = 42) -> dict:
-    """Shapiro-Wilk (3≤n≤5000) + Anderson-Darling (n≥8) on a bounded
-    sample (reference: pages/plotting.py:1291-1316)."""
-    _require_scipy()
+    """Normality battery on a bounded sample (reference:
+    pages/plotting.py:1291-1316). The D'Agostino-Pearson K² omnibus runs
+    ALWAYS (pure closed-form, n ≥ 8); Shapiro-Wilk (3≤n≤5000) and
+    Anderson-Darling (n≥8) are scipy extras — present when the library
+    is, omitted (not an error) when it isn't."""
     vals = [r[0] for r in _bounded_sample(
         df.select(F.col(column).cast("double")).na.drop(), max_n, seed).collect()]
     out: dict = {"n": len(vals)}
-    if 3 <= len(vals) <= 5000:
-        w, p = _scipy_stats.shapiro(vals)
-        out["shapiro"] = {"statistic": float(w), "p_value": float(p)}
     if len(vals) >= 8:
-        ad = _scipy_stats.anderson(vals)
-        crit = dict(zip(ad.significance_level.tolist(), ad.critical_values.tolist()))
-        out["anderson"] = {"statistic": float(ad.statistic),
-                           "critical_5pct": crit.get(5.0)}
+        k2, p = dagostino_k2(vals)
+        out["dagostino"] = {"statistic": k2, "p_value": p}
+    if _scipy_stats is not None:
+        if 3 <= len(vals) <= 5000:
+            w, p = _scipy_stats.shapiro(vals)
+            out["shapiro"] = {"statistic": float(w), "p_value": float(p)}
+        if len(vals) >= 8:
+            ad = _scipy_stats.anderson(vals)
+            crit = dict(zip(ad.significance_level.tolist(), ad.critical_values.tolist()))
+            out["anderson"] = {"statistic": float(ad.statistic),
+                               "critical_5pct": crit.get(5.0)}
     return out
 
 
@@ -392,32 +455,39 @@ def grouped_normality(df: DataFrame, group_col: str, value_col: str,
     inherit the bound per group).
 
     This is the §2.12 'grouped scipy' UDF surface: each group's rows
-    arrive as ONE Arrow batch in a Python worker, scipy runs per group in
-    parallel across executors, and only the tiny per-group stat rows come
-    back. Groups are whole units — state never crosses groups — so the
-    plan is a single shuffle on the group key. Skew note: a giant group
-    lands on one worker by construction (scipy needs the whole sample);
-    the max_n truncation bounds that worker's memory.
+    arrive as ONE Arrow batch in a Python worker, the stats run per group
+    in parallel across executors, and only the tiny per-group stat rows
+    come back. Groups are whole units — state never crosses groups — so
+    the plan is a single shuffle on the group key. Skew note: a giant
+    group lands on one worker by construction (the test needs the whole
+    sample); the max_n truncation bounds that worker's memory.
+
+    The D'Agostino K² columns are always populated (closed-form, no
+    scipy); shapiro/anderson columns are NULL when scipy is absent.
     """
-    _require_scipy()
     import pandas as pd
 
     schema = (f"{group_col} string, n long, mean double, std double, "
+              "k2_stat double, k2_p double, "
               "shapiro_w double, shapiro_p double, anderson_stat double")
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].dropna().astype(float)
-        # deterministic truncation: sort before applying the scipy bound
+        # deterministic truncation: sort before applying the sample bound
         vals = vals.sort_values().iloc[:max_n]
         row = {group_col: pdf[group_col].iloc[0], "n": len(vals),
                "mean": vals.mean() if len(vals) else None,
                "std": vals.std(ddof=1) if len(vals) > 1 else None,
+               "k2_stat": None, "k2_p": None,
                "shapiro_w": None, "shapiro_p": None, "anderson_stat": None}
-        if 3 <= len(vals) <= 5000:
-            w, p = _scipy_stats.shapiro(vals)
-            row["shapiro_w"], row["shapiro_p"] = float(w), float(p)
         if len(vals) >= 8:
-            row["anderson_stat"] = float(_scipy_stats.anderson(vals).statistic)
+            row["k2_stat"], row["k2_p"] = dagostino_k2(vals.to_numpy())
+        if _scipy_stats is not None:
+            if 3 <= len(vals) <= 5000:
+                w, p = _scipy_stats.shapiro(vals)
+                row["shapiro_w"], row["shapiro_p"] = float(w), float(p)
+            if len(vals) >= 8:
+                row["anderson_stat"] = float(_scipy_stats.anderson(vals).statistic)
         return pd.DataFrame([row])
 
     return (df.select(F.col(group_col).cast("string"), value_col)

@@ -140,13 +140,43 @@ def test_scipy_gated_paths_raise_cleanly(num_df):
         pytest.skip("scipy present; gate not exercised")
     except ImportError:
         pass
-    with pytest.raises(ImportError):
-        stats.normality_tests(df, "x")
+    # normality battery degrades: K² omnibus present, scipy extras absent
+    nt = stats.normality_tests(df, "x")
+    assert "dagostino" in nt and "shapiro" not in nt
     with pytest.raises(ImportError):
         stats.kde_curve(df, "x")
     # regression/anova still work, p-values just absent
     assert stats.linear_regression(df, "x", "y").p_value is None
     assert stats.one_way_anova(df, "g", "x")["p_value"] is None
+
+
+def test_dagostino_k2_semantics(spark):
+    """Closed-form K² omnibus (no scipy): near-normal data passes, a
+    hard-skewed sample fails decisively; grouped_normality populates the
+    K² columns unconditionally."""
+    rng = np.random.default_rng(7)
+    normal = [(float(v), "n") for v in rng.normal(0, 1, 800)]
+    skewed = [(float(v), "e") for v in rng.exponential(1.0, 800)]
+    df = spark.createDataFrame(normal + skewed, "x double, g string")
+    nt_norm = stats.normality_tests(df.filter("g = 'n'"), "x")
+    nt_skew = stats.normality_tests(df.filter("g = 'e'"), "x")
+    assert nt_norm["dagostino"]["p_value"] > 0.01
+    assert nt_skew["dagostino"]["p_value"] < 1e-6
+    rows = {r["g"]: r for r in
+            stats.grouped_normality(df, "g", "x").collect()}
+    assert rows["n"]["k2_p"] == pytest.approx(nt_norm["dagostino"]["p_value"])
+    assert rows["e"]["k2_p"] == pytest.approx(nt_skew["dagostino"]["p_value"])
+
+
+def test_dagostino_matches_scipy_when_present(num_df):
+    pytest.importorskip("scipy")
+    from scipy import stats as sps
+
+    df, pdf = num_df
+    k2, p = stats.dagostino_k2(pdf["x"].to_numpy())
+    ref = sps.normaltest(pdf["x"])
+    assert k2 == pytest.approx(ref.statistic, rel=1e-12)
+    assert p == pytest.approx(ref.pvalue, rel=1e-12)
 
 
 def test_histogram_counts(num_df):
