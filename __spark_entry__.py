@@ -256,6 +256,8 @@ def _det_sql():
             ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]),
         "density_2d_lineitem": ds.density_2d_sql(
             "lineitem", "l_quantity", "l_discount", bins_x=8, bins_y=8),
+        "grouped_normality_k2": ds.grouped_k2_sql(
+            "customer", "c_mktsegment", "c_acctbal"),
         "pricing_summary": ds.pricing_summary_sql(),
         "shipping_priority": ds.shipping_priority_sql(),
         "regional_volume": ds.regional_volume_sql(),

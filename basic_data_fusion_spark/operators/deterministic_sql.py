@@ -405,3 +405,87 @@ JOIN mad d ON t.{g} = d.grp
 WHERE t.{c} IS NOT NULL
 GROUP BY t.{g}
 """
+
+
+def grouped_k2_sql(table: str, group_col: str, value_col: str,
+                   scale_mu: float = 1e2, scale_d2: float = 1e2,
+                   scale_d3: float = 1e-2, scale_d4: float = 1e-5) -> str:
+    """Deterministic D'Agostino-Pearson K² per group — the exact
+    ``stats.dagostino_k2`` formulas as shared-dialect SQL (T3's
+    oracle-checkable tier; the applyInPandas tier carries the scipy
+    extras). Two passes: per-group fixed-point mean, then fixed-point
+    CENTRAL moments against that mean — identical BIGINT moment sums on
+    any engine/partitioning, so the scalar z-transform chain starts from
+    bit-identical doubles. K² and p round to 1e-6/1e-9 to absorb libm
+    ln/exp last-ulp differences (the only non-exact step).
+
+    Moment scales assume |value| ≲ 1e4 and groups ≲ 1e6 rows (see
+    ``fs`` overflow envelope); pass smaller scales for wider data."""
+    v, g = value_col, group_col
+    d = f"({v} - m.mu)"
+    return f"""
+WITH m AS (
+  SELECT {g} AS grp, CAST(COUNT({v}) AS DOUBLE) AS n,
+         ({fs(v, scale_mu)}) / COUNT({v}) AS mu
+  FROM {table} WHERE {v} IS NOT NULL AND {g} IS NOT NULL
+  GROUP BY {g}
+),
+mom AS (
+  SELECT m.grp, m.n, m.mu,
+         ({fs(f'{d} * {d}', scale_d2)}) / m.n AS m2,
+         ({fs(f'{d} * {d} * {d}', scale_d3)}) / m.n AS m3,
+         ({fs(f'({d} * {d}) * ({d} * {d})', scale_d4)}) / m.n AS m4
+  FROM {table} t JOIN m ON t.{g} = m.grp
+  WHERE t.{v} IS NOT NULL
+  GROUP BY m.grp, m.n, m.mu
+),
+zs_in AS (
+  SELECT grp, n, mu, m2, m4,
+         (m3 / (m2 * SQRT(m2))) * SQRT((n + 1) * (n + 3) / (6.0 * (n - 2))) AS y,
+         3.0 * (n * n + 27.0 * n - 70.0) * (n + 1) * (n + 3)
+           / ((n - 2.0) * (n + 5) * (n + 7) * (n + 9)) AS beta2
+  FROM mom
+),
+zs AS (
+  SELECT grp, n, mu, m2, m4,
+         (1.0 / SQRT(0.5 * LN(SQRT(2.0 * (beta2 - 1.0)) - 1.0)))
+         * LN(
+             (CASE WHEN y = 0 THEN 1.0 ELSE y END)
+               / SQRT(2.0 / (SQRT(2.0 * (beta2 - 1.0)) - 1.0 - 1.0))
+             + SQRT(
+                 ((CASE WHEN y = 0 THEN 1.0 ELSE y END)
+                    / SQRT(2.0 / (SQRT(2.0 * (beta2 - 1.0)) - 1.0 - 1.0)))
+                 * ((CASE WHEN y = 0 THEN 1.0 ELSE y END)
+                    / SQRT(2.0 / (SQRT(2.0 * (beta2 - 1.0)) - 1.0 - 1.0)))
+                 + 1.0)) AS z_skew
+  FROM zs_in
+),
+zk_in AS (
+  SELECT grp, n, mu, z_skew,
+         ((m4 / (m2 * m2)) - 3.0 * (n - 1) / (n + 1))
+           / SQRT(24.0 * n * (n - 2) * (n - 3)
+                  / ((n + 1) * (n + 1) * (n + 3) * (n + 5))) AS xx,
+         6.0 + 8.0 / (6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7) * (n + 9))
+                      * SQRT(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+             * (2.0 / (6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7) * (n + 9))
+                       * SQRT(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+                + SQRT(1.0 + 4.0 / ((6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7) * (n + 9))
+                       * SQRT(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))
+                      * (6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7) * (n + 9))
+                       * SQRT(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))))))) AS a
+  FROM zs
+),
+zk AS (
+  SELECT grp, n, mu, z_skew,
+         ((1.0 - 2.0 / (9.0 * a))
+          - SIGN(1.0 + xx * SQRT(2.0 / (a - 4.0)))
+            * POWER((1.0 - 2.0 / a) / ABS(1.0 + xx * SQRT(2.0 / (a - 4.0))),
+                    {lit(1.0)} / {lit(3.0)}))
+         / SQRT(2.0 / (9.0 * a)) AS z_kurt
+  FROM zk_in
+)
+SELECT grp AS {g}, CAST(n AS BIGINT) AS n, mu AS mean,
+       CASE WHEN n >= 8 THEN ROUND(z_skew * z_skew + z_kurt * z_kurt, 6) END AS k2,
+       CASE WHEN n >= 8 THEN ROUND(EXP(-(z_skew * z_skew + z_kurt * z_kurt) / 2.0), 9) END AS p_k2
+FROM zk
+"""

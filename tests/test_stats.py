@@ -168,6 +168,27 @@ def test_dagostino_k2_semantics(spark):
     assert rows["e"]["k2_p"] == pytest.approx(nt_skew["dagostino"]["p_value"])
 
 
+def test_grouped_k2_sql_tier_matches_python(spark):
+    """The deterministic SQL K² tier and the pure-Python dagostino_k2
+    are independent implementations of the same published formulas —
+    they must agree to the SQL tier's 1e-6 rounding on real data."""
+    from basic_data_fusion_spark.operators.deterministic_sql import grouped_k2_sql
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    cust.createOrReplaceTempView("customer")
+    rows = {r["c_mktsegment"]: r for r in spark.sql(
+        grouped_k2_sql("customer", "c_mktsegment", "c_acctbal")).collect()}
+    pdf = cust.select("c_mktsegment", "c_acctbal").toPandas()
+    for seg, grp in pdf.groupby("c_mktsegment"):
+        vals = grp["c_acctbal"].dropna().to_numpy(float)
+        if len(vals) < 8:
+            continue
+        k2, p = stats.dagostino_k2(vals)
+        assert rows[seg]["k2"] == pytest.approx(k2, abs=2e-6)
+        assert rows[seg]["p_k2"] == pytest.approx(p, abs=2e-9)
+        assert rows[seg]["n"] == len(vals)
+
+
 def test_dagostino_matches_scipy_when_present(num_df):
     pytest.importorskip("scipy")
     from scipy import stats as sps
