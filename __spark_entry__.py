@@ -2930,13 +2930,71 @@ WHERE rn <= 20
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS check covers the first 50
-    # keys.  Rounds 1-2 verified the "classic" 45 (flagship/stats/text-pipeline)
-    # — those are demoted to the tail; the window now holds the 45 queries the
-    # driver has never hash-checked (windows, rollup/cube/grouping-sets,
-    # as-of/interval joins, funnel/retention, set-ops, SCD2, gap-fill, UDTF,
-    # second TPC-H wave, melt, z-score, MAD, media_features) plus the five
-    # oracle-less rows-only checks so they stay monitored every round.
+    # keys.  Round-4 window, in order: (a) the 9 queries the driver has never
+    # hash-checked (the r2 TPC-H Q6/Q8/Q10 wave + the r3 pipeline ops that
+    # landed past the window), (b) the 4 oracle-less rows-only canaries
+    # (driver-monitored in r1-2, rotated back in so they stay live), (c) the
+    # round-4 additions, (d) backfill with the longest-unchecked greens (the
+    # r1/r2 wave, last driver-checked in round 2).  Everything past key 50 —
+    # including all 50 round-3 greens — stays pinned every run by
+    # tests/test_oracle_parity.py, which parametrizes the full dict.
+    det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
     return {
+        # --- (a) never driver-checked before round 4 ---
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "returned_item_losses": q_returned_item_losses,
+        "bpe_encode_docs": q_bpe_encode_docs,
+        "quality_classifier": q_quality_classifier,
+        "compression_ratio": q_compression_ratio,
+        "temperature_mix": q_temperature_mix,
+        "dsir_top_docs": q_dsir_top_docs,
+        "grouped_normality_k2": det.pop("grouped_normality_k2"),
+        # --- (b) rows-only canaries (no oracle by design: engine-specific
+        # xxhash64 / seeded k-means; recall is pytest-verified) ---
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dups": q_simhash_near_dups,
+        "semantic_dedup": q_semantic_dedup,
+        "ivf_topk": q_ivf_topk,
+        # --- (c) round-4 additions land here ---
+        # --- (d) backfill: longest-unchecked greens (last checked r2) ---
+        "flagship_merge": q_flagship_merge,
+        "participant_count": q_participant_count,
+        "segment_breakdown": q_segment_breakdown,
+        "acctbal_minmax": q_acctbal_minmax,
+        "distinct_segments": q_distinct_segments,
+        "top_segments": q_top_segments,
+        "numeric_ranges_lineitem": q_numeric_ranges_lineitem,
+        "filter_impact": q_filter_impact,
+        "enwiden_events": q_enwiden_events,
+        "baseline_consolidation": q_baseline_consolidation,
+        "column_summary": q_column_summary,
+        "dist_stats_acctbal": q_dist_stats_acctbal,
+        "iqr_outliers_acctbal": q_iqr_outliers,
+        "substudy_filter": q_substudy_filter,
+        "longitudinal_merge": q_longitudinal_merge,
+        "distinct_capped": q_distinct_capped,
+        "categorical_summary": q_categorical_summary,
+        **det,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
+        "corpus_curation": q_corpus_curation,
+        "repetition_scores": q_repetition_scores,
+        "token_rarity": q_token_rarity,
+        "boilerplate_strip": q_boilerplate_strip,
+        "quality_percentile": q_quality_percentile,
+        "lm_surprisal": q_lm_surprisal,
+        "shard_plan": q_shard_plan,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "decontam_overlap": q_decontam_overlap,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_topk": q_embedding_topk,
+        # --- round-3 greens (driver-checked r3, all 50 hash-green) ---
         "media_features": q_media_features,
         "events_tumbling_daily": q_events_tumbling_daily,
         "events_sliding": q_events_sliding,
@@ -2987,59 +3045,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dsir_weights": q_dsir_weights,
         "embedding_near_dups": q_embedding_near_dups,
-        # --- past the driver's 50-key window but still parametrized by
-        # tests/test_oracle_parity.py every run: the rounds-1/2 greens
-        # (proven) plus the oracle-less rows-only checks (minhash /
-        # simhash / semantic_dedup / ivf_topk — recall pytest-verified;
-        # rotate back into the window in later rounds) ---
-        "minhash_dedup": q_minhash_dedup,
-        "simhash_near_dups": q_simhash_near_dups,
-        "semantic_dedup": q_semantic_dedup,
-        "ivf_topk": q_ivf_topk,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "returned_item_losses": q_returned_item_losses,
-        "bpe_encode_docs": q_bpe_encode_docs,
-        "quality_classifier": q_quality_classifier,
-        "compression_ratio": q_compression_ratio,
-        "temperature_mix": q_temperature_mix,
-        "dsir_top_docs": q_dsir_top_docs,
-        "flagship_merge": q_flagship_merge,
-        "participant_count": q_participant_count,
-        "segment_breakdown": q_segment_breakdown,
-        "acctbal_minmax": q_acctbal_minmax,
-        "distinct_segments": q_distinct_segments,
-        "top_segments": q_top_segments,
-        "numeric_ranges_lineitem": q_numeric_ranges_lineitem,
-        "filter_impact": q_filter_impact,
-        "enwiden_events": q_enwiden_events,
-        "baseline_consolidation": q_baseline_consolidation,
-        "column_summary": q_column_summary,
-        "dist_stats_acctbal": q_dist_stats_acctbal,
-        "iqr_outliers_acctbal": q_iqr_outliers,
-        "substudy_filter": q_substudy_filter,
-        "longitudinal_merge": q_longitudinal_merge,
-        "distinct_capped": q_distinct_capped,
-        "categorical_summary": q_categorical_summary,
-        **{name: _make_det_query(sql) for name, sql in _det_sql().items()},
-        "dedup_exact": q_dedup_exact,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "pii_scrub": q_pii_scrub,
-        "corpus_curation": q_corpus_curation,
-        "repetition_scores": q_repetition_scores,
-        "token_rarity": q_token_rarity,
-        "boilerplate_strip": q_boilerplate_strip,
-        "quality_percentile": q_quality_percentile,
-        "lm_surprisal": q_lm_surprisal,
-        "shard_plan": q_shard_plan,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "decontam_overlap": q_decontam_overlap,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_clusters": q_dedup_clusters,
-        "embedding_topk": q_embedding_topk,
     }
 
 
