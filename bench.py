@@ -65,6 +65,15 @@ HEADLINE = [
     "dsir_weights",          # hashed n-gram importance weights, one explosion
     "market_share",          # TPC-H Q8 7-relation all-broadcast snowflake
     "filter_impact_individual",  # per-filter standalone counts, one agg pass
+
+    # added to the bench in round 4 (ops landed in round 3 but untracked —
+    # absent from BENCH_r03 and earlier)
+    "bpe_encode_docs",       # merge-fold BPE encode over distinct words
+    "quality_classifier",    # HashingTF + logistic regression scores
+    "compression_ratio",     # zlib entropy proxy (Arrow mapInPandas tier)
+    "temperature_mix",       # XLM-R alpha source rebalancing draw
+    "dsir_top_docs",         # DSIR top-k resample over importance weights
+    "grouped_normality_k2",  # grouped D'Agostino K^2, deterministic SQL tier
 ]
 
 
@@ -128,15 +137,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     r2_set = set(HEADLINE[:35])  # the queries BENCH_r01/r02 also measured
+    r3_set = set(HEADLINE[:39])  # the queries BENCH_r03 also measured
     print(json.dumps({
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # round-over-round comparability: the pre-round-3 headline subset
+        # round-over-round comparability: the pre-round-3 / pre-round-4
+        # headline subsets
         "subtotal_r02_comparable": round(
             sum(v for k, v in timings.items() if k in r2_set), 4),
+        "subtotal_r03_comparable": round(
+            sum(v for k, v in timings.items() if k in r3_set), 4),
     }))
     spark.stop()
 
