@@ -793,6 +793,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs, min_docs=2)
 
 
+def q_exactsubstr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al. 2022 §4.1) over documents:
+    20-token sliding windows duplicated across ≥2 distinct docs mark
+    their covered tokens for removal everywhere; output is the rebuilt
+    text + token/removal counts. (Window 20 instead of the paper's 50
+    because sf docs average ~54 tokens — 50 would only re-find the
+    whole-doc exact dups.)"""
+    from basic_data_fusion_spark.operators.dedup import exact_substring_dedup
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return exact_substring_dedup(docs, window=20, min_docs=2)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) for tilting the corpus
     toward its English slice: hashed unigram+bigram bucket models,
@@ -1296,6 +1309,48 @@ SELECT t.doc_id,
        CAST(len(t.ls) AS BIGINT) AS n_lines,
        CAST(len(t.ls) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
 FROM t LEFT JOIN reb USING (doc_id)
+"""
+
+
+# DuckDB replay of dedup.exact_substring_dedup(window=20, min_docs=2):
+# identical lowercased-whitespace tokens, md5 window keys (zip-unnest of
+# positions with per-position window hashes), covered-position expansion,
+# ORDER BY re-assembly — bit-exact, no floats anywhere.
+_EXACTSUBSTR_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+hw AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - 19)) AS wpos,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 19),
+             i -> md5(array_to_string(list_slice(toks, i, i + 19), ' ')))) AS h
+  FROM base WHERE len(toks) >= 20
+),
+dup AS (SELECT h FROM hw GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+dwin AS (SELECT doc_id, wpos FROM hw WHERE h IN (SELECT h FROM dup)),
+cov AS (SELECT DISTINCT doc_id, wpos + j AS tokpos
+        FROM dwin, unnest(generate_series(0, 19)) AS g(j)),
+alltok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) AS tokpos,
+         unnest(toks) AS tok
+  FROM base
+),
+kept AS (SELECT a.doc_id, a.tokpos, a.tok
+         FROM alltok a ANTI JOIN cov USING (doc_id, tokpos)),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN reb USING (doc_id)
 """
 
 
@@ -2956,7 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
-        # --- (c) round-4 additions land here ---
+        # --- (c) round-4 additions ---
+        "exactsubstr_dedup": q_exactsubstr_dedup,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3070,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_impact_individual": _FILTER_IMPACT_INDIVIDUAL_ORACLE,
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "dsir_weights": _dsir_weights_oracle(),
         "forecast_revenue": _FORECAST_REVENUE_ORACLE,
         "market_share": _MARKET_SHARE_ORACLE,

@@ -102,6 +102,89 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     .cast("long").alias("n_removed")))
 
 
+# ---------------- tier 1c: exact duplicated substrings ----------------
+
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", window: int = 50,
+                          min_docs: int = 2) -> DataFrame:
+    """ExactSubstr-style span deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4.1):
+    any token span of length ≥ ``window`` that appears verbatim in
+    ``min_docs`` or more DISTINCT documents is removed from every
+    document.  This is the pass serious corpus pipelines run between
+    whole-line dedup (``line_dedup``) and fuzzy shingle/MinHash dedup —
+    offset-shifted copies that whole-line hashing misses are caught here.
+    The reference has no analogue (its dedup surface stops at
+    file-content MD5, file_handling/upload.py:47-92).
+
+    Mechanics: every ``window``-token sliding window (stride 1) is keyed
+    by ``md5`` of its space-joined lowercased tokens.  A duplicated span
+    of length L ≥ window yields L−window+1 duplicated windows whose
+    union covers exactly the L span tokens, so "token is covered by ≥1
+    duplicated window" reproduces "remove duplicated spans ≥ window
+    tokens" exactly; spans shorter than ``window`` are never touched.
+
+    Returns (id, clean_text, n_tokens, n_removed) for every input doc.
+
+    Scale shape: only (id, window-start, 32-char md5) triples shuffle —
+    never document bodies.  Duplicated window keys are found with one
+    groupBy on the hash; the (id, pos) hits semi-join back and expand to
+    covered token positions (explode factor ``window`` on *duplicated*
+    windows only); re-assembly is the same single-aggregation sort as
+    ``line_dedup`` — one shuffle by doc id, no window function.  Window
+    hashing costs O(n·window) transient chars per doc; at 100 TB swap
+    the md5-of-concat for an O(n) polynomial rolling hash (prefix
+    products mod a prime) — kept md5 here so the DuckDB oracle can
+    reproduce the key bit-exactly.  All JVM expressions; no Python UDFs.
+    """
+    w = int(window)
+    toks = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+                  F.array().cast("array<string>")
+                  ).otherwise(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+
+    # (id, wpos, h): wpos is the 1-based token index of the window start.
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__t") - w + 1, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, w))))
+    wins = (base.filter(F.size("__t") >= w)
+            .select(id_col, F.posexplode(win_hashes).alias("__p0", "__h"))
+            .select(id_col, (F.col("__p0") + 1).alias("wpos"), "__h"))
+
+    dup_keys = (wins.groupBy("__h")
+                .agg(F.countDistinct(id_col).alias("__df"))
+                .filter(F.col("__df") >= min_docs)
+                .select("__h"))
+    dup_wins = wins.join(dup_keys, "__h", "left_semi")
+
+    covered = (dup_wins
+               .select(id_col,
+                       F.explode(F.sequence(F.col("wpos"),
+                                            F.col("wpos") + w - 1))
+                       .alias("tokpos"))
+               .distinct())
+
+    all_toks = (base.select(id_col, F.posexplode("__t").alias("__p0", "tok"))
+                .select(id_col, (F.col("__p0") + 1).alias("tokpos"), "tok"))
+    kept = (all_toks.join(covered, [id_col, "tokpos"], "left_anti")
+            .groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                         lambda x: x["tok"]),
+                     " ").alias("clean_text"),
+                 F.count(F.lit(1)).alias("__n_kept")))
+
+    return (base.select(F.col(id_col),
+                        F.size("__t").cast("long").alias("n_tokens"))
+            .join(kept, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_tokens",
+                    (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
 # ---------------- shingles ----------------
 
 def word_shingles(col: Column, n: int = 3) -> Column:

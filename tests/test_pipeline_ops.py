@@ -222,6 +222,45 @@ def test_line_dedup_corpus_boilerplate(spark):
     assert all(r["n_removed"] == 0 for r in all_clean)
 
 
+def test_exact_substring_dedup_planted_span(spark):
+    """ExactSubstr (Lee et al. 2022): a ≥window token span shared by two
+    docs at DIFFERENT offsets is removed from both (exactly the span —
+    unique prefix/suffix tokens survive); spans shorter than the window
+    survive; within-doc-only repetition survives (min_docs counts
+    distinct docs); empty/NULL docs pass through."""
+    from basic_data_fusion_spark.operators.dedup import exact_substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(60))       # 60-token shared span
+    short = " ".join(f"t{i}" for i in range(30))      # 30-token shared span
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + span + " gamma"),
+         (2, span + " delta " + short),
+         (3, "solo " + short),                        # short span: survives
+         (4, ("u " * 49).strip()),                    # 49 toks, no window
+         # the same 50-token span twice WITHIN one doc: min_docs counts
+         # distinct docs, so nothing is removed
+         (5, " ".join(f"r{i}" for i in range(50)) + " mid "
+             + " ".join(f"r{i}" for i in range(50))),
+         (6, ""), (7, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in exact_substring_dedup(docs, window=50).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_tokens"] == 63 and out[1]["n_removed"] == 60
+    assert out[2]["clean_text"] == "delta " + short
+    assert out[2]["n_removed"] == 60
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "solo " + short
+    assert out[4]["n_removed"] == 0 and out[4]["n_tokens"] == 49
+    assert out[5]["n_removed"] == 0                   # within-doc only
+    assert out[6]["clean_text"] == "" and out[6]["n_tokens"] == 0
+    assert out[7]["clean_text"] == "" and out[7]["n_removed"] == 0
+    # a doc duplicated verbatim in ≥2 docs is removed entirely
+    dup2 = spark.createDataFrame(
+        [(1, span), (2, span)], "doc_id long, text string")
+    for r in exact_substring_dedup(dup2, window=50).collect():
+        assert r["clean_text"] == "" and r["n_removed"] == 60
+
+
 def test_dsir_weights_tilt_toward_target(spark):
     """DSIR log-weights must rank target-like docs above off-target docs:
     with an English target over the mixed-language corpus, the top
