@@ -817,6 +817,31 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                             buckets=2048)
 
 
+def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resampling (arXiv:2302.03169 §2.3 via Kool et
+    al. 2019): 50 docs sampled ∝ exp(log_weight) toward the English
+    target, with the deterministic md5-uniform Gumbel perturbation —
+    paper-faithful sampling that is still bit-reproducible."""
+    from basic_data_fusion_spark.operators.selection import dsir_gumbel_sample
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return dsir_gumbel_sample(docs, docs.filter(F.col("lang") == "en"),
+                              50, buckets=2048)
+
+
+def q_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3 appendix-A Pareto selection over the deterministic Gopher
+    quality score: keep iff score > 1 − X, X ~ Pareto(9) from the
+    seeded md5-uniform — scores materialized so DuckDB replays the
+    whole keep/drop decision bit-exactly."""
+    from basic_data_fusion_spark.operators.selection import pareto_keep
+    from basic_data_fusion_spark.operators.text import quality_score
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    scored = quality_score(docs).select("doc_id", "quality_score")
+    return pareto_keep(scored, "quality_score")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-dup pairs (cosine ≥ 0.99).
 
@@ -2713,6 +2738,54 @@ FROM documents d JOIN rates r USING (source)
 """
 
 
+def _seeded_hex8_sql(seed: str) -> str:
+    """First 32 bits (big-endian) of md5(seed ':' doc_id) as a BIGINT —
+    DuckDB replay of selection.hash_uniform's numerator."""
+    hv = ("(strpos('0123456789abcdef', "
+          "substr(md5('" + seed + ":' || CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+          " * {p}::BIGINT")
+    return "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+
+
+def _dsir_gumbel_oracle(k: int = 50, buckets: int = 2048) -> str:
+    """DuckDB replay of selection.dsir_gumbel_sample: the dsir_weights
+    oracle plus the same 1e-8 fixed-point Gumbel perturbation
+    −ln(−ln((h+0.5)/2^32)) and exact-integer key compare."""
+    return f"""
+WITH w AS ({_dsir_weights_oracle(buckets)}),
+g AS (
+  SELECT doc_id, log_weight,
+         CAST(ROUND(log_weight * 100000000.0, 0) AS BIGINT)
+         + CAST(ROUND(-ln(-ln(({_seeded_hex8_sql("gumbel")} + 0.5) / 4294967296.0))
+                      * 100000000.0, 0) AS BIGINT) AS kf
+  FROM w WHERE log_weight IS NOT NULL
+)
+SELECT doc_id, log_weight, CAST(kf AS DOUBLE) / 100000000.0 AS gumbel_key
+FROM g ORDER BY kf DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _pareto_quality_oracle(alpha: float = 9.0) -> str:
+    """DuckDB replay of selection.pareto_keep over the deterministic
+    quality score: same md5-uniform, same 1e-12 fixed-point Lomax draw
+    X = (1−u)^(−1/α) − 1, same keep rule score > 1 − X."""
+    return f"""
+WITH q AS ({_QUALITY_ORACLE}),
+p AS (
+  SELECT doc_id, quality_score,
+         CAST(ROUND((POWER(1.0 - (({_seeded_hex8_sql("pareto")} + 0.5) / 4294967296.0),
+                           {-1.0 / alpha!r}) - 1.0)
+                    * 1000000000000.0, 0) AS BIGINT) AS xf
+  FROM q
+)
+SELECT doc_id, quality_score,
+       CAST(xf AS DOUBLE) / 1000000000000.0 AS pareto_x,
+       quality_score > 1.0 - CAST(xf AS DOUBLE) / 1000000000000.0 AS keep
+FROM p
+"""
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style zlib entropy proxy per document (Arrow mapInPandas —
     DEFLATE has no JVM-expression form, so this is an intentional
@@ -3013,6 +3086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         # --- (c) round-4 additions ---
         "exactsubstr_dedup": q_exactsubstr_dedup,
+        "dsir_gumbel_sample": q_dsir_gumbel_sample,
+        "pareto_quality_sample": q_pareto_quality_sample,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3127,6 +3202,8 @@ def oracle_sql() -> dict[str, str]:
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
+        "dsir_gumbel_sample": _dsir_gumbel_oracle(),
+        "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),
         "forecast_revenue": _FORECAST_REVENUE_ORACLE,
         "market_share": _MARKET_SHARE_ORACLE,

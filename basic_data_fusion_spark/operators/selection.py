@@ -209,11 +209,80 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 4096) -> DataFrame:
     """Top-k selection by DSIR weight with a deterministic id tie-break.
-    (The paper resamples with Gumbel noise; a deterministic rank keeps
-    the pipeline reproducible — seeded Gumbel keys can be added as
-    ``-ln(-ln(u))`` over a hash-derived uniform without changing the
-    shape.) Global top-k: Spark's sort-limit runs as per-partition
-    top-k + a k-row driver merge, never a full sort."""
+    (Paper-faithful Gumbel resampling is ``dsir_gumbel_sample``; this
+    deterministic rank is the argmax tier.) Global top-k: Spark's
+    sort-limit runs as per-partition top-k + a k-row driver merge,
+    never a full sort."""
     w = dsir_log_weights(raw, target, text_col, id_col, buckets)
     return (w.filter(F.col("log_weight").isNotNull())
             .orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k))
+
+
+def hash_uniform(col: Column, seed: str) -> Column:
+    """Deterministic uniform draw in (0, 1): first 32 bits of
+    ``md5(seed ':' value)`` (big-endian), offset by 0.5 so neither
+    endpoint is reachable — safe under ``ln``/``ln(1−u)`` transforms.
+    Seeded variant of the ``temperature_mix`` draw; reruns, partitionings
+    and engines agree row-for-row (no RNG whose partition layout changes
+    the sample)."""
+    h = (F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), col.cast("string"))), 1, 8),
+            16, 10).cast("double"))
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def dsir_gumbel_sample(raw: DataFrame, target: DataFrame, k: int,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       buckets: int = 4096, seed: str = "gumbel") -> DataFrame:
+    """Paper-faithful DSIR resampling (arXiv:2302.03169 §2.3): sampling
+    k documents WITHOUT replacement with probability ∝ exp(log_weight)
+    is exactly the top-k of ``log_weight + G_i`` with i.i.d. standard
+    Gumbel noise ``G_i = −ln(−ln(u_i))`` (the Gumbel-top-k trick, Kool
+    et al. 2019). The uniform is the deterministic ``hash_uniform`` draw,
+    so the sample is reproducible across engines and partitionings.
+
+    Determinism: ``log_weight`` is already an exact integer sum / 1e8;
+    the Gumbel term goes through libm ``ln`` twice, so it is rounded to
+    the same 1e-8 fixed point BEFORE an integer add — the perturbed key
+    is compared in exact integer arithmetic (lm_surprisal pattern).
+    Returns (id, log_weight, gumbel_key), the k sampled docs. Same
+    sort-limit shape as ``dsir_select`` — per-partition top-k, k-row
+    driver merge."""
+    w = (dsir_log_weights(raw, target, text_col, id_col, buckets)
+         .filter(F.col("log_weight").isNotNull()))
+    u = hash_uniform(F.col(id_col), seed)
+    g_fixed = F.round(-F.log(-F.log(u)) * F.lit(_SCALE), 0).cast("long")
+    lw_fixed = F.round(F.col("log_weight") * F.lit(_SCALE), 0).cast("long")
+    keyed = w.select(F.col(id_col), F.col("log_weight"),
+                     (lw_fixed + g_fixed).alias("__kf"))
+    return (keyed.orderBy(F.desc("__kf"), F.asc(id_col)).limit(k)
+            .select(id_col, "log_weight",
+                    (F.col("__kf").cast("double") / F.lit(_SCALE))
+                    .alias("gumbel_key")))
+
+
+def pareto_keep(df: DataFrame, score_col: str = "quality_score",
+                id_col: str = "doc_id", alpha: float = 9.0,
+                seed: str = "pareto") -> DataFrame:
+    """GPT-3's actual quality-selection rule (Brown et al. 2020,
+    appendix A): keep a document iff ``score > 1 − X`` with
+    ``X ~ Pareto(α)`` (numpy's Lomax form ``X = (1−u)^(−1/α) − 1``),
+    so high-scoring docs are kept almost surely but a heavy tail of
+    low-scoring docs survives for diversity — P(keep | score s) =
+    (2 − s)^(−α) for s ≤ 1.
+
+    The draw is the deterministic ``hash_uniform`` (no RNG); ``X`` goes
+    through libm ``pow`` and is rounded to 1e-12 fixed point before the
+    comparison (temperature_mix pattern) so keep/drop is bit-stable
+    across engines. Pure map-side: no shuffle at all — composes with any
+    scored relation (``quality_score`` for the deterministic tier,
+    ``quality_classifier_scores`` for the model tier).
+    Returns (id, score, pareto_x, keep)."""
+    u = hash_uniform(F.col(id_col), seed)
+    x_fixed = F.round(
+        (F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0))
+        * F.lit(1e12), 0).cast("long")
+    pareto_x = (x_fixed.cast("double") / F.lit(1e12)).alias("pareto_x")
+    return (df.select(F.col(id_col), F.col(score_col), pareto_x)
+            .withColumn("keep",
+                        F.col(score_col) > (F.lit(1.0) - F.col("pareto_x"))))

@@ -285,6 +285,58 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_dsir_gumbel_sample_tilts_and_perturbs(spark):
+    """Gumbel-top-k resampling: the sample still tilts hard toward the
+    target (most of the 50 are English), but the Gumbel perturbation
+    makes it a genuine sample — it must differ from the deterministic
+    argmax top-50 — and it is reproducible across invocations."""
+    from basic_data_fusion_spark.operators.selection import (
+        dsir_gumbel_sample,
+        dsir_select,
+    )
+
+    raw = spark.read.parquet(f"{SF0001}/documents.parquet")
+    tgt = raw.filter(F.col("lang") == "en")
+    en = {r[0] for r in tgt.select("doc_id").collect()}
+    samp = dsir_gumbel_sample(raw, tgt, 50, buckets=1024).collect()
+    assert len(samp) == 50
+    frac = sum(1 for r in samp if r["doc_id"] in en) / 50
+    assert frac >= 0.6, f"sample should tilt toward target, got {frac}"
+    # keys are the weight plus noise, never the bare weight
+    assert all(r["gumbel_key"] != r["log_weight"] for r in samp)
+    top = {r["doc_id"] for r in dsir_select(raw, tgt, 50, buckets=1024).collect()}
+    assert {r["doc_id"] for r in samp} != top    # perturbation changed the set
+    again = dsir_gumbel_sample(raw, tgt, 50, buckets=1024).collect()
+    assert [(r["doc_id"], r["gumbel_key"]) for r in samp] == \
+           [(r["doc_id"], r["gumbel_key"]) for r in again]
+
+
+def test_pareto_keep_acceptance_rates(spark):
+    """GPT-3 appendix-A rule: P(keep | score s) = (2−s)^(−α).  Check the
+    empirical rate against the closed form at two score levels, the
+    always-keep boundary at s=1, and determinism across invocations."""
+    from basic_data_fusion_spark.operators.selection import pareto_keep
+
+    n = 4000
+    rows = [(i, 0.7) for i in range(n)] + \
+           [(n + i, 0.2) for i in range(n)] + \
+           [(2 * n + i, 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    out = pareto_keep(df).collect()
+    rate = {s: sum(1 for r in out if r["quality_score"] == s and r["keep"])
+            for s in (0.7, 0.2, 1.0)}
+    # closed form: (2-0.7)^-9 ≈ 0.0943, (2-0.2)^-9 ≈ 0.00510
+    exp7, exp2 = (2 - 0.7) ** -9 * n, (2 - 0.2) ** -9 * n
+    assert abs(rate[0.7] - exp7) < 4 * (exp7 ** 0.5 + 1)   # ~4σ band
+    assert abs(rate[0.2] - exp2) < 4 * (exp2 ** 0.5 + 1)
+    assert rate[0.7] > rate[0.2]                # monotone in score
+    assert rate[1.0] == 200                     # X > 0 a.s. → always keep
+    assert all(r["pareto_x"] > 0 for r in out)
+    again = pareto_keep(df).collect()
+    assert {(r["doc_id"], r["keep"]) for r in out} == \
+           {(r["doc_id"], r["keep"]) for r in again}
+
+
 def test_temperature_mix_rebalances_sources(spark):
     """α<1 temperature sampling must upweight the small source (higher
     keep_rate than the big one), hold the overall expected fraction near
