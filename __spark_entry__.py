@@ -2798,15 +2798,20 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE: train 6 merges on the documents word table, then
-    encode every doc (word-table fold + join-back; corpus scanned once).
-    Iterative argmax training is not SQL-expressible → rows-only driver
-    tier; merge-exactness is pytest-verified against a direct
-    implementation of the Sennrich algorithm."""
-    from basic_data_fusion_spark.operators.tokenizer import bpe_encode, bpe_train
+    """Distributed BPE: one corpus pass builds the word table, merge
+    training runs driver-local over it (the production trainer shape —
+    zero per-merge cluster jobs), then encode every doc (word-table
+    fold + join-back; corpus scanned once). Iterative argmax training
+    is not SQL-expressible → rows-only driver tier; merge-exactness is
+    pytest-verified against a direct implementation of the Sennrich
+    algorithm and differentially across all three trainer tiers."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_train_local,
+    )
 
     docs = _catalog(spark, sf_dir).load("documents")
-    merges = bpe_train(docs, n_merges=6)
+    merges, _ = bpe_train_local(docs, n_merges=6)
     return (bpe_encode(docs, merges)
             .select("doc_id", "n_bpe_tokens"))
 

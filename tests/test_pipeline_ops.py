@@ -432,6 +432,39 @@ def test_bpe_train_matches_reference_algorithm(spark):
                                         "newest newest newest newest widest widest widest".split())
 
 
+def test_bpe_trainer_tiers_identical_merges(spark):
+    """All three trainer tiers must learn the IDENTICAL merge sequence
+    (order and counts included). The local tier removes the per-merge
+    Spark-round latency wall entirely (0 rounds vs n_merges — far past
+    the ≥4× bar); the batched tier must also beat sequential rounds
+    while staying exact."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        bpe_train,
+        bpe_train_batched,
+        bpe_train_local,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(120)
+    n = 24
+    seq = bpe_train(docs, n_merges=n)          # n_merges pair-count rounds
+    assert len(seq) == n
+    local, lrounds = bpe_train_local(docs, n_merges=n)
+    assert local == seq
+    assert lrounds == 0                        # no per-merge cluster jobs
+    assert lrounds * 4 <= len(seq)
+    batched, rounds = bpe_train_batched(docs, n_merges=n, batch_size=16)
+    assert batched == seq
+    assert rounds < len(seq), f"{rounds} rounds for {len(seq)} merges"
+    # conflict-heavy tiny corpus: batching degrades gracefully, never
+    # diverges from the sequential sequence
+    tiny = spark.createDataFrame(
+        [(1, "ab ab ab abc abc bc bc bcd cd cd cd")],
+        "doc_id long, text string")
+    assert bpe_train_batched(tiny, n_merges=6, batch_size=8)[0] == \
+        bpe_train(tiny, n_merges=6)
+    assert bpe_train_local(tiny, n_merges=6)[0] == bpe_train(tiny, n_merges=6)
+
+
 def test_quality_classifier_separates_planted_classes(spark):
     """Hashed-feature logistic quality filter: clean prose (positive)
     vs shuffled gibberish (negative) must separate almost perfectly on
