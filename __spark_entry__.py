@@ -817,6 +817,43 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                             buckets=2048)
 
 
+def _planted_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL-variant fixture derived from doc_id (documents
+    has no URL column): page identity is (host h = b%7, page b =
+    doc_id%100); the variant index v = doc_id//100 gives each page's 5
+    copies different surface forms — mixed case, default port +
+    fragment, www + trailing slash, tracking params + shuffled param
+    order — so canonicalization must collapse v∈{0,1,2} (no query) and
+    v∈{3,4} (query a=1&b=2) into one canonical URL each."""
+    b = (F.col("doc_id") % 100).cast("string")
+    h = (F.col("doc_id") % 100 % 7).cast("string")
+    v = F.floor(F.col("doc_id") / F.lit(100)).cast("long") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example"), h,
+                                F.lit(".com/page/"), b))
+        .when(v == 1, F.concat(F.lit("HTTPS://EXAMPLE"), h,
+                               F.lit(".COM:443/page/"), b, F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("https://www.example"), h,
+                               F.lit(".com/page/"), b, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://example"), h,
+                               F.lit(".com/page/"), b,
+                               F.lit("?utm_source=x&b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://example"), h,
+                            F.lit(".com/page/"), b, F.lit("?a=1&b=2"))))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (RefinedWeb §3.1 — the first crawl-pipeline
+    stage) over the planted URL-variant fixture: canonicalize
+    scheme/host case, default ports, www, fragments, trailing slashes,
+    tracking params and param order, then group by canonical URL."""
+    from basic_data_fusion_spark.operators.dedup import url_dedup_groups
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return url_dedup_groups(_planted_urls(docs))
+
+
 def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel-top-k DSIR resampling (arXiv:2302.03169 §2.3 via Kool et
     al. 2019): 50 docs sampled ∝ exp(log_weight) toward the English
@@ -1376,6 +1413,88 @@ SELECT b.doc_id,
        CAST(len(b.toks) AS BIGINT) AS n_tokens,
        CAST(len(b.toks) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
 FROM base b LEFT JOIN reb USING (doc_id)
+"""
+
+
+# DuckDB replay of dedup.url_dedup_groups over the same planted URL
+# fixture (_planted_urls): identical variant construction from doc_id and
+# identical canonicalization chain — pure string ops, no floats.
+_URL_DEDUP_ORACLE = r"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE CAST(FLOOR(doc_id / 100.0) AS BIGINT) % 5
+      WHEN 0 THEN 'https://example' || CAST(doc_id % 100 % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://EXAMPLE' || CAST(doc_id % 100 % 7 AS VARCHAR)
+                  || '.COM:443/page/' || CAST(doc_id % 100 AS VARCHAR) || '#frag'
+      WHEN 2 THEN 'https://www.example' || CAST(doc_id % 100 % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '/'
+      WHEN 3 THEN 'https://example' || CAST(doc_id % 100 % 7 AS VARCHAR)
+                  || '.com/page/' || CAST(doc_id % 100 AS VARCHAR)
+                  || '?utm_source=x&b=2&a=1'
+      ELSE 'https://example' || CAST(doc_id % 100 % 7 AS VARCHAR)
+           || '.com/page/' || CAST(doc_id % 100 AS VARCHAR) || '?a=1&b=2'
+    END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(trim(url), '#.*$', '') AS u
+  FROM urls
+),
+p2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest
+  FROM parts
+),
+p3 AS (
+  SELECT doc_id, url, scheme, rest,
+         lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport
+  FROM p2
+),
+p4 AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+              ELSE regexp_replace(hostport, '^www\.', '') END AS host,
+         substr(rest, length(hostport) + 1) AS pathq
+  FROM p3
+),
+p5 AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_extract(pathq, '^([^?]*)', 1) AS path,
+         CASE WHEN contains(pathq, '?')
+              THEN substr(pathq, length(regexp_extract(pathq, '^([^?]*)', 1)) + 2)
+              ELSE '' END AS query
+  FROM p4
+),
+p6 AS (
+  SELECT doc_id, url, scheme, host,
+         CASE WHEN path IN ('', '/') THEN ''
+              ELSE regexp_replace(path, '/$', '') END AS path_n,
+         -- array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+         -- array_join gives '') — coalesce to keep the concat non-NULL
+         COALESCE(array_to_string(list_sort(list_filter(
+             string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_')
+                  AND NOT starts_with(x, 'fbclid')
+                  AND NOT starts_with(x, 'gclid')
+                  AND NOT starts_with(x, 'ref='))), '&'), '') AS sorted_q
+  FROM p5
+),
+canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host || path_n
+         || CASE WHEN sorted_q = '' THEN '' ELSE '?' || sorted_q END
+         AS canonical_url
+  FROM p6
+)
+SELECT canonical_url, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_urls, COUNT(DISTINCT url) AS n_distinct_raw
+FROM canon GROUP BY canonical_url
 """
 
 
@@ -3091,6 +3210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         # --- (c) round-4 additions ---
         "exactsubstr_dedup": q_exactsubstr_dedup,
+        "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
@@ -3207,6 +3327,7 @@ def oracle_sql() -> dict[str, str]:
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
+        "url_dedup": _URL_DEDUP_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -102,6 +102,70 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     .cast("long").alias("n_removed")))
 
 
+# ---------------- tier 0: URL-level ----------------
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL — the key for URL-level dedup, the FIRST
+    stage of a crawl pipeline (RefinedWeb, Penedo et al. 2023 §3.1
+    dedups by URL before any content pass). Normalizations, all JVM
+    string expressions (reproducible in any SQL engine, no URL library):
+
+    - strip fragment (``#…``), surrounding whitespace
+    - lowercase scheme and host; drop a leading ``www.``
+    - drop default ports (``:80`` for http, ``:443`` for https)
+    - drop tracking params (``utm_*``, ``fbclid``, ``gclid``, ``ref=``)
+    - sort surviving query params (param order is not identity)
+    - drop a trailing slash on a non-root path; root path ``/`` ≡ none
+    """
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    pathq = F.substr(rest, F.length(hostport) + 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = (F.when(F.contains(pathq, F.lit("?")),
+                    F.substr(pathq, F.length(path) + 2))
+             .otherwise(F.lit("")))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "")
+        & ~x.startswith("utm_") & ~x.startswith("fbclid")
+        & ~x.startswith("gclid") & ~x.startswith("ref="))
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    path_n = (F.when(path.isin("", "/"), F.lit(""))
+              .otherwise(F.regexp_replace(path, "/$", "")))
+    return F.concat(
+        scheme, F.lit("://"), host, path_n,
+        F.when(sorted_q == "", F.lit(""))
+         .otherwise(F.concat(F.lit("?"), sorted_q)))
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per canonical URL: deterministic canonical (min) id, total
+    page count and distinct surface forms. Shuffle key is the canonical
+    string — bounded, never page content."""
+    return (df.groupBy(canonical_url(F.col(url_col)).alias("canonical_url"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct(url_col).alias("n_distinct_raw")))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep one (min-id) row per canonical URL — min-id semi-join, same
+    shape as ``exact_dedup`` so full rows never shuffle by URL."""
+    keep = (df.select(F.col(id_col),
+                      canonical_url(F.col(url_col)).alias("__cu"))
+            .groupBy("__cu").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 # ---------------- tier 1c: exact duplicated substrings ----------------
 
 def exact_substring_dedup(df: DataFrame, text_col: str = "text",

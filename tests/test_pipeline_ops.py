@@ -285,6 +285,42 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_url_canonicalization_and_dedup(spark):
+    """RefinedWeb-style URL dedup: case, default ports, www, fragments,
+    trailing slashes, tracking params and param order all collapse to
+    one canonical URL; genuinely different pages do not."""
+    from basic_data_fusion_spark.operators.dedup import (
+        canonical_url,
+        url_dedup,
+        url_dedup_groups,
+    )
+
+    rows = [
+        (1, "https://example.com/a/b?x=1&y=2"),
+        (2, "HTTPS://EXAMPLE.COM:443/a/b?y=2&x=1#sec"),       # dup of 1
+        (3, "https://www.example.com/a/b/?utm_source=s&x=1&y=2"),  # dup of 1
+        (4, "http://example.com:80/a/b?x=1&y=2"),             # http ≠ https
+        (5, "https://example.com/a/b?x=1&y=3"),               # different query
+        (6, "https://example.com/"),                          # root ≡ no path
+        (7, "https://example.com"),                           # dup of 6
+        (8, "https://example.com/a/b?gclid=g&fbclid=f&ref=r"),  # all tracking
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    canon = {r["doc_id"]: r["c"]
+             for r in df.select("doc_id",
+                                canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == "https://example.com/a/b?x=1&y=2"
+    assert canon[4] == "http://example.com/a/b?x=1&y=2" != canon[1]
+    assert canon[5] != canon[1]
+    assert canon[6] == canon[7] == "https://example.com"
+    assert canon[8] == "https://example.com/a/b"
+    groups = {r["canonical_url"]: r for r in url_dedup_groups(df).collect()}
+    g = groups["https://example.com/a/b?x=1&y=2"]
+    assert g["canonical_id"] == 1 and g["n_urls"] == 3 and g["n_distinct_raw"] == 3
+    kept = {r["doc_id"] for r in url_dedup(df).collect()}
+    assert kept == {1, 4, 5, 6, 8}
+
+
 def test_dsir_gumbel_sample_tilts_and_perturbs(spark):
     """Gumbel-top-k resampling: the sample still tilts hard toward the
     target (most of the 50 are English), but the Gumbel perturbation
