@@ -425,10 +425,15 @@ def grouped_k2_sql(table: str, group_col: str, value_col: str,
     d = f"({v} - m.mu)"
     return f"""
 WITH m AS (
+  -- K² is undefined below n=8 (kurtosis z-transform): filter here so the
+  -- intermediate z-formulas never see degenerate n — under ANSI SQL mode
+  -- (divide-by-zero = error, not NULL) small groups would otherwise
+  -- raise before the final mask could apply
   SELECT {g} AS grp, CAST(COUNT({v}) AS DOUBLE) AS n,
          ({fs(v, scale_mu)}) / COUNT({v}) AS mu
   FROM {table} WHERE {v} IS NOT NULL AND {g} IS NOT NULL
   GROUP BY {g}
+  HAVING COUNT({v}) >= 8
 ),
 mom AS (
   SELECT m.grp, m.n, m.mu,
@@ -485,7 +490,7 @@ zk AS (
   FROM zk_in
 )
 SELECT grp AS {g}, CAST(n AS BIGINT) AS n, mu AS mean,
-       CASE WHEN n >= 8 THEN ROUND(z_skew * z_skew + z_kurt * z_kurt, 6) END AS k2,
-       CASE WHEN n >= 8 THEN ROUND(EXP(-(z_skew * z_skew + z_kurt * z_kurt) / 2.0), 9) END AS p_k2
+       ROUND(z_skew * z_skew + z_kurt * z_kurt, 6) AS k2,
+       ROUND(EXP(-(z_skew * z_skew + z_kurt * z_kurt) / 2.0), 9) AS p_k2
 FROM zk
 """

@@ -147,15 +147,43 @@ def kendall_tau_sample(df: DataFrame, col_a: str, col_b: str, max_n: int = 5000,
     n = len(a)
     if n < 2:
         return float("nan")
-    da = np.sign(a[:, None] - a[None, :])
-    db = np.sign(b[:, None] - b[None, :])
-    iu = np.triu_indices(n, k=1)
-    s = float((da[iu] * db[iu]).sum())          # C - D
-    ties_a = float((da[iu] == 0).sum())
-    ties_b = float((db[iu] == 0).sum())
-    n0 = n * (n - 1) / 2.0
-    denom = math.sqrt((n0 - ties_a) * (n0 - ties_b))
-    return s / denom if denom else float("nan")
+    # Knight's O(n log n) tau-b (the scipy.kendalltau structure): lexsort
+    # by (a, b), count discordant pairs as inversions of b, tie-correct.
+    # Peak memory is a handful of length-n arrays — the n×n sign-matrix
+    # approach peaked near 1 GB at max_n=5000.
+    perm = np.lexsort((b, a))
+    a, b = a[perm], b[perm]
+
+    def _tie_term(groups: np.ndarray) -> int:
+        cnt = np.diff(np.nonzero(np.r_[True, groups, True])[0])
+        return int((cnt * (cnt - 1) // 2).sum())
+
+    tot = n * (n - 1) // 2
+    n_a = _tie_term(a[1:] != a[:-1])
+    n_ab = _tie_term((a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+    bs = np.sort(b)
+    n_b = _tie_term(bs[1:] != bs[:-1])
+    # discordant pairs: i<j (lexsorted) with b[i] > b[j] — Fenwick-tree
+    # inversion count over rank-compressed b (within-equal-a runs are
+    # b-ascending, so they contribute no inversions, as required)
+    ranks = np.searchsorted(bs[np.r_[True, bs[1:] != bs[:-1]]], b) + 1
+    m = int(ranks.max())
+    tree = np.zeros(m + 1, dtype=np.int64)
+    dis = 0
+    for i, r in enumerate(ranks):
+        k = int(r)
+        le = 0                      # seen values with rank <= r
+        while k > 0:
+            le += int(tree[k])
+            k -= k & (-k)
+        dis += i - le               # seen values strictly greater
+        k = int(r)
+        while k <= m:
+            tree[k] += 1
+            k += k & (-k)
+    con_minus_dis = tot - n_a - n_b + n_ab - 2 * dis
+    denom = math.sqrt(float(tot - n_a)) * math.sqrt(float(tot - n_b))
+    return con_minus_dis / denom if denom else float("nan")
 
 
 def _bounded_sample(df: DataFrame, max_n: int, seed: int) -> DataFrame:
@@ -269,7 +297,11 @@ def _kurtosistest_z(vals) -> float:
 def dagostino_k2(vals) -> tuple[float, float]:
     """D'Agostino-Pearson omnibus K² and its p-value (χ², 2 dof — whose
     survival function is exactly exp(-K²/2), so NO scipy is needed).
-    Identical formulas to ``scipy.stats.normaltest``."""
+    Identical formulas to ``scipy.stats.normaltest``. Requires n ≥ 8
+    (the kurtosis z-transform is undefined below) — smaller samples
+    return (nan, nan) instead of a division/domain error."""
+    if len(vals) < 8:
+        return (float("nan"), float("nan"))
     zs, zk = _skewtest_z(vals), _kurtosistest_z(vals)
     k2 = zs * zs + zk * zk
     return k2, math.exp(-k2 / 2.0)
@@ -438,13 +470,13 @@ def density_heatmap_2d(df: DataFrame, col_x: str, col_y: str,
 # ---------------- T10: uniform sampling ----------------
 
 def uniform_sample(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
-    """Seeded sample of ~n rows (reference: statistics.py:430-434 uses
-    pandas df.sample(n, random_state=42); Spark's fraction-based sample is
-    the distributed analogue — exact-n via limit)."""
-    total = df.count()
-    if total <= n:
-        return df
-    return df.sample(fraction=min(1.0, 1.05 * n / total), seed=seed).limit(n)
+    """Seeded uniform sample of exactly min(n, |df|) rows (reference:
+    statistics.py:430-434 uses pandas df.sample(n, random_state=42)).
+    Count-free and fully lazy: seeded-rand key + global top-n, which
+    Spark executes as TakeOrderedAndProject (per-partition top-n, n-row
+    driver merge — no standalone count job, no full sort). The previous
+    fraction-based form ran an eager df.count() per profiling sample."""
+    return df.orderBy(F.rand(seed)).limit(n)
 
 
 def grouped_normality(df: DataFrame, group_col: str, value_col: str,

@@ -552,7 +552,7 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
 
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", level: int = 6,
-                      rows_per_batch: int = 256) -> DataFrame:
+                      rows_per_batch: int | None = None) -> DataFrame:
     """Per-document zlib compression ratio — the entropy-proxy quality
     signal (Gopher, Rae et al. 2021 §A1.1 filters on it: highly
     compressible text is repetitive boilerplate, incompressible text is
@@ -564,6 +564,13 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     compressed/raw bytes of UTF-8 text; NULL text → ratio NULL.
     Deterministic: zlib at a fixed level is stable across platforms for
     identical input bytes.
+
+    ``rows_per_batch`` is None by default — text rows are small, so the
+    session's Arrow batch size is fine (unlike the multimodal codecs,
+    whose megabyte payloads need tiny batches). Passing a value sets
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` SESSION-WIDE (the
+    conf is read at execution time, so a set-then-restore would not
+    reach the executors) — callers own that tradeoff explicitly.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -573,8 +580,9 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     )
 
     spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(rows_per_batch))
+    if rows_per_batch is not None:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(rows_per_batch))
     schema = StructType([
         StructField(id_col, LongType()),
         StructField("n_bytes", LongType()),

@@ -151,10 +151,15 @@ def validate_spec(spec: QuerySpec, catalog) -> tuple[QuerySpec, list[str]]:
         else:
             warnings.append(f"Unknown table '{t}' removed from spec")
 
+    # copy every mutable member so the cleaned spec is independent of the
+    # imported one (mutating either afterwards must not leak into the other)
     demo = DemographicFilters(
-        age_range=spec.demographic.age_range,
-        substudies=spec.demographic.substudies,
-        sessions=spec.demographic.sessions)
+        age_range=(tuple(spec.demographic.age_range)
+                   if spec.demographic.age_range is not None else None),
+        substudies=(list(spec.demographic.substudies)
+                    if spec.demographic.substudies is not None else None),
+        sessions=(list(spec.demographic.sessions)
+                  if spec.demographic.sessions is not None else None))
     ar = demo.age_range
     if ar is not None:
         if len(tuple(ar)) != 2:
@@ -174,7 +179,9 @@ def validate_spec(spec: QuerySpec, catalog) -> tuple[QuerySpec, list[str]]:
             warnings.append(
                 f"Filter on unknown column '{bf.table}.{bf.column}' dropped")
             continue
-        behavioral.append(bf)
+        behavioral.append(BehavioralFilter(
+            table=bf.table, column=bf.column, filter_type=bf.filter_type,
+            value=list(bf.value) if isinstance(bf.value, list) else bf.value))
 
     selected: dict[str, list[str]] = {}
     for t, cols in spec.selected_columns.items():

@@ -125,3 +125,13 @@ def test_validate_spec_drops_stale_pieces(spark):
                    selected_columns={"orders": ["o_orderkey"]})
     clean2, w2 = validate_spec(ok, cat)
     assert w2 == [] and clean2.tables == ["orders"]
+    # the cleaned spec owns COPIES of every mutable member: mutating the
+    # imported spec afterwards must not leak into the validated one
+    ok.tables.append("lineitem")
+    ok.demographic.substudies = ["mutated"]
+    ok.behavioral[0].value.append("F")
+    ok.selected_columns["orders"].append("o_totalprice")
+    assert clean2.tables == ["orders"]
+    assert clean2.demographic.substudies is None
+    assert clean2.behavioral[0].value == ["O"]
+    assert clean2.selected_columns == {"orders": ["o_orderkey"]}

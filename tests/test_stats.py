@@ -131,6 +131,22 @@ def test_kendall_tau_unconditional(num_df):
             [(float(i), float(i * 2)) for i in range(50)], "x double, y double"),
         "x", "y")
     assert one == pytest.approx(1.0)
+    # heavy ties: the O(n log n) fallback must match the direct O(n²)
+    # tau-b definition including tie corrections
+    vals = [(float(i % 5), float((i * 7) % 3)) for i in range(200)]
+    ta = np.array([v[0] for v in vals])
+    tb = np.array([v[1] for v in vals])
+    m = len(ta)
+    da2 = np.sign(ta[:, None] - ta[None, :])
+    db2 = np.sign(tb[:, None] - tb[None, :])
+    iu2 = np.triu_indices(m, k=1)
+    s2 = float((da2[iu2] * db2[iu2]).sum())
+    m0 = m * (m - 1) / 2.0
+    den2 = ((m0 - float((da2[iu2] == 0).sum()))
+            * (m0 - float((db2[iu2] == 0).sum()))) ** 0.5
+    tied = stats.kendall_tau_sample(
+        df.sparkSession.createDataFrame(vals, "x double, y double"), "x", "y")
+    assert tied == pytest.approx(s2 / den2, abs=1e-9)
 
 
 def test_scipy_gated_paths_raise_cleanly(num_df):
@@ -187,6 +203,30 @@ def test_grouped_k2_sql_tier_matches_python(spark):
         assert rows[seg]["k2"] == pytest.approx(k2, abs=2e-6)
         assert rows[seg]["p_k2"] == pytest.approx(p, abs=2e-9)
         assert rows[seg]["n"] == len(vals)
+
+
+def test_grouped_k2_small_groups_ansi_safe(spark):
+    """Groups below n=8 are filtered in the FIRST CTE, so the z-transform
+    chain never sees degenerate n — no DIVIDE_BY_ZERO under ANSI mode —
+    and dagostino_k2 returns (nan, nan) for small samples instead of
+    raising."""
+    from basic_data_fusion_spark.operators.deterministic_sql import grouped_k2_sql
+
+    rows = [("big", float(i % 13) + 0.1 * (i % 7)) for i in range(40)] + \
+           [("tiny", 1.0), ("tiny", 2.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    df.createOrReplaceTempView("k2small")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = {r["g"]: r for r in
+               spark.sql(grouped_k2_sql("k2small", "g", "x")).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert "tiny" not in out
+    assert out["big"]["k2"] is not None
+    k2, p = stats.dagostino_k2([1.0, 2.0, 3.0])
+    assert math.isnan(k2) and math.isnan(p)
 
 
 def test_dagostino_matches_scipy_when_present(num_df):
