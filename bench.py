@@ -74,6 +74,12 @@ HEADLINE = [
     "temperature_mix",       # XLM-R alpha source rebalancing draw
     "dsir_top_docs",         # DSIR top-k resample over importance weights
     "grouped_normality_k2",  # grouped D'Agostino K^2, deterministic SQL tier
+
+    # new operators in round 4 (absent from BENCH_r03 and earlier)
+    "exactsubstr_dedup",     # ExactSubstr span dedup, md5 window keys
+    "url_dedup",             # URL canonicalization + canonical-key groups
+    "dsir_gumbel_sample",    # Gumbel-top-k DSIR resample
+    "pareto_quality_sample",  # GPT-3 Pareto keep/drop over quality scores
 ]
 
 
