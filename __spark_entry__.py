@@ -653,6 +653,157 @@ FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
 """
 
 
+def q_stupid_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid Backoff LM scoring (Brants et al. 2007): counts from
+    the deterministic md5-nibble train half, mean −ln S(w2|w1) over every
+    doc's bigrams with α-backoff to unigram and an α²/N OOV floor — the
+    CCNet statistical-LM perplexity filter, distributed. Instance scores
+    quantized to 8-dp integers before the per-doc sum → bit-deterministic
+    oracle."""
+    from basic_data_fusion_spark.operators.text import stupid_backoff_lm
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return stupid_backoff_lm(docs)
+
+
+_STUPID_BACKOFF_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+train AS (
+  SELECT * FROM t
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM train) GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM train)),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM train, UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_id,
+         CASE WHEN b.c2 IS NOT NULL
+                THEN CAST(b.c2 AS DOUBLE) / u1.c1
+              WHEN u2.c1 IS NOT NULL AND tot.n > 0
+                THEN CAST(0.4 AS DOUBLE) * CAST(u2.c1 AS DOUBLE) / tot.n
+              WHEN tot.n > 0
+                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) / tot.n
+         END AS s
+  FROM inst i
+  LEFT JOIN big b ON b.w1 = i.w1 AND b.w2 = i.w2
+  LEFT JOIN uni u1 ON u1.w = i.w1
+  LEFT JOIN uni u2 ON u2.w = i.w2
+  CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(ROUND(-ln(s) * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT)) AS ss
+  FROM scored GROUP BY 1
+)
+SELECT doc.doc_id,
+       COALESCE(d.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            ELSE (CAST(d.ss AS DOUBLE) / CAST(100000000.0 AS DOUBLE))
+                 / d.n_bigrams END AS mean_neg_log_score
+FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    §4.3): per-language NTILE(3) over the unigram-LM surprisal under the
+    total order (mean_surprisal, doc_id) — the selection cut CCNet uses to
+    keep head+middle and drop tail."""
+    from basic_data_fusion_spark.operators.text import perplexity_buckets
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return perplexity_buckets(docs)
+
+
+def _perplexity_buckets_oracle() -> str:
+    return f"""
+WITH s AS ({_LM_SURPRISAL_ORACLE})
+SELECT s.doc_id, d.lang, s.mean_surprisal,
+       CAST(NTILE(3) OVER w AS INT) AS bucket,
+       CASE NTILE(3) OVER w WHEN 1 THEN 'head'
+                            WHEN 2 THEN 'middle'
+                            ELSE 'tail' END AS bucket_label
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+WHERE s.mean_surprisal IS NOT NULL
+WINDOW w AS (PARTITION BY d.lang ORDER BY s.mean_surprisal, s.doc_id)
+"""
+
+
+BM25_QUERY_TERMS = ["spark", "query", "join"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval over documents for a fixed term bag — the
+    full-text retrieval primitive next to the ANN surface. Per-(doc,term)
+    contributions quantized to 8-dp integers before the per-doc sum; the
+    top-k order is the total order (score, doc_id)."""
+    from basic_data_fusion_spark.operators.text import bm25_topk
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
+_BM25_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM base),
+tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM base)
+  WHERE token IN ('spark', 'query', 'join')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(CAST(1.0 AS DOUBLE)
+              + (stats.n_docs - dfreq.df_t + CAST(0.5 AS DOUBLE))
+                / (dfreq.df_t + CAST(0.5 AS DOUBLE)))
+           * CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+           / (tf.tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * tf.dl
+                   / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs)))
+           * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT) AS c_int
+  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_terms_matched, SUM(c_int) AS s
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_terms_matched,
+       CAST(s AS DOUBLE) / CAST(100000000.0 AS DOUBLE) AS bm25_score
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 16-way training-shard plan: md5-nibble routing +
     reproducible within-shard order — the engine-portable global shuffle
@@ -3213,6 +3364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
+        "stupid_backoff_lm": q_stupid_backoff_lm,
+        "perplexity_buckets": q_perplexity_buckets,
+        "bm25_search": q_bm25_search,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3328,6 +3482,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
+        "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
+        "perplexity_buckets": _perplexity_buckets_oracle(),
+        "bm25_search": _BM25_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -610,3 +610,166 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
 
     return (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(id_col, text_col).mapInPandas(run, schema))
+
+
+def stupid_backoff_lm(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", alpha: float = 0.4,
+                      train_nibbles: int = 8) -> DataFrame:
+    """Bigram Stupid Backoff LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" §4): per-document mean
+    −ln S(w_i | w_{i-1}) where::
+
+        S(w2 | w1) = c2(w1,w2) / c1(w1)          if the bigram was seen
+                   = α · c1(w2) / N              else if w2 was seen
+                   = α² / N                      else (OOV floor)
+
+    This is the distributed statistical-LM perplexity filter of CCNet
+    (Wenzek et al. 2019) with the corpus's own held-out half standing in
+    for the external KenLM: counts come ONLY from the deterministic
+    md5-nibble train half (first hex nibble of ``md5(id)`` <
+    ``train_nibbles`` of 16), so the backoff paths actually fire on the
+    scored half instead of being vacuously seen. Extends the reference's
+    statistics surface (analysis/statistics.py) to LM-based corpus
+    filtering — the reference has no LM scoring.
+
+    Bit-determinism across engines: each instance's −ln S is quantized to
+    an 8-dp INTEGER before any cross-row reduction (same idiom as
+    ``lm_surprisal``); Stupid Backoff needs no normalization, so every
+    score is a ratio of exact integer counts.
+
+    Plan: one tokenize pass feeds both the bigram instance table (all
+    docs) and the train-half count tables; instances LEFT JOIN the bigram
+    and unigram count tables (AQE picks broadcast when the measured vocab
+    is small — a web-scale bigram table is unbounded, so no explicit
+    hint), then ONE per-doc aggregation. Docs with <2 tokens score NULL
+    with ``n_bigrams`` 0.
+    """
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks")))
+    pair_expr = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks)-2),"
+               " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+    inst = (base.select(id_col, F.explode(pair_expr).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    nib = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 1), 16, 10).cast("int")
+    train = base.filter(nib < F.lit(int(train_nibbles)))
+    train_inst = train.select(F.explode("toks").alias("w"))
+    uni = train_inst.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = train_inst.agg(F.count(F.lit(1)).alias("n"))
+    big = (train.select(F.explode(pair_expr).alias("p"))
+           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("c2")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    # every division is CASE-guarded so an empty train half (n = 0) yields
+    # NULL scores instead of an ANSI DIVIDE_BY_ZERO; path 1's denominator
+    # c1_w1 >= 1 whenever the bigram was seen
+    s = (F.when(F.col("c2").isNotNull(),
+                F.col("c2").cast("double") / F.col("c1_w1"))
+         .when(F.col("c1_w2").isNotNull() & (F.col("n") > 0),
+               F.lit(alpha) * F.col("c1_w2").cast("double") / F.col("n"))
+         .when(F.col("n") > 0, F.lit(alpha) * F.lit(alpha) / F.col("n")))
+    s_int = F.round(-F.log(s) * F.lit(1e8), 0).cast("bigint")
+    scored = (inst
+              .join(big, ["w1", "w2"], "left")
+              .join(u1, "w1", "left")
+              .join(u2, "w2", "left")
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   F.sum(s_int).alias("__ss")))
+    out = scored.select(
+        F.col(id_col), "n_bigrams",
+        ((F.col("__ss").cast("double") / F.lit(1e8)) / F.col("n_bigrams"))
+        .alias("mean_neg_log_score"))
+    empties = (df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col), F.lit(0).cast("long").alias("n_bigrams"),
+                       F.lit(None).cast("double").alias("mean_neg_log_score")))
+    return out.union(empties)
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): within
+    each language, rank documents by their statistical-LM score and cut
+    into equal-sized buckets — ``head`` (most fluent third), ``middle``,
+    ``tail``. CCNet keeps head+middle for pretraining and drops tail.
+
+    Composes ``lm_surprisal`` with an NTILE window under the total order
+    (mean_surprisal, id) so the cut is exactly reproducible cross-engine;
+    docs with no tokens (NULL surprisal) are excluded rather than riding
+    on engine-specific NULL ordering. The window shuffles once on the
+    language key; per-language partitions are only as big as the corpus
+    slice, and at 100 TB the same shape runs per language shard.
+    """
+    scored = (lm_surprisal(df, text_col=text_col, id_col=id_col)
+              .filter(F.col("mean_surprisal").isNotNull())
+              .join(df.select(id_col, lang_col), id_col))
+    w = Window.partitionBy(lang_col).orderBy("mean_surprisal", id_col)
+    nt = F.ntile(int(n_buckets)).over(w)
+    bucket_label = F.when(nt == 1, F.lit("head"))
+    for i in range(2, int(n_buckets)):
+        bucket_label = bucket_label.when(nt == i, F.lit("middle"))
+    bucket_label = bucket_label.otherwise(F.lit("tail"))
+    return (scored.select(F.col(id_col), F.col(lang_col),
+                          F.col("mean_surprisal"),
+                          nt.alias("bucket"),
+                          bucket_label.alias("bucket_label")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str],
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 full-text retrieval (Robertson & Zaragoza 2009; idf per
+    Lucene's non-negative variant): score every document against a bag of
+    query terms and return the top ``k``::
+
+        score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+                       · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Extends the engine with the retrieval primitive every RAG/eval corpus
+    pipeline needs next to ANN search — the reference has no text
+    retrieval. Only rows containing ≥1 query term survive the explode
+    filter, so the per-term table is bounded by |query| · N_matching, not
+    the corpus token count; corpus stats (N, total length) ride in a
+    1-row broadcast. Bit-determinism: the per-(doc,term) contribution is
+    quantized to an 8-dp INTEGER before the per-doc sum, and the top-k
+    order is the total order (score_int DESC, id) — ties never depend on
+    partition layout. Top-k itself is the sort-limit partial top-k (no
+    global sort materializes).
+    """
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks"))
+            .withColumn("dl", F.size("toks")))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("total_dl"))
+    terms = sorted(set(query_terms))
+    tf = (base.select(id_col, "dl", F.explode("toks").alias("token"))
+          .filter(F.col("token").isin(terms))
+          .groupBy(id_col, "dl", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    contrib = (idf * F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))
+               / (F.col("tf") + F.lit(k1)
+                  * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)))
+    c_int = F.round(contrib * F.lit(1e8), 0).cast("bigint")
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+                   F.sum(c_int).alias("__s")))
+    return (scored
+            .orderBy(F.col("__s").desc(), F.col(id_col))
+            .limit(int(k))
+            .select(F.col(id_col), "n_terms_matched",
+                    (F.col("__s").cast("double") / F.lit(1e8)).alias("bm25_score")))

@@ -80,6 +80,9 @@ HEADLINE = [
     "url_dedup",             # URL canonicalization + canonical-key groups
     "dsir_gumbel_sample",    # Gumbel-top-k DSIR resample
     "pareto_quality_sample",  # GPT-3 Pareto keep/drop over quality scores
+    "stupid_backoff_lm",     # bigram Stupid Backoff LM scoring (CCNet filter)
+    "perplexity_buckets",    # CCNet head/middle/tail NTILE cut per language
+    "bm25_search",           # BM25 top-k retrieval over documents
 ]
 
 

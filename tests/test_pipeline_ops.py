@@ -834,3 +834,131 @@ def test_strip_high_df_tokens_all_banned(spark):
            text.strip_high_df_tokens(docs, max_df_frac=0.5).collect()}
     for i in (1, 2, 3):
         assert out[i]["clean_text"] == "" and out[i]["n_removed"] == 1
+
+
+def test_stupid_backoff_paths_match_reference(spark):
+    """All three Stupid Backoff paths (seen bigram / unigram backoff / OOV
+    floor) fire on a planted corpus and match a pure-Python reference."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.operators.text import stupid_backoff_lm
+
+    # ids 0..15 → first md5 nibble decides train membership, same rule as
+    # the operator; craft texts so the scored half has unseen bigrams/words
+    rows = [(i, "a b c a b") if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 8
+            else (i, "a b zzz qqq") for i in range(16)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in stupid_backoff_lm(df).collect()}
+
+    train_ids = [i for i in range(16)
+                 if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 8]
+    assert train_ids and len(train_ids) < 16
+    # python reference over the same split
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    n = 0
+    for i in train_ids:
+        toks = rows[i][1].split()
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+            n += 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+
+    def score(w1, w2):
+        if (w1, w2) in big:
+            return big[(w1, w2)] / uni[w1]
+        if w2 in uni:
+            return 0.4 * uni[w2] / n
+        return 0.4 * 0.4 / n
+
+    for i, text in rows:
+        toks = text.split()
+        pairs = list(zip(toks, toks[1:]))
+        ss = sum(int(round(-math.log(score(a, b)) * 1e8)) for a, b in pairs)
+        expect = (ss / 1e8) / len(pairs)
+        assert out[i]["n_bigrams"] == len(pairs)
+        assert abs(out[i]["mean_neg_log_score"] - expect) < 1e-9, (i, text)
+    # the held-out text exercises backoff: ("b","zzz") OOV-floor path and
+    # ("zzz","qqq") floor, plus seen ("a","b")
+    held = [i for i in range(16) if i not in train_ids]
+    assert any(out[i]["mean_neg_log_score"] > out[j]["mean_neg_log_score"]
+               for i in held for j in train_ids)
+
+
+def test_stupid_backoff_short_docs_null(spark):
+    from basic_data_fusion_spark.operators.text import stupid_backoff_lm
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "two tokens")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in stupid_backoff_lm(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_bigrams"] == 0 and out[i]["mean_neg_log_score"] is None
+    assert out[4]["n_bigrams"] == 1
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from basic_data_fusion_spark.operators.text import perplexity_buckets
+
+    rows = [(i, " ".join(["common"] * 5 + [f"rare{i}"] * (i % 4)), "en")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(df).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # NTILE: bucket sizes differ by at most 1
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == 30
+    # head has uniformly lower-or-equal surprisal than tail
+    assert max(r["mean_surprisal"] for r in by_bucket[1]) <= \
+        min(r["mean_surprisal"] for r in by_bucket[3])
+    labels = {r["bucket"]: r["bucket_label"] for r in out}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from basic_data_fusion_spark.operators.text import bm25_topk
+
+    corpus = [
+        (0, "spark query join spark spark"),
+        (1, "query engine design"),
+        (2, "join order optimization join"),
+        (3, "unrelated words entirely here"),
+        (4, "spark"),
+        (5, ""),
+    ]
+    terms = ["spark", "join"]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = [(r["doc_id"], r["n_terms_matched"], r["bm25_score"])
+           for r in bm25_topk(df, terms, k=3).collect()]
+
+    docs = {i: t.split() for i, t in corpus}
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    k1, b = 1.2, 0.75
+    dfreq = {t: sum(1 for d in docs.values() if t in d) for t in terms}
+    scores = {}
+    for i, toks in docs.items():
+        s = 0
+        m = 0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += int(round(idf * tf * (k1 + 1.0)
+                           / (tf + k1 * (1 - b + b * len(toks) / avgdl)) * 1e8))
+        if m:
+            scores[i] = (m, s)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:3]
+    assert got == [(i, m, s / 1e8) for i, (m, s) in expect]
+    # doc 0 (3×spark + join ... ) must outrank the single-term docs
+    assert got[0][0] == 0
