@@ -914,6 +914,25 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, _ivf_centroids(), k=5, nprobe=3)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k (Jégou et al. 2011): corpus
+    vectors quantized to 16 one-byte codes, queries score via per-query
+    distance tables — the billion-scale ANN memory shape. Codebooks are
+    a deterministic pure function of the data (md5-ranked bounded sample,
+    seeded numpy Lloyd) but engine-specific → rows-only driver check;
+    recall vs exact L2 and a numpy differential are pytest-verified."""
+    from basic_data_fusion_spark.operators.similarity import (
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    books = train_pq_codebooks(emb, m=16, ksub=64, sample=1024, max_iter=8)
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_topk(emb, queries_df, books, k=5)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over documents-as-binary: payload → decode
     stats + feature vector via Arrow-batched mapInPandas. Deterministic
@@ -3367,6 +3386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_lm": q_stupid_backoff_lm,
         "perplexity_buckets": q_perplexity_buckets,
         "bm25_search": q_bm25_search,
+        "pq_topk": q_pq_topk,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,

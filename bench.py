@@ -83,6 +83,7 @@ HEADLINE = [
     "stupid_backoff_lm",     # bigram Stupid Backoff LM scoring (CCNet filter)
     "perplexity_buckets",    # CCNet head/middle/tail NTILE cut per language
     "bm25_search",           # BM25 top-k retrieval over documents
+    "pq_topk",               # IVF-PQ ADC top-k (16-byte codes, dist tables)
 ]
 
 

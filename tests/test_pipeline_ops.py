@@ -962,3 +962,63 @@ def test_bm25_matches_python_reference(spark):
     assert got == [(i, m, s / 1e8) for i, (m, s) in expect]
     # doc 0 (3×spark + join ... ) must outrank the single-term docs
     assert got[0][0] == 0
+
+
+def test_pq_encode_matches_numpy(spark):
+    """PQ codes from the JVM expression match a numpy argmin over the same
+    codebooks exactly (first-min tie-break)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(emb, m=8, ksub=16, sample=200,
+                                          max_iter=5)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    got = {r["vec_id"]: list(r["codes"])
+           for r in similarity.pq_encode(emb, books).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    b = np.array(books)  # m × ksub × dsub
+    for r in rows:
+        v = np.array(list(r["embedding"]), dtype=np.float64).reshape(8, 8)
+        expect = [int(((v[s][None, :] - b[s]) ** 2).sum(axis=1).argmin())
+                  for s in range(8)]
+        assert got[r["vec_id"]] == expect, r["vec_id"]
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=256, sample=500,
+                                          max_iter=8)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # exact-L2 ground truth (PQ/ADC approximates L2, not cosine)
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    bset = set()
+    for r in rows:
+        if r["vec_id"] >= 20:
+            continue
+        d2 = ((x - np.array(list(r["embedding"]))) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        for j in order[:3]:
+            bset.add((r["vec_id"], int(ids[j])))
+    pq = similarity.pq_topk(emb, q, books, k=3).collect()
+    pset = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    # 16 subspaces × 256 codes (the standard PQ shape): measured 0.82
+    # recall@3 vs exact L2 on this fixture; the bar leaves jitter room
+    assert len(pset & bset) / len(bset) >= 0.7
+    # deterministic across partitionings
+    again = similarity.pq_topk(emb.repartition(7), q, books, k=3).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in again} == \
+        {(r["query_id"], r["neighbor_id"], r["rank"]) for r in pq}
+
+
+def test_pq_codebooks_deterministic_and_bounded(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    b1 = similarity.train_pq_codebooks(emb, m=4, ksub=8, sample=100)
+    b2 = similarity.train_pq_codebooks(emb.repartition(5), m=4, ksub=8,
+                                       sample=100)
+    assert b1 == b2  # md5-ranked sample is partitioning-independent
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
