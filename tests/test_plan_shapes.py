@@ -131,3 +131,50 @@ def test_boilerplate_strip_broadcast_anti_join(spark):
     # the banned-token set must broadcast into the anti join — a shuffled
     # anti join on the token key would re-shuffle the whole corpus
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+
+
+def test_bm25_broadcasts_stats_and_dfreq(spark):
+    """BM25's corpus stats (1 row) and per-term df table (≤|query| rows)
+    must broadcast; only the tf explode shuffles. The final top-k must be
+    the sort-limit partial top-k, not a global sort materialization."""
+    df = entrymod.queries()["bm25_search"](spark, SF0001)
+    plan = _final_plan(df)
+    assert plan.count("BroadcastExchange") >= 2, "dfreq + stats should broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-k should be partial, not a full sort"
+
+
+def test_stupid_backoff_no_python_and_joins(spark):
+    """The LM scoring pipeline is pure JVM expressions (no
+    Python/Arrow evaluators in the hot path); count tables join via
+    shuffle or broadcast as AQE decides — never a nested-loop."""
+    df = entrymod.queries()["stupid_backoff_lm"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row total rides a broadcast nested-loop join by construction
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_encode_no_shuffle_after_repartition(spark):
+    """PQ encoding is a per-row projection: exactly the one repartition
+    round-robin exchange (single-file source spread), zero aggregate or
+    join exchanges, and no Python evaluators — the codebook literal is
+    constant-folded into the plan."""
+    from basic_data_fusion_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, ksub=16, sample=128, max_iter=2)
+    df = pq_encode(emb, books)
+    plan = _final_plan(df)
+    # AdaptiveSparkPlan.toString prints final + initial sections, so the
+    # single round-robin exchange appears once per section; what matters
+    # is that NO hash/single-partition exchange (agg or join shuffle)
+    # exists anywhere
+    assert "RoundRobinPartitioning" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
