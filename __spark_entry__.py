@@ -2975,6 +2975,165 @@ GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
 
 
+def q_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlated-MIN decoration (TPC-H Q2 shape, adapted to
+    the schema's lineitem as the part-supplier relation): for each small
+    part, the supplier(s) shipping it at the minimum unit price, decorated
+    with supplier nation. Decorrelated into one grouped MIN + join-back on
+    (part, exact min); unit price is a single raw-column division so the
+    equality matches bit-for-bit on any engine; all ties returned (the
+    driver's compare is order-insensitive). Part/supplier/nation dims
+    broadcast; the only shuffle is the grouped MIN on the part key."""
+    cat = _catalog(spark, sf_dir)
+    part = (cat.load("part").where(F.col("p_size") <= 10)
+            .select("p_partkey", "p_name", "p_brand"))
+    li = (cat.load("lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .select("p_partkey", "p_name", "p_brand", "l_suppkey",
+                  (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")))
+    mins = li.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("unit_price").alias("min_unit_price"))
+    sup = cat.load("supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = cat.load("nation").select("n_nationkey", "n_name")
+    return (li.join(mins, (F.col("p_partkey") == F.col("__pk"))
+                    & (F.col("unit_price") == F.col("min_unit_price")))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("p_partkey", "p_name", "p_brand", "s_suppkey", "s_name",
+                    F.col("n_name").alias("supp_nation"), "min_unit_price")
+            .distinct())
+
+
+_CHEAPEST_SUPPLIER_ORACLE = """
+WITH li AS (
+  SELECT p_partkey, p_name, p_brand, l_suppkey,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10
+),
+mins AS (
+  SELECT p_partkey AS pk, MIN(unit_price) AS min_unit_price
+  FROM li GROUP BY 1
+)
+SELECT DISTINCT li.p_partkey, li.p_name, li.p_brand, li.l_suppkey AS s_suppkey,
+       s.s_name, n.n_name AS supp_nation, m.min_unit_price
+FROM li
+JOIN mins m ON li.p_partkey = m.pk AND li.unit_price = m.min_unit_price
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × ship year (TPC-H Q9 shape; supply cost
+    proxied at 60% of retail price — the schema has no partsupp): 5-way
+    snowflake where lineitem ⋈ supplier/part/nation all broadcast except
+    the fact scan; LIKE filter evaluates on the broadcast part dimension
+    before the build side ships. Profit summed fixed-point."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    part = (cat.load("part").where(F.col("p_name").like("%small%"))
+            .select("p_partkey", "p_retailprice"))
+    sup = cat.load("supplier").select("s_suppkey", "s_nationkey")
+    nat = cat.load("nation").select("n_nationkey", "n_name")
+    li = cat.load("lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").cast("long").alias("o_year"))
+            .agg(fixed_point_sum(profit, scale=100).alias("sum_profit")))
+
+
+_PRODUCT_TYPE_PROFIT_ORACLE = """
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)
+                       - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity)
+                      * 100.0, 0) AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%small%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+def q_priority_shipping_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional two-band aggregation (TPC-H Q12 shape; lateness bands
+    stand in for ship modes): lineitems shipped ≤/＞ 30 days after the
+    order date, counting urgent/high-priority vs lower-priority orders in
+    each band — CASE-WHEN counters folded into ONE aggregation after the
+    single fact-fact shuffle join."""
+    cat = _catalog(spark, sf_dir)
+    li = cat.load("lineitem").select("l_orderkey", "l_shipdate")
+    orders = cat.load("orders").select("o_orderkey", "o_orderdate",
+                                       "o_orderpriority")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.when(late, F.lit("late")).otherwise(F.lit("ontime"))
+                     .alias("ship_band"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+_PRIORITY_BANDS_ORACLE = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'late' ELSE 'ontime' END AS ship_band,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_bulk_suppliers_for_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-join chain (TPC-H Q20 shape): suppliers who shipped
+    more than 80 units of any 'small' part, decorated with nation. Inner
+    IN → broadcast semi on the part filter; middle HAVING → grouped sum
+    on (part, supplier) with the threshold applied before any join back;
+    outer IN → semi join into supplier. Quantities are integer-valued
+    doubles — cast to BIGINT so the grouped sum is exact on any engine.
+    No fact columns survive past the chain; only supplier keys shuffle."""
+    cat = _catalog(spark, sf_dir)
+    part = (cat.load("part").where(F.col("p_name").like("small%"))
+            .select("p_partkey"))
+    li = cat.load("lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    bulk_keys = (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+                 .groupBy("l_partkey", "l_suppkey")
+                 .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q"))
+                 .filter(F.col("__q") > 80)
+                 .select("l_suppkey").distinct())
+    sup = cat.load("supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = cat.load("nation").select("n_nationkey", "n_name")
+    return (sup.join(bulk_keys, F.col("s_suppkey") == F.col("l_suppkey"),
+                     "left_semi")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation")))
+
+
+_BULK_SUPPLIERS_ORACLE = """
+SELECT s_suppkey, s_name, n_name AS supp_nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 80
+)
+"""
+
+
 def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling tier: deterministic top-50 docs by importance
     weight (weight desc, id asc) — the selection step downstream of
@@ -3387,6 +3546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "bm25_search": q_bm25_search,
         "pq_topk": q_pq_topk,
+        "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "product_type_profit": q_product_type_profit,
+        "priority_shipping_bands": q_priority_shipping_bands,
+        "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3505,6 +3668,10 @@ def oracle_sql() -> dict[str, str]:
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),
         "bm25_search": _BM25_ORACLE,
+        "cheapest_supplier_per_part": _CHEAPEST_SUPPLIER_ORACLE,
+        "product_type_profit": _PRODUCT_TYPE_PROFIT_ORACLE,
+        "priority_shipping_bands": _PRIORITY_BANDS_ORACLE,
+        "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -84,6 +84,10 @@ HEADLINE = [
     "perplexity_buckets",    # CCNet head/middle/tail NTILE cut per language
     "bm25_search",           # BM25 top-k retrieval over documents
     "pq_topk",               # IVF-PQ ADC top-k (16-byte codes, dist tables)
+    "cheapest_supplier_per_part",  # Q2 shape: grouped-min + join-back
+    "product_type_profit",   # Q9 shape: 5-way broadcast snowflake profit
+    "priority_shipping_bands",  # Q12 shape: one-pass conditional bands
+    "bulk_suppliers_for_parts",  # Q20 shape: nested semi-join chain
 ]
 
 

@@ -178,3 +178,23 @@ def test_pq_encode_no_shuffle_after_repartition(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_product_type_profit_all_dims_broadcast(spark):
+    """Q9 shape: the lineitem scan is the only non-broadcast side — part,
+    supplier, nation all ride BroadcastHashJoins; the LIKE filter must
+    prune the part dimension before broadcast (no Filter above the
+    join)."""
+    df = entrymod.queries()["product_type_profit"](spark, SF0001)
+    plan = _final_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bulk_suppliers_semi_chain(spark):
+    """Q20 shape: both IN levels must run as semi joins (no fan-out +
+    DISTINCT of supplier rows); the part filter side broadcasts."""
+    df = entrymod.queries()["bulk_suppliers_for_parts"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
