@@ -3134,6 +3134,93 @@ WHERE s_suppkey IN (
 """
 
 
+_INCR_BATCH_SOURCES = ("src0", "src1", "src2")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch dedup: the src0-2 slice plays the incoming
+    batch, everything else the standing corpus (reduced to a DISTINCT
+    hash index — the per-increment shape where history never re-shuffles).
+    Per new doc: keep + reason (dup_of_corpus / dup_in_batch / unique)."""
+    from basic_data_fusion_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    batch = docs.filter(F.col("source").isin(*_INCR_BATCH_SOURCES))
+    existing = docs.filter(~F.col("source").isin(*_INCR_BATCH_SOURCES))
+    return incremental_exact_dedup(existing, batch)
+
+
+_INCREMENTAL_DEDUP_ORACLE = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(lower(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')))) AS h
+  FROM documents
+),
+ex AS (SELECT DISTINCT h FROM fp WHERE source NOT IN ('src0', 'src1', 'src2')),
+nw AS (SELECT doc_id, h FROM fp WHERE source IN ('src0', 'src1', 'src2')),
+bm AS (SELECT h, MIN(doc_id) AS min_id FROM nw GROUP BY 1)
+SELECT nw.doc_id,
+       (CASE WHEN ex.h IS NOT NULL THEN 'dup_of_corpus'
+             WHEN nw.doc_id <> bm.min_id THEN 'dup_in_batch'
+             ELSE 'unique' END = 'unique') AS keep,
+       CASE WHEN ex.h IS NOT NULL THEN 'dup_of_corpus'
+            WHEN nw.doc_id <> bm.min_id THEN 'dup_in_batch'
+            ELSE 'unique' END AS reason
+FROM nw
+JOIN bm ON nw.h = bm.h
+LEFT JOIN ex ON nw.h = ex.h
+"""
+
+
+_MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly: published-style mixture weights
+    (30/20/20/10% for four named sources, 2% each for the rest via the
+    default) realized as deterministic per-source keep rates against a
+    10k-token budget — the GPT-3/LLaMA mixture-table → per-document
+    keep-decision step."""
+    from basic_data_fusion_spark.operators.selection import token_budget_mix
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return token_budget_mix(docs, budget_tokens=10_000,
+                            weights=_MIX_WEIGHTS, default_weight=0.02)
+
+
+def _token_budget_mix_oracle() -> str:
+    hv = ("(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+          " * {p}::BIGINT")
+    hex8 = "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+    w_case = ("CASE source "
+              + " ".join(f"WHEN '{s}' THEN CAST({w} AS DOUBLE)"
+                         for s, w in sorted(_MIX_WEIGHTS.items()))
+              + " ELSE CAST(0.02 AS DOUBLE) END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+              ELSE len(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '')) END AS BIGINT) AS n_tokens
+  FROM documents
+),
+totals AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS T FROM base GROUP BY 1),
+rates AS (
+  SELECT source,
+         CASE WHEN T > 0
+              THEN LEAST(1.0, CAST(10000.0 AS DOUBLE) * ({w_case})
+                              / CAST(T AS DOUBLE))
+              ELSE CAST(1.0 AS DOUBLE) END AS keep_rate
+  FROM totals
+)
+SELECT b.doc_id, b.source, b.n_tokens, r.keep_rate,
+       (CAST({hex8} AS DOUBLE) / 4294967296.0) < r.keep_rate AS keep
+FROM base b JOIN rates r USING (source)
+"""
+
+
 def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling tier: deterministic top-50 docs by importance
     weight (weight desc, id asc) — the selection step downstream of
@@ -3550,6 +3637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_type_profit": q_product_type_profit,
         "priority_shipping_bands": q_priority_shipping_bands,
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
+        "incremental_dedup": q_incremental_dedup,
+        "token_budget_mix": q_token_budget_mix,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3672,6 +3761,8 @@ def oracle_sql() -> dict[str, str]:
         "product_type_profit": _PRODUCT_TYPE_PROFIT_ORACLE,
         "priority_shipping_bands": _PRIORITY_BANDS_ORACLE,
         "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
+        "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
+        "token_budget_mix": _token_budget_mix_oracle(),
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

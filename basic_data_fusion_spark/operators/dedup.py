@@ -586,3 +586,43 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                     hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+# ---------------- tier 1c: incremental (batch vs standing corpus) ----------------
+
+def incremental_exact_dedup(existing: DataFrame, new: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Dedup an INCOMING batch against a standing corpus — the shape every
+    crawl pipeline runs per increment (the standing side is an index of
+    content hashes, not documents; re-shuffling the historical corpus per
+    batch would be the scale killer). A new doc is dropped when its
+    normalized content hash matches the corpus index (``dup_of_corpus``)
+    or an earlier doc in the same batch (``dup_in_batch``, min-id wins);
+    otherwise ``unique``. Extends the reference's whole-upload duplicate
+    check (file_handling/upload.py:47-92) to incremental ingestion.
+
+    Returns one row per NEW doc: (id, keep, reason).
+
+    Scale shape: the corpus side reduces to DISTINCT 32-char hashes (the
+    index a real deployment persists between increments); the batch side
+    shuffles once on the hash for the within-batch min and once for the
+    left join against the index — document bodies never shuffle.
+    """
+    # NULL text ≡ empty text (the corpus-wide convention) — also keeps
+    # the hash join total: NULL keys would silently drop batch rows
+    idx = (existing.select(
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"))
+        .distinct())
+    hashed = new.select(
+        F.col(id_col),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("__h"))
+    batch_min = hashed.groupBy("__h").agg(F.min(id_col).alias("__min_id"))
+    joined = (hashed
+              .join(batch_min, "__h")
+              .join(idx.withColumn("__in_corpus", F.lit(True)), "__h", "left"))
+    reason = (F.when(F.col("__in_corpus"), F.lit("dup_of_corpus"))
+              .when(F.col(id_col) != F.col("__min_id"), F.lit("dup_in_batch"))
+              .otherwise(F.lit("unique")))
+    return joined.select(F.col(id_col), (reason == "unique").alias("keep"),
+                         reason.alias("reason"))

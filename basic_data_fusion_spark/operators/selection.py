@@ -286,3 +286,57 @@ def pareto_keep(df: DataFrame, score_col: str = "quality_score",
     return (df.select(F.col(id_col), F.col(score_col), pareto_x)
             .withColumn("keep",
                         F.col(score_col) > (F.lit(1.0) - F.col("pareto_x"))))
+
+
+def token_budget_mix(df: DataFrame, budget_tokens: int,
+                     weights: dict[str, float],
+                     source_col: str = "source", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     default_weight: float = 0.0) -> DataFrame:
+    """Assemble a training mixture under a TOKEN budget: each source s
+    gets ``budget·w_s`` tokens, realized as a per-source document keep
+    rate ``r_s = min(1, budget·w_s / tokens_s)`` applied with the
+    deterministic md5-uniform draw. This is the step that turns published
+    mixture weights (the GPT-3 table 2.2 / LLaMA table 1 shape) into an
+    actual per-document keep decision at corpus scale.
+
+    Returns (id, source, n_tokens, keep_rate, keep) for every doc.
+
+    A source's weight defaults to ``default_weight`` (0 → excluded).
+    When a source has no tokens at all its rate is 1 (nothing to
+    budget; guards the division under ANSI mode).
+
+    Scale shape: ONE tokenize+count pass groupBy(source) (map-side
+    partial sums), a ≤#sources-row broadcast of rates, and a map-side
+    keep predicate — same two-job shape as ``temperature_mix``. The draw
+    is hash-derived (first 32 md5 bits of the id), so the realized
+    sample is independent of partitioning and identical on any engine.
+    Expected kept tokens per source ≈ r_s·tokens_s = budget·w_s (exact
+    in expectation; variance shrinks with corpus size — at 100 TB the
+    relative error is negligible, which is why production mixers use
+    rates, not exact knapsack packing).
+    """
+    n_tok = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
+                   F.lit(0)
+                   ).otherwise(F.size(F.filter(tokens(F.col(text_col)),
+                                               lambda x: x != "")))
+    base = df.select(F.col(id_col), F.col(source_col),
+                     n_tok.cast("long").alias("n_tokens"))
+    totals = base.groupBy(source_col).agg(F.sum("n_tokens").alias("__T"))
+    w = None
+    for src, wt in sorted(weights.items()):
+        branch = (w.when if w is not None else F.when)
+        w = branch(F.col(source_col) == src, F.lit(float(wt)))
+    w = (w.otherwise(F.lit(float(default_weight))) if w is not None
+         else F.lit(float(default_weight)))
+    rate = F.when(
+        F.col("__T") > 0,
+        F.least(F.lit(1.0),
+                F.lit(float(budget_tokens)) * w / F.col("__T").cast("double"))
+    ).otherwise(F.lit(1.0))
+    rates = totals.select(source_col, rate.alias("keep_rate"))
+    u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+         .cast("double") / F.lit(4294967296.0))
+    return (base.join(F.broadcast(rates), source_col)
+            .select(id_col, source_col, "n_tokens", "keep_rate",
+                    (u < F.col("keep_rate")).alias("keep")))

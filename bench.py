@@ -88,6 +88,8 @@ HEADLINE = [
     "product_type_profit",   # Q9 shape: 5-way broadcast snowflake profit
     "priority_shipping_bands",  # Q12 shape: one-pass conditional bands
     "bulk_suppliers_for_parts",  # Q20 shape: nested semi-join chain
+    "incremental_dedup",     # batch-vs-corpus hash-index dedup
+    "token_budget_mix",      # mixture weights -> per-source keep rates
 ]
 
 

@@ -1022,3 +1022,57 @@ def test_pq_codebooks_deterministic_and_bounded(spark):
                                        sample=100)
     assert b1 == b2  # md5-ranked sample is partitioning-independent
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+
+
+def test_incremental_dedup_reasons(spark):
+    existing = spark.createDataFrame(
+        [(100, "standing corpus doc"), (101, "another   OLD doc")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "Standing  corpus DOC"),   # dup of corpus after normalize
+         (2, "fresh content a"),
+         (3, "fresh content a"),        # in-batch dup of 2 (min-id wins)
+         (4, "fresh content b"),
+         (5, None)],                    # NULL ≡ empty, unique here
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in dedup.incremental_exact_dedup(existing, batch).collect()}
+    assert out[1] == (False, "dup_of_corpus")
+    assert out[2] == (True, "unique")
+    assert out[3] == (False, "dup_in_batch")
+    assert out[4] == (True, "unique")
+    assert out[5] == (True, "unique")
+    assert len(out) == 5  # NULL-text rows must not drop out of the join
+
+
+def test_token_budget_mix_rates_and_determinism(spark):
+    from basic_data_fusion_spark.operators.selection import token_budget_mix
+
+    rows = []
+    for i in range(200):
+        src = ["web", "code", "books"][i % 3]
+        rows.append((i, " ".join(["tok"] * 10), src))   # 10 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget = 400
+    out = token_budget_mix(df, budget_tokens=budget,
+                           weights={"web": 0.5, "code": 0.25},
+                           default_weight=0.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # closed-form rates: T_web = 67*10, T_code = 67*10, T_books = 66*10
+    n_web = len(by_src["web"])
+    assert all(abs(r["keep_rate"] - min(1.0, budget * 0.5 / (n_web * 10))) < 1e-12
+               for r in by_src["web"])
+    # default weight 0 → excluded source keeps nothing
+    assert not any(r["keep"] for r in by_src["books"])
+    assert all(r["keep_rate"] == 0.0 for r in by_src["books"])
+    # kept token mass ≈ budget share (hash-uniform draw, 200 docs → loose)
+    kept_web = sum(r["n_tokens"] for r in by_src["web"] if r["keep"])
+    assert 0 < kept_web <= n_web * 10
+    # partitioning-independent
+    again = token_budget_mix(df.repartition(7), budget_tokens=budget,
+                             weights={"web": 0.5, "code": 0.25},
+                             default_weight=0.0).collect()
+    assert {(r["doc_id"], r["keep"]) for r in again} == \
+        {(r["doc_id"], r["keep"]) for r in out}
