@@ -3172,6 +3172,21 @@ LEFT JOIN ex ON nw.h = ex.h
 """
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the map-side scale tier
+    beside the exact shingle join (`decontam_overlap`): held-out (src0)
+    3-grams build a fixed-size bitmap once; every training doc is flagged
+    from its own shingle array in ONE zero-shuffle projection. xxhash64
+    bit positions are engine-specific → rows-only driver check; no-false-
+    negative and FP-rate properties are pytest-verified."""
+    from basic_data_fusion_spark.operators.dedup import bloom_decontaminate
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return bloom_decontaminate(train, held, n=3, m_bits=1 << 20, k_hashes=5)
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -3639,6 +3654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "incremental_dedup": q_incremental_dedup,
         "token_budget_mix": q_token_budget_mix,
+        "bloom_decontam": q_bloom_decontam,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,

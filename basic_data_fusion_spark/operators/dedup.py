@@ -626,3 +626,85 @@ def incremental_exact_dedup(existing: DataFrame, new: DataFrame,
               .otherwise(F.lit("unique")))
     return joined.select(F.col(id_col), (reason == "unique").alias("keep"),
                          reason.alias("reason"))
+
+
+# ---------------- bloom-filter decontamination (map-side scale tier) ----------------
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
+                k_hashes: int = 5) -> list[int]:
+    """Build a Bloom filter over a key relation with pure DataFrame
+    aggregation: each key sets ``k_hashes`` bits chosen by seeded
+    ``xxhash64``; bit positions fold to 64-bit words with ``bit_or`` in a
+    single groupBy on the word index (≤ m/64 groups), and the finished
+    bitmap — m/64 longs, driver-bounded by the CHOSEN m, not the key
+    count — returns as a plain list ready to fold into probe plans as a
+    literal. (Spark's own bloom_filter_agg is internal-only; this is the
+    same construction from registry functions.)"""
+    words = (int(m_bits) + 63) // 64
+    bit_exprs = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(int(m_bits)))
+        for i in range(int(k_hashes))
+    ]
+    inst = keys.select(F.explode(F.array(*bit_exprs)).alias("__bit"))
+    rows = (inst.select((F.col("__bit") / 64).cast("long").alias("__w"),
+                        F.expr("shiftleft(1L, CAST(__bit % 64 AS INT))")
+                        .alias("__m"))
+            .groupBy("__w").agg(F.bit_or("__m").alias("__mask"))
+            .collect())
+    bitmap = [0] * words
+    for r in rows:
+        bitmap[int(r["__w"])] = int(r["__mask"])
+    return bitmap
+
+
+def long_array_lit(values: list[int]) -> Column:
+    """``array<bigint>`` literal through the SQL parser — same rationale
+    as ``similarity.nested_double_lit``: ``F.lit`` crosses py4j per
+    element (~ms each; a 16k-word bitmap would cost ~16 s per plan), the
+    parsed array constant-folds to one Literal in ~ms."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
+                        k_hashes: int = 5) -> Column:
+    """Membership probe against a ``bloom_build`` bitmap: true iff all k
+    seeded bit positions are set. Map-side only — the bitmap rides the
+    plan as one array<long> literal; no join, no shuffle. False positives
+    at the standard (1 − e^{−kn/m})^k rate; never false negatives."""
+    bm = long_array_lit(bitmap)
+    out = None
+    for i in range(int(k_hashes)):
+        bit = F.pmod(F.xxhash64(F.lit(i), key), F.lit(int(m_bits)))
+        word = F.element_at(bm, (bit / 64).cast("int") + 1)
+        c = F.bit_get(word, F.pmod(bit, F.lit(64)).cast("int")) == 1
+        out = c if out is None else (out & c)
+    return out
+
+
+def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, m_bits: int = 1 << 20,
+                        k_hashes: int = 5) -> DataFrame:
+    """Map-side benchmark decontamination — the 100 TB fast path beside
+    the exact shingle join (``cross_corpus_overlap``): held-out n-grams
+    build a Bloom filter ONCE (size fixed by m, not by corpus), then
+    every training doc is flagged from its own shingle array with a
+    higher-order filter against the bitmap literal — the corpus is
+    touched in a single zero-shuffle projection; no shingle explode, no
+    join. Returns (id, n_shingles, n_flagged, contaminated) per train
+    doc. Never false-negative: every truly leaked doc is flagged; false
+    positives at the Bloom rate route to the exact tier for
+    confirmation."""
+    ev = (held_out.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
+    # no distinct(): bloom bit-setting is idempotent — skipping the
+    # dedup shuffle is the point
+    bitmap = bloom_build(ev, "shingle", m_bits=m_bits, k_hashes=k_hashes)
+    sh = word_shingles(F.col(text_col), n)
+    flagged = F.filter(
+        sh, lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes))
+    return (train
+            .select(F.col(id_col),
+                    F.size(sh).cast("long").alias("n_shingles"),
+                    F.size(flagged).cast("long").alias("n_flagged"))
+            .withColumn("contaminated", F.col("n_flagged") > 0))

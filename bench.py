@@ -90,6 +90,7 @@ HEADLINE = [
     "bulk_suppliers_for_parts",  # Q20 shape: nested semi-join chain
     "incremental_dedup",     # batch-vs-corpus hash-index dedup
     "token_budget_mix",      # mixture weights -> per-source keep rates
+    "bloom_decontam",        # bloom bitmap decontamination, zero-shuffle probe
 ]
 
 

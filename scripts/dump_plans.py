@@ -40,6 +40,28 @@ PICK_NOTES = {
     "dsir_weights": "Feature explosion aggregates straight to (doc,bucket); "
                     "bucket totals and the corpus total roll up from it "
                     "(exchange reuse), the ratio table broadcasts back.",
+    "bm25_search": "Per-term df table and 1-row corpus stats broadcast; "
+                   "top-k is TakeOrderedAndProject (partial per-partition "
+                   "top-k), never a global sort.",
+    "stupid_backoff_lm": "Bigram/unigram count tables join back to the "
+                         "instance table (AQE picks the strategy); one "
+                         "per-doc aggregation; no Python evaluator.",
+    "pq_topk": "Codebooks constant-folded to one Literal; encode is a "
+               "per-row projection (only the round-robin spread "
+               "exchange); queries + distance tables broadcast into the "
+               "ADC scan; per-query top-k via window rank.",
+    "product_type_profit": "Q9 snowflake: part/supplier/nation all "
+                           "broadcast, LIKE filter prunes the part "
+                           "dimension before broadcast; lineitem never "
+                           "shuffles for a join.",
+    "bulk_suppliers_for_parts": "Q20 nested IN chain: both levels run as "
+                                "semi joins; the grouped HAVING threshold "
+                                "applies before any join-back.",
+    "incremental_dedup": "Standing corpus reduces to DISTINCT hashes; "
+                         "batch shuffles once on the hash; bodies never "
+                         "shuffle.",
+    "token_budget_mix": "One tokenize+count aggregation; rate table "
+                        "broadcasts; keep predicate is map-side.",
 }
 MAX_LINES = 40
 

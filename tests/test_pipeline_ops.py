@@ -1076,3 +1076,43 @@ def test_token_budget_mix_rates_and_determinism(spark):
                              default_weight=0.0).collect()
     assert {(r["doc_id"], r["keep"]) for r in again} == \
         {(r["doc_id"], r["keep"]) for r in out}
+
+
+def test_bloom_build_and_probe_properties(spark):
+    """No false negatives ever; false-positive rate within ~3x of the
+    closed-form (1-e^{-kn/m})^k bound on a disjoint probe set."""
+    import math
+
+    keys = spark.createDataFrame([(f"member{i}",) for i in range(500)], ["s"])
+    m, k = 1 << 14, 5
+    bm = dedup.bloom_build(keys, "s", m_bits=m, k_hashes=k)
+    assert len(bm) == m // 64
+    probe = spark.createDataFrame(
+        [(f"member{i}",) for i in range(500)]
+        + [(f"other{i}",) for i in range(4000)], ["s"])
+    res = {r["s"]: r["hit"] for r in probe.withColumn(
+        "hit", dedup.bloom_might_contain(F.col("s"), bm, m, k)).collect()}
+    assert all(res[f"member{i}"] for i in range(500)), "false negative!"
+    fp = sum(res[f"other{i}"] for i in range(4000)) / 4000
+    bound = (1 - math.exp(-k * 500 / m)) ** k
+    assert fp <= max(3 * bound, 0.01), (fp, bound)
+
+
+def test_bloom_decontaminate_flags_planted_leak(spark):
+    held = spark.createDataFrame(
+        [(900, "the secret benchmark question about rivers")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "totally clean training text with no overlap whatsoever"),
+         (2, "contains the secret benchmark question about rivers verbatim"),
+         (3, "another clean document entirely different words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.bloom_decontaminate(train, held, n=3).collect()}
+    assert out[2]["contaminated"] and out[2]["n_flagged"] >= 3
+    assert not out[1]["contaminated"] and not out[3]["contaminated"]
+    # bloom candidates are a superset of the exact-join tier (no FNs)
+    exact = {r["train_id"] for r in dedup.cross_corpus_overlap(
+        train, held, n=3, min_common=1).collect()}
+    flagged = {i for i, r in out.items() if r["contaminated"]}
+    assert exact <= flagged
