@@ -3184,7 +3184,10 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _catalog(spark, sf_dir).load("documents")
     held = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
-    return bloom_decontaminate(train, held, n=3, m_bits=1 << 20, k_hashes=5)
+    # m=2^18, k=3: ~0.8% FP at this held-out shingle count — plenty for a
+    # candidate tier that routes to the exact join for confirmation, at
+    # 1/4 the bitmap-literal size and 3/5 the per-shingle probe cost
+    return bloom_decontaminate(train, held, n=3, m_bits=1 << 18, k_hashes=3)
 
 
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}

@@ -700,11 +700,19 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
     # no distinct(): bloom bit-setting is idempotent — skipping the
     # dedup shuffle is the point
     bitmap = bloom_build(ev, "shingle", m_bits=m_bits, k_hashes=k_hashes)
-    sh = word_shingles(F.col(text_col), n)
+    # stage 1 materializes the shingle array ONCE per row (higher-order
+    # lambdas are interpreted — no CSE across the two consumers);
+    # repartition spreads a single-file source across cores, the probe
+    # itself is embarrassingly parallel
+    npart = train.sparkSession.sparkContext.defaultParallelism
+    staged = (train.repartition(npart)
+              .select(F.col(id_col),
+                      word_shingles(F.col(text_col), n).alias("__sh")))
     flagged = F.filter(
-        sh, lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes))
-    return (train
+        F.col("__sh"),
+        lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes))
+    return (staged
             .select(F.col(id_col),
-                    F.size(sh).cast("long").alias("n_shingles"),
+                    F.size("__sh").cast("long").alias("n_shingles"),
                     F.size(flagged).cast("long").alias("n_flagged"))
             .withColumn("contaminated", F.col("n_flagged") > 0))
