@@ -933,6 +933,48 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, books, k=5)
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ composition with exact re-rank (FAISS billion-scale
+    default): nprobe coarse cells bound candidates, 16-byte PQ codes
+    bound per-vector reads, exact L2 re-ranks the k·4 shortlist.
+    Trained quantizers → rows-only driver check; recall-improvement vs
+    raw ADC is pytest-verified."""
+    from basic_data_fusion_spark.operators.similarity import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    books = train_pq_codebooks(emb, m=16, ksub=64, sample=1024, max_iter=8)
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivfpq_topk(emb, queries_df, _ivf_centroids(), books,
+                      k=5, nprobe=3, refine=4)
+
+
+def q_part_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: exact top-20 heaviest join keys in the fact table
+    (the report that decides where salting / AQE skew-join is needed).
+    One partial-agg shuffle + sort-limit partial top-k; the total order
+    (count DESC, key) makes the cut deterministic."""
+    li = _catalog(spark, sf_dir).load("lineitem")
+    return (li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_orderkey").alias("n_orders"))
+            .orderBy(F.col("n_rows").desc(), F.col("l_partkey"))
+            .limit(20))
+
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT l_partkey, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY n_rows DESC, l_partkey
+LIMIT 20
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over documents-as-binary: payload → decode
     stats + feature vector via Arrow-batched mapInPandas. Deterministic
@@ -3658,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
+        "ivfpq_topk": q_ivfpq_topk,
+        "part_heavy_hitters": q_part_heavy_hitters,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3782,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
         "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
+        "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

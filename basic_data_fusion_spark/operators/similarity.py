@@ -408,3 +408,83 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                     "adc_dist", "rank"))
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]], k: int = 5,
+               nprobe: int = 2, refine: int | None = None,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id") -> DataFrame:
+    """IVF-PQ search (the full Jégou et al. 2011 composition, FAISS's
+    billion-scale default): coarse cells bound WHICH vectors are scored
+    (only the query's ``nprobe`` nearest cells), PQ codes bound WHAT is
+    read per vector (m bytes instead of 4·dim floats), and an optional
+    exact re-rank pass restores precision on the short list.
+
+    ``refine=None`` returns ADC order directly. ``refine=r`` keeps the
+    top ``k·r`` by ADC per query, joins ONLY those ids back to the
+    original vectors (a k·r·|queries|-row semi-probe — the single place
+    full vectors are touched after indexing), re-scores exactly, and
+    returns the exact-distance top k. Deterministic end to end: every
+    rank order ties-breaks on the id.
+
+    Scale shape: index side carries (cell, id, codes); the scored
+    candidate set shrinks by ~n_cells/nprobe before any distance math;
+    queries + their m×ksub tables broadcast; the refine join's probe
+    side is bounded by k·r·|queries| rows.
+    """
+    indexed = ivf_index(corpus, centroids, id_col, vec_col).select(id_col, "cell")
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    side = indexed.join(codes, id_col)
+
+    cent = nested_double_lit(centroids)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = nested_double_lit(codebooks)
+    qv = F.col("__qvec")
+    sims = F.transform(cent, lambda c: cosine(qv, c))
+    dtab = F.transform(
+        books,
+        lambda book, s: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(F.slice(qv, s * dsub + 1, dsub), c,
+                           lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_)),
+                F.lit(0.0), lambda acc, d_: acc + d_)))
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+         .withColumn("__dtab", dtab)
+         .select(query_id_col, "__qvec", "__dtab",
+                 F.posexplode(sims).alias("cell", "__csim"))
+         .withColumn("__rk", F.row_number().over(
+             Window.partitionBy(query_id_col).orderBy(F.desc("__csim"),
+                                                      F.asc("cell"))))
+         .filter(F.col("__rk") <= nprobe)
+         .select(query_id_col, "__qvec", "__dtab", "cell"))
+
+    adc = F.aggregate(
+        F.zip_with(F.col("__dtab"), F.col("codes"),
+                   lambda tab, code: F.element_at(tab, code + 1)),
+        F.lit(0.0), lambda acc, d_: acc + d_)
+    scored = side.join(F.broadcast(q), "cell").withColumn("adc_dist", adc)
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    shortlist_k = k * refine if refine else k
+    short = (scored.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= shortlist_k))
+    if not refine:
+        return short.select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                            "adc_dist", "rank")
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("__cvec"), F.col("__qvec"),
+                   lambda a_, b_: (a_.cast("double") - b_.cast("double"))
+                                  * (a_.cast("double") - b_.cast("double"))),
+        F.lit(0.0), lambda acc, d_: acc + d_)
+    refined = (short.select(query_id_col, id_col, "__qvec")
+               .join(vecs, id_col)
+               .withColumn("l2_dist", l2))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc(id_col))
+    return (refined.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                    "l2_dist", "rank"))

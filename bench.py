@@ -91,6 +91,8 @@ HEADLINE = [
     "incremental_dedup",     # batch-vs-corpus hash-index dedup
     "token_budget_mix",      # mixture weights -> per-source keep rates
     "bloom_decontam",        # bloom bitmap decontamination, zero-shuffle probe
+    "ivfpq_topk",            # IVF cells + PQ codes + exact re-rank
+    "part_heavy_hitters",    # skew diagnostic: exact top-k hot keys
 ]
 
 

@@ -1116,3 +1116,40 @@ def test_bloom_decontaminate_flags_planted_leak(spark):
         train, held, n=3, min_common=1).collect()}
     flagged = {i for i, r in out.items() if r["contaminated"]}
     assert exact <= flagged
+
+
+def test_ivfpq_refine_improves_recall(spark):
+    """IVF-PQ composition: nprobe cells bound candidates, ADC orders
+    them, exact re-rank on the shortlist must match-or-beat raw ADC
+    recall vs exact-L2 ground truth."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    centroids = similarity.train_centroids(emb, k=10, max_iter=10)
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=64, sample=500,
+                                          max_iter=8)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    truth = set()
+    for r in rows:
+        if r["vec_id"] >= 20:
+            continue
+        d2 = ((x - np.array(list(r["embedding"]))) ** 2).sum(axis=1)
+        for j in np.lexsort((ids, d2))[:3]:
+            truth.add((r["vec_id"], int(ids[j])))
+    adc = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.ivfpq_topk(emb, q, centroids, books, k=3,
+                                 nprobe=4).collect()}
+    ref = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.ivfpq_topk(emb, q, centroids, books, k=3, nprobe=4,
+                                 refine=4).collect()}
+    r_adc = len(adc & truth) / len(truth)
+    r_ref = len(ref & truth) / len(truth)
+    assert r_ref >= r_adc, (r_adc, r_ref)
+    assert r_ref >= 0.6, (r_adc, r_ref)
+    # exact counts per query
+    per_q = {}
+    for qid, _ in ref:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == 3 for v in per_q.values())
