@@ -723,6 +723,86 @@ FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
 """
 
 
+def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid Backoff scoring (two backoff levels — the depth
+    CCNet's 5-gram KenLM operates at): counts from the md5-nibble train
+    half; 8-dp fixed-point instance scores → bit-deterministic oracle."""
+    from basic_data_fusion_spark.operators.text import stupid_backoff_trigram_lm
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return stupid_backoff_trigram_lm(docs)
+
+
+_TRIGRAM_LM_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+inst AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+train AS (
+  SELECT * FROM t
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+),
+uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM train) GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM train)),
+big AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM train, UNNEST(range(1, len(toks))) AS u(i)
+        WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT w1, w2, w3, COUNT(*) AS c3
+  FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM train, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT i.doc_id,
+         CASE WHEN tr.c3 IS NOT NULL
+                THEN CAST(tr.c3 AS DOUBLE) / b12.c2
+              WHEN b23.c2 IS NOT NULL
+                THEN CAST(0.4 AS DOUBLE) * CAST(b23.c2 AS DOUBLE) / u2.c1
+              WHEN u3.c1 IS NOT NULL AND tot.n > 0
+                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                     * CAST(u3.c1 AS DOUBLE) / tot.n
+              WHEN tot.n > 0
+                THEN CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                     * CAST(0.4 AS DOUBLE) / tot.n
+         END AS s
+  FROM inst i
+  LEFT JOIN tri tr ON tr.w1 = i.w1 AND tr.w2 = i.w2 AND tr.w3 = i.w3
+  LEFT JOIN big b12 ON b12.w1 = i.w1 AND b12.w2 = i.w2
+  LEFT JOIN big b23 ON b23.w1 = i.w2 AND b23.w2 = i.w3
+  LEFT JOIN uni u2 ON u2.w = i.w2
+  LEFT JOIN uni u3 ON u3.w = i.w3
+  CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams,
+         SUM(CAST(ROUND(-ln(s) * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT)) AS ss
+  FROM scored GROUP BY 1
+)
+SELECT doc.doc_id,
+       COALESCE(d.n_trigrams, 0) AS n_trigrams,
+       CASE WHEN d.doc_id IS NULL THEN NULL
+            ELSE (CAST(d.ss AS DOUBLE) / CAST(100000000.0 AS DOUBLE))
+                 / d.n_trigrams END AS mean_neg_log_score
+FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
+"""
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
     §4.3): per-language NTILE(3) over the unigram-LM surprisal under the
@@ -3702,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam": q_bloom_decontam,
         "ivfpq_topk": q_ivfpq_topk,
         "part_heavy_hitters": q_part_heavy_hitters,
+        "trigram_lm": q_trigram_lm,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3827,6 +3908,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,
+        "trigram_lm": _TRIGRAM_LM_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

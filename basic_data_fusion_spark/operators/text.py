@@ -773,3 +773,87 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
             .limit(int(k))
             .select(F.col(id_col), "n_terms_matched",
                     (F.col("__s").cast("double") / F.lit(1e8)).alias("bm25_score")))
+
+
+def stupid_backoff_trigram_lm(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", alpha: float = 0.4,
+                              train_nibbles: int = 8) -> DataFrame:
+    """Trigram Stupid Backoff scoring — the depth CCNet's external 5-gram
+    KenLM actually operates at, two backoff levels instead of one::
+
+        S(w3 | w1 w2) = c3(w1,w2,w3) / c2(w1,w2)       trigram seen
+                      = α · c2(w2,w3) / c1(w2)         else, bigram seen
+                      = α² · c1(w3) / N                else, unigram seen
+                      = α³ / N                         else (OOV floor)
+
+    Same engine-portable construction as ``stupid_backoff_lm``: counts
+    from the md5-nibble train half, instance scores quantized to 8-dp
+    integers before the per-doc sum. Returns (id, n_trigrams,
+    mean_neg_log_score); docs with <3 tokens score NULL. Plan shape: the
+    n-gram count tables are ONE groupBy each over the train half; the
+    all-docs trigram instance table LEFT-JOINs four count relations
+    (strategy to AQE — trigram vocabulary is unbounded at web scale) and
+    aggregates once per doc.
+    """
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
+    base = (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_col), toks.alias("toks")))
+    tri_expr = F.when(
+        F.size("toks") >= 3,
+        F.expr("transform(sequence(0, size(toks)-3),"
+               " i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+    bi_expr = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks)-2),"
+               " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+    inst = (base.select(id_col, F.explode(tri_expr).alias("p"))
+            .select(id_col, "p.w1", "p.w2", "p.w3"))
+    nib = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 1), 16, 10).cast("int")
+    train = base.filter(nib < F.lit(int(train_nibbles)))
+    uni = (train.select(F.explode("toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    tot = train.select(F.explode("toks").alias("w")).agg(F.count(F.lit(1)).alias("n"))
+    big = (train.select(F.explode(bi_expr).alias("p"))
+           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("c2")))
+    tri = (train.select(F.explode(tri_expr).alias("p"))
+           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+                    F.col("p.w3").alias("w3"))
+           .agg(F.count(F.lit(1)).alias("c3")))
+    b12 = big.select(F.col("w1").alias("b1"), F.col("w2").alias("b2"),
+                     F.col("c2").alias("c2_12"))
+    b23 = big.select(F.col("w1").alias("b2_"), F.col("w2").alias("b3_"),
+                     F.col("c2").alias("c2_23"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c1").alias("c1_w2"))
+    u3 = uni.select(F.col("w").alias("u3w"), F.col("c1").alias("c1_w3"))
+    s = (F.when(F.col("c3").isNotNull(),
+                F.col("c3").cast("double") / F.col("c2_12"))
+         .when(F.col("c2_23").isNotNull(),
+               F.lit(alpha) * F.col("c2_23").cast("double") / F.col("c1_w2"))
+         .when(F.col("c1_w3").isNotNull() & (F.col("n") > 0),
+               F.lit(alpha) * F.lit(alpha) * F.col("c1_w3").cast("double")
+               / F.col("n"))
+         .when(F.col("n") > 0,
+               F.lit(alpha) * F.lit(alpha) * F.lit(alpha) / F.col("n")))
+    s_int = F.round(-F.log(s) * F.lit(1e8), 0).cast("bigint")
+    scored = (inst
+              .join(tri, ["w1", "w2", "w3"], "left")
+              .join(b12, (F.col("w1") == F.col("b1"))
+                    & (F.col("w2") == F.col("b2")), "left")
+              .join(b23, (F.col("w2") == F.col("b2_"))
+                    & (F.col("w3") == F.col("b3_")), "left")
+              .join(u2, F.col("w2") == F.col("u2w"), "left")
+              .join(u3, F.col("w3") == F.col("u3w"), "left")
+              .crossJoin(F.broadcast(tot))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                   F.sum(s_int).alias("__ss")))
+    out = scored.select(
+        F.col(id_col), "n_trigrams",
+        ((F.col("__ss").cast("double") / F.lit(1e8)) / F.col("n_trigrams"))
+        .alias("mean_neg_log_score"))
+    empties = (df.select(id_col).join(out.select(id_col), id_col, "left_anti")
+               .select(F.col(id_col), F.lit(0).cast("long").alias("n_trigrams"),
+                       F.lit(None).cast("double").alias("mean_neg_log_score")))
+    return out.union(empties)

@@ -93,6 +93,7 @@ HEADLINE = [
     "bloom_decontam",        # bloom bitmap decontamination, zero-shuffle probe
     "ivfpq_topk",            # IVF cells + PQ codes + exact re-rank
     "part_heavy_hitters",    # skew diagnostic: exact top-k hot keys
+    "trigram_lm",            # trigram Stupid Backoff, two backoff levels
 ]
 
 

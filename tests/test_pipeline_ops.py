@@ -1153,3 +1153,61 @@ def test_ivfpq_refine_improves_recall(spark):
     for qid, _ in ref:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == 3 for v in per_q.values())
+
+
+def test_trigram_backoff_paths_match_reference(spark):
+    """All four trigram Stupid Backoff paths fire on a planted corpus and
+    match a pure-Python reference."""
+    import hashlib
+    import math
+
+    from basic_data_fusion_spark.operators.text import stupid_backoff_trigram_lm
+
+    rows = [(i, "a b c a b c d")
+            if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 8
+            else (i, "a b c zzz b c qqq rrr sss") for i in range(16)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in stupid_backoff_trigram_lm(df).collect()}
+
+    train_ids = [i for i in range(16)
+                 if int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) < 8]
+    uni, big, tri = {}, {}, {}
+    n = 0
+    for i in train_ids:
+        t = rows[i][1].split()
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+
+    def score(a, b, c):
+        if (a, b, c) in tri:
+            return tri[(a, b, c)] / big[(a, b)]
+        if (b, c) in big:
+            return 0.4 * big[(b, c)] / uni[b]
+        if c in uni:
+            return 0.4 * 0.4 * uni[c] / n
+        return 0.4 ** 3 / n
+
+    hit_paths = set()
+    for i, text in rows:
+        t = text.split()
+        tris = list(zip(t, t[1:], t[2:]))
+        ss = 0
+        for a, b, c in tris:
+            if (a, b, c) in tri:
+                hit_paths.add("tri")
+            elif (b, c) in big:
+                hit_paths.add("big")
+            elif c in uni:
+                hit_paths.add("uni")
+            else:
+                hit_paths.add("floor")
+            ss += int(round(-math.log(score(a, b, c)) * 1e8))
+        expect = (ss / 1e8) / len(tris)
+        assert out[i]["n_trigrams"] == len(tris)
+        assert abs(out[i]["mean_neg_log_score"] - expect) < 1e-9, (i, text)
+    assert hit_paths == {"tri", "big", "uni", "floor"}, hit_paths
