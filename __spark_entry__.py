@@ -1674,7 +1674,9 @@ _EXACTSUBSTR_ORACLE = r"""
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS otoks
   FROM documents
 ),
 hw AS (
@@ -1691,8 +1693,8 @@ cov AS (SELECT DISTINCT doc_id, wpos + j AS tokpos
         FROM dwin, unnest(generate_series(0, 19)) AS g(j)),
 alltok AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(toks))) AS tokpos,
-         unnest(toks) AS tok
+         unnest(generate_series(1, len(otoks))) AS tokpos,
+         unnest(otoks) AS tok
   FROM base
 ),
 kept AS (SELECT a.doc_id, a.tokpos, a.tok

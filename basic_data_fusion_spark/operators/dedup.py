@@ -189,6 +189,11 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     tokens" exactly; spans shorter than ``window`` are never touched.
 
     Returns (id, clean_text, n_tokens, n_removed) for every input doc.
+    Matching is case-insensitive (lowercased window keys) but
+    ``clean_text`` rebuilds from the ORIGINAL-case tokens — survivors
+    keep their casing; only inter-token whitespace collapses to single
+    spaces (inherent to a token-level rebuild, same as the paper's
+    token-stream formulation).
 
     Scale shape: only (id, window-start, 32-char md5) triples shuffle —
     never document bodies.  Duplicated window keys are found with one
@@ -202,10 +207,15 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     reproduce the key bit-exactly.  All JVM expressions; no Python UDFs.
     """
     w = int(window)
-    toks = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "",
-                  F.array().cast("array<string>")
-                  ).otherwise(tokens(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("__t"))
+    blank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    empty_arr = F.array().cast("array<string>")
+    # __t (lowercased) keys the windows; __o (original case) rebuilds the
+    # text. Lowercasing never changes whitespace, so both splits produce
+    # position-aligned arrays.
+    toks = F.when(blank, empty_arr).otherwise(tokens(F.col(text_col)))
+    orig = F.when(blank, empty_arr).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col), toks.alias("__t"), orig.alias("__o"))
 
     # (id, wpos, h): wpos is the 1-based token index of the window start.
     win_hashes = F.transform(
@@ -228,7 +238,7 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                        .alias("tokpos"))
                .distinct())
 
-    all_toks = (base.select(id_col, F.posexplode("__t").alias("__p0", "tok"))
+    all_toks = (base.select(id_col, F.posexplode("__o").alias("__p0", "tok"))
                 .select(id_col, (F.col("__p0") + 1).alias("tokpos"), "tok"))
     kept = (all_toks.join(covered, [id_col, "tokpos"], "left_anti")
             .groupBy(id_col)
@@ -705,9 +715,15 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
     # repartition spreads a single-file source across cores, the probe
     # itself is embarrassingly parallel
     npart = train.sparkSession.sparkContext.defaultParallelism
+    # NULL text ≡ empty text (corpus-wide convention — incremental_exact_
+    # dedup above): without the coalesce, size(NULL array) propagates
+    # NULL into `contaminated` and NULL-text docs vanish from boolean
+    # filters on either polarity
     staged = (train.repartition(npart)
               .select(F.col(id_col),
-                      word_shingles(F.col(text_col), n).alias("__sh")))
+                      word_shingles(
+                          F.coalesce(F.col(text_col), F.lit("")), n)
+                      .alias("__sh")))
     flagged = F.filter(
         F.col("__sh"),
         lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes))

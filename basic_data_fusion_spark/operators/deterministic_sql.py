@@ -424,16 +424,19 @@ def grouped_k2_sql(table: str, group_col: str, value_col: str,
     v, g = value_col, group_col
     d = f"({v} - m.mu)"
     return f"""
-WITH m AS (
-  -- K² is undefined below n=8 (kurtosis z-transform): filter here so the
-  -- intermediate z-formulas never see degenerate n — under ANSI SQL mode
-  -- (divide-by-zero = error, not NULL) small groups would otherwise
-  -- raise before the final mask could apply
+WITH allg AS (
   SELECT {g} AS grp, CAST(COUNT({v}) AS DOUBLE) AS n,
          ({fs(v, scale_mu)}) / COUNT({v}) AS mu
   FROM {table} WHERE {v} IS NOT NULL AND {g} IS NOT NULL
   GROUP BY {g}
-  HAVING COUNT({v}) >= 8
+),
+m AS (
+  -- K² is undefined below n=8 (kurtosis z-transform): only n>=8 groups
+  -- enter the z-formula chain so ANSI SQL mode (divide-by-zero = error,
+  -- not NULL) never sees degenerate n; the small groups re-enter the
+  -- OUTPUT with NULL k2 via the final UNION — same every-group contract
+  -- as the grouped_normality applyInPandas tier
+  SELECT * FROM allg WHERE n >= 8
 ),
 mom AS (
   SELECT m.grp, m.n, m.mu,
@@ -493,4 +496,8 @@ SELECT grp AS {g}, CAST(n AS BIGINT) AS n, mu AS mean,
        ROUND(z_skew * z_skew + z_kurt * z_kurt, 6) AS k2,
        ROUND(EXP(-(z_skew * z_skew + z_kurt * z_kurt) / 2.0), 9) AS p_k2
 FROM zk
+UNION ALL
+SELECT grp AS {g}, CAST(n AS BIGINT) AS n, mu AS mean,
+       CAST(NULL AS DOUBLE) AS k2, CAST(NULL AS DOUBLE) AS p_k2
+FROM allg WHERE n < 8
 """

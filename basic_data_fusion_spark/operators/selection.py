@@ -320,13 +320,19 @@ def token_budget_mix(df: DataFrame, budget_tokens: int,
                    F.lit(0)
                    ).otherwise(F.size(F.filter(tokens(F.col(text_col)),
                                                lambda x: x != "")))
+    # rows group and join on a NULL-coalesced key so NULL-source docs
+    # form their own default-weight stratum instead of silently dropping
+    # out of the inner equi-join; the OUTPUT still shows the original
+    # (possibly NULL) source value
+    src_key = F.coalesce(F.col(source_col).cast("string"), F.lit(""))
     base = df.select(F.col(id_col), F.col(source_col),
+                     src_key.alias("__src"),
                      n_tok.cast("long").alias("n_tokens"))
-    totals = base.groupBy(source_col).agg(F.sum("n_tokens").alias("__T"))
+    totals = base.groupBy("__src").agg(F.sum("n_tokens").alias("__T"))
     w = None
     for src, wt in sorted(weights.items()):
         branch = (w.when if w is not None else F.when)
-        w = branch(F.col(source_col) == src, F.lit(float(wt)))
+        w = branch(F.col("__src") == src, F.lit(float(wt)))
     w = (w.otherwise(F.lit(float(default_weight))) if w is not None
          else F.lit(float(default_weight)))
     rate = F.when(
@@ -334,9 +340,9 @@ def token_budget_mix(df: DataFrame, budget_tokens: int,
         F.least(F.lit(1.0),
                 F.lit(float(budget_tokens)) * w / F.col("__T").cast("double"))
     ).otherwise(F.lit(1.0))
-    rates = totals.select(source_col, rate.alias("keep_rate"))
+    rates = totals.select("__src", rate.alias("keep_rate"))
     u = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
          .cast("double") / F.lit(4294967296.0))
-    return (base.join(F.broadcast(rates), source_col)
+    return (base.join(F.broadcast(rates), "__src")
             .select(id_col, source_col, "n_tokens", "keep_rate",
                     (u < F.col("keep_rate")).alias("keep")))

@@ -162,8 +162,42 @@ def train_centroids(df: DataFrame, k: int = 16, vec_col: str = "embedding",
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision, sequential array order — the one
+    squared-distance fold shared by PQ encode, ADC tables and the IVF-PQ
+    refine pass (edit here, every consumer follows)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                                      * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, d_: acc + d_)
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]],
+                 metric: str) -> tuple[Column, bool]:
+    """Per-cell affinity array for ``vec`` against the centroid literal;
+    returns (scores, higher_is_better)."""
+    cent = nested_double_lit(centroids)
+    if metric == "l2":
+        return F.transform(cent, lambda c: sq_l2(vec, c)), False
+    if metric == "cosine":
+        return F.transform(cent, lambda c: cosine(vec, c)), True
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _adc_table(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """m×ksub table of squared distances from each of ``vec``'s
+    subvectors to every codebook centroid — the per-query ADC lookup."""
+    dsub = len(codebooks[0][0])
+    books = nested_double_lit(codebooks)
+    return F.transform(
+        books,
+        lambda book, s: F.transform(
+            book, lambda c: sq_l2(F.slice(vec, s * dsub + 1, dsub), c)))
+
+
 def ivf_index(df: DataFrame, centroids: list[list[float]],
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              metric: str = "cosine") -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
     quantization). Centroids are driver-provided literals (train with
     ml.clustering.KMeans or any offline pass).
@@ -182,11 +216,15 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     hundred bytes regardless of k, so analysis + Janino compilation stop
     growing with the cell count (measured 2.2 s → 0.7 s per run at k=8,
     d=64; at a production k of 4096 the unrolled form would not compile).
+
+    ``metric`` picks the cell affinity: ``"cosine"`` for the cosine-world
+    operators (ivf_topk, semantic_dedup), ``"l2"`` for IVF-PQ — the
+    coarse quantizer must use the SAME metric the fine stage ranks by,
+    or nearest neighbors land in unprobed cells.
     """
-    cent = nested_double_lit(centroids)
-    v = F.col(vec_col)
-    sims = F.transform(cent, lambda c: cosine(v, c))
-    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    scores, hib = _cell_scores(F.col(vec_col), centroids, metric)
+    best = F.array_max(scores) if hib else F.array_min(scores)
+    cell = (F.array_position(scores, best) - 1).cast("int")
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
@@ -319,6 +357,27 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
     return books
 
 
+def _subvectors(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Slice ``vec`` into the m PQ subvectors ONCE per row. Higher-order
+    array functions are INTERPRETED (no whole-stage codegen), so the
+    lambda nest is the cost model: the naive form sliced inside the
+    per-centroid lambda — m·ksub slices/row, measured 3.4× slower."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                       lambda s: F.slice(vec, s * dsub + 1, dsub))
+
+
+def _codes_from_subs(subs: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Per-subspace argmin code from pre-sliced subvectors. First-min
+    wins in array_position → deterministic code on centroid ties."""
+    books = nested_double_lit(codebooks)
+    return F.transform(
+        F.zip_with(books, subs,
+                   lambda book, sub: F.transform(book, lambda c: sq_l2(sub, c))),
+        lambda d2s: (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+
+
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -328,37 +387,12 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     ``ivf_index``). Returns (id, codes array<int>); at 100 TB the code
     table is m bytes/vector instead of 4·dim — the memory shape that
     makes billion-scale ANN fit."""
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    books = nested_double_lit(codebooks)
-    v = F.col(vec_col)
-
-    # Higher-order array functions are INTERPRETED (no whole-stage
-    # codegen), so the shape of the lambda nest is the cost model: slice
-    # the vector into its m subvectors ONCE per row (stage 1), then walk
-    # codebook×subvector pairs with zip_with — the inner loop touches
-    # dsub elements, never re-slices. (The naive form sliced inside the
-    # per-centroid lambda: m·ksub slices/row, measured 3.4× slower.)
-    # First-min wins in array_position → deterministic code on ties.
-    # Encoding is per-row parallel; repartition spreads a single-file
-    # source across cores.
-    subs = F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
-                       lambda s: F.slice(v, s * dsub + 1, dsub))
-
-    def d2(sub: Column, cent: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(sub, cent,
-                       lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_)),
-            F.lit(0.0), lambda acc, d_: acc + d_)
-
-    codes = F.transform(
-        F.zip_with(books, F.col("__subs"),
-                   lambda book, sub: F.transform(book, lambda c: d2(sub, c))),
-        lambda d2s: (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
     npart = df.sparkSession.sparkContext.defaultParallelism
     return (df.repartition(npart)
-            .select(F.col(id_col), subs.alias("__subs"))
-            .select(F.col(id_col), codes.alias("codes")))
+            .select(F.col(id_col),
+                    _subvectors(F.col(vec_col), codebooks).alias("__subs"))
+            .select(F.col(id_col),
+                    _codes_from_subs(F.col("__subs"), codebooks).alias("codes")))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame,
@@ -377,26 +411,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     corpus side); re-rank the top candidates with exact distances when
     recall matters more than the 4·dim/m compression.
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     codes_df = (precomputed_codes if precomputed_codes is not None
                 else pq_encode(corpus, codebooks, id_col, vec_col))
-    books = nested_double_lit(codebooks)
-    qv = F.col("__qvec")
-
-    def q_sub(s: Column) -> Column:
-        return F.slice(qv, s * dsub + 1, dsub)
-
-    dtab = F.transform(
-        books,
-        lambda book, s: F.transform(
-            book,
-            lambda c: F.aggregate(
-                F.zip_with(q_sub(s), c,
-                           lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_)),
-                F.lit(0.0), lambda acc, d_: acc + d_)))
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-         .withColumn("__dtab", dtab).drop("__qvec"))
+         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks))
+         .drop("__qvec"))
     adc = F.aggregate(
         F.zip_with(F.col("__dtab"), F.col("codes"),
                    lambda tab, code: F.element_at(tab, code + 1)),
@@ -434,30 +453,30 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     queries + their m×ksub tables broadcast; the refine join's probe
     side is bounded by k·r·|queries| rows.
     """
-    indexed = ivf_index(corpus, centroids, id_col, vec_col).select(id_col, "cell")
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    side = indexed.join(codes, id_col)
+    # cell assignment and PQ codes are both per-row projections of the
+    # same scan — computed in ONE staged select (no corpus self-join, no
+    # id shuffle; the corpus is read once). The coarse quantizer uses L2
+    # on BOTH sides: the fine stage ranks by (squared-L2) ADC, and a
+    # mixed-metric quantizer sends true neighbors to unprobed cells.
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    cell_scores, _ = _cell_scores(F.col(vec_col), centroids, "l2")
+    staged = (corpus.repartition(npart)
+              .select(F.col(id_col),
+                      cell_scores.alias("__cs"),
+                      _subvectors(F.col(vec_col), codebooks).alias("__subs")))
+    side = staged.select(
+        F.col(id_col),
+        (F.array_position(F.col("__cs"), F.array_min("__cs")) - 1)
+        .cast("int").alias("cell"),
+        _codes_from_subs(F.col("__subs"), codebooks).alias("codes"))
 
-    cent = nested_double_lit(centroids)
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
-    books = nested_double_lit(codebooks)
-    qv = F.col("__qvec")
-    sims = F.transform(cent, lambda c: cosine(qv, c))
-    dtab = F.transform(
-        books,
-        lambda book, s: F.transform(
-            book,
-            lambda c: F.aggregate(
-                F.zip_with(F.slice(qv, s * dsub + 1, dsub), c,
-                           lambda a_, b_: (a_.cast("double") - b_) * (a_.cast("double") - b_)),
-                F.lit(0.0), lambda acc, d_: acc + d_)))
+    q_scores, _ = _cell_scores(F.col("__qvec"), centroids, "l2")
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-         .withColumn("__dtab", dtab)
+         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks))
          .select(query_id_col, "__qvec", "__dtab",
-                 F.posexplode(sims).alias("cell", "__csim"))
+                 F.posexplode(q_scores).alias("cell", "__cd2"))
          .withColumn("__rk", F.row_number().over(
-             Window.partitionBy(query_id_col).orderBy(F.desc("__csim"),
+             Window.partitionBy(query_id_col).orderBy(F.asc("__cd2"),
                                                       F.asc("cell"))))
          .filter(F.col("__rk") <= nprobe)
          .select(query_id_col, "__qvec", "__dtab", "cell"))
@@ -475,14 +494,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         return short.select(query_id_col, F.col(id_col).alias("neighbor_id"),
                             "adc_dist", "rank")
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
-    l2 = F.aggregate(
-        F.zip_with(F.col("__cvec"), F.col("__qvec"),
-                   lambda a_, b_: (a_.cast("double") - b_.cast("double"))
-                                  * (a_.cast("double") - b_.cast("double"))),
-        F.lit(0.0), lambda acc, d_: acc + d_)
     refined = (short.select(query_id_col, id_col, "__qvec")
                .join(vecs, id_col)
-               .withColumn("l2_dist", l2))
+               .withColumn("l2_dist", sq_l2(F.col("__cvec"), F.col("__qvec"))))
     w2 = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc(id_col))
     return (refined.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)

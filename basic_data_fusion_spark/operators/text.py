@@ -749,7 +749,10 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
             .withColumn("dl", F.size("toks")))
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("dl").alias("total_dl"))
-    terms = sorted(set(query_terms))
+    # corpus tokens are lowercased/trimmed — normalize the query bag the
+    # same way so 'Spark' matches; raw-uppercase terms silently matching
+    # nothing is a footgun, not a feature
+    terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
     tf = (base.select(id_col, "dl", F.explode("toks").alias("token"))
           .filter(F.col("token").isin(terms))
           .groupBy(id_col, "dl", "token")

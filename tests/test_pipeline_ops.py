@@ -1211,3 +1211,59 @@ def test_trigram_backoff_paths_match_reference(spark):
         assert out[i]["n_trigrams"] == len(tris)
         assert abs(out[i]["mean_neg_log_score"] - expect) < 1e-9, (i, text)
     assert hit_paths == {"tri", "big", "uni", "floor"}, hit_paths
+
+
+def test_exactsubstr_preserves_case_of_survivors(spark):
+    """Matching is case-insensitive but clean_text rebuilds from the
+    ORIGINAL-case tokens — a doc with no duplicated spans must come back
+    with its casing intact (reviewer finding: the old rebuild lowercased
+    the whole corpus)."""
+    span = "one two three four five six"
+    rows = [(1, f"Unique PREFIX Alpha {span}"),
+            (2, f"Different Start Bravo {span.upper()}"),  # case-insensitive dup
+            (3, "Totally Clean Doc With Mixed CASE words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.exact_substring_dedup(df, window=6, min_docs=2).collect()}
+    # doc 3 untouched: original casing preserved
+    assert out[3]["clean_text"] == "Totally Clean Doc With Mixed CASE words here"
+    assert out[3]["n_removed"] == 0
+    # the shared span is removed from both (matched case-insensitively),
+    # survivors keep their original case
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    assert out[1]["clean_text"].startswith("Unique PREFIX Alpha")
+    assert "one" not in out[1]["clean_text"]
+    assert out[2]["clean_text"].startswith("Different Start Bravo")
+
+
+def test_token_budget_mix_null_source_not_dropped(spark):
+    from basic_data_fusion_spark.operators.selection import token_budget_mix
+
+    rows = [(1, "a b c", "web"), (2, "d e f", None), (3, "g h", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           token_budget_mix(df, budget_tokens=100,
+                            weights={"web": 1.0}, default_weight=1.0).collect()}
+    assert len(out) == 3, "NULL-source docs must not drop out of the join"
+    assert out[2]["source"] is None and out[2]["keep_rate"] == 1.0
+    assert out[2]["keep"] and out[3]["keep"]
+
+
+def test_bloom_decontaminate_null_text_is_empty(spark):
+    held = spark.createDataFrame([(9, "x y z")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, None), (2, "clean words only here")],
+                                  "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.bloom_decontaminate(train, held, n=3).collect()}
+    assert out[1]["contaminated"] is not None  # NULL must not propagate
+    assert out[1]["n_shingles"] is not None
+
+
+def test_bm25_normalizes_query_terms(spark):
+    from basic_data_fusion_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame([(0, "spark join engine"), (1, "other words")],
+                               "doc_id long, text string")
+    got = bm25_topk(df, ["  Spark ", "JOIN", ""], k=2).collect()
+    assert [r["doc_id"] for r in got] == [0]
+    assert got[0]["n_terms_matched"] == 2

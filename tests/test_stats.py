@@ -206,10 +206,11 @@ def test_grouped_k2_sql_tier_matches_python(spark):
 
 
 def test_grouped_k2_small_groups_ansi_safe(spark):
-    """Groups below n=8 are filtered in the FIRST CTE, so the z-transform
-    chain never sees degenerate n — no DIVIDE_BY_ZERO under ANSI mode —
-    and dagostino_k2 returns (nan, nan) for small samples instead of
-    raising."""
+    """Groups below n=8 never enter the z-transform chain — no
+    DIVIDE_BY_ZERO under ANSI mode — but still appear in the OUTPUT with
+    their n/mean and NULL k2 (the same every-group contract as the
+    grouped_normality applyInPandas tier); dagostino_k2 returns
+    (nan, nan) for small samples instead of raising."""
     from basic_data_fusion_spark.operators.deterministic_sql import grouped_k2_sql
 
     rows = [("big", float(i % 13) + 0.1 * (i % 7)) for i in range(40)] + \
@@ -223,7 +224,8 @@ def test_grouped_k2_small_groups_ansi_safe(spark):
                spark.sql(grouped_k2_sql("k2small", "g", "x")).collect()}
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
-    assert "tiny" not in out
+    assert out["tiny"]["k2"] is None and out["tiny"]["p_k2"] is None
+    assert out["tiny"]["n"] == 2 and out["tiny"]["mean"] == 1.5
     assert out["big"]["k2"] is not None
     k2, p = stats.dagostino_k2([1.0, 2.0, 3.0])
     assert math.isnan(k2) and math.isnan(p)
