@@ -229,6 +229,45 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
               "median double, min double, max double")
 
 
+def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 interactive/100 TB tier: identical summary shape to
+    `column_summary` with the median from `approx_percentile` (KLL-style
+    mergeable sketch, bounded memory per partition) instead of the exact
+    `percentile` (which buffers every value into one final merge — a
+    global sort per column). This is the documented at-scale switch for
+    the percentile surface; sketch output is engine-specific → rows-only
+    driver check, exactness bound pytest-verified against the exact
+    tier."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    rows = []
+    for table, cols in (("customer", ["c_acctbal"]),
+                        ("lineitem", ["l_quantity", "l_extendedprice",
+                                      "l_discount"])):
+        df = (cat.load(table).select(*cols)
+              .repartition(spark.sparkContext.defaultParallelism))
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in cols:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"n_{c}"),
+                (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
+                F.expr(f"approx_percentile({c}, 0.5, 10000)")
+                 .cast("double").alias(f"med_{c}"),
+                F.min(col).alias(f"min_{c}"),
+                F.max(col).alias(f"max_{c}"),
+            ]
+        row = df.agg(*aggs).first()
+        for c in cols:
+            rows.append((f"{table}.{c}", row[f"n_{c}"],
+                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
+                         row[f"med_{c}"], row[f"min_{c}"], row[f"max_{c}"]))
+    return spark.createDataFrame(
+        rows, "column string, n_non_null long, n_missing long, mean double, "
+              "median double, min double, max double")
+
+
 def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
     cat = _catalog(spark, sf_dir)
     for t in tables:
@@ -3785,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "part_heavy_hitters": q_part_heavy_hitters,
         "trigram_lm": q_trigram_lm,
+        "column_summary_approx": q_column_summary_approx,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,

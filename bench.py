@@ -94,6 +94,7 @@ HEADLINE = [
     "ivfpq_topk",            # IVF cells + PQ codes + exact re-rank
     "part_heavy_hitters",    # skew diagnostic: exact top-k hot keys
     "trigram_lm",            # trigram Stupid Backoff, two backoff levels
+    "column_summary_approx",  # A5 interactive tier: approx_percentile sketch
 ]
 
 

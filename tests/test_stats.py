@@ -358,3 +358,23 @@ def test_approx_quantiles_near_exact(spark):
     spread = max(exact) - min(exact)
     for a, e in zip(approx, exact):
         assert abs(a - e) <= 0.05 * spread + 1e-9
+
+
+def test_column_summary_approx_matches_exact_tier(spark):
+    """The interactive approx_percentile tier must agree with the exact
+    tier on everything except the median, and the sketch median must sit
+    within the GK/KLL rank-error envelope of the exact one."""
+    import __spark_entry__ as entrymod
+
+    exact = {r["column"]: r for r in entrymod.queries()[
+        "column_summary"](spark, "/root/testdata/sf0.001").collect()}
+    approx = {r["column"]: r for r in entrymod.queries()[
+        "column_summary_approx"](spark, "/root/testdata/sf0.001").collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (e["n_non_null"], e["n_missing"], e["min"], e["max"]) == \
+            (a["n_non_null"], a["n_missing"], a["min"], a["max"])
+        assert a["mean"] == e["mean"]  # fixed-point sum — identical tier
+        spread = e["max"] - e["min"]
+        assert abs(a["median"] - e["median"]) <= max(0.02 * spread, 1e-9), c
