@@ -31,3 +31,75 @@ def streaming_exact_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
         return df.dropDuplicates(keys)
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def streaming_simhash_candidates(df: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 max_hamming: int = 3,
+                                 n: int = 2) -> DataFrame:
+    """Streaming NEAR-dup detection — the fuzzy tier next to
+    ``streaming_exact_dedup``: each incoming doc is checked against every
+    doc seen so far whose simhash shares a 16-bit band, and a candidate
+    row ``(doc_id, dup_of, hamming)`` is emitted per verified match
+    (hamming ≤ ``max_hamming`` over the full 64-bit sketch).
+
+    Mechanics: the doc's 64-bit simhash (same JVM vote fold as the batch
+    tier) explodes into its 4 band keys BEFORE the stateful op; state is
+    keyed by (band, bits) and holds the (id, sketch) list of prior
+    members of that bucket. Pigeonhole guarantees a pair within
+    ``max_hamming`` ≤ 3 bits agrees on ≥1 whole band, so within state
+    retention there are NO false negatives; a pair close on several
+    bands emits once per agreeing band — consumers dedup candidates in
+    the sink (the exactly-once foreachBatch sink's natural job), which
+    is cheaper than cross-band coordination inside the operator.
+
+    Scale shape: one shuffle per micro-batch on the band key; state is
+    O(docs per bucket) and the candidate comparisons per doc are only
+    against its own buckets' members — the streaming analogue of the
+    batch band join. Production deployments bound state with a
+    processing-time timeout (drop buckets idle longer than the dedup
+    horizon); the operator itself is horizon-agnostic.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from basic_data_fusion_spark.operators.dedup import simhash64
+
+    bands = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("__sim", 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for i in range(4)
+    ]
+    banded = (df.select(F.col(id_col),
+                        simhash64(F.col(text_col), n).alias("__sim"))
+              .select(id_col, "__sim", F.explode(F.array(*bands)).alias("bb"))
+              .select(id_col, "__sim", F.col("bb.band").alias("band"),
+                      F.col("bb.bits").alias("bits")))
+
+    out_schema = f"{id_col} bigint, dup_of bigint, hamming int"
+    state_schema = "ids array<bigint>, sims array<bigint>"
+
+    def update(key, pdf_iter, state: GroupState):
+        ids, sims = state.get if state.exists else ([], [])
+        ids, sims = list(ids), list(sims)
+        rows = []
+        for pdf in pdf_iter:
+            # deterministic order within the batch: lower id is "prior"
+            pdf = pdf.sort_values(id_col)
+            for doc, sim in zip(pdf[id_col], pdf["__sim"]):
+                doc, sim = int(doc), int(sim)
+                for pid, psim in zip(ids, sims):
+                    h = bin((sim ^ psim) & ((1 << 64) - 1)).count("1")
+                    if h <= max_hamming:
+                        rows.append((doc, pid, h))
+                ids.append(doc)
+                sims.append(sim)
+        state.update((ids, sims))
+        return iter([pd.DataFrame(rows, columns=[id_col, "dup_of", "hamming"])]
+                    if rows else [])
+
+    return (banded.groupBy("band", "bits")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

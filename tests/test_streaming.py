@@ -329,3 +329,53 @@ def test_streaming_corpus_ingestion_end_to_end(spark, tmp_path):
     got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     # doc 2 fails quality; doc 1's three copies collapse to one
     assert got == [1, 3]
+
+
+def test_streaming_simhash_near_dup_candidates(spark, tmp_path):
+    """Custom stateful streaming near-dup: docs arriving in DIFFERENT
+    micro-batches are matched through band-bucket state (no false
+    negatives within retention); sink-side dedup of the per-band
+    candidates reproduces the batch simhash tier's pair set."""
+    from basic_data_fusion_spark.operators.dedup import simhash_near_dups
+    from basic_data_fusion_spark.streaming.dedup import (
+        streaming_simhash_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),         # near dup of 1/2
+        (4, "completely different text about query engines and sparks"),
+        (5, base),                                   # later-batch dup
+    ]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {(r["id_a"], r["id_b"]) for r in
+                simhash_near_dups(batch_df, max_hamming=3).collect()}
+    assert expected, "fixture must contain near dups"
+
+    # two micro-batches: docs 1-4 then doc 5 (state must carry across)
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    spark.createDataFrame(rows[:4], "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "p0"))
+    spark.createDataFrame(rows[4:], "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "p*" / "*.parquet")))):
+        shutil.copy(f, d / f"batch{i}.parquet")
+    shutil.rmtree(d / "p0")
+    shutil.rmtree(d / "p1")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    out = W.run_available_now(streaming_simhash_candidates(stream),
+                              "t_stream_simhash", output_mode="append")
+    got_rows = out.toPandas()
+    # sink-side candidate dedup (pairs can emit once per agreeing band)
+    got = {(min(a, b), max(a, b))
+           for a, b in zip(got_rows["dup_of"], got_rows["doc_id"])}
+    assert got == expected
+    # the cross-batch pair specifically must be present
+    assert any(5 in p for p in got)
