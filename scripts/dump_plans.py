@@ -62,6 +62,16 @@ PICK_NOTES = {
                          "shuffle.",
     "token_budget_mix": "One tokenize+count aggregation; rate table "
                         "broadcasts; keep predicate is map-side.",
+    "ivfpq_topk": "L2 coarse cells + PQ codes from ONE staged corpus "
+                  "projection (no self-join); queries + ADC tables "
+                  "broadcast; exact re-rank joins only the k*refine "
+                  "shortlist back to vectors.",
+    "bloom_decontam": "Benchmark side folds to a fixed-size bitmap "
+                      "(bit_or groupBy on word indexes); the corpus pass "
+                      "is one zero-shuffle projection against the "
+                      "bitmap literal.",
+    "part_heavy_hitters": "Partial agg + TakeOrderedAndProject — the "
+                          "skew report never globally sorts.",
 }
 MAX_LINES = 40
 
