@@ -3353,6 +3353,19 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(train, held, n=3, m_bits=1 << 18, k_hashes=3)
 
 
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental ingestion dedup: the src0-2 slice as the
+    incoming batch vs the rest as the standing corpus, near-dup links
+    via the banded MinHash index + exact-jaccard verification. xxhash64
+    index → rows-only driver check; batch-tier parity pytest-verified."""
+    from basic_data_fusion_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    batch = docs.filter(F.col("source").isin(*_INCR_BATCH_SOURCES))
+    existing = docs.filter(~F.col("source").isin(*_INCR_BATCH_SOURCES))
+    return incremental_minhash_dedup(existing, batch, threshold=0.8)
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -3819,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shipping_bands": q_priority_shipping_bands,
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
         "ivfpq_topk": q_ivfpq_topk,

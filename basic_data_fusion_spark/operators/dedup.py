@@ -432,6 +432,66 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select("id_a", "id_b", "jaccard"))
 
 
+def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              num_hashes: int = 64, bands: int = 16,
+                              threshold: float = 0.5,
+                              seed: int = 42) -> DataFrame:
+    """Fuzzy tier of incremental ingestion dedup (pairs with
+    ``incremental_exact_dedup``): NEW docs that are near-duplicates of
+    the STANDING corpus, found via the banded MinHash index and verified
+    with exact shingle Jaccard. Returns (new_id, existing_id, jaccard)
+    — one row per verified near-dup link, ≥ ``threshold``.
+
+    Scale shape: a real deployment PERSISTS the standing corpus's
+    (band, bucket) index and shingle sets between increments (both are
+    plain relations produced here by the same expressions that would
+    have written them); per increment only the NEW batch is hashed, the
+    candidate join touches matching buckets, and verification joins
+    only candidate pairs to the two shingle relations. The standing
+    corpus is never re-shingled per batch in steady state and never
+    self-joins — cost is O(batch + candidates), the property that keeps
+    per-crawl dedup viable against a 100 TB history.
+    """
+    sig_ex = minhash_signatures(existing, text_col, id_col, n, num_hashes, seed)
+    sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes, seed)
+    rows_per_band = num_hashes // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        b = sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band"),
+                         F.xxhash64(F.concat_ws(
+                             ",", *[F.element_at("signature",
+                                                 bi * rows_per_band + r + 1)
+                                    .cast("string")
+                                    for r in range(rows_per_band)]))
+                         .alias("bucket"))
+                for bi in range(bands)
+            ])).alias("bb"))
+        return b.select(out_id, "bb.band", "bb.bucket")
+
+    cands = (banded(sig_new, "new_id")
+             .join(banded(sig_ex, "existing_id"), ["band", "bucket"])
+             .select("new_id", "existing_id").distinct())
+    sh_new = (new.repartition(new.sparkSession.sparkContext.defaultParallelism)
+              .select(F.col(id_col).alias("new_id"),
+                      word_shingles(F.col(text_col), n).alias("sh_n")))
+    sh_ex = (existing
+             .repartition(existing.sparkSession.sparkContext.defaultParallelism)
+             .select(F.col(id_col).alias("existing_id"),
+                     word_shingles(F.col(text_col), n).alias("sh_e")))
+    n_common = F.size(F.array_intersect("sh_n", "sh_e"))
+    return (cands.join(sh_new, "new_id").join(sh_ex, "existing_id")
+            .withColumn("jaccard",
+                        n_common.cast("double")
+                        / (F.size("sh_n") + F.size("sh_e") - n_common))
+            .filter(F.col("jaccard") >= threshold)
+            .select("new_id", "existing_id", "jaccard"))
+
+
 # ---------------- cross-corpus decontamination ----------------
 
 def cross_corpus_overlap(train: DataFrame, held_out: DataFrame,

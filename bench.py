@@ -89,6 +89,7 @@ HEADLINE = [
     "priority_shipping_bands",  # Q12 shape: one-pass conditional bands
     "bulk_suppliers_for_parts",  # Q20 shape: nested semi-join chain
     "incremental_dedup",     # batch-vs-corpus hash-index dedup
+    "incremental_minhash",   # batch-vs-corpus fuzzy dedup via band index
     "token_budget_mix",      # mixture weights -> per-source keep rates
     "bloom_decontam",        # bloom bitmap decontamination, zero-shuffle probe
     "ivfpq_topk",            # IVF cells + PQ codes + exact re-rank

@@ -1267,3 +1267,30 @@ def test_bm25_normalizes_query_terms(spark):
     got = bm25_topk(df, ["  Spark ", "JOIN", ""], k=2).collect()
     assert [r["doc_id"] for r in got] == [0]
     assert got[0]["n_terms_matched"] == 2
+
+
+def test_incremental_minhash_dedup_planted(spark):
+    """Fuzzy incremental tier: a new doc that near-duplicates a standing
+    doc links to it; unrelated new docs do not; recall equals a batch
+    minhash run restricted to (new × existing) pairs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    existing = spark.createDataFrame(
+        [(100, base), (101, "standing corpus completely different text here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base.replace("delta", "DELTA2")),      # near dup of 100
+         (2, "brand new unrelated content entirely fresh words")],
+        "doc_id long, text string")
+    got = {(r["new_id"], r["existing_id"]): r["jaccard"] for r in
+           dedup.incremental_minhash_dedup(existing, new,
+                                           threshold=0.5).collect()}
+    assert (1, 100) in got and got[(1, 100)] >= 0.5
+    assert not any(nid == 2 for nid, _ in got)
+    # parity vs the batch tier restricted to cross-corpus pairs
+    both = existing.union(new)
+    batch = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in dedup.minhash_dedup_pairs(both, threshold=0.5).collect()
+             if (r["id_a"] < 100) != (r["id_b"] < 100)}
+    got_pairs = {(min(a, b), max(a, b)) for a, b in got}
+    assert got_pairs == batch
