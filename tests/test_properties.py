@@ -163,3 +163,97 @@ def test_dsir_weights_match_python(spark, texts):
             continue
         assert got[i][0] == len(bs)
         assert got[i][1] == pytest.approx(sum(lr[b] for b in bs) / 1e8, abs=1e-9)
+
+
+@FAST
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1, max_size=10))
+def test_stupid_backoff_matches_python(spark, docs):
+    """Bigram Stupid Backoff vs a pure-Python model on generated corpora
+    (ids 0..n-1, the md5-nibble split decided identically)."""
+    import math
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.stupid_backoff_lm(df).collect()}
+
+    train = [i for i, _ in rows if int(_md5_hex(i)[0], 16) < 8]
+    uni, big, n = {}, {}, 0
+    for i in train:
+        t = docs[i]
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            n += 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+
+    def score(a, b):
+        if (a, b) in big:
+            return big[(a, b)] / uni[a]
+        if b in uni and n > 0:
+            return 0.4 * uni[b] / n
+        if n > 0:
+            return 0.4 * 0.4 / n
+        return None
+
+    for i, toks in enumerate(docs):
+        pairs = list(zip(toks, toks[1:]))
+        assert out[i]["n_bigrams"] == len(pairs)
+        if not pairs:
+            assert out[i]["mean_neg_log_score"] is None
+            continue
+        scores = [score(a, b) for a, b in pairs]
+        if any(s is None for s in scores):
+            assert out[i]["mean_neg_log_score"] is None
+            continue
+        ss = sum(int(round(-math.log(s) * 1e8)) for s in scores)
+        assert out[i]["mean_neg_log_score"] == pytest.approx(
+            (ss / 1e8) / len(pairs), abs=1e-9)
+
+
+@FAST
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=10),
+    min_size=2, max_size=8),
+    terms=st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3,
+                   unique=True))
+def test_bm25_matches_python_property(spark, docs, terms):
+    import math
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["bm25_score"])
+           for r in text.bm25_topk(df, list(terms), k=100).collect()]
+
+    k1, b = 1.2, 0.75
+    parsed = {i: t for i, t in enumerate(docs)}
+    n_docs = len(parsed)
+    total = sum(len(t) for t in parsed.values())
+    avgdl = total / n_docs
+    dfreq = {t: sum(1 for d in parsed.values() if t in d) for t in terms}
+    expect = {}
+    for i, toks in parsed.items():
+        s, m = 0, 0
+        for t in sorted(set(terms)):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += int(round(idf * tf * (k1 + 1.0)
+                           / (tf + k1 * (1 - b + b * len(toks) / avgdl)) * 1e8))
+        if m:
+            expect[i] = s / 1e8
+    assert dict(got) == pytest.approx(expect)
+
+
+@FAST
+@given(keys=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                     min_size=1, max_size=30, unique=True))
+def test_bloom_never_false_negative_property(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["s"])
+    bm = dedup.bloom_build(df, "s", m_bits=1 << 12, k_hashes=4)
+    res = df.withColumn(
+        "hit", dedup.bloom_might_contain(F.col("s"), bm, 1 << 12, 4)).collect()
+    assert all(r["hit"] for r in res)
