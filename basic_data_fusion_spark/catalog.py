@@ -129,7 +129,8 @@ class Catalog:
             return
         for fn in sorted(os.listdir(self.data_dir)):
             base, ext = os.path.splitext(fn)
-            if ext.lower() in (".parquet", ".csv") and (self._fmt is None or ext[1:] == self._fmt):
+            if (ext.lower() in (".parquet", ".csv", ".orc")
+                    and (self._fmt is None or ext[1:] == self._fmt)):
                 self._tables[base] = os.path.join(self.data_dir, fn)
 
     @property
@@ -149,6 +150,10 @@ class Catalog:
             path = self._tables[name]
             if path.endswith(".csv"):
                 df = self.spark.read.option("header", True).option("inferSchema", True).csv(path)
+            elif path.endswith(".orc"):
+                # ORC is Spark-native columnar (predicate pushdown and
+                # column pruning work like parquet); no nanos quirk
+                df = self.spark.read.orc(path)
             else:
                 ns_cols = _timestamp_ns_columns(path)
                 if ns_cols:

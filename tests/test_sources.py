@@ -332,3 +332,29 @@ def test_lm_surprisal_semantics(spark):
     assert out[1]["mean_surprisal"] == (3 * ln2) / 3
     assert out[2] == {"doc_id": 2, "n_tokens": 1, "mean_surprisal": ln2}
     assert out[3]["n_tokens"] == 0 and out[3]["mean_surprisal"] is None
+
+
+def test_catalog_reads_orc(spark, tmp_path):
+    """ORC round-trip through the catalog: a table materialized as .orc
+    is discovered, loaded, and filter-pushdown reaches the ORC scan."""
+    from basic_data_fusion_spark.catalog import Catalog
+
+    src = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    d = tmp_path / "orcdir"
+    d.mkdir()
+    # single .orc file path (catalog treats files as tables)
+    tmp = tmp_path / "stage"
+    src.coalesce(1).write.mode("overwrite").orc(str(tmp))
+    import glob
+    import shutil
+    part = glob.glob(str(tmp / "*.orc"))[0]
+    shutil.copy(part, d / "customer.orc")
+
+    cat = Catalog(spark, str(d), primary_id="c_custkey", hub_table="customer")
+    assert cat.tables == ["customer"]
+    df = cat.load("customer")
+    assert df.count() == src.count()
+    assert sorted(df.columns) == sorted(src.columns)
+    plan = (df.filter(df.c_acctbal > 5000)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PushedFilters" in plan and "c_acctbal" in plan
