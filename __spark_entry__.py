@@ -762,6 +762,93 @@ FROM documents doc LEFT JOIN d ON d.doc_id = doc.doc_id
 """
 
 
+def q_corpus_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation composite spanning the round-3/4
+    stages: corpus line-dedup (C4 boilerplate sweep) → unigram-LM
+    surprisal over the CLEANED text → CCNet head/middle keep (drop the
+    per-language tail tercile) → deterministic hash split. Every stage's
+    corpus statistic is computed on the post-dedup text — order matters
+    and the oracle replays the exact chain."""
+    from pyspark.sql import Window
+
+    from basic_data_fusion_spark.functions.scalars import hash_split
+    from basic_data_fusion_spark.operators.dedup import line_dedup
+    from basic_data_fusion_spark.operators.text import lm_surprisal
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    cleaned = (line_dedup(docs)
+               .select("doc_id", F.col("clean_text").alias("text")))
+    scored = lm_surprisal(cleaned)
+    j = (scored.filter(F.col("mean_surprisal").isNotNull())
+         .join(docs.select("doc_id", "lang"), "doc_id"))
+    w = Window.partitionBy("lang").orderBy("mean_surprisal", "doc_id")
+    return (j.withColumn("bucket", F.ntile(3).over(w))
+            .filter(F.col("bucket") <= 2)
+            .select("doc_id", "lang", "n_tokens", "mean_surprisal", "bucket",
+                    hash_split(F.col("doc_id")).alias("split")))
+
+
+_CURATION_V2_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls
+  FROM documents
+),
+w0 AS (SELECT doc_id, unnest(ls) AS line,
+              unnest(generate_series(1, len(ls))) AS i
+       FROM t),
+dfq AS (SELECT trim(line) AS tl, COUNT(DISTINCT doc_id) AS d
+        FROM w0 WHERE trim(line) <> '' GROUP BY 1),
+banned AS (SELECT tl FROM dfq WHERE d >= 2),
+kept AS (SELECT * FROM w0 WHERE trim(line) NOT IN (SELECT tl FROM banned)),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+cleaned AS (
+  SELECT t.doc_id, COALESCE(reb.clean_text, '') AS text
+  FROM t LEFT JOIN reb USING (doc_id)
+),
+tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM cleaned
+),
+wd AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+freq AS (SELECT token, COUNT(*) AS c FROM wd GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM wd),
+d AS (
+  SELECT wd.doc_id, COUNT(*) AS n_tokens,
+         SUM(CAST(ROUND(-ln(CAST(f.c AS DOUBLE) / tot.n)
+                        * CAST(100000000.0 AS DOUBLE), 0) AS BIGINT)) AS ss
+  FROM wd JOIN freq f USING (token) CROSS JOIN tot
+  GROUP BY wd.doc_id
+),
+scored AS (
+  SELECT c.doc_id,
+         COALESCE(d.n_tokens, 0) AS n_tokens,
+         CASE WHEN d.doc_id IS NULL THEN NULL
+              ELSE (CAST(d.ss AS DOUBLE) / CAST(100000000.0 AS DOUBLE))
+                   / d.n_tokens END AS mean_surprisal
+  FROM cleaned c LEFT JOIN d ON d.doc_id = c.doc_id
+),
+g AS (
+  SELECT s.doc_id, doc.lang, s.n_tokens, s.mean_surprisal,
+         CAST(NTILE(3) OVER (PARTITION BY doc.lang
+                             ORDER BY s.mean_surprisal, s.doc_id) AS INT)
+           AS bucket
+  FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
+  WHERE s.mean_surprisal IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens, mean_surprisal, bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM g
+WHERE bucket <= 2
+"""
+
+
 def q_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram Stupid Backoff scoring (two backoff levels — the depth
     CCNet's 5-gram KenLM operates at): counts from the md5-nibble train
@@ -3839,6 +3926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_heavy_hitters": q_part_heavy_hitters,
         "trigram_lm": q_trigram_lm,
         "column_summary_approx": q_column_summary_approx,
+        "corpus_curation_v2": q_corpus_curation_v2,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -3965,6 +4053,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "trigram_lm": _TRIGRAM_LM_ORACLE,
+        "corpus_curation_v2": _CURATION_V2_ORACLE,
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -96,6 +96,7 @@ HEADLINE = [
     "part_heavy_hitters",    # skew diagnostic: exact top-k hot keys
     "trigram_lm",            # trigram Stupid Backoff, two backoff levels
     "column_summary_approx",  # A5 interactive tier: approx_percentile sketch
+    "corpus_curation_v2",    # line-dedup -> surprisal -> CCNet cut -> split
 ]
 
 
