@@ -191,53 +191,16 @@ def q_baseline_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consolidate_baseline(wide)
 
 
-def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 deterministic tier: per-column n / missing / mean / median / min /
-    max for customer+lineitem numerics. Mean via fixed-point sum and median
-    via exact percentile rounded to 4 (2-decimal source data → the round is
-    identity on true values, only kills cross-engine ulp drift)."""
-    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
-
-    cat = _catalog(spark, sf_dir)
-    rows = []
-    for table, cols in (("customer", ["c_acctbal"]),
-                        ("lineitem", ["l_quantity", "l_extendedprice", "l_discount"])):
-        # column-pruned scan, then spread the CPU-heavy exact-percentile
-        # update phase over all cores (single-file source = few splits;
-        # the final percentile merge stays serial by nature)
-        df = (cat.load(table).select(*cols)
-              .repartition(spark.sparkContext.defaultParallelism))
-        # ONE aggregation pass per table: every column's stats plus the
-        # row count in a single scan (no per-column jobs, no df.count())
-        aggs = [F.count(F.lit(1)).alias("__total")]
-        for c in cols:
-            col = F.col(c).cast("double")
-            aggs += [
-                F.count(col).alias(f"n_{c}"),
-                (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
-                F.round(F.expr(f"percentile({c}, 0.5)"), 4).alias(f"med_{c}"),
-                F.min(col).alias(f"min_{c}"),
-                F.max(col).alias(f"max_{c}"),
-            ]
-        row = df.agg(*aggs).first()  # one job; result is a single row
-        for c in cols:
-            rows.append((f"{table}.{c}", row[f"n_{c}"],
-                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
-                         row[f"med_{c}"], row[f"min_{c}"], row[f"max_{c}"]))
-    return spark.createDataFrame(
-        rows, "column string, n_non_null long, n_missing long, mean double, "
-              "median double, min double, max double")
-
-
-def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 interactive/100 TB tier: identical summary shape to
-    `column_summary` with the median from `approx_percentile` (KLL-style
-    mergeable sketch, bounded memory per partition) instead of the exact
-    `percentile` (which buffers every value into one final merge — a
-    global sort per column). This is the documented at-scale switch for
-    the percentile surface; sketch output is engine-specific → rows-only
-    driver check, exactness bound pytest-verified against the exact
-    tier."""
+def _column_summary_impl(spark: SparkSession, sf_dir: str,
+                         median_agg) -> DataFrame:
+    """Shared body of the exact and approx A5 summary tiers — ONE
+    aggregation pass per table (every column's stats + the row count in
+    a single scan, no per-column jobs); the tiers differ ONLY in the
+    median aggregation expression, and the approx tier's
+    same-shape-as-exact contract is enforced by construction here.
+    Column-pruned scan, then the CPU-heavy percentile update phase is
+    spread over all cores (single-file source = few splits; the final
+    merge stays serial by nature)."""
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
     cat = _catalog(spark, sf_dir)
@@ -253,12 +216,11 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs += [
                 F.count(col).alias(f"n_{c}"),
                 (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
-                F.expr(f"approx_percentile({c}, 0.5, 10000)")
-                 .cast("double").alias(f"med_{c}"),
+                median_agg(c).alias(f"med_{c}"),
                 F.min(col).alias(f"min_{c}"),
                 F.max(col).alias(f"max_{c}"),
             ]
-        row = df.agg(*aggs).first()
+        row = df.agg(*aggs).first()  # one job; result is a single row
         for c in cols:
             rows.append((f"{table}.{c}", row[f"n_{c}"],
                          row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
@@ -266,6 +228,31 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, n_non_null long, n_missing long, mean double, "
               "median double, min double, max double")
+
+
+def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 deterministic tier: per-column n / missing / mean / median / min /
+    max for customer+lineitem numerics. Mean via fixed-point sum and median
+    via exact percentile rounded to 4 (2-decimal source data → the round is
+    identity on true values, only kills cross-engine ulp drift)."""
+    # exact tier: percentile() buffers every value into one final merge
+    return _column_summary_impl(
+        spark, sf_dir,
+        lambda c: F.round(F.expr(f"percentile({c}, 0.5)"), 4))
+
+
+def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 interactive/100 TB tier: identical summary shape to
+    `column_summary` with the median from `approx_percentile` (KLL-style
+    mergeable sketch, bounded memory per partition) instead of the exact
+    `percentile` (which buffers every value into one final merge — a
+    global sort per column). This is the documented at-scale switch for
+    the percentile surface; sketch output is engine-specific → rows-only
+    driver check, exactness bound pytest-verified against the exact
+    tier."""
+    return _column_summary_impl(
+        spark, sf_dir,
+        lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)").cast("double"))
 
 
 def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:

@@ -148,9 +148,13 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; known: {self.tables}")
         if name not in self._df_cache:
             path = self._tables[name]
-            if path.endswith(".csv"):
+            # dispatch on the LOWERED extension — discovery accepts any
+            # case (_scan_dir), so load must too or CUSTOMER.ORC would
+            # fall through to the parquet reader
+            ext = os.path.splitext(path)[1].lower()
+            if ext == ".csv":
                 df = self.spark.read.option("header", True).option("inferSchema", True).csv(path)
-            elif path.endswith(".orc"):
+            elif ext == ".orc":
                 # ORC is Spark-native columnar (predicate pushdown and
                 # column pruning work like parquet); no nanos quirk
                 df = self.spark.read.orc(path)

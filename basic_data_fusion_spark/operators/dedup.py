@@ -374,6 +374,29 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return df.select(F.col(id_col), sig.alias("signature"))
 
 
+def minhash_band_keys(sig: DataFrame, id_col: str, out_id: str,
+                      bands: int, num_hashes: int) -> DataFrame:
+    """(id, band, bucket) relation from a signature table — the ONE
+    band/bucket-hash construction shared by the batch self-join tier and
+    the incremental batch-vs-index tier. A persisted standing-corpus
+    index and any later batch must hash buckets bit-identically, so the
+    expression is defined exactly once."""
+    rows_per_band = num_hashes // bands
+    b = sig.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at("signature",
+                                             bi * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)]))
+                     .alias("bucket"))
+            for bi in range(bands)
+        ])).alias("bb"))
+    return b.select(out_id, "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 16, num_hashes: int | None = None) -> DataFrame:
     """Band the signature, bucket-join: docs agreeing on ALL rows of any
@@ -386,17 +409,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     if num_hashes is None:
         first = sig.select(F.size("signature").alias("n")).first()
         num_hashes = first["n"]
-    rows_per_band = num_hashes // bands
-    banded = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("signature", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)])).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"))
-    banded = banded.select(id_col, "bb.band", "bb.bucket").persist()
+    banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -456,25 +469,10 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
     """
     sig_ex = minhash_signatures(existing, text_col, id_col, n, num_hashes, seed)
     sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes, seed)
-    rows_per_band = num_hashes // bands
-
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        b = sig.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array(*[
-                F.struct(F.lit(bi).alias("band"),
-                         F.xxhash64(F.concat_ws(
-                             ",", *[F.element_at("signature",
-                                                 bi * rows_per_band + r + 1)
-                                    .cast("string")
-                                    for r in range(rows_per_band)]))
-                         .alias("bucket"))
-                for bi in range(bands)
-            ])).alias("bb"))
-        return b.select(out_id, "bb.band", "bb.bucket")
-
-    cands = (banded(sig_new, "new_id")
-             .join(banded(sig_ex, "existing_id"), ["band", "bucket"])
+    cands = (minhash_band_keys(sig_new, id_col, "new_id", bands, num_hashes)
+             .join(minhash_band_keys(sig_ex, id_col, "existing_id",
+                                     bands, num_hashes),
+                   ["band", "bucket"])
              .select("new_id", "existing_id").distinct())
     sh_new = (new.repartition(new.sparkSession.sparkContext.defaultParallelism)
               .select(F.col(id_col).alias("new_id"),
@@ -626,6 +624,33 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+SIMHASH_BANDS = 4  # 4 × 16-bit bands: pigeonhole covers hamming ≤ 3
+
+
+def simhash_band_structs(sim_col: str = "simhash") -> list[Column]:
+    """The 4×16-bit band key structs shared by the batch band join and
+    the streaming band-bucket state — both tiers MUST compute identical
+    keys (the streaming test asserts batch parity), so the expression
+    lives once."""
+    return [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(sim_col, 16 * i)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
+        for i in range(SIMHASH_BANDS)
+    ]
+
+
+def check_simhash_hamming_bound(max_hamming: int) -> None:
+    """Pigeonhole over 4 bands only guarantees a shared band for pairs
+    within 3 bits; a larger ``max_hamming`` would silently produce false
+    negatives, so it is a hard error rather than a footgun."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the {SIMHASH_BANDS}-band "
+            f"pigeonhole guarantee (≤ {SIMHASH_BANDS - 1}); raise the band "
+            "count before raising the distance bound")
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, n: int = 2) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming. Pigeonhole band join:
@@ -635,16 +660,13 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     The (id, simhash) relation is repartitioned for CPU parallelism and
     persisted so the self-join doesn't evaluate the 64-bit vote fold
     twice."""
+    check_simhash_hamming_bound(max_hamming)
     spark = df.sparkSession
     sh = (df.repartition(spark.sparkContext.defaultParallelism)
           .select(F.col(id_col), simhash64(F.col(text_col), n).alias("simhash"))
           .persist())
-    bands = [
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bits"))
-        for i in range(4)
-    ]
-    banded = sh.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bb")) \
+    banded = sh.select(id_col, "simhash",
+                       F.explode(F.array(*simhash_band_structs())).alias("bb")) \
                .select(id_col, "simhash", "bb.band", "bb.bits")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
                       "band", "bits")

@@ -64,17 +64,18 @@ def streaming_simhash_candidates(df: DataFrame, text_col: str = "text",
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from basic_data_fusion_spark.operators.dedup import simhash64
+    from basic_data_fusion_spark.operators.dedup import (
+        check_simhash_hamming_bound,
+        simhash64,
+        simhash_band_structs,
+    )
 
-    bands = [
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned("__sim", 16 * i)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bits"))
-        for i in range(4)
-    ]
+    check_simhash_hamming_bound(max_hamming)
     banded = (df.select(F.col(id_col),
                         simhash64(F.col(text_col), n).alias("__sim"))
-              .select(id_col, "__sim", F.explode(F.array(*bands)).alias("bb"))
+              .select(id_col, "__sim",
+                      F.explode(F.array(*simhash_band_structs("__sim")))
+                      .alias("bb"))
               .select(id_col, "__sim", F.col("bb.band").alias("band"),
                       F.col("bb.bits").alias("bits")))
 
