@@ -3427,6 +3427,85 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(train, held, n=3, m_bits=1 << 18, k_hashes=3)
 
 
+def q_minhash_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash+LSH tier: md5-derived base hash and
+    raw-string band buckets make the ENTIRE candidate pipeline —
+    signatures, banding, candidate join, jaccard verification —
+    reproducible in plain SQL, so the fuzzy-dedup pair set value-hashes
+    against DuckDB (the xxhash64 tier stays rows-only, recall
+    pytest-verified)."""
+    from basic_data_fusion_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
+                               threshold=0.8, deterministic=True)
+
+
+def _minhash_det_oracle(n: int = 3, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42) -> str:
+    """DuckDB replay of the deterministic MinHash tier, generated from
+    the SAME affine parameters the Spark expression folds into its
+    plan."""
+    from basic_data_fusion_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+    )
+
+    params = _affine_params(num_hashes, seed)
+    values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(params))
+    hex15 = "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}::BIGINT" for i in range(1, 16)) + ")"
+    rpb = num_hashes // bands
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, {hex15} % {MERSENNE31} AS h0 FROM s),
+params(i, a, b) AS (VALUES {values}),
+mins AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.h0 + p.b) % {MERSENNE31}) AS mn
+  FROM h CROSS JOIN params p
+  GROUP BY 1, 2
+),
+bnd AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM mins GROUP BY doc_id, i // {rpb}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT v.id_a, v.id_b,
+       CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+         AS jaccard
+FROM ver v
+JOIN sz x ON x.doc_id = v.id_a
+JOIN sz y ON y.doc_id = v.id_b
+WHERE CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+      >= CAST({threshold} AS DOUBLE)
+"""
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy incremental ingestion dedup: the src0-2 slice as the
     incoming batch vs the rest as the standing corpus, near-dup links
@@ -3906,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shipping_bands": q_priority_shipping_bands,
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "incremental_dedup": q_incremental_dedup,
+        "minhash_dedup_det": q_minhash_dedup_det,
         "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
@@ -4041,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,
         "trigram_lm": _TRIGRAM_LM_ORACLE,
         "corpus_curation_v2": _CURATION_V2_ORACLE,
+        "minhash_dedup_det": _minhash_det_oracle(),
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -341,7 +341,8 @@ def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n: int = 3, num_hashes: int = 64, seed: int = 42,
-                       parallelism: int | None = None) -> DataFrame:
+                       parallelism: int | None = None,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """k×min-hash signature per doc. Each shingle string is xxhash64'd
     ONCE; the k hash functions are affine transforms of that base hash
     (h_i = (a_i*h + b_i) mod 2^31-1) — the standard universal-hash
@@ -353,14 +354,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
     Input is repartitioned (default: spark default parallelism) — the
     expression is CPU-bound, and a single-file parquet source would
-    otherwise pin it to one core."""
+    otherwise pin it to one core.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest) or ``"md5"`` — the
+    first 15 hex chars of md5 as a 60-bit integer, identical on any SQL
+    engine, making the whole minhash pipeline ORACLE-CHECKABLE at the
+    cost of the slower hash (the deterministic tier of
+    ``minhash_dedup_pairs``)."""
     spark = df.sparkSession
     nparts = parallelism or spark.sparkContext.defaultParallelism
     df = df.repartition(nparts)
 
     grams = word_shingles(F.col(text_col), n)
     p = F.lit(MERSENNE31).cast("long")
-    base = F.transform(grams, lambda s: F.pmod(F.xxhash64(s), p))
+    if hash_fn == "md5":
+        base = F.transform(
+            grams,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), p))
+    else:
+        base = F.transform(grams, lambda s: F.pmod(F.xxhash64(s), p))
 
     params = _affine_params(num_hashes, seed)
     ab = F.array(*[F.struct(F.lit(a).cast("long").alias("a"),
@@ -375,23 +388,28 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_band_keys(sig: DataFrame, id_col: str, out_id: str,
-                      bands: int, num_hashes: int) -> DataFrame:
+                      bands: int, num_hashes: int,
+                      hash_buckets: bool = True) -> DataFrame:
     """(id, band, bucket) relation from a signature table — the ONE
     band/bucket-hash construction shared by the batch self-join tier and
     the incremental batch-vs-index tier. A persisted standing-corpus
     index and any later batch must hash buckets bit-identically, so the
     expression is defined exactly once."""
     rows_per_band = num_hashes // bands
+
+    def bucket(bi: int):
+        joined = F.concat_ws(
+            ",", *[F.element_at("signature", bi * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)])
+        # hashed buckets shuffle 8-byte keys (default); raw-string
+        # buckets are engine-portable — the oracle-checkable tier
+        return (F.xxhash64(joined).cast("string") if hash_buckets
+                else joined)
+
     b = sig.select(
         F.col(id_col).alias(out_id),
         F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at("signature",
-                                             bi * rows_per_band + r + 1)
-                                .cast("string")
-                                for r in range(rows_per_band)]))
-                     .alias("bucket"))
+            F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
             for bi in range(bands)
         ])).alias("bb"))
     return b.select(out_id, "bb.band", "bb.bucket")
@@ -419,7 +437,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 64, bands: int = 16,
-                        threshold: float = 0.5, seed: int = 42) -> DataFrame:
+                        threshold: float = 0.5, seed: int = 42,
+                        deterministic: bool = False) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard — the full
     scalable near-dup pipeline. Verification joins ONLY the candidate
     pairs back to the per-doc shingle sets (array_intersect per pair);
@@ -431,9 +450,22 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select(F.col(id_col),
                     word_shingles(F.col(text_col), n).alias("shingles"))
             .persist())
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, text_col, id_col, n, num_hashes, seed),
-        id_col, bands, num_hashes=num_hashes)
+    # deterministic tier: md5-derived base hash + raw-string band
+    # buckets — every key reproducible in plain SQL, so the WHOLE
+    # candidate pipeline (not just the verified output) oracle-checks
+    hash_fn = "md5" if deterministic else "xxhash64"
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
+                             hash_fn=hash_fn)
+    if deterministic:
+        banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes,
+                                   hash_buckets=False).persist()
+        a0 = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b0 = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        cands = (a0.join(b0, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+    else:
+        cands = lsh_candidate_pairs(sig, id_col, bands, num_hashes=num_hashes)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -97,6 +97,7 @@ HEADLINE = [
     "trigram_lm",            # trigram Stupid Backoff, two backoff levels
     "column_summary_approx",  # A5 interactive tier: approx_percentile sketch
     "corpus_curation_v2",    # line-dedup -> surprisal -> CCNet cut -> split
+    "minhash_dedup_det",     # oracle-checkable md5 MinHash+LSH tier
 ]
 
 

@@ -1294,3 +1294,16 @@ def test_incremental_minhash_dedup_planted(spark):
              if (r["id_a"] < 100) != (r["id_b"] < 100)}
     got_pairs = {(min(a, b), max(a, b)) for a, b in got}
     assert got_pairs == batch
+
+
+def test_minhash_det_tier_equals_exact(docs):
+    """The md5-based deterministic MinHash tier recalls the same verified
+    pair set as the exact jaccard pass (and therefore as the xxhash64
+    tier, which has the same guarantee)."""
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()}
+    det = {(r["id_a"], r["id_b"]) for r in
+           dedup.minhash_dedup_pairs(docs, n=3, num_hashes=32, bands=16,
+                                     threshold=0.8,
+                                     deterministic=True).collect()}
+    assert exact and det == exact
