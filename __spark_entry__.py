@@ -3506,6 +3506,62 @@ WHERE CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
 """
 
 
+def q_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 60-bit SimHash near-dups (md5-derived bit votes,
+    4×15-bit pigeonhole bands): the whole fingerprint/band/verify chain
+    replays in SQL → value-hashed driver check (the xxhash64 64-bit tier
+    stays rows-only)."""
+    from basic_data_fusion_spark.operators.dedup import simhash_near_dups_det
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return simhash_near_dups_det(docs, max_hamming=3, n=2)
+
+
+def _simhash_det_oracle(n: int = 2, max_hamming: int = 3) -> str:
+    hex15 = "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}::BIGINT" for i in range(1, 16)) + ")"
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, {hex15} AS h0 FROM s),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h0 >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY 1, 2
+),
+sk AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+           AS simhash
+  FROM votes GROUP BY 1
+),
+bnd AS (
+  SELECT doc_id, simhash, bb.band,
+         (simhash >> (15 * bb.band)) & 32767 AS bits
+  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) bb
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bits = b.bits
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy incremental ingestion dedup: the src0-2 slice as the
     incoming batch vs the rest as the standing corpus, near-dup links
@@ -3986,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
+        "simhash_det": q_simhash_det,
         "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
@@ -4122,6 +4179,7 @@ def oracle_sql() -> dict[str, str]:
         "trigram_lm": _TRIGRAM_LM_ORACLE,
         "corpus_curation_v2": _CURATION_V2_ORACLE,
         "minhash_dedup_det": _minhash_det_oracle(),
+        "simhash_det": _simhash_det_oracle(),
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -846,3 +846,64 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
                     F.size("__sh").cast("long").alias("n_shingles"),
                     F.size(flagged).cast("long").alias("n_flagged"))
             .withColumn("contaminated", F.col("n_flagged") > 0))
+
+
+# ---------------- tier 4b: deterministic (oracle-checkable) simhash ----------------
+
+def simhash60_det(col: Column, n: int = 2) -> Column:
+    """60-bit SimHash with an md5-derived per-shingle hash (first 15 hex
+    chars as a 60-bit integer) — every bit reproducible in plain SQL, so
+    the near-dup pipeline built on it oracle-checks end to end (the
+    xxhash64 ``simhash64`` stays the fast 64-bit tier). Same one-pass
+    60-wide vote fold; all masks positive (no signed-bit two's-complement
+    special case)."""
+    grams = word_shingles(col, n)
+    hashes = F.transform(
+        grams,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    zero = F.array_repeat(F.lit(0), 60)
+    votes = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1)
+                        .otherwise(-1)),
+            lambda a, v: a + v))
+    bits = F.zip_with(votes, masks,
+                      lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_near_dups_det(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_hamming: int = 3,
+                          n: int = 2) -> DataFrame:
+    """Deterministic-tier near-dup pairs: Hamming(simhash60) ≤
+    ``max_hamming`` via the 4×15-bit pigeonhole band join — bit-for-bit
+    reproducible in SQL (generated DuckDB oracle), unlike the xxhash64
+    tier. Same shuffle shape: band keys only."""
+    check_simhash_hamming_bound(max_hamming)
+    spark = df.sparkSession
+    sh = (df.repartition(spark.sparkContext.defaultParallelism)
+          .select(F.col(id_col),
+                  simhash60_det(F.col(text_col), n).alias("simhash"))
+          .persist())
+    bands = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned("simhash", 15 * i)
+                 .bitwiseAND(F.lit(0x7FFF)).alias("bits"))
+        for i in range(4)
+    ]
+    banded = sh.select(id_col, "simhash",
+                       F.explode(F.array(*bands)).alias("bb")) \
+               .select(id_col, "simhash", "bb.band", "bb.bits")
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sim_a"), "band", "bits")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sim_b"), "band", "bits")
+    return (a.join(b, ["band", "bits"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

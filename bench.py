@@ -98,6 +98,7 @@ HEADLINE = [
     "column_summary_approx",  # A5 interactive tier: approx_percentile sketch
     "corpus_curation_v2",    # line-dedup -> surprisal -> CCNet cut -> split
     "minhash_dedup_det",     # oracle-checkable md5 MinHash+LSH tier
+    "simhash_det",           # oracle-checkable 60-bit md5 simhash tier
 ]
 
 

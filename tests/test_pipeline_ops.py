@@ -1307,3 +1307,16 @@ def test_minhash_det_tier_equals_exact(docs):
                                      threshold=0.8,
                                      deterministic=True).collect()}
     assert exact and det == exact
+
+
+def test_simhash_det_tier_subset_and_recall(docs):
+    """The md5-based 60-bit simhash tier has the same contract as the
+    xxhash64 tier: its pairs are near-dups under jaccard and it recalls
+    a reasonable share of the exact near-dup set."""
+    exact = {(r["id_a"], r["id_b"]) for r in
+             dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.7).collect()}
+    det = {(r["id_a"], r["id_b"]) for r in
+           dedup.simhash_near_dups_det(docs, max_hamming=3, n=2).collect()}
+    assert det, "det simhash should find planted near-dups"
+    assert det <= exact
+    assert len(det) >= len(exact) // 4
