@@ -1168,6 +1168,92 @@ LIMIT 20
 """
 
 
+def q_ivf_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF tier: fixed seeded centroid literals +
+    fixed-point cosine for assignment, probe and scoring — the entire
+    cell-probe search (including which cell every vector lands in)
+    replays in SQL and value-hashes against the generated oracle. The
+    KMeans-trained tier (`ivf_topk`) stays rows-only."""
+    from basic_data_fusion_spark.operators.similarity import ivf_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(emb, queries_df, _ivf_centroids(), k=5, nprobe=3,
+                    deterministic=True)
+
+
+def _ivf_det_oracle(k: int = 5, nprobe: int = 3) -> str:
+    cents = _ivf_centroids()
+    values = ", ".join(
+        f"({ci}, {i + 1}, {v!r}::DOUBLE)"
+        for ci, row in enumerate(cents) for i, v in enumerate(row))
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+
+    def fps(prod: str) -> str:
+        return (f"SUM(CAST(ROUND(({prod}) * {fp}, 0) AS BIGINT)) / {fp}")
+
+    return f"""
+WITH cent(cell, i, cv) AS (VALUES {values}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+asgn_parts AS (
+  SELECT b.vec_id, c.cell,
+         {fps('b.e[c.i] * c.cv')} AS ab,
+         {fps('b.e[c.i] * b.e[c.i]')} AS aa,
+         {fps('c.cv * c.cv')} AS bb
+  FROM base b CROSS JOIN cent c
+  GROUP BY b.vec_id, c.cell
+),
+asgn AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts WHERE vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+pair_parts AS (
+  SELECT c.query_id, c.neighbor_id,
+         {fps('q.e[dims.i] * n.e[dims.i]')} AS ab,
+         {fps('q.e[dims.i] * q.e[dims.i]')} AS aa,
+         {fps('n.e[dims.i] * n.e[dims.i]')} AS bb
+  FROM cand c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base n ON n.vec_id = c.neighbor_id
+  CROSS JOIN dims
+  GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ab / (SQRT(aa) * SQRT(bb)) AS cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM pair_parts
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over documents-as-binary: payload → decode
     stats + feature vector via Arrow-batched mapInPandas. Deterministic
@@ -4043,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
+        "ivf_topk_det": q_ivf_topk_det,
         "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
@@ -4180,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation_v2": _CURATION_V2_ORACLE,
         "minhash_dedup_det": _minhash_det_oracle(),
         "simhash_det": _simhash_det_oracle(),
+        "ivf_topk_det": _ivf_det_oracle(),
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

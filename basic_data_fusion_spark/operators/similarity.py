@@ -175,12 +175,17 @@ def sq_l2(a: Column, b: Column) -> Column:
 def _cell_scores(vec: Column, centroids: list[list[float]],
                  metric: str) -> tuple[Column, bool]:
     """Per-cell affinity array for ``vec`` against the centroid literal;
-    returns (scores, higher_is_better)."""
+    returns (scores, higher_is_better). ``"fixed_cosine"`` is the
+    oracle-checkable tier: per-dimension products quantized before the
+    sum, so any SQL engine reproduces the exact doubles (and hence the
+    exact argmax cell)."""
     cent = nested_double_lit(centroids)
     if metric == "l2":
         return F.transform(cent, lambda c: sq_l2(vec, c)), False
     if metric == "cosine":
         return F.transform(cent, lambda c: cosine(vec, c)), True
+    if metric == "fixed_cosine":
+        return F.transform(cent, lambda c: fixed_point_cosine(vec, c)), True
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -230,16 +235,24 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
              k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
-             vec_col: str = "embedding", query_id_col: str = "query_id") -> DataFrame:
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             deterministic: bool = False) -> DataFrame:
     """IVF search: score queries only against vectors in their ``nprobe``
     nearest cells — the candidate set shrinks by ~n_cells/nprobe versus
-    brute force; same exact re-scoring and deterministic tie-break."""
-    indexed = ivf_index(corpus, centroids, id_col, vec_col)
+    brute force; same exact re-scoring and deterministic tie-break.
+
+    ``deterministic=True`` runs assignment, probe AND scoring with the
+    fixed-point cosine so the whole search — including which cell each
+    vector lands in — is bit-reproducible in plain SQL (oracle tier;
+    given fixed centroid literals the result value-hashes cross-engine).
+    """
+    metric = "fixed_cosine" if deterministic else "cosine"
+    indexed = ivf_index(corpus, centroids, id_col, vec_col, metric=metric)
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     # same single-literal + transform shape as ivf_index (codegen bounded
     # in k); posexplode position IS the cell index
-    cent = nested_double_lit(centroids)
-    sims = F.transform(cent, lambda c: cosine(F.col("__qvec"), c))
+    sims, _ = _cell_scores(F.col("__qvec"), centroids, metric)
+    sim_fn = fixed_point_cosine if deterministic else cosine
     q_cells = (q.select(query_id_col, "__qvec",
                         F.posexplode(sims).alias("cell", "sim"))
                .withColumn("__rk", F.row_number().over(
@@ -248,7 +261,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
                .filter(F.col("__rk") <= nprobe)
                .select(query_id_col, "__qvec", "cell"))
     scored = (indexed.join(F.broadcast(q_cells), "cell")
-              .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col))))
+              .withColumn("cosine_sim", sim_fn(F.col("__qvec"), F.col(vec_col))))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

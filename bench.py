@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus_curation_v2",    # line-dedup -> surprisal -> CCNet cut -> split
     "minhash_dedup_det",     # oracle-checkable md5 MinHash+LSH tier
     "simhash_det",           # oracle-checkable 60-bit md5 simhash tier
+    "ivf_topk_det",          # oracle-checkable fixed-point IVF search
 ]
 
 
