@@ -230,7 +230,13 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     scores, hib = _cell_scores(F.col(vec_col), centroids, metric)
     best = F.array_max(scores) if hib else F.array_min(scores)
     cell = (F.array_position(scores, best) - 1).cast("int")
-    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+    # assignment is CPU-bound (k cosines × dim per row); a single-file
+    # test source would pin it to one core — same rationale as
+    # brute_force_topk / minhash_signatures. At scale multi-split
+    # sources already parallelize and AQE coalesces the tiny exchange.
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    return (df.repartition(npart)
+            .select(F.col(id_col), F.col(vec_col), cell.alias("cell")))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
