@@ -1254,6 +1254,75 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SemDeDup tier: fixed centroid literals + fixed-point
+    cosine for assignment AND the within-cell near predicate — the whole
+    keep/drop decision replays in SQL and value-hashes. The trained-
+    quantizer default stays rows-only."""
+    from basic_data_fusion_spark.operators.similarity import semantic_dedup
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    return semantic_dedup(emb, threshold=0.95,
+                          centroids=_ivf_centroids(),
+                          deterministic=True)
+
+
+def _semantic_dedup_det_oracle(threshold: float = 0.95) -> str:
+    cents = _ivf_centroids()
+    values = ", ".join(
+        f"({ci}, {i + 1}, {v!r}::DOUBLE)"
+        for ci, row in enumerate(cents) for i, v in enumerate(row))
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+
+    def fps(prod: str) -> str:
+        return f"SUM(CAST(ROUND(({prod}) * {fp}, 0) AS BIGINT)) / {fp}"
+
+    return f"""
+WITH cent(cell, i, cv) AS (VALUES {values}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+asgn_parts AS (
+  SELECT b.vec_id, c.cell,
+         {fps('b.e[c.i] * c.cv')} AS ab,
+         {fps('b.e[c.i] * b.e[c.i]')} AS aa,
+         {fps('c.cv * c.cv')} AS bb
+  FROM base b CROSS JOIN cent c
+  GROUP BY b.vec_id, c.cell
+),
+asgn AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts)
+  WHERE rn = 1
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+pair_parts AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {fps('x.e[dims.i] * y.e[dims.i]')} AS ab,
+         {fps('x.e[dims.i] * x.e[dims.i]')} AS aa,
+         {fps('y.e[dims.i] * y.e[dims.i]')} AS bb
+  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN base x ON x.vec_id = a.vec_id
+  JOIN base y ON y.vec_id = b.vec_id
+  CROSS JOIN dims
+  GROUP BY a.vec_id, b.vec_id
+),
+dropped AS (
+  SELECT DISTINCT id_b AS vec_id
+  FROM pair_parts
+  WHERE ab / (SQRT(aa) * SQRT(bb)) >= CAST({threshold} AS DOUBLE)
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       (d.vec_id IS NULL) AS keep
+FROM asgn a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over documents-as-binary: payload → decode
     stats + feature vector via Arrow-batched mapInPandas. Deterministic
@@ -4130,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
         "ivf_topk_det": q_ivf_topk_det,
+        "semantic_dedup_det": q_semantic_dedup_det,
         "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
@@ -4268,6 +4338,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_det": _minhash_det_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
+        "semantic_dedup_det": _semantic_dedup_det_oracle(),
         "dsir_gumbel_sample": _dsir_gumbel_oracle(),
         "pareto_quality_sample": _pareto_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

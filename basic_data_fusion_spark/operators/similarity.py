@@ -277,7 +277,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
                    threshold: float = 0.95, seed: int = 42,
-                   centroids: list[list[float]] | None = None) -> DataFrame:
+                   centroids: list[list[float]] | None = None,
+                   deterministic: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer,
     compare pairs ONLY within a cluster, and greedily drop every vector
@@ -293,7 +294,15 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     reference pipelines this mirrors. Deterministic end to end: seeded
     k-means centroids fold into the plan as literals and the tie-break is
     the total order on ids.
+
+    ``deterministic=True`` (requires explicit ``centroids``) runs
+    assignment AND the pair predicate with the fixed-point cosine so the
+    whole keep/drop decision replays in plain SQL — the oracle tier; the
+    trained-quantizer default stays rows-only.
     """
+    if deterministic and centroids is None:
+        raise ValueError("deterministic tier needs explicit centroid "
+                         "literals (a trained quantizer is engine-specific)")
     if centroids is None:
         # a coarse quantizer doesn't need convergence — 8 Lloyd rounds
         # place cells well enough for near-dup candidate generation (the
@@ -307,18 +316,25 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     # pattern as the LSH banding persist); per-vector norms are computed
     # ONCE here so the pair predicate is a single dot product instead of
     # three 64-term aggregates
-    indexed = (ivf_index(df, centroids, id_col, vec_col)
+    metric = "fixed_cosine" if deterministic else "cosine"
+    indexed = (ivf_index(df, centroids, id_col, vec_col, metric=metric)
                .withColumn("__norm", norm(F.col(vec_col)))
                .persist())
     a = indexed.select("cell", F.col(id_col).alias("id_a"),
                        F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"))
     b = indexed.select("cell", F.col(id_col).alias("id_b"),
                        F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb"))
+    if deterministic:
+        near = fixed_point_cosine(F.col("__va"), F.col("__vb"))             >= F.lit(float(threshold))
+    else:
+        # norms precomputed ONCE above so the fast-tier predicate is a
+        # single dot product instead of three 64-term aggregates
+        near = ((F.col("__na") > 0) & (F.col("__nb") > 0)
+                & (dot(F.col("__va"), F.col("__vb"))
+                   >= F.lit(float(threshold)) * F.col("__na") * F.col("__nb")))
     dropped = (a.join(b, "cell")
                .filter(F.col("id_a") < F.col("id_b"))
-               .filter((F.col("__na") > 0) & (F.col("__nb") > 0)
-                       & (dot(F.col("__va"), F.col("__vb"))
-                          >= F.lit(float(threshold)) * F.col("__na") * F.col("__nb")))
+               .filter(near)
                .select(F.col("id_b").alias(id_col))
                .distinct())
     return (indexed

@@ -100,6 +100,7 @@ HEADLINE = [
     "minhash_dedup_det",     # oracle-checkable md5 MinHash+LSH tier
     "simhash_det",           # oracle-checkable 60-bit md5 simhash tier
     "ivf_topk_det",          # oracle-checkable fixed-point IVF search
+    "semantic_dedup_det",    # oracle-checkable fixed-point SemDeDup
 ]
 
 
