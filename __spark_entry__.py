@@ -1188,10 +1188,7 @@ def _ivf_det_oracle(k: int = 5, nprobe: int = 3) -> str:
     values = ", ".join(
         f"({ci}, {i + 1}, {v!r}::DOUBLE)"
         for ci, row in enumerate(cents) for i, v in enumerate(row))
-    fp = "CAST(1000000000000.0 AS DOUBLE)"
-
-    def fps(prod: str) -> str:
-        return (f"SUM(CAST(ROUND(({prod}) * {fp}, 0) AS BIGINT)) / {fp}")
+    fps = _fps_sql
 
     return f"""
 WITH cent(cell, i, cv) AS (VALUES {values}),
@@ -1272,10 +1269,7 @@ def _semantic_dedup_det_oracle(threshold: float = 0.95) -> str:
     values = ", ".join(
         f"({ci}, {i + 1}, {v!r}::DOUBLE)"
         for ci, row in enumerate(cents) for i, v in enumerate(row))
-    fp = "CAST(1000000000000.0 AS DOUBLE)"
-
-    def fps(prod: str) -> str:
-        return f"SUM(CAST(ROUND(({prod}) * {fp}, 0) AS BIGINT)) / {fp}"
+    fps = _fps_sql
 
     return f"""
 WITH cent(cell, i, cv) AS (VALUES {values}),
@@ -1301,11 +1295,13 @@ asgn AS (
   WHERE rn = 1
 ),
 dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+norms AS (
+  SELECT vec_id, {fps('e[dims.i] * e[dims.i]')} AS n2
+  FROM base CROSS JOIN dims GROUP BY vec_id
+),
 pair_parts AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         {fps('x.e[dims.i] * y.e[dims.i]')} AS ab,
-         {fps('x.e[dims.i] * x.e[dims.i]')} AS aa,
-         {fps('y.e[dims.i] * y.e[dims.i]')} AS bb
+         {fps('x.e[dims.i] * y.e[dims.i]')} AS ab
   FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN base x ON x.vec_id = a.vec_id
   JOIN base y ON y.vec_id = b.vec_id
@@ -1313,9 +1309,12 @@ pair_parts AS (
   GROUP BY a.vec_id, b.vec_id
 ),
 dropped AS (
-  SELECT DISTINCT id_b AS vec_id
-  FROM pair_parts
-  WHERE ab / (SQRT(aa) * SQRT(bb)) >= CAST({threshold} AS DOUBLE)
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pair_parts p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE na.n2 > 0 AND nb.n2 > 0
+    AND p.ab / (SQRT(na.n2) * SQRT(nb.n2)) >= CAST({threshold} AS DOUBLE)
 )
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
        (d.vec_id IS NULL) AS keep
@@ -3596,6 +3595,23 @@ def q_minhash_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.8, deterministic=True)
 
 
+def _fps_sql(prod: str) -> str:
+    """Fixed-point SQL sum — the 1e-12 quantize-then-integer-sum idiom
+    shared by every generated similarity oracle (must stay in lockstep
+    with similarity.fp_sum)."""
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+    return f"SUM(CAST(ROUND(({prod}) * {fp}, 0) AS BIGINT)) / {fp}"
+
+
+def _hex15_sql(col: str) -> str:
+    """First 15 md5 hex chars of ``col`` as a 60-bit BIGINT — the SQL
+    replay of conv(substring(md5(x),1,15),16,10) used by the md5-based
+    minhash and simhash deterministic tiers."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({col}), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}::BIGINT" for i in range(1, 16)) + ")"
+
+
 def _minhash_det_oracle(n: int = 3, num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.8, seed: int = 42) -> str:
     """DuckDB replay of the deterministic MinHash tier, generated from
@@ -3609,9 +3625,7 @@ def _minhash_det_oracle(n: int = 3, num_hashes: int = 64, bands: int = 16,
     params = _affine_params(num_hashes, seed)
     values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
                        for i, (a, b) in enumerate(params))
-    hex15 = "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1)"
-        f" * {16 ** (15 - i)}::BIGINT" for i in range(1, 16)) + ")"
+    hex15 = _hex15_sql("shingle")
     rpb = num_hashes // bands
     return f"""
 WITH d AS (
@@ -3673,9 +3687,7 @@ def q_simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_det_oracle(n: int = 2, max_hamming: int = 3) -> str:
-    hex15 = "(" + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(shingle), {i}, 1)) - 1)"
-        f" * {16 ** (15 - i)}::BIGINT" for i in range(1, 16)) + ")"
+    hex15 = _hex15_sql("shingle")
     return f"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t

@@ -372,8 +372,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
             grams,
             lambda s: F.pmod(
                 F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), p))
-    else:
+    elif hash_fn == "xxhash64":
         base = F.transform(grams, lambda s: F.pmod(F.xxhash64(s), p))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} "
+                         "(expected 'xxhash64' or 'md5')")
 
     params = _affine_params(num_hashes, seed)
     ab = F.array(*[F.struct(F.lit(a).cast("long").alias("a"),
@@ -416,7 +419,8 @@ def minhash_band_keys(sig: DataFrame, id_col: str, out_id: str,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, num_hashes: int | None = None) -> DataFrame:
+                        bands: int = 16, num_hashes: int | None = None,
+                        hash_buckets: bool = True) -> DataFrame:
     """Band the signature, bucket-join: docs agreeing on ALL rows of any
     band become candidates. Shuffle key = (band, bucket hash) — tiny.
 
@@ -427,7 +431,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     if num_hashes is None:
         first = sig.select(F.size("signature").alias("n")).first()
         num_hashes = first["n"]
-    banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes).persist()
+    banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes,
+                               hash_buckets=hash_buckets).persist()
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -456,16 +461,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     hash_fn = "md5" if deterministic else "xxhash64"
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
                              hash_fn=hash_fn)
-    if deterministic:
-        banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes,
-                                   hash_buckets=False).persist()
-        a0 = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
-        b0 = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
-        cands = (a0.join(b0, ["band", "bucket"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
-    else:
-        cands = lsh_candidate_pairs(sig, id_col, bands, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, bands, num_hashes=num_hashes,
+                                hash_buckets=not deterministic)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -693,12 +690,24 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     persisted so the self-join doesn't evaluate the 64-bit vote fold
     twice."""
     check_simhash_hamming_bound(max_hamming)
+    return _simhash_band_join(df, simhash64(F.col(text_col), n),
+                              simhash_band_structs(), id_col, max_hamming)
+
+
+def _simhash_band_join(df: DataFrame, sketch: Column,
+                       band_structs: list[Column], id_col: str,
+                       max_hamming: int) -> DataFrame:
+    """Band-join/verify scaffold shared by the xxhash64 and deterministic
+    simhash tiers — one definition so a candidate-join fix (skew
+    handling, persist policy) applies to both. The (id, sketch) relation
+    is repartitioned for CPU parallelism and persisted so the self-join
+    doesn't evaluate the vote fold twice."""
     spark = df.sparkSession
     sh = (df.repartition(spark.sparkContext.defaultParallelism)
-          .select(F.col(id_col), simhash64(F.col(text_col), n).alias("simhash"))
+          .select(F.col(id_col), sketch.alias("simhash"))
           .persist())
     banded = sh.select(id_col, "simhash",
-                       F.explode(F.array(*simhash_band_structs())).alias("bb")) \
+                       F.explode(F.array(*band_structs)).alias("bb")) \
                .select(id_col, "simhash", "bb.band", "bb.bits")
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
                       "band", "bits")
@@ -883,27 +892,11 @@ def simhash_near_dups_det(df: DataFrame, text_col: str = "text",
     reproducible in SQL (generated DuckDB oracle), unlike the xxhash64
     tier. Same shuffle shape: band keys only."""
     check_simhash_hamming_bound(max_hamming)
-    spark = df.sparkSession
-    sh = (df.repartition(spark.sparkContext.defaultParallelism)
-          .select(F.col(id_col),
-                  simhash60_det(F.col(text_col), n).alias("simhash"))
-          .persist())
-    bands = [
+    det_bands = [
         F.struct(F.lit(i).alias("band"),
                  F.shiftrightunsigned("simhash", 15 * i)
                  .bitwiseAND(F.lit(0x7FFF)).alias("bits"))
         for i in range(4)
     ]
-    banded = sh.select(id_col, "simhash",
-                       F.explode(F.array(*bands)).alias("bb")) \
-               .select(id_col, "simhash", "bb.band", "bb.bits")
-    a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sim_a"), "band", "bits")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sim_b"), "band", "bits")
-    return (a.join(b, ["band", "bits"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"))
-            .distinct()
-            .filter(F.col("hamming") <= max_hamming))
+    return _simhash_band_join(df, simhash60_det(F.col(text_col), n),
+                              det_bands, id_col, max_hamming)

@@ -48,17 +48,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def fp_sum(prod_arr: Column, scale: float = 1e12) -> Column:
+    """Fixed-point array sum: each element quantized at 1/scale, summed
+    as integers — order-independent and bit-identical on any engine."""
+    q = F.transform(prod_arr, lambda v: F.round(v * F.lit(scale), 0).cast("long"))
+    return (F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v)
+            .cast("double") / F.lit(scale))
+
+
+def fixed_point_dot(a: Column, b: Column, scale: float = 1e12) -> Column:
+    return fp_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), scale)
+
+
+def fixed_point_self_dot(a: Column, scale: float = 1e12) -> Column:
+    return fp_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")), scale)
+
+
 def fixed_point_cosine(a: Column, b: Column, scale: float = 1e12) -> Column:
     """Order-independent cosine: per-dimension products quantized at
     1/scale then integer-summed — bit-identical on any engine that
     evaluates the same tree (see operators/deterministic_sql.py)."""
-    def fp_sum(prod_arr: Column) -> Column:
-        q = F.transform(prod_arr, lambda v: F.round(v * F.lit(scale), 0).cast("long"))
-        return F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double") / F.lit(scale)
-
-    ab = fp_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
-    aa = fp_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
-    bb = fp_sum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
+    ab = fixed_point_dot(a, b, scale)
+    aa = fixed_point_self_dot(a, scale)
+    bb = fixed_point_self_dot(b, scale)
     return ab / (F.sqrt(aa) * F.sqrt(bb))
 
 
@@ -202,7 +214,8 @@ def _adc_table(vec: Column, codebooks: list[list[list[float]]]) -> Column:
 
 def ivf_index(df: DataFrame, centroids: list[list[float]],
               id_col: str = "vec_id", vec_col: str = "embedding",
-              metric: str = "cosine") -> DataFrame:
+              metric: str = "cosine",
+              repartition_input: bool = True) -> DataFrame:
     """Assign each vector to its nearest centroid cell (IVF coarse
     quantization). Centroids are driver-provided literals (train with
     ml.clustering.KMeans or any offline pass).
@@ -232,11 +245,13 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     cell = (F.array_position(scores, best) - 1).cast("int")
     # assignment is CPU-bound (k cosines × dim per row); a single-file
     # test source would pin it to one core — same rationale as
-    # brute_force_topk / minhash_signatures. At scale multi-split
-    # sources already parallelize and AQE coalesces the tiny exchange.
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    return (df.repartition(npart)
-            .select(F.col(id_col), F.col(vec_col), cell.alias("cell")))
+    # brute_force_topk / minhash_signatures. The spread is a FULL
+    # round-robin shuffle of the vectors: pass repartition_input=False
+    # when the source is already well-split (the at-scale default,
+    # where multi-file parquet parallelizes the scan for free).
+    if repartition_input:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
@@ -317,18 +332,28 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     # ONCE here so the pair predicate is a single dot product instead of
     # three 64-term aggregates
     metric = "fixed_cosine" if deterministic else "cosine"
+    # per-vector norm (fast tier: plain; det tier: fixed-point self-dot)
+    # computed ONCE here so the pair predicate needs a single dot product
+    # — not three 64-term folds per candidate pair
+    norm_expr = (fixed_point_self_dot(F.col(vec_col)) if deterministic
+                 else norm(F.col(vec_col)))
     indexed = (ivf_index(df, centroids, id_col, vec_col, metric=metric)
-               .withColumn("__norm", norm(F.col(vec_col)))
+               .withColumn("__norm", norm_expr)
                .persist())
     a = indexed.select("cell", F.col(id_col).alias("id_a"),
                        F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"))
     b = indexed.select("cell", F.col(id_col).alias("id_b"),
                        F.col(vec_col).alias("__vb"), F.col("__norm").alias("__nb"))
     if deterministic:
-        near = fixed_point_cosine(F.col("__va"), F.col("__vb"))             >= F.lit(float(threshold))
+        # same zero-norm guard as the fast tier (a zero vector's cosine
+        # is NaN, and NaN >= t is TRUE under Spark ordering — without
+        # the guard one degenerate vector would drop its whole cell);
+        # __na here is the fixed-point self-dot, matching the oracle
+        near = ((F.col("__na") > 0) & (F.col("__nb") > 0)
+                & (fixed_point_dot(F.col("__va"), F.col("__vb"))
+                   / (F.sqrt("__na") * F.sqrt("__nb"))
+                   >= F.lit(float(threshold))))
     else:
-        # norms precomputed ONCE above so the fast-tier predicate is a
-        # single dot product instead of three 64-term aggregates
         near = ((F.col("__na") > 0) & (F.col("__nb") > 0)
                 & (dot(F.col("__va"), F.col("__vb"))
                    >= F.lit(float(threshold)) * F.col("__na") * F.col("__nb")))

@@ -1318,5 +1318,8 @@ def test_simhash_det_tier_subset_and_recall(docs):
     det = {(r["id_a"], r["id_b"]) for r in
            dedup.simhash_near_dups_det(docs, max_hamming=3, n=2).collect()}
     assert det, "det simhash should find planted near-dups"
-    assert det <= exact
-    assert len(det) >= len(exact) // 4
+    # simhash gives no hard subset guarantee vs jaccard (dissimilar docs
+    # CAN vote to close fingerprints) — assert precision/recall bands
+    # instead of exact containment so the test survives fixture changes
+    assert len(det & exact) / len(det) >= 0.75
+    assert len(det & exact) >= len(exact) // 4
