@@ -4171,9 +4171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys.  Round-4 window, in order: (a) the 9 queries the driver has never
     # hash-checked (the r2 TPC-H Q6/Q8/Q10 wave + the r3 pipeline ops that
     # landed past the window), (b) the 4 oracle-less rows-only canaries
-    # (driver-monitored in r1-2, rotated back in so they stay live), (c) the
-    # round-4 additions, (d) backfill with the longest-unchecked greens (the
-    # r1/r2 wave, last driver-checked in round 2).  Everything past key 50 —
+    # (driver-monitored in r1-2, rotated back in so they stay live — their
+    # new deterministic twins in (c) add the hash-checked signal beside
+    # them), (c) all 25 round-4 additions (TPC-H Q2/Q9/Q12/Q20, the LM/
+    # retrieval/mixture/dedup wave, and the _det twins), (d) backfill with
+    # the longest-unchecked greens (the r1/r2 wave, last driver-checked in
+    # round 2) up to the 50-key boundary.  Everything past key 50 —
     # including all 50 round-3 greens — stays pinned every run by
     # tests/test_oracle_parity.py, which parametrizes the full dict.
     det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
