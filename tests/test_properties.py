@@ -257,3 +257,22 @@ def test_bloom_never_false_negative_property(spark, keys):
     res = df.withColumn(
         "hit", dedup.bloom_might_contain(F.col("s"), bm, 1 << 12, 4)).collect()
     assert all(r["hit"] for r in res)
+
+
+@FAST
+@given(vals=st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                               width=64),
+                     min_size=1, max_size=8))
+def test_nested_double_lit_roundtrip_exact(spark, vals):
+    """The SQL-parsed array literal must reproduce every double
+    BIT-EXACTLY (repr is the shortest exact round-trip; 'D' pins DOUBLE)
+    — including subnormals, huge magnitudes, and negative zero."""
+    import struct
+
+    from basic_data_fusion_spark.operators.similarity import nested_double_lit
+
+    row = spark.range(1).select(nested_double_lit([vals]).alias("m")).first()
+    got = list(row["m"][0])
+    assert len(got) == len(vals)
+    for g, v in zip(got, vals):
+        assert struct.pack("<d", g) == struct.pack("<d", float(v)), (g, v)
