@@ -3791,6 +3791,68 @@ FROM base b JOIN rates r USING (source)
 """
 
 
+def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double correlation on one fact table (TPC-H Q21 shape): suppliers
+    who were the ONLY late supplier (ship > order date + 60 days) on a
+    multi-supplier order. The EXISTS (another supplier on the order) and
+    NOT EXISTS (another LATE supplier) decorrelate into ONE per-order
+    aggregation — distinct-supplier count, distinct-late count and the
+    single late supplier via conditional min/max — instead of two
+    correlated self-probes of lineitem; orders with n_supp > 1 and
+    exactly one late supplier assign blame. One fact-fact join + two
+    grouped aggs; supplier/nation decorate via broadcast."""
+    cat = _catalog(spark, sf_dir)
+    li = cat.load("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = cat.load("orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("__n_supp"),
+                      F.countDistinct(F.when(late, F.col("l_suppkey")))
+                      .alias("__n_late"),
+                      F.min(F.when(late, F.col("l_suppkey")))
+                      .alias("__late_supp")))
+    blamed = (per_order
+              .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+              .select(F.col("__late_supp").alias("s_suppkey")))
+    sup = cat.load("supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = cat.load("nation").select("n_nationkey", "n_name")
+    return (blamed.groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(sup), "s_suppkey")
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"),
+                    "numwait")
+            .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+            .limit(20))
+
+
+_SOLE_BLAME_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late,
+         MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+),
+blamed AS (
+  SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+  FROM per_order WHERE n_supp > 1 AND n_late = 1
+  GROUP BY 1
+)
+SELECT b.s_suppkey, s.s_name, n.n_name AS supp_nation,
+       CAST(b.numwait AS BIGINT) AS numwait
+FROM blamed b
+JOIN supplier s ON s.s_suppkey = b.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY b.numwait DESC, b.s_suppkey
+LIMIT 20
+"""
+
+
 def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling tier: deterministic top-50 docs by importance
     weight (weight desc, id asc) — the selection step downstream of
@@ -4210,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_type_profit": q_product_type_profit,
         "priority_shipping_bands": q_priority_shipping_bands,
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
+        "sole_blame_suppliers": q_sole_blame_suppliers,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4345,6 +4408,7 @@ def oracle_sql() -> dict[str, str]:
         "product_type_profit": _PRODUCT_TYPE_PROFIT_ORACLE,
         "priority_shipping_bands": _PRIORITY_BANDS_ORACLE,
         "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
+        "sole_blame_suppliers": _SOLE_BLAME_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -101,6 +101,7 @@ HEADLINE = [
     "simhash_det",           # oracle-checkable 60-bit md5 simhash tier
     "ivf_topk_det",          # oracle-checkable fixed-point IVF search
     "semantic_dedup_det",    # oracle-checkable fixed-point SemDeDup
+    "sole_blame_suppliers",  # Q21 shape: double correlation -> one agg
 ]
 
 
