@@ -39,3 +39,67 @@ def read_sink(spark: SparkSession, path: str) -> DataFrame:
     """Read everything the sink has produced (batch_id becomes a
     partition column via directory discovery)."""
     return spark.read.parquet(path)
+
+
+def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
+                            checkpoint: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            available_now: bool = True,
+                            run_id: str | None = None) -> StreamingQuery:
+    """Streaming exact dedup with an UNBOUNDED horizon: each micro-batch
+    anti-joins against a PERSISTED content-hash index, dedups within
+    itself (min-id wins), then appends its survivors to ``out_path`` and
+    their hashes to ``index_path`` — both into replay-idempotent
+    ``batch_id=N`` directories.
+
+    This is the tier above ``streaming_exact_dedup``: watermark-bounded
+    state drops re-deliveries within the horizon and then FORGETS — a
+    re-crawl of the same page a week later sails through. The external
+    index (what production pipelines keep in a store or Bloom cascade;
+    plain partitioned parquet here) remembers forever, at the cost of
+    one index scan per batch. Scale shape per batch: index side reduces
+    to DISTINCT 32-char hashes, batch shuffles once on the hash;
+    document bodies never shuffle. The index grows one small hash file
+    per batch — run the layout compactor (sources/partitioning) on it
+    like any other small-files table.
+
+    ``run_id`` namespaces this query's index partitions (default:
+    derived from the checkpoint path — stable across retries of the
+    same query, distinct across fresh runs). Replay safety excludes only
+    THIS run's current batch partition from the anti-join; a bare
+    ``batch_id`` filter would collide with a previous run's partition 0
+    and silently un-index it.
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.operators.text import fingerprint
+
+    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn(
+            "__h", fingerprint(F.coalesce(F.col(text_col), F.lit(""))))
+        if os.path.isdir(index_path):
+            idx = (spark.read.parquet(index_path)
+                   .filter(~((F.col("run_id") == run)
+                             & (F.col("batch_id") == batch_id)))
+                   .select("__h").distinct())
+            hashed = hashed.join(idx, "__h", "left_anti")
+        keep = (hashed.groupBy("__h").agg(F.min(id_col).alias(id_col))
+                .select(id_col))
+        survivors = hashed.join(keep, id_col, "left_semi").persist()
+        (survivors.drop("__h").write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+        (survivors.select("__h").distinct().write.mode("overwrite")
+         .parquet(f"{index_path}/run_id={run}/batch_id={batch_id}"))
+        survivors.unpersist()
+
+    writer = (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

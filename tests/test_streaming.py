@@ -379,3 +379,63 @@ def test_streaming_simhash_near_dup_candidates(spark, tmp_path):
     assert got == expected
     # the cross-batch pair specifically must be present
     assert any(5 in p for p in got)
+
+
+def test_index_backed_dedup_unbounded_horizon(spark, tmp_path):
+    """The persisted-index sink drops a duplicate arriving in a LATER
+    micro-batch — beyond any watermark horizon — while watermark-state
+    dedup alone would have forgotten it; within-batch dups collapse to
+    the min id; the index carries across a fresh restart."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        index_backed_dedup_sink,
+        read_sink,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content"), (3, "alpha  CONTENT")],
+        "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "p0"))
+    spark.createDataFrame(
+        [(10, "alpha content"), (11, "gamma content")],
+        "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "p1"))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "p*" / "*.parquet")))):
+        shutil.copy(f, d / f"batch{i}.parquet")
+    shutil.rmtree(d / "p0")
+    shutil.rmtree(d / "p1")
+
+    out, idx, ck = (str(tmp_path / "out"), str(tmp_path / "idx"),
+                    str(tmp_path / "ck"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    q = index_backed_dedup_sink(stream, out, idx, ck)
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
+    # 3 normalizes to doc 1's content (in-batch dup); 10 duplicates doc 1
+    # from the EARLIER batch (index, not state); 2 and 11 unique
+    assert got == [1, 2, 11]
+
+    # a brand-new stream run (fresh checkpoint — simulating next day's
+    # job) still sees the standing index
+    spark.createDataFrame([(20, "ALPHA content"), (21, "delta content")],
+                          "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(str(d / "p2"))
+    for f in glob.glob(str(d / "p2" / "*.parquet")):
+        shutil.copy(f, d / "batch9.parquet")
+    shutil.rmtree(d / "p2")
+    stream2 = (spark.readStream.schema("doc_id long, text string")
+               .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    q2 = index_backed_dedup_sink(stream2, str(tmp_path / "out2"), idx,
+                                 str(tmp_path / "ck2"))
+    q2.awaitTermination()
+    got2 = sorted(r["doc_id"] for r in
+                  read_sink(spark, str(tmp_path / "out2")).collect())
+    # run 2 reprocesses every file with a fresh checkpoint, but the
+    # standing index (namespaced by run 1's run_id, so run 2's batch 0
+    # does NOT shadow it) drops all previously-seen content — only the
+    # genuinely new doc survives
+    assert got2 == [21]
