@@ -3791,6 +3791,43 @@ FROM base b JOIN rates r USING (source)
 """
 
 
+def q_ks_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the BUILDING and
+    MACHINERY segments' account balances — the nonparametric
+    distribution-shift check, computed exactly (integer cross-products,
+    one final division)."""
+    from basic_data_fusion_spark.operators.stats import ks_two_sample
+
+    cust = _catalog(spark, sf_dir).load("customer")
+    return ks_two_sample(cust, "c_mktsegment", "c_acctbal",
+                         "BUILDING", "MACHINERY")
+
+
+_KS_ORACLE = """
+WITH vals AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+         c_acctbal AS v
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal IS NOT NULL
+),
+cum AS (
+  SELECT v,
+         SUM(is_a) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(1 - is_a) OVER (ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM vals
+),
+per_val AS (SELECT v, MAX(ca) AS ca, MAX(cb) AS cb FROM cum GROUP BY v),
+totals AS (SELECT SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM vals)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(MAX(ABS(p.ca * t.nb - p.cb * t.na)) AS DOUBLE)
+         / (t.na * t.nb) AS ks_d
+FROM per_val p CROSS JOIN totals t
+GROUP BY t.na, t.nb
+"""
+
+
 def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double correlation on one fact table (TPC-H Q21 shape): suppliers
     who were the ONLY late supplier (ship > order date + 60 days) on a
@@ -4273,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_shipping_bands": q_priority_shipping_bands,
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "sole_blame_suppliers": q_sole_blame_suppliers,
+        "ks_acctbal_segments": q_ks_acctbal_segments,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4409,6 +4447,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_shipping_bands": _PRIORITY_BANDS_ORACLE,
         "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
         "sole_blame_suppliers": _SOLE_BLAME_ORACLE,
+        "ks_acctbal_segments": _KS_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

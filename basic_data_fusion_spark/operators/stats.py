@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 try:  # scipy is optional: p-values/normality/KDE only
@@ -572,3 +572,44 @@ def grouped_zscore(df: DataFrame, group_col: str, value_col: str,
     return (df.join(stats_df, on=group_col, how="inner")
             .withColumn(out_col, z)
             .drop("__s", "__s2", "__n"))
+
+
+def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
+                  group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between ``group_a`` and
+    ``group_b``'s ``value_col`` distributions — the distribution-shift
+    check run between corpus slices / data vintages (extends the
+    reference's normality/ANOVA surface, analysis/demographics.py, with
+    a nonparametric two-sample test).
+
+    D = sup_x |F_a(x) − F_b(x)| computed EXACTLY: one window pass over
+    the union ordered by value accumulates per-group counts; the supremum
+    compares integer cross-products |c_a·n_b − c_b·n_a| so no float
+    enters until the single final division — bit-identical on any
+    engine/partitioning. Ties are handled by evaluating the ECDFs only
+    at complete value groups (max over per-value last positions).
+
+    Returns one row: (n_a, n_b, ks_d). Plan: one shuffle for the global
+    sort window (the price of an exact sup over the merged ECDF — the
+    same cost profile as the exact-percentile tier; at 100 TB use
+    binned/approx ECDFs the way column_summary_approx swaps percentile).
+    """
+    vals = (df.filter(F.col(group_col).isin([group_a, group_b])
+                      & F.col(value_col).isNotNull())
+            .select((F.col(group_col) == group_a).cast("int").alias("__is_a"),
+                    F.col(value_col).alias("__v")))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    per_val = (vals
+               .withColumn("__ca", F.sum("__is_a").over(w))
+               .withColumn("__cb", F.sum(1 - F.col("__is_a")).over(w))
+               .groupBy("__v")
+               .agg(F.max("__ca").alias("ca"), F.max("__cb").alias("cb")))
+    totals = vals.agg(F.sum("__is_a").alias("na"),
+                      F.sum(1 - F.col("__is_a")).alias("nb"))
+    return (per_val.crossJoin(F.broadcast(totals))
+            .agg(F.max(F.abs(F.col("ca") * F.col("nb")
+                             - F.col("cb") * F.col("na"))).alias("__num"),
+                 F.first("na").alias("n_a"), F.first("nb").alias("n_b"))
+            .select(F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+                    (F.col("__num").cast("double")
+                     / (F.col("n_a") * F.col("n_b"))).alias("ks_d")))

@@ -102,6 +102,7 @@ HEADLINE = [
     "ivf_topk_det",          # oracle-checkable fixed-point IVF search
     "semantic_dedup_det",    # oracle-checkable fixed-point SemDeDup
     "sole_blame_suppliers",  # Q21 shape: double correlation -> one agg
+    "ks_acctbal_segments",   # exact two-sample KS (integer cross-products)
 ]
 
 

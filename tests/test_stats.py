@@ -378,3 +378,36 @@ def test_column_summary_approx_matches_exact_tier(spark):
         assert a["mean"] == e["mean"]  # fixed-point sum — identical tier
         spread = e["max"] - e["min"]
         assert abs(a["median"] - e["median"]) <= max(0.02 * spread, 1e-9), c
+
+
+def test_ks_two_sample_matches_scipy_or_reference(spark):
+    """KS distance vs an independent reference (scipy when present,
+    exact python ECDF otherwise); identical distribution → D small,
+    shifted distribution → D large; partitioning-independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 300)
+    b = rng.normal(1.0, 1, 250)   # shifted
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = stats.ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert got["n_a"] == 300 and got["n_b"] == 250
+
+    # exact python reference
+    xs = sorted(set(list(a) + list(b)))
+    sa, sb = sorted(a), sorted(b)
+    import bisect
+    d = max(abs(bisect.bisect_right(sa, x) * 250
+                - bisect.bisect_right(sb, x) * 300) for x in xs) / (300 * 250)
+    assert got["ks_d"] == pytest.approx(d, abs=1e-12)
+    try:
+        from scipy import stats as sps
+        assert got["ks_d"] == pytest.approx(
+            sps.ks_2samp(a, b, method="asymp").statistic, abs=1e-9)
+    except ImportError:
+        pass
+    # shifted distributions must register a large distance
+    assert got["ks_d"] > 0.3
+    again = stats.ks_two_sample(df.repartition(7), "g", "v", "a", "b").collect()[0]
+    assert again["ks_d"] == got["ks_d"]
