@@ -3890,6 +3890,66 @@ LIMIT 20
 """
 
 
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-fraction HAVING threshold (TPC-H Q11 shape, adapted — the
+    schema has no partsupp, so lineitem stands in as the part-supplier
+    relation): shipped value per part carried by NATION_7's suppliers,
+    keeping parts whose value exceeds 0.1% of that nation's total. The
+    grand total is a second-stage re-aggregation of the per-part rows —
+    no second fact scan — kept in-plan as a broadcast 1-row relation
+    (the scalar-subquery idiom, operators/relational.py). Per-part
+    values accumulate as exact integer cents so the threshold compare
+    is bit-identical on any engine and any partitioning. Completes the
+    22/22 TPC-H decision-support shape inventory."""
+    cat = _catalog(spark, sf_dir)
+    nat = (cat.load("nation").where(F.col("n_name") == "NATION_7")
+           .select("n_nationkey"))
+    sup = (cat.load("supplier")
+           .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    li = (cat.load("lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_semi"))
+    cents = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                    * F.lit(100.0), 0).cast("bigint")
+    # per_part feeds BOTH the threshold scalar and the final filter;
+    # without a persist Catalyst re-evaluates the subtree and the 100 TB
+    # fact table would be scanned twice. The cached relation is one row
+    # per part — dimension-sized, not fact-sized.
+    per_part = (li.groupBy("l_partkey").agg(F.sum(cents).alias("__cents"))
+                .persist())
+    threshold = per_part.agg(
+        (F.sum("__cents").cast("double") * F.lit(0.001)).alias("__thresh"))
+    return (per_part.crossJoin(F.broadcast(threshold))
+            .where(F.col("__cents").cast("double") > F.col("__thresh"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("__cents") / F.lit(100.0)).alias("stock_value")))
+
+
+_IMPORTANT_STOCK_ORACLE = """
+WITH nsup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                  AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) * CAST(0.001 AS DOUBLE) AS thresh
+  FROM per_part
+)
+SELECT l_partkey AS p_partkey, cents / 100.0 AS stock_value
+FROM per_part, tot
+WHERE CAST(cents AS DOUBLE) > thresh
+"""
+
+
 def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR resampling tier: deterministic top-50 docs by importance
     weight (weight desc, id asc) — the selection step downstream of
@@ -4272,7 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # landed past the window), (b) the 4 oracle-less rows-only canaries
     # (driver-monitored in r1-2, rotated back in so they stay live — their
     # new deterministic twins in (c) add the hash-checked signal beside
-    # them), (c) all 25 round-4 additions (TPC-H Q2/Q9/Q12/Q20, the LM/
+    # them), (c) all 26 round-4 additions (TPC-H Q2/Q9/Q11/Q12/Q20, the LM/
     # retrieval/mixture/dedup wave, and the _det twins), (d) backfill with
     # the longest-unchecked greens (the r1/r2 wave, last driver-checked in
     # round 2) up to the 50-key boundary.  Everything past key 50 —
@@ -4311,6 +4371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_suppliers_for_parts": q_bulk_suppliers_for_parts,
         "sole_blame_suppliers": q_sole_blame_suppliers,
         "ks_acctbal_segments": q_ks_acctbal_segments,
+        "important_stock": q_important_stock,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4448,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         "bulk_suppliers_for_parts": _BULK_SUPPLIERS_ORACLE,
         "sole_blame_suppliers": _SOLE_BLAME_ORACLE,
         "ks_acctbal_segments": _KS_ORACLE,
+        "important_stock": _IMPORTANT_STOCK_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -103,6 +103,7 @@ HEADLINE = [
     "semantic_dedup_det",    # oracle-checkable fixed-point SemDeDup
     "sole_blame_suppliers",  # Q21 shape: double correlation -> one agg
     "ks_acctbal_segments",   # exact two-sample KS (integer cross-products)
+    "important_stock",       # Q11 shape: global-fraction HAVING threshold
 ]
 
 

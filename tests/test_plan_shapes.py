@@ -198,3 +198,18 @@ def test_bulk_suppliers_semi_chain(spark):
     plan = _final_plan(df)
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_important_stock_single_fact_scan(spark):
+    """Q11 shape: ONE lineitem scan feeds both the per-part values and
+    the grand-total threshold (the total re-aggregates the per-part
+    rows); the nation-filtered supplier set probes as a broadcast semi
+    join, and the threshold applies as a broadcast 1-row relation — no
+    driver collect, no second fact pass."""
+    df = entrymod.queries()["important_stock"](spark, SF0001)
+    plan = _final_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, \
+        "both the threshold and the filter must read the persisted " \
+        "per-part aggregate (one fact scan), not re-evaluate the subtree"
+    assert "LeftSemi" in plan, "supplier filter must probe as a semi join"
+    assert "SortMergeJoin" not in plan
