@@ -3890,6 +3890,107 @@ LIMIT 20
 """
 
 
+def q_mannwhitney_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann–Whitney U between the BUILDING and MACHINERY
+    segments' account balances — nonparametric location-shift companion
+    to the KS distance (stats.mann_whitney_u): doubled midranks and the
+    tie term accumulate as exact integers; the tie-corrected z exits
+    through one fixed IEEE expression tree."""
+    from basic_data_fusion_spark.operators.stats import mann_whitney_u
+
+    cust = _catalog(spark, sf_dir).load("customer")
+    return mann_whitney_u(cust, "c_mktsegment", "c_acctbal",
+                          "BUILDING", "MACHINERY")
+
+
+_MANNWHITNEY_ORACLE = """
+WITH vals AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a,
+         c_acctbal AS v
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal IS NOT NULL
+),
+pos AS (
+  SELECT v, is_a,
+         SUM(1) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM vals
+),
+runs AS (
+  SELECT v, COUNT(*) AS t, SUM(is_a) AS t_a, MAX(p) AS e FROM pos GROUP BY v
+),
+agg AS (
+  SELECT SUM(t_a * (2 * e - t + 1)) AS r2a,
+         SUM(t_a) AS na, SUM(t - t_a) AS nb,
+         SUM(t * t * t - t) AS ties
+  FROM runs
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       (CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE))
+         / CAST(2.0 AS DOUBLE) AS u_a,
+       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+         - ((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE))
+            / CAST(2.0 AS DOUBLE)) AS u_b,
+       (((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE))
+          / CAST(2.0 AS DOUBLE))
+        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(2.0 AS DOUBLE))
+       / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12.0 AS DOUBLE)
+              * (CAST(na + nb + 1 AS DOUBLE)
+                 - CAST(ties AS DOUBLE)
+                   / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))
+         AS z
+FROM agg
+"""
+
+
+def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-squared independence test between order priority and
+    order status, with Cramér's V effect size (stats.chi2_independence):
+    the fact table reduces to an R×C contingency cell table in the
+    first aggregation, so every downstream total is dimension-sized;
+    the statistic accumulates fixed-point."""
+    from basic_data_fusion_spark.operators.stats import chi2_independence
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    return chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+dims AS (
+  SELECT COUNT(DISTINCT a) AS nr, COUNT(DISTINCT b) AS nc FROM cells
+),
+stat AS (
+  SELECT SUM(CAST(ROUND(((CAST(o AS DOUBLE)
+                          - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(o AS DOUBLE)
+                            - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT)) / 1000000.0 AS chi2,
+         MAX(n) AS n
+  FROM dec
+)
+SELECT s.chi2,
+       CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+       CAST(s.n AS BIGINT) AS n,
+       SQRT(s.chi2 / CAST(s.n * LEAST(d.nr - 1, d.nc - 1) AS DOUBLE))
+         AS cramers_v
+FROM stat s CROSS JOIN dims d
+"""
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-fraction HAVING threshold (TPC-H Q11 shape, adapted — the
     schema has no partsupp, so lineitem stands in as the part-supplier
@@ -4372,6 +4473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_blame_suppliers": q_sole_blame_suppliers,
         "ks_acctbal_segments": q_ks_acctbal_segments,
         "important_stock": q_important_stock,
+        "mannwhitney_acctbal": q_mannwhitney_acctbal,
+        "chi2_priority_status": q_chi2_priority_status,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4510,6 +4613,8 @@ def oracle_sql() -> dict[str, str]:
         "sole_blame_suppliers": _SOLE_BLAME_ORACLE,
         "ks_acctbal_segments": _KS_ORACLE,
         "important_stock": _IMPORTANT_STOCK_ORACLE,
+        "mannwhitney_acctbal": _MANNWHITNEY_ORACLE,
+        "chi2_priority_status": _CHI2_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -613,3 +613,108 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
             .select(F.col("n_a").cast("long"), F.col("n_b").cast("long"),
                     (F.col("__num").cast("double")
                      / (F.col("n_a") * F.col("n_b"))).alias("ks_d")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test between
+    ``group_a`` and ``group_b`` — the nonparametric location-shift
+    companion to :func:`ks_two_sample` (extends the reference's
+    parametric t-test surface, analysis/statistics.py, to
+    non-normal metrics).
+
+    Computed EXACTLY in integers until the final z: midranks are
+    carried doubled (``2·midrank = start + end`` of each tie run, both
+    integers from one cumulative-count window), so the rank-sum and the
+    tie-correction term Σ(t³−t) accumulate as exact BIGINTs in any
+    partition order. U_a = R_a − n_a(n_a+1)/2 then exits to double
+    (halves are exact in binary); the normal-approximation z applies
+    the tie-corrected variance n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))
+    through a fixed expression tree of correctly-rounded IEEE ops —
+    bit-identical on any engine. No continuity correction (documented
+    contract; oracles replay the same formula).
+
+    Returns one row: (n_a, n_b, u_a, u_b, z). Plan cost: one global
+    sort window over the two groups' values (same exact-ECDF tier as
+    ks_two_sample; swap in binned ranks at the 100 TB interactive tier).
+    """
+    vals = (df.filter(F.col(group_col).isin([group_a, group_b])
+                      & F.col(value_col).isNotNull())
+            .select((F.col(group_col) == group_a).cast("int").alias("__is_a"),
+                    F.col(value_col).alias("__v")))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    runs = (vals
+            .withColumn("__pos", F.sum(F.lit(1)).over(w))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("t"),
+                 F.sum("__is_a").alias("t_a"),
+                 F.max("__pos").alias("end")))
+    # 2·midrank of a tie run = start + end = 2·end − t + 1
+    two_r_a = F.sum(F.col("t_a") * (2 * F.col("end") - F.col("t") + 1))
+    agg = runs.agg(two_r_a.alias("__2ra"),
+                   F.sum("t_a").alias("__na"),
+                   F.sum(F.col("t") - F.col("t_a")).alias("__nb"),
+                   F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                   .alias("__ties"))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    n = F.col("__na") + F.col("__nb")
+    u_a = (F.col("__2ra").cast("double")
+           - F.col("__na").cast("double") * (F.col("__na") + 1).cast("double")
+           ) / F.lit(2.0)
+    u_b = na * nb - F.col("__u_a")
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)
+           * ((n + 1).cast("double")
+              - F.col("__ties").cast("double")
+              / (n.cast("double") * (n - 1).cast("double"))))
+    return (agg.withColumn("__u_a", u_a)
+            .select(F.col("__na").cast("long").alias("n_a"),
+                    F.col("__nb").cast("long").alias("n_b"),
+                    F.col("__u_a").alias("u_a"),
+                    u_b.alias("u_b"),
+                    ((F.col("__u_a") - mu) / F.sqrt(var)).alias("z")))
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, plus Cramér's V effect size (extends the reference's
+    categorical-summary surface, analysis/statistics.py, with the
+    standard association test).
+
+    One grouped count produces the contingency cells; row totals,
+    column totals and the grand total derive from window sums over the
+    cell table (cells = R×C rows — dimension-sized, so the
+    single-partition windows cost nothing regardless of fact size: the
+    fact table is reduced by the FIRST aggregation). Expected counts
+    e_ij = r_i·c_j/n are exact-integer products through one double
+    division; the statistic Σ(o−e)²/e accumulates fixed-point so the
+    result is bit-identical across engines and partition orders.
+
+    Returns one row: (chi2, dof, n, cramers_v). p-values need the
+    regularized incomplete gamma (scipy tier); the deterministic
+    contract exposes the statistic + dof exactly like the K² tier
+    exposes its z-components.
+    """
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cells = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__o")))
+    w_all = Window.partitionBy()
+    cells = (cells
+             .withColumn("__r", F.sum("__o").over(Window.partitionBy("__a")))
+             .withColumn("__c", F.sum("__o").over(Window.partitionBy("__b")))
+             .withColumn("__n", F.sum("__o").over(w_all))
+             .withColumn("__nr", F.size(F.collect_set("__a").over(w_all)))
+             .withColumn("__nc", F.size(F.collect_set("__b").over(w_all))))
+    e = (F.col("__r") * F.col("__c")).cast("double") / F.col("__n").cast("double")
+    term = (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e) / e
+    out = cells.agg(
+        fixed_point_sum(term, scale=1_000_000).alias("chi2"),
+        ((F.first("__nr") - 1) * (F.first("__nc") - 1)).cast("long").alias("dof"),
+        F.first("__n").cast("long").alias("n"),
+        F.first(F.least(F.col("__nr") - 1, F.col("__nc") - 1)).alias("__k"))
+    return out.select(
+        "chi2", "dof", "n",
+        F.sqrt(F.col("chi2") / (F.col("n") * F.col("__k")).cast("double"))
+        .alias("cramers_v"))

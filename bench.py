@@ -104,6 +104,8 @@ HEADLINE = [
     "sole_blame_suppliers",  # Q21 shape: double correlation -> one agg
     "ks_acctbal_segments",   # exact two-sample KS (integer cross-products)
     "important_stock",       # Q11 shape: global-fraction HAVING threshold
+    "mannwhitney_acctbal",   # exact tie-corrected rank-sum U + z
+    "chi2_priority_status",  # contingency chi2 + Cramer's V, one reduction
 ]
 
 

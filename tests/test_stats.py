@@ -411,3 +411,80 @@ def test_ks_two_sample_matches_scipy_or_reference(spark):
     assert got["ks_d"] > 0.3
     again = stats.ks_two_sample(df.repartition(7), "g", "v", "a", "b").collect()[0]
     assert again["ks_d"] == got["ks_d"]
+
+
+def test_mann_whitney_u_hand_computed_and_scipy(spark):
+    """U and z vs a hand-worked tied example, a pure-python rank
+    reference on random data, scipy when present; partitioning-
+    independent (integer rank accumulation)."""
+    # A = [1,2,2], B = [2,3]: midranks 1, 3,3,3, 5 -> R_a = 7, U_a = 1,
+    # U_b = 5, ties term t=3 -> 24,
+    # z = (1 - 3) / sqrt(6/12 * (6 - 24/20)) = -2/sqrt(2.4)
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double")
+    got = stats.mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (3, 2)
+    assert got["u_a"] == pytest.approx(1.0, abs=0)
+    assert got["u_b"] == pytest.approx(5.0, abs=0)
+    assert got["z"] == pytest.approx(-2.0 / math.sqrt(2.4), rel=1e-15)
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(0, 1, 200), 1)   # coarse grid -> heavy ties
+    b = np.round(rng.normal(0.5, 1, 150), 1)
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    big = spark.createDataFrame(rows, "g string, v double")
+    got = stats.mann_whitney_u(big, "g", "v", "a", "b").collect()[0]
+
+    # pure-python midrank reference
+    allv = sorted(list(a) + list(b))
+    import bisect
+    def midrank(x):
+        lo = bisect.bisect_left(allv, x)
+        hi = bisect.bisect_right(allv, x)
+        return (lo + 1 + hi) / 2.0
+    r_a = sum(midrank(x) for x in a)
+    u_a = r_a - 200 * 201 / 2.0
+    assert got["u_a"] == pytest.approx(u_a, abs=1e-9)
+    assert got["u_b"] == pytest.approx(200 * 150 - u_a, abs=1e-9)
+    try:
+        from scipy import stats as sps
+        res = sps.mannwhitneyu(a, b, use_continuity=False,
+                               alternative="two-sided", method="asymptotic")
+        assert got["u_a"] == pytest.approx(res.statistic, abs=1e-9)
+    except ImportError:
+        pass
+    again = stats.mann_whitney_u(big.repartition(7), "g", "v", "a", "b") \
+        .collect()[0]
+    assert (again["u_a"], again["z"]) == (got["u_a"], got["z"])
+
+
+def test_chi2_independence_hand_computed(spark):
+    """2x2 with all expected counts 15: chi2 = 4 * 25/15, dof 1,
+    V = sqrt(chi2/n); independent columns -> chi2 near 0; fixed-point
+    accumulation is partitioning-independent."""
+    rows = ([("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 20 + [("y", "q")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = stats.chi2_independence(df, "a", "b").collect()[0]
+    expect = 4 * round((25.0 / 15.0) * 1e6) / 1e6
+    assert got["chi2"] == pytest.approx(expect, abs=1e-12)
+    assert got["dof"] == 1 and got["n"] == 60
+    assert got["cramers_v"] == pytest.approx(math.sqrt(expect / 60), rel=1e-15)
+    try:
+        from scipy.stats import chi2_contingency
+        ref = chi2_contingency(np.array([[10, 20], [20, 10]]),
+                               correction=False).statistic
+        assert got["chi2"] == pytest.approx(ref, abs=1e-5)
+    except ImportError:
+        pass
+
+    # perfectly proportional table -> statistic exactly 0
+    rows = ([("x", "p")] * 12 + [("x", "q")] * 6
+            + [("y", "p")] * 24 + [("y", "q")] * 12)
+    indep = spark.createDataFrame(rows, "a string, b string")
+    got0 = stats.chi2_independence(indep, "a", "b").collect()[0]
+    assert got0["chi2"] == 0.0 and got0["cramers_v"] == 0.0
+
+    again = stats.chi2_independence(df.repartition(5), "a", "b").collect()[0]
+    assert again["chi2"] == got["chi2"]
