@@ -955,8 +955,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
 
 
-_BM25_ORACLE = r"""
-WITH t AS (
+# shared CTE chain: tokenize -> corpus stats -> tf -> df -> quantized
+# per-(doc,term) contributions -> per-doc integer score `s` (reused by
+# the BM25 query oracle and the hybrid-RRF fusion oracle)
+_BM25_SCORED_CTES = r"""t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                      x -> x <> '') AS toks
@@ -988,12 +990,82 @@ contrib AS (
 scored AS (
   SELECT doc_id, COUNT(*) AS n_terms_matched, SUM(c_int) AS s
   FROM contrib GROUP BY 1
-)
+)"""
+
+_BM25_ORACLE = "WITH " + _BM25_SCORED_CTES + """
 SELECT doc_id, n_terms_matched,
        CAST(s AS DOUBLE) / CAST(100000000.0 AS DOUBLE) AS bm25_score
 FROM scored
 ORDER BY s DESC, doc_id
 LIMIT 20
+"""
+
+
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-100 and exact-cosine semantic
+    top-100 (query = embedding 0) fused by reciprocal-rank fusion
+    (similarity.rrf_fuse, Cormack et al. 2009). Both arms end in
+    bounded ranked lists, so the fuse is a broadcast-sized full-outer
+    join no matter how large the corpus; the fused score is a fixed
+    two-term IEEE expression — bit-identical to the oracle."""
+    from basic_data_fusion_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from basic_data_fusion_spark.operators.text import bm25_topk
+    from pyspark.sql import Window
+
+    cat = _catalog(spark, sf_dir)
+    docs = cat.load("documents")
+    emb = cat.load("embeddings")
+    lex = bm25_topk(docs, BM25_QUERY_TERMS, k=100)
+    wl = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+    qv = (emb.filter(F.col("vec_id") == 0)
+          .select(F.lit(0).alias("query_id"), "embedding"))
+    sem = (brute_force_topk(emb, qv, k=100, deterministic=True)
+           .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    return rrf_fuse(lex, sem, id_col="doc_id", k_const=60, k=20)
+
+
+_HYBRID_RRF_ORACLE = "WITH " + _BM25_SCORED_CTES + r""",
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM scored ORDER BY s DESC, doc_id LIMIT 100
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+parts AS (
+  SELECT e.vec_id AS doc_id,
+         SUM(CAST(ROUND(CAST(qv.q[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS dot,
+         SUM(CAST(ROUND(CAST(qv.q[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM qv CROSS JOIN embeddings e CROSS JOIN dims
+  GROUP BY e.vec_id
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY dot / (SQRT(aa) * SQRT(bb)) DESC,
+                            doc_id) AS r
+  FROM parts
+  ORDER BY dot / (SQRT(aa) * SQRT(bb)) DESC, doc_id LIMIT 100
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, se.doc_id) AS doc_id,
+         l.r AS rank_a, se.r AS rank_b,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.r), CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + se.r), CAST(0.0 AS DOUBLE))
+           AS rrf_score
+  FROM lex l FULL JOIN sem se ON l.doc_id = se.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
 """
 
 
@@ -4475,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_stock": q_important_stock,
         "mannwhitney_acctbal": q_mannwhitney_acctbal,
         "chi2_priority_status": q_chi2_priority_status,
+        "hybrid_rrf_search": q_hybrid_rrf_search,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4615,6 +4688,7 @@ def oracle_sql() -> dict[str, str]:
         "important_stock": _IMPORTANT_STOCK_ORACLE,
         "mannwhitney_acctbal": _MANNWHITNEY_ORACLE,
         "chi2_priority_status": _CHI2_ORACLE,
+        "hybrid_rrf_search": _HYBRID_RRF_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -562,3 +562,33 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
             .filter(F.col("rank") <= k)
             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                     "l2_dist", "rank"))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
+             rank_col: str = "rank", k_const: int = 60,
+             k: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (Cormack,
+    Clarke & Büttcher, SIGIR 2009): ``rrf(d) = Σ_arms 1/(k_const +
+    rank_arm(d))`` over the UNION of candidates, a missing arm
+    contributing 0 — the standard hybrid-retrieval combiner for a
+    lexical (BM25) and a semantic (ANN) arm, needing no score
+    calibration between arms.
+
+    Both inputs are top-N lists (bounded), so the full-outer join is a
+    broadcast-sized fuse regardless of corpus size; every arithmetic
+    term is one correctly-rounded IEEE op on exact integers, making the
+    fused score bit-identical on any engine. Ties order by id. Returns
+    (id, rank_a, rank_b, rrf_score), top ``k`` if given.
+    """
+    a = ranked_a.select(F.col(id_col),
+                        F.col(rank_col).cast("long").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col),
+                        F.col(rank_col).cast("long").alias("rank_b"))
+    term = lambda c: F.coalesce(
+        F.lit(1.0) / (F.lit(k_const) + F.col(c)), F.lit(0.0))
+    fused = (a.join(b, id_col, "full_outer")
+             .withColumn("rrf_score", term("rank_a") + term("rank_b")))
+    out = fused.select(id_col, "rank_a", "rank_b", "rrf_score")
+    if k is not None:
+        out = out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(int(k))
+    return out

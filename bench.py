@@ -106,6 +106,7 @@ HEADLINE = [
     "important_stock",       # Q11 shape: global-fraction HAVING threshold
     "mannwhitney_acctbal",   # exact tie-corrected rank-sum U + z
     "chi2_priority_status",  # contingency chi2 + Cramer's V, one reduction
+    "hybrid_rrf_search",     # BM25 + cosine arms fused by reciprocal rank
 ]
 
 

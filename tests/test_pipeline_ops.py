@@ -1323,3 +1323,20 @@ def test_simhash_det_tier_subset_and_recall(docs):
     # instead of exact containment so the test survives fixture changes
     assert len(det & exact) / len(det) >= 0.75
     assert len(det & exact) >= len(exact) // 4
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Union semantics and exact scores: a doc in both arms sums both
+    reciprocal terms, single-arm docs keep one term + NULL rank for the
+    missing arm; ties order by id; k truncates."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "id long, rank int")
+    got = {r["id"]: r for r in
+           similarity.rrf_fuse(a, b, id_col="id", k_const=60).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3]["rrf_score"] == 1.0 / 63 + 1.0 / 61
+    assert got[1]["rrf_score"] == 1.0 / 61 and got[1]["rank_b"] is None
+    assert got[4]["rrf_score"] == 1.0 / 62 and got[4]["rank_a"] is None
+    # doc 3 (both arms) outranks every single-arm doc; k=2 keeps 3 then 1
+    top = similarity.rrf_fuse(a, b, id_col="id", k_const=60, k=2).collect()
+    assert [r["id"] for r in top] == [3, 1]
