@@ -4063,6 +4063,66 @@ FROM stat s CROSS JOIN dims d
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization ANN (similarity.sq8_topk): per-dim
+    min/max training in one aggregation, 1-byte-per-dim codes, and
+    asymmetric full-precision-query × decoded-code squared-L2 ranking —
+    the 4× memory tier below PQ's 16×. All arithmetic is exact IEEE +
+    fixed-point sums, so every code and distance hash-matches the
+    DuckDB replay."""
+    from basic_data_fusion_spark.operators.similarity import sq8_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return sq8_topk(emb, queries_df, k=5, dim=64)
+
+
+_SQ8_TOPK_ORACLE = """
+WITH dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+bounds AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings CROSS JOIN dims GROUP BY i
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10
+),
+codes AS (
+  SELECT e.vec_id, b.i, b.mn, b.mx,
+         CASE WHEN b.mx - b.mn = 0 THEN 0
+              ELSE CAST(GREATEST(CAST(0.0 AS DOUBLE),
+                        LEAST(CAST(255.0 AS DOUBLE),
+                              ROUND((CAST(e.embedding[b.i] AS DOUBLE) - b.mn)
+                                    * CAST(255.0 AS DOUBLE) / (b.mx - b.mn), 0)))
+                   AS INT)
+         END AS code
+  FROM embeddings e CROSS JOIN bounds b
+),
+parts AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(ROUND((CAST(q.qv[c.i] AS DOUBLE)
+                         - (CAST(c.code AS DOUBLE) * (c.mx - c.mn)
+                            / CAST(255.0 AS DOUBLE) + c.mn))
+                        * (CAST(q.qv[c.i] AS DOUBLE)
+                           - (CAST(c.code AS DOUBLE) * (c.mx - c.mn)
+                              / CAST(255.0 AS DOUBLE) + c.mn))
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS d2
+  FROM q CROSS JOIN codes c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, neighbor_id ASC) AS rank
+  FROM parts
+)
+SELECT query_id, neighbor_id, d2 AS adc_l2, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-fraction HAVING threshold (TPC-H Q11 shape, adapted — the
     schema has no partsupp, so lineitem stands in as the part-supplier
@@ -4548,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mannwhitney_acctbal": q_mannwhitney_acctbal,
         "chi2_priority_status": q_chi2_priority_status,
         "hybrid_rrf_search": q_hybrid_rrf_search,
+        "sq8_topk": q_sq8_topk,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4689,6 +4750,7 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_acctbal": _MANNWHITNEY_ORACLE,
         "chi2_priority_status": _CHI2_ORACLE,
         "hybrid_rrf_search": _HYBRID_RRF_ORACLE,
+        "sq8_topk": _SQ8_TOPK_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -592,3 +592,78 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, id_col: str,
     if k is not None:
         out = out.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(int(k))
     return out
+
+
+def sq8_bounds(df: DataFrame, vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """Scalar-quantizer training: per-dimension min/max over the corpus,
+    as ONE aggregation pass (``dim`` min + ``dim`` max expressions, all
+    JVM-side with map-side combine — no explode of the fact table).
+    Returns a 1-row DataFrame (mins: array<double>, maxs: array<double>)
+    that downstream stages keep in-plan via broadcast."""
+    v = lambda i: F.col(vec_col).getItem(i).cast("double")
+    return df.agg(
+        F.array(*[F.min(v(i)) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(v(i)) for i in range(dim)]).alias("maxs"))
+
+
+def _sq8_code(vec: Column) -> Column:
+    """uint8 code per dimension against in-scope mins/maxs columns:
+    ``clamp(round((x−min)·255/(max−min)), 0, 255)``; degenerate
+    dimensions (max=min) code to 0. Exact IEEE arithmetic — replayable
+    verbatim in any engine."""
+    xs = F.transform(vec, lambda x: x.cast("double"))
+    shifted = F.zip_with(xs, F.col("mins"), lambda x, m: x - m)
+    scales = F.zip_with(F.col("maxs"), F.col("mins"), lambda M, m: M - m)
+    return F.zip_with(
+        shifted, scales,
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0)).otherwise(
+            F.greatest(F.lit(0.0),
+                       F.least(F.lit(255.0),
+                               F.round(d * F.lit(255.0) / s, 0)))
+            .cast("int")))
+
+
+def sq8_encode(df: DataFrame, bounds: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to a 1-byte-per-dimension code (int8 scalar
+    quantization — the 4× compression tier below PQ's 16×): the trained
+    bounds ride as a broadcast 1-row relation, codes compute element-wise
+    in whole-stage codegen. Returns (id, code: array<int>)."""
+    return (df.crossJoin(F.broadcast(bounds))
+            .select(F.col(id_col), _sq8_code(F.col(vec_col)).alias("code")))
+
+
+def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", dim: int = 64) -> DataFrame:
+    """Asymmetric top-k over scalar-quantized codes: the query stays
+    full-precision, corpus vectors are decoded from their uint8 codes
+    (``min + code·(max−min)/255``), distance is the fixed-point squared
+    L2 — bit-identical on any engine. Corpus side carries 1 byte/dim
+    instead of 4 (the memory lever that lets a 100 TB embedding corpus
+    fit its ANN working set); queries and bounds broadcast; ranking is
+    the per-query window top-k."""
+    bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
+    # one crossJoin carries the codes AND the bounds forward so the
+    # 1-row training aggregate is referenced once (not re-evaluated by
+    # a second broadcast of the same subtree)
+    codes = (corpus.crossJoin(F.broadcast(bounds))
+             .select(F.col(id_col), _sq8_code(F.col(vec_col)).alias("code"),
+                     "mins", "maxs"))
+    q = queries.select(F.col(query_id_col),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("__qv"))
+    scored = codes.crossJoin(F.broadcast(q))
+    scales = F.zip_with(F.col("maxs"), F.col("mins"), lambda M, m: M - m)
+    dec = F.zip_with(
+        F.zip_with(F.col("code"), scales,
+                   lambda c, s: c.cast("double") * s / F.lit(255.0)),
+        F.col("mins"), lambda t, m: t + m)
+    diff2 = F.zip_with(F.col("__qv"), dec, lambda a, b: (a - b) * (a - b))
+    scored = scored.withColumn("adc_l2", fp_sum(diff2, 1e12))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_l2"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                    "adc_l2", "rank"))

@@ -107,6 +107,7 @@ HEADLINE = [
     "mannwhitney_acctbal",   # exact tie-corrected rank-sum U + z
     "chi2_priority_status",  # contingency chi2 + Cramer's V, one reduction
     "hybrid_rrf_search",     # BM25 + cosine arms fused by reciprocal rank
+    "sq8_topk",              # int8 scalar-quantized asymmetric L2 top-k
 ]
 
 

@@ -1340,3 +1340,47 @@ def test_rrf_fuse_hand_computed(spark):
     # doc 3 (both arms) outranks every single-arm doc; k=2 keeps 3 then 1
     top = similarity.rrf_fuse(a, b, id_col="id", k_const=60, k=2).collect()
     assert [r["id"] for r in top] == [3, 1]
+
+
+def test_sq8_topk_recall_and_determinism(spark):
+    """int8 scalar quantization preserves exact-L2 neighbors almost
+    perfectly (255 levels/dim is a much finer grid than PQ's 16-byte
+    codes — recall@3 ≈ 1 on this fixture) and codes/distances are
+    partitioning-independent."""
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    bset = set()
+    for r in rows:
+        if r["vec_id"] >= 20:
+            continue
+        d2 = ((x - np.array(list(r["embedding"]))) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        for j in order[:3]:
+            bset.add((r["vec_id"], int(ids[j])))
+    sq = similarity.sq8_topk(emb, q, k=3, dim=64).collect()
+    sset = {(r["query_id"], r["neighbor_id"]) for r in sq}
+    assert len(sset & bset) / len(bset) >= 0.9
+    again = similarity.sq8_topk(emb.repartition(7), q, k=3, dim=64).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["adc_l2"], r["rank"])
+            for r in again} == \
+        {(r["query_id"], r["neighbor_id"], r["adc_l2"], r["rank"])
+         for r in sq}
+
+
+def test_sq8_encode_bounds_and_degenerate_dim(spark):
+    """Codes live in [0,255]; min maps to 0, max to 255; a constant
+    dimension codes to 0 everywhere."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>")
+    b = similarity.sq8_bounds(df, dim=2)
+    got = {r["vec_id"]: r["code"] for r in
+           similarity.sq8_encode(df, b).collect()}
+    assert got[1] == [0, 0] and got[2] == [255, 0]
+    assert got[3] == [128, 0]  # round(5*255/10) = round(127.5) half-up
