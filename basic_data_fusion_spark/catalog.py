@@ -129,7 +129,7 @@ class Catalog:
             return
         for fn in sorted(os.listdir(self.data_dir)):
             base, ext = os.path.splitext(fn)
-            if (ext.lower() in (".parquet", ".csv", ".orc")
+            if (ext.lower() in (".parquet", ".csv", ".orc", ".json", ".jsonl")
                     and (self._fmt is None or ext[1:] == self._fmt)):
                 self._tables[base] = os.path.join(self.data_dir, fn)
 
@@ -158,6 +158,13 @@ class Catalog:
                 # ORC is Spark-native columnar (predicate pushdown and
                 # column pruning work like parquet); no nanos quirk
                 df = self.spark.read.orc(path)
+            elif ext in (".json", ".jsonl"):
+                # JSON Lines: schema inference costs one extra scan and
+                # row-oriented text has no predicate pushdown — fine for
+                # landing-zone ingest, but at the 100 TB tier pass an
+                # explicit schema and convert to parquet/ORC first (the
+                # engine's sinks do exactly that)
+                df = self.spark.read.json(path)
             else:
                 ns_cols = _timestamp_ns_columns(path)
                 if ns_cols:
