@@ -4123,6 +4123,37 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_benford_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over lineitem extended prices
+    (quality.benford_audit): exact integer-cents digit extraction, one
+    aggregation pass, 9-row result."""
+    from basic_data_fusion_spark.operators.quality import benford_audit
+
+    li = _catalog(spark, sf_dir).load("lineitem")
+    return benford_audit(li, "l_extendedprice", decimals=2)
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(ABS(l_extendedprice) * 100.0, 0)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND CAST(ROUND(ABS(l_extendedprice) * 100.0, 0) AS BIGINT) > 0
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+tot AS (SELECT SUM(n) AS t FROM counts)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS obs_freq,
+       ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+             * 1000000000000.0, 0) / 1000000000000.0 AS exp_freq,
+       ABS(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+           - ROUND(log10(CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) / digit)
+                   * 1000000000000.0, 0) / 1000000000000.0) AS abs_dev
+FROM counts CROSS JOIN tot
+"""
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-fraction HAVING threshold (TPC-H Q11 shape, adapted — the
     schema has no partsupp, so lineitem stands in as the part-supplier
@@ -4609,6 +4640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_priority_status": q_chi2_priority_status,
         "hybrid_rrf_search": q_hybrid_rrf_search,
         "sq8_topk": q_sq8_topk,
+        "benford_extendedprice": q_benford_extendedprice,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4751,6 +4783,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_priority_status": _CHI2_ORACLE,
         "hybrid_rrf_search": _HYBRID_RRF_ORACLE,
         "sq8_topk": _SQ8_TOPK_ORACLE,
+        "benford_extendedprice": _BENFORD_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

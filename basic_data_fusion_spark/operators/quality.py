@@ -173,3 +173,40 @@ def profiling_report(df: DataFrame, sample_n: int = 5000, minimal: bool = True,
         return profiling_sections(df, sample_n=min(sample_n, 1000), seed=seed)
     pdf = uniform_sample(df, sample_n, seed).toPandas()
     return ProfileReport(pdf, minimal=minimal)
+
+
+def benford_audit(df: DataFrame, value_col: str,
+                  decimals: int = 2) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic anomaly screen for invented or truncated figures
+    (Nigrini 2012), extending the audit surface (A10) with a
+    distribution-level check.
+
+    The leading digit is extracted EXACTLY: values quantize to integer
+    units at ``decimals`` (round-half-up, the engine-portable fixed
+    point used everywhere), and the first character of the INTEGER's
+    decimal string is the digit — no log10 on the data path, so no
+    cross-engine libm ulp can flip a digit at a power-of-ten boundary.
+    Expected Benford mass log10(1+1/d) is quantized to 12 dp (libm
+    appears only on the 9 constant digits, where rounding kills ulp
+    drift). Returns one row per observed digit 1-9: (digit, n,
+    obs_freq, exp_freq, abs_dev) — a dimension-sized result from one
+    fact-table aggregation pass.
+    """
+    scale = float(10 ** decimals)
+    units = F.round(F.abs(F.col(value_col)) * F.lit(scale), 0).cast("bigint")
+    digits = (df.filter(F.col(value_col).isNotNull())
+              .select(units.alias("__u"))
+              .filter(F.col("__u") > 0)
+              .select(F.substring(F.col("__u").cast("string"), 1, 1)
+                      .cast("int").alias("digit")))
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    exp = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                  * F.lit(1e12), 0) / F.lit(1e12)
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    (F.col("n").cast("double")
+                     / F.col("__total").cast("double")).alias("obs_freq"),
+                    exp.alias("exp_freq"))
+            .withColumn("abs_dev", F.abs(F.col("obs_freq") - F.col("exp_freq"))))

@@ -108,6 +108,7 @@ HEADLINE = [
     "chi2_priority_status",  # contingency chi2 + Cramer's V, one reduction
     "hybrid_rrf_search",     # BM25 + cosine arms fused by reciprocal rank
     "sq8_topk",              # int8 scalar-quantized asymmetric L2 top-k
+    "benford_extendedprice",  # Benford first-digit audit, exact digits
 ]
 
 

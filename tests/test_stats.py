@@ -488,3 +488,22 @@ def test_chi2_independence_hand_computed(spark):
 
     again = stats.chi2_independence(df.repartition(5), "a", "b").collect()[0]
     assert again["chi2"] == got["chi2"]
+
+
+def test_benford_audit_exact_digits(spark):
+    """Digit extraction is exact at the quantization boundary (0.995 ->
+    digit 1 via round-half-up at cents, not 9 via float repr), zeros
+    and NULLs drop, frequencies sum to 1, expected masses are the
+    12-dp-quantized Benford constants."""
+    df = spark.createDataFrame(
+        [(0.995,), (9.4,), (0.001,), (None,), (0.0,), (-200.0,), (123.0,)],
+        "v double")
+    got = {r["digit"]: r for r in
+           quality.benford_audit(df, "v", decimals=2).collect()}
+    # 0.995 -> 100 cents -> digit 1; 9.4 -> 940 -> 9; 0.001 -> 0 dropped;
+    # -200 -> 20000 -> 2; 123 -> 12300 -> 1
+    assert {d: r["n"] for d, r in got.items()} == {1: 2, 2: 1, 9: 1}
+    assert sum(r["obs_freq"] for r in got.values()) == pytest.approx(1.0)
+    assert got[1]["exp_freq"] == round(math.log10(2.0) * 1e12) / 1e12
+    assert got[9]["exp_freq"] == \
+        round(math.log10(1 + 1 / 9) * 1e12) / 1e12
