@@ -4123,6 +4123,60 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed curriculum serve order over documents, difficulty
+    proxied by length (selection.curriculum_order): NTILE stages
+    easy→hard, deterministic md5 shuffle within each stage, one global
+    serve position."""
+    from basic_data_fusion_spark.operators.selection import curriculum_order
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return curriculum_order(docs, "n_chars", n_stages=4)
+
+
+_CURRICULUM_ORACLE = """
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         CAST(NTILE(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS INT)
+           AS stage,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT doc_id, n_chars, stage,
+       CAST(ROW_NUMBER() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+         AS serve_pos
+FROM staged
+"""
+
+
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): docs, tokens,
+    chars, and token share (selection.corpus_composition) — the data
+    card's first table and the mixture ops' ground truth."""
+    from basic_data_fusion_spark.operators.selection import corpus_composition
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return corpus_composition(docs)
+
+
+_CORPUS_COMPOSITION_ORACLE = r"""
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         SUM(len(list_filter(
+               regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+               x -> x <> ''))) AS n_tokens,
+         SUM(length(COALESCE(text, ''))) AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, lang, n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+         AS pct_tokens
+FROM cells
+"""
+
+
 def q_benford_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit over lineitem extended prices
     (quality.benford_audit): exact integer-cents digit extraction, one
@@ -4641,6 +4695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": q_hybrid_rrf_search,
         "sq8_topk": q_sq8_topk,
         "benford_extendedprice": q_benford_extendedprice,
+        "curriculum_order": q_curriculum_order,
+        "corpus_composition": q_corpus_composition,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4784,6 +4840,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_search": _HYBRID_RRF_ORACLE,
         "sq8_topk": _SQ8_TOPK_ORACLE,
         "benford_extendedprice": _BENFORD_ORACLE,
+        "curriculum_order": _CURRICULUM_ORACLE,
+        "corpus_composition": _CORPUS_COMPOSITION_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

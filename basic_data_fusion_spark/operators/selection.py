@@ -16,7 +16,7 @@ across partitionings and engines (the lm_surprisal pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -346,3 +346,61 @@ def token_budget_mix(df: DataFrame, budget_tokens: int,
     return (base.join(F.broadcast(rates), "__src")
             .select(id_col, source_col, "n_tokens", "keep_rate",
                     (u < F.col("keep_rate")).alias("keep")))
+
+
+def curriculum_order(df: DataFrame, score_col: str, id_col: str = "doc_id",
+                     n_stages: int = 4) -> DataFrame:
+    """Bucketed curriculum serve order (Bengio et al. 2009's
+    easy-to-hard schedule in the form production pipelines actually
+    use — sorted *stages* with within-stage shuffling, so early
+    training sees easy data without the optimizer seeing a
+    difficulty-sorted, correlation-heavy stream):
+
+    - stage  = NTILE(n_stages) over (score, id)   # easy → hard
+    - within-stage order = (md5(id), id)          # deterministic shuffle
+    - serve_pos = global row number over (stage, md5(id), id)
+
+    Everything is engine-portable (NTILE remainder-to-early-buckets
+    semantics match ANSI; md5 is the repo's standard deterministic
+    shuffle key). Two global sort windows — the price of materializing
+    a total serve order; at the 100 TB tier compose with
+    ``shard_assignments`` and run the curriculum within each shard so
+    no global sort exists. Returns (id, score, stage, serve_pos).
+    """
+    w_stage = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
+    h = F.md5(F.col(id_col).cast("string"))
+    staged = df.select(
+        F.col(id_col), F.col(score_col),
+        F.ntile(n_stages).over(w_stage).alias("stage"),
+        h.alias("__h"))
+    w_serve = Window.orderBy(F.col("stage").asc(), F.col("__h").asc(),
+                             F.col(id_col).asc())
+    return (staged
+            .withColumn("serve_pos", F.row_number().over(w_serve).cast("long"))
+            .select(id_col, score_col, "stage", "serve_pos"))
+
+
+def corpus_composition(df: DataFrame, source_col: str = "source",
+                       lang_col: str = "lang", text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Corpus composition report: per (source, language) document,
+    token and character counts plus each cell's share of corpus
+    tokens — the first table in every training-data card (what the
+    mixture ops here consume as ground truth). One fact-table
+    aggregation; the grand total derives from a window over the
+    dimension-sized cell table. Token counts use the engine's standard
+    whitespace tokenizer; NULL text counts as an empty document.
+    Returns (source, lang, n_docs, n_tokens, n_chars, pct_tokens).
+    """
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    cells = (df.groupBy(F.col(source_col).alias("source"),
+                        F.col(lang_col).alias("lang"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+                  F.sum(F.length(F.coalesce(F.col(text_col), F.lit(""))))
+                  .cast("long").alias("n_chars")))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return cells.withColumn(
+        "pct_tokens",
+        F.col("n_tokens").cast("double") / total.cast("double"))

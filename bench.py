@@ -109,6 +109,8 @@ HEADLINE = [
     "hybrid_rrf_search",     # BM25 + cosine arms fused by reciprocal rank
     "sq8_topk",              # int8 scalar-quantized asymmetric L2 top-k
     "benford_extendedprice",  # Benford first-digit audit, exact digits
+    "curriculum_order",      # staged curriculum serve order, md5 shuffle
+    "corpus_composition",    # per-(source,lang) data-card table
 ]
 
 

@@ -1384,3 +1384,51 @@ def test_sq8_encode_bounds_and_degenerate_dim(spark):
            similarity.sq8_encode(df, b).collect()}
     assert got[1] == [0, 0] and got[2] == [255, 0]
     assert got[3] == [128, 0]  # round(5*255/10) = round(127.5) half-up
+
+
+def test_curriculum_order_stage_monotone_and_shuffled(spark):
+    """Stages partition by difficulty (every stage-1 score <= every
+    stage-2 score, etc.), serve order visits stages in order, and the
+    within-stage order is NOT the score order (it's the md5 shuffle)."""
+    from basic_data_fusion_spark.operators import selection
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "doc_id long, score double")
+    rows = selection.curriculum_order(df, "score", n_stages=4).collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    assert all(len(v) == 10 for v in by_stage.values())
+    for s in (1, 2, 3):
+        assert max(r["score"] for r in by_stage[s]) < \
+            min(r["score"] for r in by_stage[s + 1])
+    # serve positions are contiguous per stage, stage-major
+    for s in (1, 2, 3, 4):
+        ps = sorted(r["serve_pos"] for r in by_stage[s])
+        assert ps == list(range((s - 1) * 10 + 1, s * 10 + 1))
+    # within a stage the serve order differs from plain score order
+    order1 = [r["doc_id"] for r in
+              sorted(by_stage[1], key=lambda r: r["serve_pos"])]
+    assert order1 != sorted(order1)
+    # deterministic across partitionings
+    again = selection.curriculum_order(df.repartition(7), "score",
+                                       n_stages=4).collect()
+    assert {(r["doc_id"], r["serve_pos"]) for r in again} == \
+        {(r["doc_id"], r["serve_pos"]) for r in rows}
+
+
+def test_corpus_composition_null_text_and_shares(spark):
+    from basic_data_fusion_spark.operators import selection
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, None, "en", "web"),
+         (3, "x y", "de", "book")],
+        "doc_id long, text string, lang string, source string")
+    got = {(r["source"], r["lang"]): r for r in
+           selection.corpus_composition(df).collect()}
+    assert got[("web", "en")]["n_docs"] == 2
+    assert got[("web", "en")]["n_tokens"] == 3   # NULL text = empty doc
+    assert got[("book", "de")]["n_tokens"] == 2
+    assert got[("web", "en")]["pct_tokens"] == 3 / 5
+    assert sum(r["pct_tokens"] for r in got.values()) == pytest.approx(1.0)
