@@ -4123,6 +4123,60 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_rolling_zscore_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over each user's purchase
+    series (linkage.rolling_zscore): trailing-7 window excluding the
+    current row, integer-sum mean/variance, NULL z below 3 priors or
+    at zero variance."""
+    from basic_data_fusion_spark.operators.linkage import rolling_zscore
+
+    ev = (_catalog(spark, sf_dir).load("events")
+          .where(F.col("event_type") == "purchase"))
+    out = rolling_zscore(ev, "user_id", "ts", "event_id", "value",
+                         lookback=7, min_prior=3, z_threshold=3.0,
+                         decimals=4)
+    return out.select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_id", "value", "n_prior", "z", "is_anomaly")
+
+
+_ROLLING_ZSCORE_ORACLE = """
+WITH base AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(ROUND(value * 10000.0, 0) AS BIGINT) AS vi
+  FROM events WHERE event_type = 'purchase'
+),
+win AS (
+  SELECT user_id, ts, event_id, value, vi,
+         SUM(vi) OVER w AS s1, SUM(vi * vi) OVER w AS s2,
+         COUNT(vi) OVER w AS n_prior
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT user_id, ts, event_id, value, n_prior,
+         CASE WHEN n_prior >= 3
+                   AND ((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n_prior AS DOUBLE))
+                        / (CAST(n_prior AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                       > CAST(0.0 AS DOUBLE)
+              THEN (CAST(vi AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) / CAST(n_prior AS DOUBLE))
+                   / SQRT((CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                             / CAST(n_prior AS DOUBLE))
+                          / (CAST(n_prior AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+         END AS z
+  FROM win
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+       CAST(n_prior AS BIGINT) AS n_prior, z,
+       COALESCE(ABS(z) > CAST(3.0 AS DOUBLE), FALSE) AS is_anomaly
+FROM scored
+"""
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed curriculum serve order over documents, difficulty
     proxied by length (selection.curriculum_order): NTILE stages
@@ -4697,6 +4751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_extendedprice": q_benford_extendedprice,
         "curriculum_order": q_curriculum_order,
         "corpus_composition": q_corpus_composition,
+        "rolling_zscore_purchases": q_rolling_zscore_purchases,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4842,6 +4897,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_extendedprice": _BENFORD_ORACLE,
         "curriculum_order": _CURRICULUM_ORACLE,
         "corpus_composition": _CORPUS_COMPOSITION_ORACLE,
+        "rolling_zscore_purchases": _ROLLING_ZSCORE_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -132,3 +132,54 @@ def gap_fill_daily(df: DataFrame, key: str, day_col: str, value_col: str,
             .withColumn(observed_flag, F.col(value_col).isNotNull())
             .withColumn(value_col,
                         F.last(value_col, ignorenulls=True).over(w)))
+
+
+def rolling_zscore(df: DataFrame, key: str, ts_col: str, tiebreak: str,
+                   value_col: str, lookback: int = 7,
+                   min_prior: int = 3, z_threshold: float = 3.0,
+                   decimals: int = 6) -> DataFrame:
+    """Rolling z-score anomaly detection over an ordered series
+    (time-series quality monitoring — the online companion to the
+    engine's batch z-score/MAD outlier ops): each observation scores
+    against the mean/std of its own trailing window of the previous
+    ``lookback`` observations (the current row is EXCLUDED, so an
+    outlier never masks itself).
+
+    Determinism: window sums accumulate over fixed-point integer views
+    of the value (``round(v·10^decimals)``), the frame order is the
+    total order (ts, tiebreak), and mean/variance exit through one
+    fixed IEEE expression tree — bit-identical on any engine; rows with
+    fewer than ``min_prior`` priors or a degenerate (zero-variance)
+    window yield NULL z. One shuffle (the per-key window); no state
+    beyond the frame.
+
+    Returns the key/ts/tiebreak/value columns plus (n_prior, z,
+    is_anomaly). Overflow headroom: the squared integer view must fit
+    BIGINT across the frame — |v|·10^decimals must stay below
+    ~3e9/√lookback; pick ``decimals`` accordingly (the z-score loses
+    nothing at 4-6 dp for typical metric ranges).
+    """
+    scale = float(10 ** decimals)
+    vi = F.round(F.col(value_col) * F.lit(scale), 0).cast("bigint")
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+         .rowsBetween(-lookback, -1))
+    base = (df.select(key, ts_col, tiebreak, value_col)
+            .withColumn("__s1", F.sum(vi).over(w))
+            .withColumn("__s2", F.sum(vi * vi).over(w))
+            .withColumn("n_prior", F.count(vi).over(w)))
+    n = F.col("n_prior").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean_i = s1 / n
+    # sample variance of the integer view: (S2 − S1²/n)/(n−1)
+    var_i = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    x_i = vi.cast("double")
+    z = F.when((F.col("n_prior") >= min_prior) & (var_i > F.lit(0.0)),
+               (x_i - mean_i) / F.sqrt(var_i))
+    return (base
+            .withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(F.col("z")) > F.lit(z_threshold),
+                                   F.lit(False)))
+            .drop("__s1", "__s2"))

@@ -111,6 +111,7 @@ HEADLINE = [
     "benford_extendedprice",  # Benford first-digit audit, exact digits
     "curriculum_order",      # staged curriculum serve order, md5 shuffle
     "corpus_composition",    # per-(source,lang) data-card table
+    "rolling_zscore_purchases",  # trailing-window anomaly z, integer sums
 ]
 
 

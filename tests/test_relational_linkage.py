@@ -153,3 +153,40 @@ def test_gap_fill_daily_fills_and_flags(spark):
         (1, "2024-01-04"): (40.0, True),
         (2, "2024-01-02"): (5.0, True),     # single-day span: no padding
     }
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Priors exclude the current row; z matches numpy on the trailing
+    sample; min_prior and zero-variance windows yield NULL z; a planted
+    spike flags."""
+    import numpy as np
+    import pytest
+    from basic_data_fusion_spark.operators.linkage import rolling_zscore
+
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 100.0, 10.0]
+    rows = [("u", float(i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id string, ts double, "
+                                     "event_id long, value double")
+    got = {r["event_id"]: r for r in
+           rolling_zscore(df, "user_id", "ts", "event_id", "value",
+                          lookback=7, min_prior=3).collect()}
+    assert got[0]["z"] is None and got[2]["z"] is None  # < 3 priors
+    assert got[0]["n_prior"] == 0 and got[3]["n_prior"] == 3
+    # z of the spike at index 6 vs its 6 priors
+    prior = np.array(vals[:6])
+    expect = (100.0 - prior.mean()) / prior.std(ddof=1)
+    assert got[6]["z"] == pytest.approx(expect, rel=1e-6)
+    assert got[6]["is_anomaly"] and not got[5]["is_anomaly"]
+    # the spike inflates the next window's std -> ordinary point not flagged
+    assert not got[7]["is_anomaly"]
+
+    const = spark.createDataFrame(
+        [("u", float(i), i, 5.0) for i in range(6)],
+        "user_id string, ts double, event_id long, value double")
+    z0 = rolling_zscore(const, "user_id", "ts", "event_id", "value",
+                        min_prior=3).collect()
+    assert all(r["z"] is None for r in z0)  # zero variance -> NULL, not NaN
+    again = {r["event_id"]: r["z"] for r in
+             rolling_zscore(df.repartition(5), "user_id", "ts", "event_id",
+                            "value", lookback=7, min_prior=3).collect()}
+    assert again == {k: r["z"] for k, r in got.items()}
