@@ -4003,6 +4003,13 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
          - ((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE))
             / CAST(2.0 AS DOUBLE)) AS u_b,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12.0 AS DOUBLE)
+                   * (CAST(na + nb + 1 AS DOUBLE)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(na + nb AS DOUBLE)
+                           * CAST(na + nb - 1 AS DOUBLE))) > CAST(0.0 AS DOUBLE)
+         THEN
        (((CAST(r2a AS DOUBLE) - CAST(na AS DOUBLE) * CAST(na + 1 AS DOUBLE))
           / CAST(2.0 AS DOUBLE))
         - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(2.0 AS DOUBLE))
@@ -4010,7 +4017,7 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
               * (CAST(na + nb + 1 AS DOUBLE)
                  - CAST(ties AS DOUBLE)
                    / (CAST(na + nb AS DOUBLE) * CAST(na + nb - 1 AS DOUBLE))))
-         AS z
+         END END AS z
 FROM agg
 """
 
@@ -4057,8 +4064,9 @@ stat AS (
 SELECT s.chi2,
        CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
        CAST(s.n AS BIGINT) AS n,
-       SQRT(s.chi2 / CAST(s.n * LEAST(d.nr - 1, d.nc - 1) AS DOUBLE))
-         AS cramers_v
+       CASE WHEN LEAST(d.nr - 1, d.nc - 1) > 0 THEN
+         SQRT(s.chi2 / CAST(s.n * LEAST(d.nr - 1, d.nc - 1) AS DOUBLE))
+       END AS cramers_v
 FROM stat s CROSS JOIN dims d
 """
 
@@ -4704,11 +4712,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # landed past the window), (b) the 4 oracle-less rows-only canaries
     # (driver-monitored in r1-2, rotated back in so they stay live — their
     # new deterministic twins in (c) add the hash-checked signal beside
-    # them), (c) all 26 round-4 additions (TPC-H Q2/Q9/Q11/Q12/Q20, the LM/
-    # retrieval/mixture/dedup wave, and the _det twins), (d) backfill with
-    # the longest-unchecked greens (the r1/r2 wave, last driver-checked in
-    # round 2) up to the 50-key boundary.  Everything past key 50 —
-    # including all 50 round-3 greens — stays pinned every run by
+    # them), (c) the round-4 additions: the first wave (TPC-H Q2/Q9/Q12/Q20,
+    # the LM/retrieval/mixture/dedup wave, Q21, exact KS), then the second
+    # wave inserted right after it (Q11 completing 22/22 TPC-H shapes,
+    # Mann-Whitney U, chi-squared, hybrid RRF, SQ8 ANN, Benford, curriculum,
+    # corpus composition, rolling z-score) — together they fill the window
+    # to key 50 (the last slot holds the flagship merge).  Everything past
+    # key 50 — all r1-r3 greens — stays pinned every run by
     # tests/test_oracle_parity.py, which parametrizes the full dict.
     det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
     return {

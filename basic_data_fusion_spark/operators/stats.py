@@ -667,12 +667,18 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
            * ((n + 1).cast("double")
               - F.col("__ties").cast("double")
               / (n.cast("double") * (n - 1).cast("double"))))
+    # nested guards keep every division lazy (Spark 4 runs ANSI mode:
+    # a double 0/0 THROWS): n(n−1) needs both groups non-empty, and an
+    # all-ties sample has zero variance — z is undefined (NULL) there,
+    # exactly as the oracle's nested CASE replays it
+    z = F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+               F.when(var > F.lit(0.0), (F.col("__u_a") - mu) / F.sqrt(var)))
     return (agg.withColumn("__u_a", u_a)
             .select(F.col("__na").cast("long").alias("n_a"),
                     F.col("__nb").cast("long").alias("n_b"),
                     F.col("__u_a").alias("u_a"),
                     u_b.alias("u_b"),
-                    ((F.col("__u_a") - mu) / F.sqrt(var)).alias("z")))
+                    z.alias("z")))
 
 
 def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
@@ -714,7 +720,11 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ((F.first("__nr") - 1) * (F.first("__nc") - 1)).cast("long").alias("dof"),
         F.first("__n").cast("long").alias("n"),
         F.first(F.least(F.col("__nr") - 1, F.col("__nc") - 1)).alias("__k"))
+    # a 1×C or R×1 table has dof 0 and no defined effect size — NULL V
+    # (lazy guard: ANSI mode would otherwise throw on the /0)
     return out.select(
         "chi2", "dof", "n",
-        F.sqrt(F.col("chi2") / (F.col("n") * F.col("__k")).cast("double"))
+        F.when(F.col("__k") > 0,
+               F.sqrt(F.col("chi2")
+                      / (F.col("n") * F.col("__k")).cast("double")))
         .alias("cramers_v"))

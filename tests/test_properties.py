@@ -276,3 +276,57 @@ def test_nested_double_lit_roundtrip_exact(spark, vals):
     assert len(got) == len(vals)
     for g, v in zip(got, vals):
         assert struct.pack("<d", g) == struct.pack("<d", float(v)), (g, v)
+
+
+@FAST
+@given(a=st.lists(st.integers(-50, 50), min_size=4, max_size=40),
+       b=st.lists(st.integers(-50, 50), min_size=4, max_size=40))
+def test_mann_whitney_matches_python(spark, a, b):
+    """U statistics vs a pure-python midrank computation on integer
+    (tie-heavy) samples; U_a + U_b == n_a·n_b identically."""
+    from basic_data_fusion_spark.operators.stats import mann_whitney_u
+
+    rows = ([("a", float(x)) for x in a] + [("b", float(x)) for x in b])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    allv = sorted(a + b)
+    import bisect
+    r_a = sum((bisect.bisect_left(allv, x) + 1
+               + bisect.bisect_right(allv, x)) / 2.0 for x in a)
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert got["u_a"] == u_a
+    assert got["u_a"] + got["u_b"] == len(a) * len(b)
+
+
+@FAST
+@given(cells=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 2), st.integers(1, 9)),
+    min_size=2, max_size=12))
+def test_chi2_matches_python(spark, cells):
+    """Chi-squared vs a pure-python contingency computation with the
+    same per-cell 1e-6 fixed-point quantization; symmetric in the two
+    columns."""
+    from collections import Counter
+
+    from basic_data_fusion_spark.operators.stats import chi2_independence
+
+    counts = Counter()
+    for va, vb, n in cells:
+        counts[(f"a{va}", f"b{vb}")] += n
+    rows = [(a, b) for (a, b), n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    got = chi2_independence(df, "x", "y").collect()[0]
+
+    n_tot = sum(counts.values())
+    rs = Counter(); cs = Counter()
+    for (a, b), n in counts.items():
+        rs[a] += n
+        cs[b] += n
+    stat = sum(round(((o - rs[a] * cs[b] / n_tot) ** 2
+                      / (rs[a] * cs[b] / n_tot)) * 1e6)
+               for (a, b), o in counts.items()) / 1e6
+    assert got["chi2"] == pytest.approx(stat, abs=2e-6)
+    assert got["dof"] == (len(rs) - 1) * (len(cs) - 1)
+    sym = chi2_independence(df, "y", "x").collect()[0]
+    assert sym["chi2"] == got["chi2"] and sym["dof"] == got["dof"]

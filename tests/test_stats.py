@@ -507,3 +507,19 @@ def test_benford_audit_exact_digits(spark):
     assert got[1]["exp_freq"] == round(math.log10(2.0) * 1e12) / 1e12
     assert got[9]["exp_freq"] == \
         round(math.log10(1 + 1 / 9) * 1e12) / 1e12
+
+
+def test_mann_whitney_and_chi2_degenerate_null_contracts(spark):
+    """ANSI-mode safety: an all-ties sample has zero rank variance ->
+    NULL z (not an error, not NaN); a 1-column contingency table has
+    dof 0 -> NULL Cramer's V."""
+    allsame = spark.createDataFrame(
+        [("a", 1.0)] * 4 + [("b", 1.0)] * 3, "g string, v double")
+    got = stats.mann_whitney_u(allsame, "g", "v", "a", "b").collect()[0]
+    assert got["z"] is None
+    assert got["u_a"] + got["u_b"] == 12.0
+
+    onecol = spark.createDataFrame(
+        [("x", "p")] * 3 + [("x", "q")] * 2, "a string, b string")
+    c = stats.chi2_independence(onecol, "a", "b").collect()[0]
+    assert c["dof"] == 0 and c["cramers_v"] is None and c["chi2"] == 0.0
