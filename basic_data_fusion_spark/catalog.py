@@ -259,3 +259,36 @@ class Catalog:
     # ---------------- utility ----------------
     def union_all(self, dfs: list[DataFrame]) -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+    # ---------------- SQL surface ----------------
+    def register_views(self, prefix: str = "") -> list[str]:
+        """Register every catalog table as a session temp view (name =
+        sanitized table name, optionally prefixed) and return the view
+        names. This is the Spark-native equivalent of the reference's
+        generated-SQL execution surface (query/query_secure.py:70:
+        ``FROM read_csv_auto(?) AS demo``): instead of interpolating
+        file paths into SQL strings, the lazy DataFrames become named
+        relations and ``spark.sql`` plans against them — identifiers
+        pass through the same sanitizer as ingested columns
+        (sources/ingest.sanitize_column_name), so a hostile filename
+        can never splice SQL. Views are lazy: registering costs
+        nothing until a query scans one."""
+        from .sources.ingest import sanitize_column_name
+
+        names = []
+        for t in self.tables:
+            view = sanitize_column_name(prefix + t)
+            self.load(t).createOrReplaceTempView(view)
+            names.append(view)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        """Run ANSI SQL against the catalog's tables (auto-registers
+        views on first use). The text goes straight to Spark's parser —
+        one statement, plans through the same Catalyst pipeline as the
+        DataFrame API, so pushdown/pruning/broadcast behave identically
+        to the builder path. User-supplied VALUES belong in
+        ``spark.sql(query, args=...)``-style parameters upstream, never
+        string-interpolated."""
+        self.register_views()
+        return self.spark.sql(query)

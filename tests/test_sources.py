@@ -386,3 +386,30 @@ def test_catalog_reads_jsonl(spark, tmp_path):
     got = {r["c_custkey"]: r["c_acctbal"] for r in
            df.select("c_custkey", "c_acctbal").collect()}
     assert got == want  # doubles round-trip bit-exact through JSON repr
+
+
+def test_catalog_sql_surface(spark):
+    """register_views + sql(): raw ANSI SQL plans against the catalog's
+    lazy views through the same Catalyst pipeline; view names pass the
+    identifier sanitizer."""
+    from basic_data_fusion_spark.catalog import Catalog
+
+    cat = Catalog(spark, "/root/testdata/sf0.001",
+                  primary_id="c_custkey", hub_table="customer")
+    views = cat.register_views()
+    assert "customer" in views and "lineitem" in views
+    got = cat.sql("""
+        SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """).collect()
+    assert sum(r["n"] for r in got) > 0
+    # equivalent DataFrame-API result matches exactly
+    cust = cat.load("customer")
+    orders = cat.load("orders")
+    from pyspark.sql import functions as F
+    expect = {(r["c_mktsegment"], r["n"]) for r in
+              cust.join(orders, cust.c_custkey == orders.o_custkey)
+              .groupBy("c_mktsegment")
+              .agg(F.countDistinct("c_custkey").alias("n")).collect()}
+    assert {(r["c_mktsegment"], r["n"]) for r in got} == expect
