@@ -68,3 +68,69 @@ def running_user_stats(events: DataFrame, scale: int = 1_000_000) -> DataFrame:
     return (events.groupBy("user_id")
             .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+ZSCORE_OUTPUT_SCHEMA = ("user_id bigint, ts_us bigint, event_id bigint, "
+                        "value double, n_prior bigint, z double, "
+                        "is_anomaly boolean")
+ZSCORE_STATE_SCHEMA = "vals array<bigint>"
+
+
+def streaming_rolling_zscore(events: DataFrame, lookback: int = 7,
+                             min_prior: int = 3, z_threshold: float = 3.0,
+                             decimals: int = 4) -> DataFrame:
+    """Streaming twin of ``operators.linkage.rolling_zscore``: per-key
+    online anomaly scoring where the state is ONLY the last ``lookback``
+    fixed-point integer views (bounded — O(keys·lookback), independent
+    of stream length). Each event scores against its priors and then
+    joins the state; emissions are append-mode (one scored row per
+    event).
+
+    Bit-parity contract: with chronological delivery, every (n_prior,
+    z, is_anomaly) equals the batch operator bit-for-bit — the python
+    floats here execute the SAME IEEE expression order as the batch
+    JVM tree ((S2 − S1²/n)/(n−1), (x − S1/n)/√var), and the integer
+    views use the same half-away-from-zero rounding. Asserted in
+    test_streaming.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    scale = float(10 ** decimals)
+
+    def update(key, pdf_iter, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            vis = _round_half_away(
+                pdf["value"].to_numpy(dtype="float64") * scale)
+            for ts, eid, v, vi_f in zip(pdf["ts"], pdf["event_id"],
+                                        pdf["value"], vis):
+                vi = int(vi_f)
+                prior = vals[-lookback:]
+                n = len(prior)
+                z = None
+                if n >= min_prior:
+                    nf = float(n)
+                    s1 = float(sum(prior))
+                    s2 = float(sum(p * p for p in prior))
+                    var = (s2 - s1 * s1 / nf) / (nf - 1.0)
+                    if var > 0.0:
+                        z = (float(vi) - s1 / nf) / math.sqrt(var)
+                rows.append((int(key[0]),
+                             int(pd.Timestamp(ts).value) // 1000,
+                             int(eid), float(v), n, z,
+                             bool(z is not None and abs(z) > z_threshold)))
+                vals.append(vi)
+                vals = vals[-lookback:]
+        state.update((vals,))
+        yield pd.DataFrame(rows, columns=["user_id", "ts_us", "event_id",
+                                          "value", "n_prior", "z",
+                                          "is_anomaly"])
+
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(update, ZSCORE_OUTPUT_SCHEMA,
+                                    ZSCORE_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.NoTimeout))

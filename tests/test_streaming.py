@@ -439,3 +439,52 @@ def test_index_backed_dedup_unbounded_horizon(spark, tmp_path):
     # does NOT shadow it) drops all previously-seen content — only the
     # genuinely new doc survives
     assert got2 == [21]
+
+
+def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
+    """Online anomaly scoring with bounded state (last-7 integer views
+    per key): with chronological delivery across 3 micro-batches, every
+    (n_prior, z, is_anomaly) equals the batch rolling_zscore
+    bit-for-bit — state carries the trailing window across batch
+    boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from basic_data_fusion_spark.operators.linkage import rolling_zscore
+    from basic_data_fusion_spark.streaming.stateful import (
+        streaming_rolling_zscore,
+    )
+
+    batch = (_events_batch(spark)
+             .filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "event_id", "value"))
+    expected = _norm(
+        rolling_zscore(batch, "user_id", "ts", "event_id", "value",
+                       lookback=7, min_prior=3, decimals=4)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id",
+                "value", "n_prior", "z", "is_anomaly").toPandas())
+
+    # chronological thirds -> 3 triggers, trailing windows MUST span
+    # batch boundaries; ascending mtimes pin the file-source order
+    d = tmp_path / "zstream"
+    d.mkdir(exist_ok=True)
+    splits = [batch.orderBy("ts", "event_id").filter(c) for c in [
+        F.col("ts") <= F.lit("2024-02-01"),
+        (F.col("ts") > F.lit("2024-02-01")) & (F.col("ts") <= F.lit("2024-03-01")),
+        F.col("ts") > F.lit("2024-03-01")]]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode("overwrite").parquet(str(d / f"s{i}"))
+        f = glob.glob(str(d / f"s{i}" / "*.parquet"))[0]
+        shutil.copy(f, d / f"batch{i}.parquet")
+        shutil.rmtree(d / f"s{i}")
+        os.utime(d / f"batch{i}.parquet", (1000 + i, 1000 + i))
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    got = _norm(W.run_available_now(
+        streaming_rolling_zscore(stream, lookback=7, min_prior=3,
+                                 decimals=4),
+        "t_stream_zscore", output_mode="append").toPandas())
+    assert len(got) == len(expected) and len(got) == batch.count()
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
