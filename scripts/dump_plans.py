@@ -72,6 +72,20 @@ PICK_NOTES = {
                       "bitmap literal.",
     "part_heavy_hitters": "Partial agg + TakeOrderedAndProject — the "
                           "skew report never globally sorts.",
+    "important_stock": "Q11: both the threshold scalar and the filter "
+                       "read the persisted per-part aggregate "
+                       "(InMemoryTableScan x2) — ONE fact scan; the "
+                       "nation-filtered supplier set probes as a "
+                       "broadcast semi join.",
+    "hybrid_rrf_search": "Both arms end in bounded TakeOrdered lists; "
+                         "the RRF fuse is a broadcast-sized full-outer "
+                         "join — corpus size never reaches the fusion.",
+    "sq8_topk": "Per-dim min/max train in ONE aggregation (no explode); "
+                "bounds + queries broadcast into the code scan; per-query "
+                "top-k via window rank on the fixed-point ADC distance.",
+    "rolling_zscore_purchases": "One per-key window exchange carries "
+                                "integer-view sums; no second pass, no "
+                                "Python evaluator.",
 }
 MAX_LINES = 40
 
