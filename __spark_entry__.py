@@ -4270,6 +4270,68 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + marginal entropies + NMI between order
+    priority and status (stats.mutual_information): one fact
+    aggregation to R×C cells, 12-dp-quantized p·ln terms, exact
+    integer accumulation."""
+    from basic_data_fusion_spark.operators.stats import mutual_information
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    return mutual_information(orders, "o_orderpriority", "o_orderstatus")
+
+
+_MUTUAL_INFO_ORACLE = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY a) AS r,
+         SUM(o) OVER (PARTITION BY b) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+),
+mi AS (
+  SELECT SUM(CAST(ROUND((CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                        * ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))
+                             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+                        * 1000000000000.0, 0) AS BIGINT))
+           / 1000000000000.0 AS mi,
+         MAX(n) AS n
+  FROM dec
+),
+ra AS (
+  SELECT a, SUM(o) AS m FROM cells GROUP BY 1
+),
+ha AS (
+  SELECT -(SUM(CAST(ROUND((CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * ln(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * 1000000000000.0, 0) AS BIGINT))
+           / 1000000000000.0) AS h_a
+  FROM (SELECT m, SUM(m) OVER () AS nn FROM ra)
+),
+rb AS (
+  SELECT b, SUM(o) AS m FROM cells GROUP BY 1
+),
+hb AS (
+  SELECT -(SUM(CAST(ROUND((CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * ln(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+                          * 1000000000000.0, 0) AS BIGINT))
+           / 1000000000000.0) AS h_b
+  FROM (SELECT m, SUM(m) OVER () AS nn FROM rb)
+)
+SELECT mi.mi, ha.h_a, hb.h_b,
+       CASE WHEN ha.h_a * hb.h_b > CAST(0.0 AS DOUBLE)
+            THEN mi.mi / SQRT(ha.h_a * hb.h_b) END AS nmi,
+       CAST(mi.n AS BIGINT) AS n
+FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
 def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-fraction HAVING threshold (TPC-H Q11 shape, adapted — the
     schema has no partsupp, so lineitem stands in as the part-supplier
@@ -4762,6 +4824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "corpus_composition": q_corpus_composition,
         "rolling_zscore_purchases": q_rolling_zscore_purchases,
+        "mutual_info_priority_status": q_mutual_info_priority_status,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4908,6 +4971,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": _CURRICULUM_ORACLE,
         "corpus_composition": _CORPUS_COMPOSITION_ORACLE,
         "rolling_zscore_purchases": _ROLLING_ZSCORE_ORACLE,
+        "mutual_info_priority_status": _MUTUAL_INFO_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -728,3 +728,56 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                F.sqrt(F.col("chi2")
                       / (F.col("n") * F.col("__k")).cast("double")))
         .alias("cramers_v"))
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    marginal entropies and the normalized MI (information-theoretic
+    companion to :func:`chi2_independence` — the feature-redundancy /
+    leakage screen run over label-ish columns before training).
+
+    Everything derives from ONE fact-table aggregation (the R×C cell
+    counts); marginals and the grand total re-aggregate the
+    dimension-sized cell table. Each p·ln(p/..) term is quantized to
+    12 dp before integer summation (the lm_surprisal pattern), so the
+    libm ln appears only inside a rounded term and the totals are
+    bit-identical across engines and partition orders.
+
+    Returns one row: (mi, h_a, h_b, nmi, n) in nats; NMI =
+    MI/√(H_a·H_b), NULL when either marginal entropy is 0 (a constant
+    column carries no information to normalize by).
+    """
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cells = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+             .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__o")))
+    w_all = Window.partitionBy()
+    dec = (cells
+           .withColumn("__r", F.sum("__o").over(Window.partitionBy("__a")))
+           .withColumn("__c", F.sum("__o").over(Window.partitionBy("__b")))
+           .withColumn("__n", F.sum("__o").over(w_all)))
+    o, r, c, n = (F.col(x).cast("double") for x in
+                  ("__o", "__r", "__c", "__n"))
+    mi_term = (o / n) * F.log((o * n) / (r * c))
+    mi = dec.agg(
+        fixed_point_sum(mi_term, scale=1_000_000_000_000).alias("mi"),
+        F.first("__n").cast("long").alias("n"))
+    ent = lambda m: -fixed_point_sum(
+        (F.col("__m").cast("double") / F.col("__nn").cast("double"))
+        * F.log(F.col("__m").cast("double") / F.col("__nn").cast("double")),
+        scale=1_000_000_000_000)
+    rows_m = (cells.groupBy("__a").agg(F.sum("__o").alias("__m"))
+              .withColumn("__nn", F.sum("__m").over(w_all))
+              .agg(ent("__m").alias("h_a")))
+    cols_m = (cells.groupBy("__b").agg(F.sum("__o").alias("__m"))
+              .withColumn("__nn", F.sum("__m").over(w_all))
+              .agg(ent("__m").alias("h_b")))
+    out = (mi.crossJoin(F.broadcast(rows_m))
+           .crossJoin(F.broadcast(cols_m)))
+    return out.select(
+        "mi", "h_a", "h_b",
+        F.when(F.col("h_a") * F.col("h_b") > F.lit(0.0),
+               F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")))
+        .alias("nmi"),
+        "n")

@@ -112,6 +112,7 @@ HEADLINE = [
     "curriculum_order",      # staged curriculum serve order, md5 shuffle
     "corpus_composition",    # per-(source,lang) data-card table
     "rolling_zscore_purchases",  # trailing-window anomaly z, integer sums
+    "mutual_info_priority_status",  # MI/H/NMI from one cell aggregation
 ]
 
 

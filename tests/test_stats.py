@@ -523,3 +523,43 @@ def test_mann_whitney_and_chi2_degenerate_null_contracts(spark):
         [("x", "p")] * 3 + [("x", "q")] * 2, "a string, b string")
     c = stats.chi2_independence(onecol, "a", "b").collect()[0]
     assert c["dof"] == 0 and c["cramers_v"] is None and c["chi2"] == 0.0
+
+
+def test_mutual_information_matches_python(spark):
+    """MI/H/NMI vs a pure-python computation with the same 12-dp
+    quantization; independent columns -> MI exactly 0; identical
+    columns -> MI == H == both entropies, NMI == 1."""
+    rows = ([("x", "p")] * 12 + [("x", "q")] * 6
+            + [("y", "p")] * 24 + [("y", "q")] * 12)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = stats.mutual_information(df, "a", "b").collect()[0]
+    assert got["mi"] == 0.0  # perfectly proportional table
+
+    from collections import Counter
+    rows = [("x", "p")] * 10 + [("x", "q")] * 5 + [("y", "q")] * 15
+    df2 = spark.createDataFrame(rows, "a string, b string")
+    got2 = stats.mutual_information(df2, "a", "b").collect()[0]
+    cells = Counter(rows)
+    n = len(rows)
+    ra = Counter(a for a, _ in rows)
+    rb = Counter(b for _, b in rows)
+    q = lambda x: round(x * 1e12) / 1e12
+    mi = sum(q((o / n) * math.log((o * n) / (ra[a] * rb[b])))
+             for (a, b), o in cells.items())
+    h_a = -sum(q((m / n) * math.log(m / n)) for m in ra.values())
+    h_b = -sum(q((m / n) * math.log(m / n)) for m in rb.values())
+    assert got2["mi"] == pytest.approx(mi, abs=5e-12)
+    assert got2["h_a"] == pytest.approx(h_a, abs=5e-12)
+    assert got2["h_b"] == pytest.approx(h_b, abs=5e-12)
+    assert got2["nmi"] == pytest.approx(mi / math.sqrt(h_a * h_b), rel=1e-9)
+
+    same = spark.createDataFrame([(c, c) for c in "aabbbcc"],
+                                 "a string, b string")
+    g3 = stats.mutual_information(same, "a", "b").collect()[0]
+    assert g3["mi"] == pytest.approx(g3["h_a"], abs=5e-12)
+    assert g3["nmi"] == pytest.approx(1.0, abs=1e-9)
+
+    const = spark.createDataFrame([("x", v) for v in "pqpq"],
+                                  "a string, b string")
+    g4 = stats.mutual_information(const, "a", "b").collect()[0]
+    assert g4["mi"] == 0.0 and g4["h_a"] == 0.0 and g4["nmi"] is None
