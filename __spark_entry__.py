@@ -4344,7 +4344,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical on any engine and any partitioning. Completes the
     22/22 TPC-H decision-support shape inventory."""
     cat = _catalog(spark, sf_dir)
-    nat = (cat.load("nation").where(F.col("n_name") == "NATION_7")
+    # NATION_3 is the nation that also has suppliers at the tiny
+    # sf0.001 evidence tier (sf0.001 carries only 10 suppliers), so the
+    # dumped plan exercises the real shape instead of collapsing to an
+    # AQE EmptyRelation
+    nat = (cat.load("nation").where(F.col("n_name") == "NATION_3")
            .select("n_nationkey"))
     sup = (cat.load("supplier")
            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -4372,7 +4376,7 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IMPORTANT_STOCK_ORACLE = """
 WITH nsup AS (
   SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  WHERE n_name = 'NATION_3'
 ),
 per_part AS (
   SELECT l_partkey,
