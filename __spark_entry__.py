@@ -4270,6 +4270,64 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion report (similarity.label_cohesion):
+    fixed-point per-dimension centroid sums, broadcast centroid
+    join-back, fixed-point mean member-to-centroid cosine."""
+    from basic_data_fusion_spark.operators.similarity import label_cohesion
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    return label_cohesion(emb, "label", "embedding", dim=64)
+
+
+_LABEL_COHESION_ORACLE = """
+WITH dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+sums AS (
+  SELECT label, i,
+         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, i,
+         (CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS c
+  FROM sums
+),
+cn AS (SELECT label, MAX(n) AS n FROM sums GROUP BY 1),
+cnorm AS (
+  SELECT label,
+         SQRT(SUM(CAST(ROUND(c * c * CAST(1000000000000.0 AS DOUBLE), 0)
+                       AS BIGINT)) / CAST(1000000000000.0 AS DOUBLE))
+           AS centroid_norm
+  FROM cent GROUP BY 1
+),
+parts AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(ROUND(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS ab,
+         SUM(CAST(ROUND(CAST(e.embedding[ct.i] AS DOUBLE)
+                        * CAST(e.embedding[ct.i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(ct.c * ct.c
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM embeddings e JOIN cent ct ON e.label = ct.label
+  GROUP BY e.vec_id, e.label
+)
+SELECT p.label, CAST(cn.n AS BIGINT) AS n, cnorm.centroid_norm,
+       (CAST(SUM(CAST(ROUND(p.ab / (SQRT(p.aa) * SQRT(p.bb))
+                            * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+        / CAST(1000000000.0 AS DOUBLE)) / CAST(cn.n AS DOUBLE)
+         AS mean_cosine
+FROM parts p JOIN cn ON p.label = cn.label
+JOIN cnorm ON p.label = cnorm.label
+GROUP BY p.label, cn.n, cnorm.centroid_norm
+"""
+
+
 def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information + marginal entropies + NMI between order
     priority and status (stats.mutual_information): one fact
@@ -4829,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_composition": q_corpus_composition,
         "rolling_zscore_purchases": q_rolling_zscore_purchases,
         "mutual_info_priority_status": q_mutual_info_priority_status,
+        "label_cohesion": q_label_cohesion,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -4976,6 +5035,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_composition": _CORPUS_COMPOSITION_ORACLE,
         "rolling_zscore_purchases": _ROLLING_ZSCORE_ORACLE,
         "mutual_info_priority_status": _MUTUAL_INFO_ORACLE,
+        "label_cohesion": _LABEL_COHESION_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -667,3 +667,43 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select(query_id_col, F.col(id_col).alias("neighbor_id"),
                     "adc_l2", "rank"))
+
+
+def label_cohesion(df: DataFrame, label_col: str = "label",
+                   vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-label centroid cohesion over an embedding column — the
+    cluster-quality report for labeled/clustered corpora (are my class
+    embeddings tight?): for each label, its member count, centroid
+    L2 norm, and the mean cosine of members to their own centroid.
+
+    Two passes, both label-keyed: (1) centroids from per-dimension
+    fixed-point integer sums (one aggregation, ``dim`` expressions —
+    no explode), divided by the member count; (2) members re-join
+    their (broadcast, dimension-sized) centroid and the mean cosine
+    accumulates fixed-point. Every division and the cosine evaluate
+    through fixed IEEE trees, so the report is bit-identical to a
+    single-node SQL replay at any partitioning.
+    """
+    v = lambda i: F.col(vec_col).getItem(i).cast("double")
+    sums = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.round(v(i) * F.lit(1e6), 0).cast("bigint")).alias(f"__s{i}")
+          for i in range(dim)])
+    centroid = F.array(*[
+        (F.col(f"__s{i}").cast("double") / F.lit(1e6))
+        / F.col("n").cast("double") for i in range(dim)])
+    cents = sums.select("__lbl", "n", centroid.alias("__cent"))
+    scored = (df.join(F.broadcast(cents),
+                      F.col(label_col) == F.col("__lbl"))
+              .withColumn("__cos",
+                          fixed_point_cosine(
+                              F.transform(F.col(vec_col),
+                                          lambda x: x.cast("double")),
+                              F.col("__cent"))))
+    return (scored.groupBy(F.col("__lbl").alias(label_col))
+            .agg(F.first("n").cast("long").alias("n"),
+                 F.sqrt(fixed_point_self_dot(F.first("__cent")))
+                 .alias("centroid_norm"),
+                 (F.sum(F.round(F.col("__cos") * F.lit(1e9), 0)
+                        .cast("bigint")).cast("double") / F.lit(1e9)
+                  / F.first("n").cast("double")).alias("mean_cosine")))

@@ -113,6 +113,7 @@ HEADLINE = [
     "corpus_composition",    # per-(source,lang) data-card table
     "rolling_zscore_purchases",  # trailing-window anomaly z, integer sums
     "mutual_info_priority_status",  # MI/H/NMI from one cell aggregation
+    "label_cohesion",        # per-label centroid + mean-cosine report
 ]
 
 

@@ -1432,3 +1432,33 @@ def test_corpus_composition_null_text_and_shares(spark):
     assert got[("book", "de")]["n_tokens"] == 2
     assert got[("web", "en")]["pct_tokens"] == 3 / 5
     assert sum(r["pct_tokens"] for r in got.values()) == pytest.approx(1.0)
+
+
+def test_label_cohesion_geometry(spark):
+    """Tight cluster -> mean cosine near 1; antipodal members -> near
+    0 mean cosine against a near-zero centroid is ill-posed, so use a
+    spread cluster instead and check ordering; centroid norm matches
+    numpy; partitioning-independent."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8)
+    tight = [(i, 0, [float(x) for x in base + rng.normal(0, 0.01, 8)])
+             for i in range(20)]
+    spread = [(i + 100, 1, [float(x) for x in rng.standard_normal(8)])
+              for i in range(20)]
+    df = spark.createDataFrame(tight + spread,
+                               "vec_id long, label int, embedding array<double>")
+    got = {r["label"]: r for r in
+           similarity.label_cohesion(df, "label", "embedding", dim=8).collect()}
+    assert got[0]["n"] == 20 and got[1]["n"] == 20
+    assert got[0]["mean_cosine"] > 0.999
+    assert got[0]["mean_cosine"] > got[1]["mean_cosine"]
+    cent = np.mean([np.round(np.array(v) * 1e6) / 1e6 for _, _, v in tight],
+                   axis=0)
+    assert got[0]["centroid_norm"] == pytest.approx(
+        float(np.linalg.norm(cent)), rel=1e-5)
+    again = {r["label"]: r["mean_cosine"] for r in
+             similarity.label_cohesion(df.repartition(7), "label",
+                                       "embedding", dim=8).collect()}
+    assert again == {k: r["mean_cosine"] for k, r in got.items()}
