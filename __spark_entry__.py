@@ -4899,8 +4899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "part_heavy_hitters": q_part_heavy_hitters,
         "trigram_lm": q_trigram_lm,
-        "column_summary_approx": q_column_summary_approx,
         "corpus_curation_v2": q_corpus_curation_v2,
+        "column_summary_approx": q_column_summary_approx,
         # --- (d) backfill: longest-unchecked greens (last checked r2) ---
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
