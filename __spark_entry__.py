@@ -4270,6 +4270,56 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints over documents
+    (text.winnow_fingerprints): md5-based shingle hashes, w-window
+    minima with rightmost tie-break — every ≥(w+k−1)-token match
+    shares a fingerprint."""
+    from basic_data_fusion_spark.operators.text import winnow_fingerprints
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+def _winnow_oracle(k: int = 3, w: int = 4) -> str:
+    hv = ("(strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1)"
+          " * {p}::BIGINT")
+    hex8 = "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                           '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, t, len(t) - {k} + 1 AS m FROM toks WHERE len(t) >= {k}
+),
+hx AS (
+  SELECT doc_id, m, i,
+         md5(array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS hx
+  FROM (SELECT doc_id, m, t, unnest(range(1, m + 1)) AS i FROM sh)
+),
+h AS (SELECT doc_id, m, i, {hex8} AS hv FROM hx),
+wmn AS (
+  SELECT h1.doc_id, h1.i AS j, MIN(h2.hv) AS fp
+  FROM h h1 JOIN h h2 ON h1.doc_id = h2.doc_id
+                     AND h2.i BETWEEN h1.i AND h1.i + {w - 1}
+  WHERE h1.i <= GREATEST(h1.m - {w} + 1, 1)
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT w.doc_id, w.j, w.fp, MAX(h2.i) AS pos
+  FROM wmn w JOIN h h2 ON w.doc_id = h2.doc_id
+                      AND h2.i BETWEEN w.j AND w.j + {w - 1}
+                      AND h2.hv = w.fp
+  GROUP BY 1, 2, 3
+)
+SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
+"""
+
+
 def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding cohesion report (similarity.label_cohesion):
     fixed-point per-dimension centroid sums, broadcast centroid
@@ -4888,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore_purchases": q_rolling_zscore_purchases,
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "label_cohesion": q_label_cohesion,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5036,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_zscore_purchases": _ROLLING_ZSCORE_ORACLE,
         "mutual_info_priority_status": _MUTUAL_INFO_ORACLE,
         "label_cohesion": _LABEL_COHESION_ORACLE,
+        "winnow_fingerprints": _winnow_oracle(),
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -860,3 +860,48 @@ def stupid_backoff_trigram_lm(df: DataFrame, text_col: str = "text",
                .select(F.col(id_col), F.lit(0).cast("long").alias("n_trigrams"),
                        F.lit(None).cast("double").alias("mean_neg_log_score")))
     return out.union(empties)
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token shingle,
+    slide a ``w``-hash window, and keep the minimum hash of each window
+    (rightmost on ties); consecutive windows sharing their minimum
+    deduplicate. Guarantees every match of length ≥ w+k−1 tokens shares
+    a fingerprint, at ~2/(w+1) selection density — the local
+    fingerprinting tier between the whole-doc md5 and the ExactSubstr
+    span pass.
+
+    All array-side (sequence/slice/array_min — no explode until the
+    final selected set, which is w-times smaller than the shingle set);
+    hashes are the first 32 md5 bits, so the DuckDB oracle replays them
+    exactly. Docs with fewer than ``k`` tokens yield no fingerprints;
+    docs with fewer than ``w`` windows yield their global minimum.
+    Returns (id, pos, fp) — pos is the 1-based shingle index.
+    """
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    base = (df.select(F.col(id_col), toks.alias("__t"))
+            .where(F.size("__t") >= k))
+    t = F.col("__t")
+    m = (F.size(t) - k + 1).cast("int")
+    hs = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.conv(F.substring(
+            F.md5(F.concat_ws(" ", F.slice(t, i, F.lit(k)))), 1, 8),
+            16, 10).cast("long"))
+    numw = F.greatest(m - w + 1, F.lit(1))
+
+    def pick(j):
+        s = F.slice(hs, j, F.least(F.lit(w), m - j + 1))
+        mn = F.array_min(s)
+        rel = F.size(s) + 1 - F.array_position(F.reverse(s), mn)
+        return F.struct((j + rel - 1).cast("int").alias("pos"),
+                        mn.alias("fp"))
+
+    wins = F.array_distinct(F.transform(F.sequence(F.lit(1), numw), pick))
+    return (base.select(F.col(id_col), F.explode(wins).alias("__sel"))
+            .select(id_col, F.col("__sel.pos").alias("pos"),
+                    F.col("__sel.fp").alias("fp")))

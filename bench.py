@@ -114,6 +114,7 @@ HEADLINE = [
     "rolling_zscore_purchases",  # trailing-window anomaly z, integer sums
     "mutual_info_priority_status",  # MI/H/NMI from one cell aggregation
     "label_cohesion",        # per-label centroid + mean-cosine report
+    "winnow_fingerprints",   # MOSS winnowing, array-side window minima
 ]
 
 

@@ -1462,3 +1462,47 @@ def test_label_cohesion_geometry(spark):
              similarity.label_cohesion(df.repartition(7), "label",
                                        "embedding", dim=8).collect()}
     assert again == {k: r["mean_cosine"] for k, r in got.items()}
+
+
+def test_winnow_fingerprints_guarantee_and_density(spark):
+    """Winnowing contract: any shared substring of >= w+k-1 tokens
+    yields a shared fingerprint; selection density ~2/(w+1); short/NULL
+    docs yield nothing; pure-python differential on the exact
+    pos/fp sets."""
+    import hashlib
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    d1 = "alpha beta " + shared + " gamma delta epsilon"
+    d2 = "one two three four " + shared + " five six"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "too short"), (4, None)],
+        "doc_id long, text string")
+    rows = text.winnow_fingerprints(df, k=3, w=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert 3 not in by_doc and 4 not in by_doc
+    # shared >= w+k-1 = 6 tokens -> at least one common fp value
+    fps1 = {fp for _, fp in by_doc[1]}
+    fps2 = {fp for _, fp in by_doc[2]}
+    assert fps1 & fps2
+
+    def python_winnow(doc, k=3, w=4):
+        t = doc.lower().split()
+        m = len(t) - k + 1
+        hs = [int(hashlib.md5(" ".join(t[i:i + k]).encode())
+                  .hexdigest()[:8], 16) for i in range(m)]
+        out = set()
+        for j in range(max(m - w + 1, 1)):
+            s = hs[j:j + w]
+            mn = min(s)
+            rel = len(s) - 1 - s[::-1].index(mn)
+            out.add((j + rel + 1, mn))
+        return out
+
+    assert by_doc[1] == python_winnow(d1)
+    assert by_doc[2] == python_winnow(d2)
+    # density: selected <= windows, roughly 2/(w+1) of shingles
+    n_shingles = len(d1.split()) - 2
+    assert len(by_doc[1]) <= n_shingles
+    assert len(by_doc[1]) >= n_shingles // (4 + 1)
