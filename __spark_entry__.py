@@ -4320,6 +4320,28 @@ SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel
 """
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: near-dup candidates sharing ≥2 distinct
+    winnowing fingerprint values (text.winnow_overlap_pairs); the
+    shuffle carries only the winnowed fingerprint set."""
+    from basic_data_fusion_spark.operators.text import winnow_overlap_pairs
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return winnow_overlap_pairs(docs, k=3, w=4, min_shared=2)
+
+
+def _winnow_pairs_oracle(k: int = 3, w: int = 4, min_shared: int = 2) -> str:
+    return f"""
+WITH sel AS ({_winnow_oracle(k, w)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def q_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding cohesion report (similarity.label_cohesion):
     fixed-point per-dimension centroid sums, broadcast centroid
@@ -4939,6 +4961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_priority_status": q_mutual_info_priority_status,
         "label_cohesion": q_label_cohesion,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5088,6 +5111,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_info_priority_status": _MUTUAL_INFO_ORACLE,
         "label_cohesion": _LABEL_COHESION_ORACLE,
         "winnow_fingerprints": _winnow_oracle(),
+        "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -905,3 +905,26 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return (base.select(F.col(id_col), F.explode(wins).alias("__sel"))
             .select(id_col, F.col("__sel.pos").alias("pos"),
                     F.col("__sel.fp").alias("fp")))
+
+
+def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3, w: int = 4,
+                         min_shared: int = 2) -> DataFrame:
+    """Document near-dup/plagiarism candidates from shared winnowing
+    fingerprints (the MOSS match step): docs pair when they share at
+    least ``min_shared`` distinct fingerprint VALUES. The join key is
+    the fingerprint — selected at ~2/(w+1) of shingle density — so the
+    shuffle carries the winnowed set, never full shingle sets or text;
+    ubiquitous fingerprints (boilerplate) can be pre-filtered by df
+    upstream if a corpus needs it. Returns (id_a, id_b, n_shared)
+    with id_a < id_b."""
+    fps = (winnow_fingerprints(df, text_col=text_col, id_col=id_col,
+                               k=k, w=w)
+           .select(F.col(id_col), "fp").distinct())
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))

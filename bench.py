@@ -115,6 +115,7 @@ HEADLINE = [
     "mutual_info_priority_status",  # MI/H/NMI from one cell aggregation
     "label_cohesion",        # per-label centroid + mean-cosine report
     "winnow_fingerprints",   # MOSS winnowing, array-side window minima
+    "winnow_overlap_pairs",  # MOSS match step, fp-bucket pair join
 ]
 
 

@@ -1506,3 +1506,20 @@ def test_winnow_fingerprints_guarantee_and_density(spark):
     n_shingles = len(d1.split()) - 2
     assert len(by_doc[1]) <= n_shingles
     assert len(by_doc[1]) >= n_shingles // (4 + 1)
+
+
+def test_winnow_overlap_pairs_planted(spark):
+    """Docs sharing a long span pair up; unrelated docs don't; the
+    ordering id_a < id_b holds."""
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    df = spark.createDataFrame(
+        [(1, "intro words " + shared),
+         (2, shared + " closing words here"),
+         (3, "completely different text about spark query engines today"),
+         (4, "another unrelated document mentioning nothing in common")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+             text.winnow_overlap_pairs(df, k=3, w=4, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(a < b for a, b in pairs)
+    assert (3, 4) not in pairs
