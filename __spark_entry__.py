@@ -4270,6 +4270,53 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorized mean/std of account balances
+    (stats.winsorized_stats): exact 5/95 percentile clamps joined back
+    broadcast, integer-cents moments."""
+    from basic_data_fusion_spark.operators.stats import winsorized_stats
+
+    cust = _catalog(spark, sf_dir).load("customer")
+    return winsorized_stats(cust, "c_mktsegment", "c_acctbal",
+                            lower=0.05, upper=0.95, decimals=2)
+
+
+_WINSORIZED_ORACLE = """
+WITH g AS (
+  SELECT c_mktsegment AS grp,
+         ROUND(quantile_cont(c_acctbal, 0.05), 4) AS lo,
+         ROUND(quantile_cont(c_acctbal, 0.95), 4) AS hi
+  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT g.grp, g.lo, g.hi,
+         CAST(ROUND(GREATEST(g.lo, LEAST(g.hi, c_acctbal)) * 100.0, 0)
+              AS BIGINT) AS vi
+  FROM customer JOIN g ON c_mktsegment = g.grp
+  WHERE c_acctbal IS NOT NULL
+),
+a AS (
+  SELECT grp, COUNT(*) AS n, MAX(lo) AS q_lo, MAX(hi) AS q_hi,
+         SUM(vi) AS s1, SUM(vi * vi) AS s2
+  FROM c GROUP BY 1
+)
+SELECT grp AS c_mktsegment, CAST(n AS BIGINT) AS n, q_lo, q_hi,
+       (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS w_mean,
+       CASE WHEN n >= 2
+                 AND ((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+                     > CAST(0.0 AS DOUBLE)
+            THEN SQRT((CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE))) / 100.0
+       END AS w_std
+FROM a
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local fingerprints over documents
     (text.winnow_fingerprints): md5-based shingle hashes, w-window
@@ -4962,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cohesion": q_label_cohesion,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
+        "winsorized_acctbal": q_winsorized_acctbal,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5112,6 +5160,7 @@ def oracle_sql() -> dict[str, str]:
         "label_cohesion": _LABEL_COHESION_ORACLE,
         "winnow_fingerprints": _winnow_oracle(),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
+        "winsorized_acctbal": _WINSORIZED_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

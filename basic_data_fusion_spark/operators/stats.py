@@ -781,3 +781,50 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")))
         .alias("nmi"),
         "n")
+
+
+def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
+                     lower: float = 0.05, upper: float = 0.95,
+                     decimals: int = 2) -> DataFrame:
+    """Per-group winsorized mean/std: values clamp to the group's exact
+    [lower, upper] percentiles before the moments — the robust
+    alternative to raw means when heavy tails would otherwise dominate
+    (extends the A6 distribution surface with the standard
+    outlier-resistant estimator).
+
+    Two label-keyed passes: (1) exact interpolated percentiles per
+    group (4-dp-rounded — the engine-portable percentile contract used
+    across the A6 tier), joined back as a broadcast dimension-sized
+    relation; (2) clamped values quantize to integer units at
+    ``decimals`` and the moments exit from exact integer sums through
+    one fixed IEEE tree — bit-identical at any partitioning. Degenerate
+    groups (n<2 or zero variance) yield NULL std.
+
+    Returns (group, n, q_lo, q_hi, w_mean, w_std).
+    """
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    g = base.groupBy(F.col(group_col).alias("__g")).agg(
+        F.round(F.expr(f"percentile({value_col}, {lower})"), 4).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {upper})"), 4).alias("__hi"))
+    scale = float(10 ** decimals)
+    clamped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
+    vi = F.round(clamped * F.lit(scale), 0).cast("bigint")
+    agg = (base.join(F.broadcast(g), F.col(group_col) == F.col("__g"))
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.first("__lo").alias("q_lo"),
+                F.first("__hi").alias("q_hi"),
+                F.sum(vi).alias("__s1"),
+                F.sum(vi * vi).alias("__s2")))
+    n = F.col("n").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean_c = s1 / n
+    var_c = (s2 - s1 * s1 / n) / (n - F.lit(1.0))
+    std = F.when((F.col("n") >= 2) & (var_c > F.lit(0.0)),
+                 F.sqrt(var_c) / F.lit(scale))
+    return agg.select(group_col, F.col("n").cast("long").alias("n"),
+                      "q_lo", "q_hi",
+                      (mean_c / F.lit(scale)).alias("w_mean"),
+                      std.alias("w_std"))

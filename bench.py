@@ -116,6 +116,7 @@ HEADLINE = [
     "label_cohesion",        # per-label centroid + mean-cosine report
     "winnow_fingerprints",   # MOSS winnowing, array-side window minima
     "winnow_overlap_pairs",  # MOSS match step, fp-bucket pair join
+    "winsorized_acctbal",    # per-group percentile-clamped moments
 ]
 
 

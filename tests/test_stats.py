@@ -563,3 +563,25 @@ def test_mutual_information_matches_python(spark):
                                   "a string, b string")
     g4 = stats.mutual_information(const, "a", "b").collect()[0]
     assert g4["mi"] == 0.0 and g4["h_a"] == 0.0 and g4["nmi"] is None
+
+
+def test_winsorized_stats_matches_numpy(spark):
+    """Winsorized mean/std vs numpy clip at the same interpolated
+    percentiles; outlier shrinks the winsorized mean far below the raw
+    mean; constant group -> NULL std."""
+    rng = np.random.default_rng(9)
+    vals = np.round(np.concatenate([rng.normal(100, 10, 200), [10000.0]]), 2)
+    rows = [("g", float(v)) for v in vals] + [("c", 5.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in
+           stats.winsorized_stats(df, "grp", "v", 0.05, 0.95,
+                                  decimals=2).collect()}
+    lo = round(float(np.percentile(vals, 5)), 4)
+    hi = round(float(np.percentile(vals, 95)), 4)
+    assert got["g"]["q_lo"] == lo and got["g"]["q_hi"] == hi
+    clipped = np.round(np.clip(vals, lo, hi) * 100)
+    assert got["g"]["w_mean"] == pytest.approx(clipped.mean() / 100, abs=1e-9)
+    assert got["g"]["w_std"] == pytest.approx(
+        clipped.std(ddof=1) / 100, rel=1e-9)
+    assert got["g"]["w_mean"] < float(vals.mean())  # outlier clamped away
+    assert got["c"]["w_std"] is None and got["c"]["w_mean"] == 5.0
