@@ -213,3 +213,49 @@ def test_important_stock_single_fact_scan(spark):
         "per-part aggregate (one fact scan), not re-evaluate the subtree"
     assert "LeftSemi" in plan, "supplier filter must probe as a semi join"
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Deployment guard for the at-scale shuffle reducer: with a
+    selective dimension filter on a shuffle join, Catalyst's
+    InjectRuntimeFilter pushes a bloom-filter might_contain predicate
+    into the FACT side before the exchange — rows that cannot join
+    never shuffle. Local data sits under the production thresholds, so
+    the test lowers them (and disables broadcast to force the shuffle
+    join the rule targets); production clusters hit this path with the
+    default 10MB/10GB thresholds."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+        sel = (spark.read.parquet(f"{SF0001}/orders.parquet")
+               .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").count())
+        plan = _final_plan(j)
+        assert "might_contain" in plan, \
+            "runtime bloom filter must inject into the fact side"
+        fact_scan_side = plan.split("SortMergeJoin")[0] if \
+            "SortMergeJoin" in plan else plan
+        assert "might_contain" in fact_scan_side or "l_orderkey" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
