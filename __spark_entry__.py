@@ -4270,6 +4270,57 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_distinctive_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² keyness: terms distinguishing English documents from
+    the rest of the corpus (text.distinctive_terms) — 8-dp-quantized
+    ln terms, broadcast totals, partial top-k."""
+    from basic_data_fusion_spark.operators.text import distinctive_terms
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return distinctive_terms(docs, F.col("lang") == "en",
+                             min_count=5, k=50)
+
+
+_DISTINCTIVE_TERMS_ORACLE = r"""
+WITH inst AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS flg,
+         unnest(list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, SUM(flg) AS a, SUM(1 - flg) AS b FROM inst GROUP BY 1
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts),
+scored AS (
+  SELECT term, a, b,
+         2.0 * CAST(
+           (CASE WHEN a > 0 THEN CAST(ROUND(CAST(a AS DOUBLE)
+                 * ln(CAST(a AS DOUBLE)
+                      / (CAST(ta AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                 * 100000000.0, 0) AS BIGINT) ELSE 0 END
+            +
+            CASE WHEN b > 0 THEN CAST(ROUND(CAST(b AS DOUBLE)
+                 * ln(CAST(b AS DOUBLE)
+                      / (CAST(tb AS DOUBLE) * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                         / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+                 * 100000000.0, 0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+           / 100000000.0 AS g2,
+         CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+           > CAST(b AS DOUBLE) / CAST(tb AS DOUBLE) AS enriched
+  FROM counts CROSS JOIN tot
+  WHERE a + b >= 5
+)
+SELECT term, CAST(a AS BIGINT) AS n_in, CAST(b AS BIGINT) AS n_out, g2,
+       CASE WHEN enriched THEN g2 ELSE -g2 END AS keyness
+FROM scored
+ORDER BY g2 DESC, term
+LIMIT 50
+"""
+
+
 def q_winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment winsorized mean/std of account balances
     (stats.winsorized_stats): exact 5/95 percentile clamps joined back
@@ -5010,6 +5061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "winsorized_acctbal": q_winsorized_acctbal,
+        "distinctive_terms_en": q_distinctive_terms_en,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5161,6 +5213,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_oracle(),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "winsorized_acctbal": _WINSORIZED_ORACLE,
+        "distinctive_terms_en": _DISTINCTIVE_TERMS_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -928,3 +928,47 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))
+
+
+def distinctive_terms(df: DataFrame, flag: Column, text_col: str = "text",
+                      min_count: int = 5, k: int = 50) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, "Accurate Methods
+    for the Statistics of Surprise and Coincidence"): the terms that
+    most distinguish the ``flag`` slice of the corpus from the rest —
+    the standard corpus-comparison report (what characterizes this
+    source/language/time-slice?).
+
+    For each term with total count ≥ ``min_count``::
+
+        G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),  E_a = A·(a+b)/(A+B)
+
+    (zero cells contribute 0 — the x·ln x → 0 limit). One tokenize +
+    explode pass produces conditional counts; corpus totals ride a
+    broadcast 1-row relation; each ln term quantizes to 8 dp before
+    the exact integer combination, so the ranking is bit-stable
+    cross-engine. Returns the top ``k`` by (G², term) with the signed
+    direction (enriched = G² where a/A > b/B, else −G²).
+    """
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    inst = (df.select(flag.cast("int").alias("__in"),
+                      F.explode(toks).alias("term")))
+    counts = inst.groupBy("term").agg(
+        F.sum("__in").alias("a"),
+        F.sum(1 - F.col("__in")).alias("b"))
+    totals = counts.agg(F.sum("a").alias("__A"), F.sum("b").alias("__B"))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    A, B = F.col("__A").cast("double"), F.col("__B").cast("double")
+    ea = A * (a + b) / (A + B)
+    eb = B * (a + b) / (A + B)
+    q8 = lambda x: F.round(x * F.lit(1e8), 0).cast("bigint")
+    ta = F.when(F.col("a") > 0, q8(a * F.log(a / ea))).otherwise(F.lit(0))
+    tb = F.when(F.col("b") > 0, q8(b * F.log(b / eb))).otherwise(F.lit(0))
+    g2 = (F.lit(2.0) * (ta + tb).cast("double")) / F.lit(1e8)
+    signed = F.when(a / A > b / B, g2).otherwise(-g2)
+    out = (counts.crossJoin(F.broadcast(totals))
+           .where(F.col("a") + F.col("b") >= min_count)
+           .select("term", F.col("a").cast("long").alias("n_in"),
+                   F.col("b").cast("long").alias("n_out"),
+                   g2.alias("g2"), signed.alias("keyness")))
+    return (out.orderBy(F.desc("g2"), F.asc("term")).limit(int(k)))

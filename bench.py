@@ -117,6 +117,7 @@ HEADLINE = [
     "winnow_fingerprints",   # MOSS winnowing, array-side window minima
     "winnow_overlap_pairs",  # MOSS match step, fp-bucket pair join
     "winsorized_acctbal",    # per-group percentile-clamped moments
+    "distinctive_terms_en",  # Dunning G2 keyness, broadcast totals
 ]
 
 

@@ -1523,3 +1523,30 @@ def test_winnow_overlap_pairs_planted(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(a < b for a, b in pairs)
     assert (3, 4) not in pairs
+
+
+def test_distinctive_terms_llr(spark):
+    """G2 matches a pure-python Dunning computation with the same 8-dp
+    quantization; a term exclusive to the flagged slice tops the
+    ranking with positive keyness; a balanced term scores ~0."""
+    import math
+
+    docs = ([(i, "quantum flux " + "common words here", "en")
+             for i in range(10)]
+            + [(100 + i, "boring prose common words here", "de")
+               for i in range(10)])
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = text.distinctive_terms(df, F.col("lang") == "en",
+                                  min_count=5, k=20).collect()
+    by_term = {r["term"]: r for r in rows}
+    assert by_term["quantum"]["keyness"] > 0
+    assert by_term["boring"]["keyness"] < 0
+    assert by_term["common"]["g2"] == 0.0  # perfectly balanced
+
+    # python reference for one term
+    a, b = 10, 0          # 'quantum': only in the en slice
+    A = sum(len(t.split()) for _, t, l in docs if l == "en")
+    B = sum(len(t.split()) for _, t, l in docs if l != "en")
+    ea = A * (a + b) / (A + B)
+    g2 = 2.0 * round(a * math.log(a / ea) * 1e8) / 1e8
+    assert by_term["quantum"]["g2"] == pytest.approx(g2, abs=1e-8)
