@@ -4270,6 +4270,24 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_toml_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative pipeline execution (plans/pipeline.py): the default
+    5-stage TOML spec compiles to the same lazy chain as the
+    hand-written flagship curation query and is checked against the
+    SAME oracle — spec-driven and code-driven execution are
+    value-identical."""
+    from basic_data_fusion_spark.plans.pipeline import (
+        DEFAULT_CURATION_TOML,
+        CurationSpec,
+        build_curation_pipeline,
+    )
+
+    docs = (_catalog(spark, sf_dir).load("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    spec = CurationSpec.from_toml(DEFAULT_CURATION_TOML)
+    return build_curation_pipeline(docs, spec)
+
+
 def q_distinctive_terms_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning G² keyness: terms distinguishing English documents from
     the rest of the corpus (text.distinctive_terms) — 8-dp-quantized
@@ -5062,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "winsorized_acctbal": q_winsorized_acctbal,
         "distinctive_terms_en": q_distinctive_terms_en,
+        "toml_pipeline_curation": q_toml_pipeline_curation,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5214,6 +5233,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "winsorized_acctbal": _WINSORIZED_ORACLE,
         "distinctive_terms_en": _DISTINCTIVE_TERMS_ORACLE,
+        "toml_pipeline_curation": _curation_oracle(),
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -135,3 +135,43 @@ def test_validate_spec_drops_stale_pieces(spark):
     assert clean2.demographic.substudies is None
     assert clean2.behavioral[0].value == ["O"]
     assert clean2.selected_columns == {"orders": ["o_orderkey"]}
+
+
+def test_curation_spec_toml_roundtrip_and_validation():
+    from basic_data_fusion_spark.plans.pipeline import (
+        DEFAULT_CURATION_TOML,
+        CurationSpec,
+    )
+
+    spec = CurationSpec.from_toml(DEFAULT_CURATION_TOML)
+    assert [s.kind for s in spec.stages] == [
+        "exact_dedup", "quality_filter", "lang_gate",
+        "pii_token_count", "hash_split"]
+    again = CurationSpec.from_toml(spec.to_toml())
+    assert again == spec
+
+    withlangs = CurationSpec.from_toml(
+        '[[stage]]\nkind = "lang_gate"\nlangs = ["en", "de"]\n')
+    assert withlangs.stages[0].langs == ["en", "de"]
+    assert CurationSpec.from_toml(withlangs.to_toml()) == withlangs
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown curation stage"):
+        CurationSpec.from_toml('[[stage]]\nkind = "rm_rf"\n')
+    with pytest.raises(ValueError, match="no .*stage"):
+        CurationSpec.from_toml("")
+
+
+def test_curation_pipeline_lang_whitelist(spark):
+    from basic_data_fusion_spark.plans.pipeline import (
+        CurationSpec,
+        CurationStage,
+        build_curation_pipeline,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spec = CurationSpec(stages=[CurationStage("lang_gate", langs=["en"])])
+    out = build_curation_pipeline(docs, spec)
+    assert out.columns == ["doc_id", "detected_lang"]
+    langs = {r["detected_lang"] for r in out.collect()}
+    assert langs == {"en"}
