@@ -4270,6 +4270,47 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source phrase-leak matrix (dedup.source_overlap,
+    5-token shingle granularity): which sources share content, by
+    distinct-shingle Jaccard; only hashes shuffle."""
+    from basic_data_fusion_spark.operators.dedup import source_overlap
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return source_overlap(docs, granularity="shingle", n=5, min_shared=2)
+
+
+_SOURCE_OVERLAP_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(COALESCE(text, ''))),
+                                           '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+keyed AS (
+  SELECT DISTINCT source AS src,
+         md5(array_to_string(list_slice(tk, i, i + 4), ' ')) AS h
+  FROM (SELECT source, tk, unnest(range(1, len(tk) - 5 + 2)) AS i
+        FROM t WHERE len(tk) >= 5)
+),
+totals AS (SELECT src, COUNT(*) AS n FROM keyed GROUP BY 1),
+shared AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM keyed a JOIN keyed b ON a.h = b.h AND a.src < b.src
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+       CAST(s.n_shared AS DOUBLE)
+         / CAST(ta.n + tb.n - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN totals ta ON s.source_a = ta.src
+JOIN totals tb ON s.source_b = tb.src
+"""
+
+
 def q_toml_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative pipeline execution (plans/pipeline.py): the default
     5-stage TOML spec compiles to the same lazy chain as the
@@ -5081,6 +5122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_acctbal": q_winsorized_acctbal,
         "distinctive_terms_en": q_distinctive_terms_en,
         "toml_pipeline_curation": q_toml_pipeline_curation,
+        "source_overlap": q_source_overlap,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5234,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_acctbal": _WINSORIZED_ORACLE,
         "distinctive_terms_en": _DISTINCTIVE_TERMS_ORACLE,
         "toml_pipeline_curation": _curation_oracle(),
+        "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -900,3 +900,67 @@ def simhash_near_dups_det(df: DataFrame, text_col: str = "text",
     ]
     return _simhash_band_join(df, simhash60_det(F.col(text_col), n),
                               det_bands, id_col, max_hamming)
+
+
+def source_overlap(df: DataFrame, source_col: str = "source",
+                   text_col: str = "text", granularity: str = "shingle",
+                   n: int = 5, min_shared: int = 1) -> DataFrame:
+    """Cross-source duplication matrix — the dedup-planning diagnostic
+    (which sources copy from each other, and how much?): for every
+    source pair, the number of distinct content keys they share and
+    the Jaccard overlap of their key sets. ``granularity`` picks the
+    key: ``"document"`` (whole normalized doc — exact copies),
+    ``"line"`` (shared boilerplate lines), or ``"shingle"`` (default —
+    ``n``-token windows, the RealNews/C4-style cross-source phrase
+    leak check).
+
+    One pass reduces the corpus to distinct (source, key-hash) rows;
+    the pair join shuffles only hashes (never text), and per-source
+    totals ride a broadcast dimension-sized relation. Returns
+    (source_a, source_b, n_shared, n_a, n_b, jaccard) with
+    source_a < source_b.
+    """
+    from basic_data_fusion_spark.operators.text import fingerprint, tokens
+
+    src = F.col(source_col).alias("__src")
+    if granularity == "document":
+        keyed = df.select(src, fingerprint(F.col(text_col)).alias("__h"))
+    elif granularity == "line":
+        line = F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                 "\n")).alias("__line")
+        keyed = (df.select(src, line)
+                 .where(F.trim("__line") != "")
+                 .select("__src", F.md5(F.trim("__line")).alias("__h")))
+    elif granularity == "shingle":
+        toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                        lambda x: x != "")
+        base = (df.select(src, toks.alias("__t"))
+                .where(F.size("__t") >= n))
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size("__t") - n + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i,
+                                                     F.lit(n)))))
+        keyed = base.select("__src", F.explode(sh).alias("__h"))
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    hashes = keyed.distinct()
+    totals = hashes.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = hashes.select(F.col("__src").alias("source_a"), "__h")
+    b = hashes.select(F.col("__src").alias("source_b"), "__h")
+    shared = (a.join(b, "__h")
+              .where(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+              .where(F.col("n_shared") >= min_shared))
+    ta = totals.select(F.col("__src").alias("source_a"),
+                       F.col("__n").alias("n_a"))
+    tb = totals.select(F.col("__src").alias("source_b"),
+                       F.col("__n").alias("n_b"))
+    out = (shared.join(F.broadcast(ta), "source_a")
+           .join(F.broadcast(tb), "source_b"))
+    return out.select(
+        "source_a", "source_b", "n_shared",
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        (F.col("n_shared").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"))
+        .alias("jaccard"))

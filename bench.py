@@ -118,6 +118,7 @@ HEADLINE = [
     "winnow_overlap_pairs",  # MOSS match step, fp-bucket pair join
     "winsorized_acctbal",    # per-group percentile-clamped moments
     "distinctive_terms_en",  # Dunning G2 keyness, broadcast totals
+    "source_overlap",        # cross-source shingle-leak matrix
 ]
 
 

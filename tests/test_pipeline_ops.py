@@ -1550,3 +1550,31 @@ def test_distinctive_terms_llr(spark):
     ea = A * (a + b) / (A + B)
     g2 = 2.0 * round(a * math.log(a / ea) * 1e8) / 1e8
     assert by_term["quantum"]["g2"] == pytest.approx(g2, abs=1e-8)
+
+
+def test_source_overlap_granularities(spark):
+    """Document granularity catches exact cross-source copies; shingle
+    granularity catches shared phrases; jaccard uses distinct-key
+    sets; a<b ordering; unrelated sources absent."""
+    shared_doc = "identical page content reproduced verbatim elsewhere"
+    phrase = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, shared_doc, "web"), (2, shared_doc, "news"),
+         (3, "intro " + phrase + " outro", "web"),
+         (4, phrase + " completely different tail", "books"),
+         (5, "nothing in common at all here", "forums")],
+        "doc_id long, text string, source string")
+    docs = {(r["source_a"], r["source_b"]): r for r in
+            dedup.source_overlap(df, granularity="document",
+                                 min_shared=1).collect()}
+    assert ("news", "web") in docs and docs[("news", "web")]["n_shared"] == 1
+    assert all(a < b for a, b in docs)
+
+    sh = {(r["source_a"], r["source_b"]): r for r in
+          dedup.source_overlap(df, granularity="shingle", n=5,
+                               min_shared=1).collect()}
+    assert ("books", "web") in sh  # the 7-token phrase shares 5-shingles
+    assert sh[("books", "web")]["n_shared"] == 3  # 7-5+1 shared windows
+    assert all("forums" not in pair for pair in sh)
+    r = sh[("books", "web")]
+    assert r["jaccard"] == r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
