@@ -886,12 +886,19 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     base = (df.select(F.col(id_col), toks.alias("__t"))
             .where(F.size("__t") >= k))
     t = F.col("__t")
-    m = (F.size(t) - k + 1).cast("int")
-    hs = F.transform(
-        F.sequence(F.lit(1), m),
+    m_expr = (F.size(t) - k + 1).cast("int")
+    hs_expr = F.transform(
+        F.sequence(F.lit(1), m_expr),
         lambda i: F.conv(F.substring(
             F.md5(F.concat_ws(" ", F.slice(t, i, F.lit(k)))), 1, 8),
             16, 10).cast("long"))
+    # materialize the hash array behind a projection boundary: window
+    # slices below would otherwise RE-EVALUATE the whole md5 array per
+    # window (no common-subexpression elimination inside lambdas) —
+    # O(m²) hashing, measured 124 s vs ~2 s at sf0.1
+    hashed = base.select(F.col(id_col), hs_expr.alias("__hs"),
+                         m_expr.alias("__m"))
+    hs, m = F.col("__hs"), F.col("__m")
     numw = F.greatest(m - w + 1, F.lit(1))
 
     def pick(j):
@@ -902,7 +909,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         mn.alias("fp"))
 
     wins = F.array_distinct(F.transform(F.sequence(F.lit(1), numw), pick))
-    return (base.select(F.col(id_col), F.explode(wins).alias("__sel"))
+    return (hashed.select(F.col(id_col), F.explode(wins).alias("__sel"))
             .select(id_col, F.col("__sel.pos").alias("pos"),
                     F.col("__sel.fp").alias("fp")))
 
