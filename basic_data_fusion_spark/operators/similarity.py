@@ -651,16 +651,21 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     codes = (corpus.crossJoin(F.broadcast(bounds))
              .select(F.col(id_col), _sq8_code(F.col(vec_col)).alias("code"),
                      "mins", "maxs"))
-    q = queries.select(F.col(query_id_col),
-                       F.transform(F.col(vec_col),
-                                   lambda x: x.cast("double")).alias("__qv"))
-    scored = codes.crossJoin(F.broadcast(q))
+    # decode depends only on the corpus row — materialize it ONCE per
+    # row (a named column behind a projection boundary) instead of once
+    # per (row, query) pair after the crossJoin
     scales = F.zip_with(F.col("maxs"), F.col("mins"), lambda M, m: M - m)
     dec = F.zip_with(
         F.zip_with(F.col("code"), scales,
                    lambda c, s: c.cast("double") * s / F.lit(255.0)),
         F.col("mins"), lambda t, m: t + m)
-    diff2 = F.zip_with(F.col("__qv"), dec, lambda a, b: (a - b) * (a - b))
+    decoded = codes.select(F.col(id_col), dec.alias("__dec"))
+    q = queries.select(F.col(query_id_col),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("__qv"))
+    scored = decoded.crossJoin(F.broadcast(q))
+    diff2 = F.zip_with(F.col("__qv"), F.col("__dec"),
+                       lambda a, b: (a - b) * (a - b))
     scored = scored.withColumn("adc_l2", fp_sum(diff2, 1e12))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_l2"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
