@@ -4270,6 +4270,60 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_grouped_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS of event value on hour-of-day
+    (stats.grouped_ols): one aggregation of exact fixed-point
+    sufficient statistics, NULL fits for degenerate groups."""
+    from basic_data_fusion_spark.operators.stats import grouped_ols
+
+    ev = (_catalog(spark, sf_dir).load("events")
+          .select("event_type", F.hour("ts").cast("double").alias("hod"),
+                  "value"))
+    return grouped_ols(ev, "event_type", "hod", "value", decimals=3)
+
+
+_GROUPED_OLS_ORACLE = """
+WITH pair AS (
+  SELECT event_type,
+         CAST(ROUND(CAST(hour(ts) AS DOUBLE) * 1000.0, 0) AS BIGINT) AS xi,
+         CAST(ROUND(value * 1000.0, 0) AS BIGINT) AS yi
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(xi) AS sx, SUM(yi) AS sy, SUM(xi * yi) AS sxy,
+         SUM(xi * xi) AS sxx, SUM(yi * yi) AS syy
+  FROM pair GROUP BY 1
+),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+  FROM a
+),
+v AS (
+  SELECT event_type, n, nd, sxd, syd,
+         sxxd - sxd * sxd / nd AS vx,
+         syyd - syd * syd / nd AS vy,
+         sxyd - sxd * syd / nd AS cxy
+  FROM d
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 2 AND vx > CAST(0.0 AS DOUBLE)
+            THEN cxy / vx END AS slope,
+       CASE WHEN n >= 2 AND vx > CAST(0.0 AS DOUBLE)
+            THEN (syd / nd - (cxy / vx) * (sxd / nd)) / 1000.0
+       END AS intercept,
+       CASE WHEN n >= 2 AND vx > CAST(0.0 AS DOUBLE)
+            THEN CASE WHEN vy > CAST(0.0 AS DOUBLE)
+                      THEN (cxy * cxy) / (vx * vy) END
+       END AS r2
+FROM v
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source phrase-leak matrix (dedup.source_overlap,
     5-token shingle granularity): which sources share content, by
@@ -5123,6 +5177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms_en": q_distinctive_terms_en,
         "toml_pipeline_curation": q_toml_pipeline_curation,
         "source_overlap": q_source_overlap,
+        "grouped_ols_events": q_grouped_ols_events,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5277,6 +5332,7 @@ def oracle_sql() -> dict[str, str]:
         "distinctive_terms_en": _DISTINCTIVE_TERMS_ORACLE,
         "toml_pipeline_curation": _curation_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
+        "grouped_ols_events": _GROUPED_OLS_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -828,3 +828,52 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
                       "q_lo", "q_hi",
                       (mean_c / F.lit(scale)).alias("w_mean"),
                       std.alias("w_std"))
+
+
+def grouped_ols(df: DataFrame, group_col: str, x_col: str, y_col: str,
+                decimals: int = 4) -> DataFrame:
+    """Per-group closed-form OLS y = a + b·x — the grouped form of the
+    reference's regression surface (T1, pages/plotting.py:1195-1247),
+    run when every segment/source/cohort needs its own fit in one
+    pass.
+
+    Sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    fixed-point integers at ``decimals`` within one aggregation; slope,
+    intercept and r² exit through one fixed IEEE expression tree, so
+    every group's fit is bit-identical to a single-node oracle under
+    any partitioning. Degenerate groups (n<2 or zero x-variance) yield
+    NULL fit columns. Returns (group, n, slope, intercept, r2).
+
+    Overflow headroom: |x|·10^decimals and |y|·10^decimals must stay
+    below ~3e9/√rows_per_group for the cross/self products.
+    """
+    scale = float(10 ** decimals)
+    pair = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    xi = F.round(F.col(x_col) * F.lit(scale), 0).cast("bigint")
+    yi = F.round(F.col(y_col) * F.lit(scale), 0).cast("bigint")
+    agg = pair.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xi).alias("__sx"), F.sum(yi).alias("__sy"),
+        F.sum(xi * yi).alias("__sxy"),
+        F.sum(xi * xi).alias("__sxx"), F.sum(yi * yi).alias("__syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    vx = sxx - sx * sx / n          # n·Var_x in integer units²
+    vy = syy - sy * sy / n
+    cxy = sxy - sx * sy / n
+    slope = cxy / vx
+    intercept = (sy / n - F.col("__slope") * (sx / n)) / F.lit(scale)
+    r2 = F.when(F.col("__vy") > F.lit(0.0),
+                (F.col("__cxy") * F.col("__cxy"))
+                / (F.col("__vx") * F.col("__vy")))
+    fit_ok = (F.col("n") >= 2) & (F.col("__vx") > F.lit(0.0))
+    return (agg
+            .withColumn("__vx", vx).withColumn("__vy", vy)
+            .withColumn("__cxy", cxy)
+            .withColumn("__slope", F.when(fit_ok, slope))
+            .select(group_col, F.col("n").cast("long").alias("n"),
+                    F.col("__slope").alias("slope"),
+                    F.when(fit_ok, intercept).alias("intercept"),
+                    F.when(fit_ok, r2).alias("r2")))

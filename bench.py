@@ -119,6 +119,7 @@ HEADLINE = [
     "winsorized_acctbal",    # per-group percentile-clamped moments
     "distinctive_terms_en",  # Dunning G2 keyness, broadcast totals
     "source_overlap",        # cross-source shingle-leak matrix
+    "grouped_ols_events",    # per-group closed-form OLS, one aggregation
 ]
 
 

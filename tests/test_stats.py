@@ -585,3 +585,34 @@ def test_winsorized_stats_matches_numpy(spark):
         clipped.std(ddof=1) / 100, rel=1e-9)
     assert got["g"]["w_mean"] < float(vals.mean())  # outlier clamped away
     assert got["c"]["w_std"] is None and got["c"]["w_mean"] == 5.0
+
+
+def test_grouped_ols_matches_numpy(spark):
+    """Slope/intercept/r2 per group vs numpy polyfit on the quantized
+    values; exact line -> r2 == 1; constant x -> NULL fit; constant
+    y -> slope 0 with NULL r2."""
+    rng = np.random.default_rng(13)
+    x = np.round(rng.uniform(0, 10, 100), 3)
+    y = np.round(2.5 * x + 1.0 + rng.normal(0, 0.5, 100), 3)
+    rows = ([("a", float(a), float(b)) for a, b in zip(x, y)]
+            + [("line", 1.0, 3.0), ("line", 2.0, 5.0), ("line", 3.0, 7.0)]
+            + [("constx", 4.0, 1.0), ("constx", 4.0, 9.0)]
+            + [("consty", 1.0, 2.0), ("consty", 5.0, 2.0)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in
+           stats.grouped_ols(df, "g", "x", "y", decimals=3).collect()}
+
+    xi = np.round(x * 1000)
+    yi = np.round(y * 1000)
+    slope = np.polyfit(xi, yi, 1)[0]
+    assert got["a"]["slope"] == pytest.approx(slope, rel=1e-9)
+    r = np.corrcoef(xi, yi)[0, 1]
+    assert got["a"]["r2"] == pytest.approx(r * r, rel=1e-9)
+    inter = (yi.mean() - slope * xi.mean()) / 1000
+    assert got["a"]["intercept"] == pytest.approx(inter, rel=1e-9)
+
+    assert got["line"]["slope"] == pytest.approx(2.0)
+    assert got["line"]["intercept"] == pytest.approx(1.0)
+    assert got["line"]["r2"] == pytest.approx(1.0)
+    assert got["constx"]["slope"] is None and got["constx"]["r2"] is None
+    assert got["consty"]["slope"] == 0.0 and got["consty"]["r2"] is None
