@@ -5121,12 +5121,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # new deterministic twins in (c) add the hash-checked signal beside
     # them), (c) the round-4 additions: the first wave (TPC-H Q2/Q9/Q12/Q20,
     # the LM/retrieval/mixture/dedup wave, Q21, exact KS), then the second
-    # wave inserted right after it (Q11 completing 22/22 TPC-H shapes,
-    # Mann-Whitney U, chi-squared, hybrid RRF, SQ8 ANN, Benford, curriculum,
-    # corpus composition, rolling z-score) — together they fill the window
-    # to key 50 (the last slot holds the flagship merge).  Everything past
-    # key 50 — all r1-r3 greens — stays pinned every run by
-    # tests/test_oracle_parity.py, which parametrizes the full dict.
+    # wave inserted right after it (Q11 completing 22/22 TPC-H shapes, the
+    # stats suite, hybrid RRF, SQ8, winnowing, keyness, TOML pipelines,
+    # source overlap, grouped OLS, ...), closing with incremental_dedup and
+    # the four _det twins that hash-validate the rows-only canaries in (b).
+    # More never-checked queries exist than window slots — the overflow
+    # (positions 51+: token_budget_mix, trigram_lm, corpus_curation_v2,
+    # part_heavy_hitters and the rows-only incremental_minhash /
+    # bloom_decontam / ivfpq_topk / column_summary_approx) rotates in next
+    # round; every query in the dict, windowed or not, stays pinned every
+    # run by tests/test_oracle_parity.py, which parametrizes the full dict.
     det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
     return {
         # --- (a) never driver-checked before round 4 ---
