@@ -4270,6 +4270,57 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_js_divergence_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution Jensen–Shannon divergence between English
+    documents and the rest of the corpus (text.js_divergence) — the
+    scalar drift metric beside the per-term keyness ranking."""
+    from basic_data_fusion_spark.operators.text import js_divergence
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return js_divergence(docs, F.col("lang") == "en")
+
+
+_JS_DIVERGENCE_ORACLE = r"""
+WITH inst AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS flg,
+         unnest(list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, SUM(flg) AS a, SUM(1 - flg) AS b FROM inst GROUP BY 1
+),
+tot AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM counts),
+terms AS (
+  SELECT
+    (CASE WHEN a > 0 THEN CAST(ROUND(
+        (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+        * ln((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+             / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                 + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                / CAST(2.0 AS DOUBLE)))
+        * 1000000000000.0, 0) AS BIGINT) ELSE 0 END
+     +
+     CASE WHEN b > 0 THEN CAST(ROUND(
+        (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+        * ln((CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+             / ((CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)
+                 + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                / CAST(2.0 AS DOUBLE)))
+        * 1000000000000.0, 0) AS BIGINT) ELSE 0 END) AS t,
+    ta, tb
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(SUM(t) AS DOUBLE) / 1000000000000.0 / CAST(2.0 AS DOUBLE)
+         AS js_nats,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(MAX(ta) AS BIGINT) AS n_tokens_in,
+       CAST(MAX(tb) AS BIGINT) AS n_tokens_out
+FROM terms
+"""
+
+
 def q_grouped_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS of event value on hour-of-day
     (stats.grouped_ols): one aggregation of exact fixed-point
@@ -5182,6 +5233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toml_pipeline_curation": q_toml_pipeline_curation,
         "source_overlap": q_source_overlap,
         "grouped_ols_events": q_grouped_ols_events,
+        "js_divergence_en": q_js_divergence_en,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5337,6 +5389,7 @@ def oracle_sql() -> dict[str, str]:
         "toml_pipeline_curation": _curation_oracle(),
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "grouped_ols_events": _GROUPED_OLS_ORACLE,
+        "js_divergence_en": _JS_DIVERGENCE_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -979,3 +979,42 @@ def distinctive_terms(df: DataFrame, flag: Column, text_col: str = "text",
                    F.col("b").cast("long").alias("n_out"),
                    g2.alias("g2"), signed.alias("keyness")))
     return (out.orderBy(F.desc("g2"), F.asc("term")).limit(int(k)))
+
+
+def js_divergence(df: DataFrame, flag: Column,
+                  text_col: str = "text") -> DataFrame:
+    """Jensen–Shannon divergence between the unigram distributions of
+    the ``flag`` slice and the rest of the corpus — the bounded
+    (0..ln 2), symmetric distribution-shift metric used to quantify
+    drift between sources, vintages or mixtures (companion to the
+    per-term :func:`distinctive_terms` ranking; this is the scalar).
+
+    JSD(P||Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, with the
+    x·ln x → 0 limit for absent terms. One tokenize+explode pass
+    produces both conditional counts; totals ride a broadcast 1-row
+    relation; each term quantizes to 12 dp before exact integer
+    summation — bit-identical cross-engine. Returns one row
+    (js_nats, n_terms, n_tokens_in, n_tokens_out).
+    """
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    inst = (df.select(flag.cast("int").alias("__in"),
+                      F.explode(toks).alias("term")))
+    counts = inst.groupBy("term").agg(
+        F.sum("__in").alias("a"),
+        F.sum(1 - F.col("__in")).alias("b"))
+    totals = counts.agg(F.sum("a").alias("__A"), F.sum("b").alias("__B"))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    A, B = F.col("__A").cast("double"), F.col("__B").cast("double")
+    p = a / A
+    q = b / B
+    m = (p + q) / F.lit(2.0)
+    q12 = lambda x: F.round(x * F.lit(1e12), 0).cast("bigint")
+    term = (F.when(F.col("a") > 0, q12(p * F.log(p / m))).otherwise(F.lit(0))
+            + F.when(F.col("b") > 0, q12(q * F.log(q / m))).otherwise(F.lit(0)))
+    return (counts.crossJoin(F.broadcast(totals))
+            .agg((F.sum(term).cast("double") / F.lit(1e12) / F.lit(2.0))
+                 .alias("js_nats"),
+                 F.count(F.lit(1)).cast("long").alias("n_terms"),
+                 F.first("__A").cast("long").alias("n_tokens_in"),
+                 F.first("__B").cast("long").alias("n_tokens_out")))

@@ -120,6 +120,7 @@ HEADLINE = [
     "distinctive_terms_en",  # Dunning G2 keyness, broadcast totals
     "source_overlap",        # cross-source shingle-leak matrix
     "grouped_ols_events",    # per-group closed-form OLS, one aggregation
+    "js_divergence_en",      # unigram-distribution drift scalar
 ]
 
 

@@ -1578,3 +1578,39 @@ def test_source_overlap_granularities(spark):
     assert all("forums" not in pair for pair in sh)
     r = sh[("books", "web")]
     assert r["jaccard"] == r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
+
+
+def test_js_divergence_properties(spark):
+    """Identical slices -> 0; disjoint vocabularies -> ln 2; symmetric
+    in the flag; matches a pure-python computation with the same 12-dp
+    quantization."""
+    import math
+
+    same = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "alpha beta gamma", "de")],
+        "doc_id long, text string, lang string")
+    r = text.js_divergence(same, F.col("lang") == "en").collect()[0]
+    assert r["js_nats"] == 0.0
+
+    disjoint = spark.createDataFrame(
+        [(1, "aa bb cc", "en"), (2, "xx yy zz", "de")],
+        "doc_id long, text string, lang string")
+    r = text.js_divergence(disjoint, F.col("lang") == "en").collect()[0]
+    assert r["js_nats"] == pytest.approx(math.log(2), abs=1e-9)
+
+    mixed = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "a c c c", "de")],
+        "doc_id long, text string, lang string")
+    r1 = text.js_divergence(mixed, F.col("lang") == "en").collect()[0]
+    r2 = text.js_divergence(mixed, F.col("lang") == "de").collect()[0]
+    assert r1["js_nats"] == pytest.approx(r2["js_nats"], abs=1e-12)
+
+    pa = {"a": 2 / 3, "b": 1 / 3, "c": 0.0}
+    pb = {"a": 1 / 4, "b": 0.0, "c": 3 / 4}
+    q12 = lambda x: round(x * 1e12) / 1e12
+    js = sum(q12(pa[t] * math.log(pa[t] / ((pa[t] + pb[t]) / 2)))
+             for t in pa if pa[t] > 0)
+    js += sum(q12(pb[t] * math.log(pb[t] / ((pa[t] + pb[t]) / 2)))
+              for t in pb if pb[t] > 0)
+    assert r1["js_nats"] == pytest.approx(js / 2, abs=1e-11)
+    assert 0.0 < r1["js_nats"] < math.log(2)
