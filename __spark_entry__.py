@@ -4592,10 +4592,15 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=3, w=4, min_shared=2)
 
 
-def _winnow_pairs_oracle(k: int = 3, w: int = 4, min_shared: int = 2) -> str:
+def _winnow_pairs_oracle(k: int = 3, w: int = 4, min_shared: int = 2,
+                         max_df: int = 1000) -> str:
     return f"""
 WITH sel AS ({_winnow_oracle(k, w)}),
-fps AS (SELECT DISTINCT doc_id, fp FROM sel)
+fps0 AS (SELECT DISTINCT doc_id, fp FROM sel),
+rare AS (
+  SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= {max_df}
+),
+fps AS (SELECT * FROM fps0 WHERE fp IN (SELECT fp FROM rare))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -916,18 +916,31 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3, w: int = 4,
-                         min_shared: int = 2) -> DataFrame:
+                         min_shared: int = 2,
+                         max_df: int | None = 1000) -> DataFrame:
     """Document near-dup/plagiarism candidates from shared winnowing
     fingerprints (the MOSS match step): docs pair when they share at
     least ``min_shared`` distinct fingerprint VALUES. The join key is
     the fingerprint — selected at ~2/(w+1) of shingle density — so the
-    shuffle carries the winnowed set, never full shingle sets or text;
-    ubiquitous fingerprints (boilerplate) can be pre-filtered by df
-    upstream if a corpus needs it. Returns (id_a, id_b, n_shared)
-    with id_a < id_b."""
+    shuffle carries the winnowed set, never full shingle sets or text.
+
+    ``max_df`` is the quadratic-blowup guard: a fingerprint appearing
+    in d documents expands to d·(d−1)/2 pairs in the self-join, so ONE
+    boilerplate fingerprint shared by a million docs would emit 5·10¹¹
+    rows at the 100 TB tier. Fingerprints above the document-frequency
+    cap are dropped before pairing (they carry no near-dup signal —
+    exactly the df-threshold logic of the boilerplate strip); pass
+    ``None`` to disable. Returns (id_a, id_b, n_shared) with
+    id_a < id_b."""
     fps = (winnow_fingerprints(df, text_col=text_col, id_col=id_col,
                                k=k, w=w)
            .select(F.col(id_col), "fp").distinct())
+    if max_df is not None:
+        rare = (fps.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_df)
+                .select("fp"))
+        fps = fps.join(rare, "fp", "left_semi")
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (a.join(b, "fp")

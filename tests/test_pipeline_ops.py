@@ -1614,3 +1614,23 @@ def test_js_divergence_properties(spark):
               for t in pb if pb[t] > 0)
     assert r1["js_nats"] == pytest.approx(js / 2, abs=1e-11)
     assert 0.0 < r1["js_nats"] < math.log(2)
+
+
+def test_winnow_overlap_max_df_guard(spark):
+    """A fingerprint shared by more docs than max_df is dropped before
+    pairing (quadratic-blowup guard); rare shared spans still pair."""
+    boiler = "this footer appears on every single page of the site"
+    rare = "unique plagiarized passage copied exactly once more"
+    rows = [(i, boiler + f" filler {i} {i} {i}") for i in range(6)]
+    rows += [(100, "intro " + rare), (101, rare + " outro")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in
+              text.winnow_overlap_pairs(df, min_shared=1,
+                                        max_df=3).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped), \
+        "boilerplate-only pairs must be suppressed by the df cap"
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                text.winnow_overlap_pairs(df, min_shared=1,
+                                          max_df=None).collect()}
+    assert any(a < 6 and b < 6 for a, b in uncapped)
