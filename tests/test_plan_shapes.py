@@ -259,3 +259,50 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Deployment guard for the hot-key mechanism SCALE.md relies on:
+    AQE's OptimizeSkewedJoin must split a skewed shuffle partition into
+    parallel sub-reads (SortMergeJoin(skew=true) + AQEShuffleRead
+    skewed) instead of letting one straggler task carry the hot key.
+    Local volumes sit under the production thresholds, so the test
+    lowers them (and disables broadcast + coalesce, which would
+    otherwise hide the shuffle); production hits this path with the
+    default 256MB/5x settings — and for groupBy hot keys beyond AQE's
+    reach, operators/joins.py provides the salted two-phase tier."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        hot = ([(1, "x" * 200) for _ in range(100_000)]
+               + [(i, "y") for i in range(2, 2000)])
+        a = spark.createDataFrame(hot, "k long, pad string")
+        b = spark.createDataFrame([(i, i * 2) for i in range(1, 2000)],
+                                  "k long, v long")
+        j = a.join(b, "k").select(F.sum(F.length("pad")))
+        plan = _final_plan(j)
+        assert "skew=true" in plan, \
+            "AQE must mark and split the skewed join partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
