@@ -86,6 +86,20 @@ PICK_NOTES = {
     "rolling_zscore_purchases": "One per-key window exchange carries "
                                 "integer-view sums; no second pass, no "
                                 "Python evaluator.",
+    "winnow_fingerprints": "Shingle-hash array materializes ONCE per row "
+                           "behind a projection boundary (lambda bodies "
+                           "get no CSE — inline reuse was O(m²) md5); the "
+                           "only explode is the winnowed selection.",
+    "mutual_info_priority_status": "Fact table reduces to R×C cells in "
+                                   "the FIRST aggregation; marginals, "
+                                   "totals and libm terms are all "
+                                   "dimension-sized.",
+    "source_overlap": "Corpus reduces to distinct (source, shingle-hash) "
+                      "rows; the pair join shuffles hashes only; "
+                      "per-source totals broadcast.",
+    "grouped_ols_events": "ONE aggregation of fixed-point sufficient "
+                          "statistics; fits are pure projections over "
+                          "the grouped row.",
 }
 MAX_LINES = 40
 
