@@ -4270,6 +4270,39 @@ FROM counts CROSS JOIN tot
 """
 
 
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL distinct estimates for orders columns
+    (aggregations.hll_distinct_counts) — the mergeable interactive
+    tier for the catalog's distinct scans. Sketch internals are
+    engine-specific → rows-only driver check; the error band and the
+    union-equals-whole merge contract are pytest-verified."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        hll_distinct_counts,
+    )
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    return hll_distinct_counts(orders, ["o_custkey", "o_orderstatus",
+                                        "o_orderpriority"])
+
+
+def q_approx_top_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k heavy-hitter sketch over lineitem return flags
+    (aggregations.approx_heavy_hitters): on a key space that fits the
+    sketch the counts are exact, so the oracle is the exact GROUP BY."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        approx_heavy_hitters,
+    )
+
+    li = _catalog(spark, sf_dir).load("lineitem")
+    return approx_heavy_hitters(li, "l_returnflag", k=3)
+
+
+_APPROX_TOP_FLAGS_ORACLE = """
+SELECT l_returnflag AS item, CAST(COUNT(*) AS BIGINT) AS approx_count
+FROM lineitem GROUP BY 1
+"""
+
+
 def q_js_divergence_en(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-distribution Jensen–Shannon divergence between English
     documents and the rest of the corpus (text.js_divergence) — the
@@ -5239,6 +5272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "grouped_ols_events": q_grouped_ols_events,
         "js_divergence_en": q_js_divergence_en,
+        "hll_distinct_orders": q_hll_distinct_orders,
+        "approx_top_flags": q_approx_top_flags,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
@@ -5395,6 +5430,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _SOURCE_OVERLAP_ORACLE,
         "grouped_ols_events": _GROUPED_OLS_ORACLE,
         "js_divergence_en": _JS_DIVERGENCE_ORACLE,
+        "approx_top_flags": _APPROX_TOP_FLAGS_ORACLE,
         "incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
         "token_budget_mix": _token_budget_mix_oracle(),
         "part_heavy_hitters": _HEAVY_HITTERS_ORACLE,

@@ -259,3 +259,52 @@ def per_group_hash_sample(df: DataFrame, group_col: str, key: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .withColumnRenamed("__rn", "sample_rank"))
+
+
+def hll_distinct_counts(df: DataFrame, columns: list[str],
+                        lg_k: int = 12) -> DataFrame:
+    """Approximate distinct counts from Apache DataSketches HLL
+    sketches (``hll_sketch_agg``) — the interactive tier for the
+    catalog's distinct scans (S5/A1) at the 100 TB tier, where the
+    exact ``countDistinct`` semi-join is a full shuffle. One pass, all
+    columns sketched together; ~0.8% relative error at lg_k=12.
+    Returns one row: an estimate per column."""
+    return df.agg(*[
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg(`{c}`, {lg_k}))")
+        .alias(f"{c}_approx_distinct") for c in columns])
+
+
+def hll_partitioned_sketches(df: DataFrame, part_col: str, value_col: str,
+                             lg_k: int = 12) -> DataFrame:
+    """Per-partition HLL sketches (binary, MERGEABLE) — the rollup
+    pattern that makes distinct counts cheap at 100 TB: sketch each
+    day/source/shard once at ingest, answer any cross-partition
+    distinct query later by unioning sketches (``hll_union_agg``)
+    without rescanning data. Returns (partition, sketch, estimate)."""
+    return (df.groupBy(F.col(part_col).alias("partition"))
+            .agg(F.expr(f"hll_sketch_agg(`{value_col}`, {lg_k})")
+                 .alias("sketch"))
+            .withColumn("estimate",
+                        F.expr("hll_sketch_estimate(sketch)")))
+
+
+def hll_merge_estimate(sketches: DataFrame,
+                       sketch_col: str = "sketch") -> DataFrame:
+    """Union pre-built HLL sketches into one global distinct estimate —
+    the query-time half of the rollup pattern (no data rescan)."""
+    return sketches.agg(
+        F.expr(f"hll_sketch_estimate(hll_union_agg(`{sketch_col}`))")
+        .alias("merged_distinct"))
+
+
+def approx_heavy_hitters(df: DataFrame, column: str, k: int = 10,
+                         max_items: int = 10_000) -> DataFrame:
+    """Approximate top-k frequent items (``approx_top_k`` sketch) — the
+    interactive tier beside the exact ``part_heavy_hitters`` skew
+    report: one pass, bounded sketch memory, no full aggregation of
+    the key space. Exact-equal on key spaces that fit the sketch."""
+    row = (df.agg(F.expr(f"approx_top_k(`{column}`, {k}, {max_items})")
+                  .alias("tk")))
+    return (row.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("item"),
+                    F.col("e.count").cast("long").alias("approx_count")))

@@ -121,6 +121,8 @@ HEADLINE = [
     "source_overlap",        # cross-source shingle-leak matrix
     "grouped_ols_events",    # per-group closed-form OLS, one aggregation
     "js_divergence_en",      # unigram-distribution drift scalar
+    "hll_distinct_orders",   # mergeable DataSketches HLL distinct tier
+    "approx_top_flags",      # approx_top_k heavy-hitter sketch
 ]
 
 

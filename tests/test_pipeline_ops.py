@@ -1634,3 +1634,40 @@ def test_winnow_overlap_max_df_guard(spark):
                 text.winnow_overlap_pairs(df, min_shared=1,
                                           max_df=None).collect()}
     assert any(a < 6 and b < 6 for a, b in uncapped)
+
+
+def test_hll_sketch_tier_and_merge(spark):
+    """HLL estimates land within the lg_k=12 error band of exact
+    counts, and the MERGE of per-source sketches equals the
+    whole-corpus sketch estimate exactly (mergeability — the rollup
+    contract that makes the tier useful at scale)."""
+    from basic_data_fusion_spark.operators import aggregations as agg
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    est = agg.hll_distinct_counts(
+        orders, ["o_custkey", "o_orderstatus"]).collect()[0]
+    exact_ck = orders.select("o_custkey").distinct().count()
+    assert abs(est["o_custkey_approx_distinct"] - exact_ck) <= 0.05 * exact_ck
+    assert est["o_orderstatus_approx_distinct"] == 3  # tiny = exact
+
+    parts = agg.hll_partitioned_sketches(orders, "o_orderstatus",
+                                         "o_custkey")
+    assert parts.count() == 3
+    merged = agg.hll_merge_estimate(parts).collect()[0]["merged_distinct"]
+    whole = agg.hll_distinct_counts(orders, ["o_custkey"]) \
+        .collect()[0]["o_custkey_approx_distinct"]
+    assert merged == whole  # sketch union == sketch of union
+
+
+def test_approx_heavy_hitters_matches_exact_small_space(spark):
+    """On a key space that fits the sketch the approx top-k equals the
+    exact grouped counts."""
+    from basic_data_fusion_spark.operators import aggregations as agg
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {(r["item"], r["approx_count"]) for r in
+           agg.approx_heavy_hitters(li, "l_returnflag", k=3).collect()}
+    exact = {(r["l_returnflag"], r["n"]) for r in
+             li.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == exact
