@@ -5272,13 +5272,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "grouped_ols_events": q_grouped_ols_events,
         "js_divergence_en": q_js_divergence_en,
-        "hll_distinct_orders": q_hll_distinct_orders,
         "approx_top_flags": q_approx_top_flags,
         "incremental_dedup": q_incremental_dedup,
         "minhash_dedup_det": q_minhash_dedup_det,
         "simhash_det": q_simhash_det,
         "ivf_topk_det": q_ivf_topk_det,
         "semantic_dedup_det": q_semantic_dedup_det,
+        "hll_distinct_orders": q_hll_distinct_orders,
         "incremental_minhash": q_incremental_minhash,
         "token_budget_mix": q_token_budget_mix,
         "bloom_decontam": q_bloom_decontam,
