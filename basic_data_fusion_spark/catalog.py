@@ -276,8 +276,18 @@ class Catalog:
         from .sources.ingest import sanitize_column_name
 
         names = []
+        seen: dict[str, str] = {}
         for t in self.tables:
             view = sanitize_column_name(prefix + t)
+            # Two raw names can sanitize to the same identifier
+            # ('a-b' and 'a b' both become 'a_b'); silently letting the
+            # second overwrite the first would shadow a catalog table.
+            if view in seen:
+                raise ValueError(
+                    f"table name collision after sanitization: {t!r} and "
+                    f"{seen[view]!r} both map to view {view!r}; rename one "
+                    "or register with a distinct prefix")
+            seen[view] = t
             self.load(t).createOrReplaceTempView(view)
             names.append(view)
         return names

@@ -763,11 +763,27 @@ def incremental_exact_dedup(existing: DataFrame, new: DataFrame,
 
 # ---------------- bloom-filter decontamination (map-side scale tier) ----------------
 
+def _bloom_bit(seed: int, key: Column, m_bits: int,
+               deterministic: bool) -> Column:
+    """Seeded bit position for one Bloom hash: ``xxhash64`` (fast,
+    engine-specific) or the md5-hex15 construction the det-SQL tier
+    replays cross-engine (seed folds in as a ``"seed:"`` prefix so each
+    of the k hashes is independent)."""
+    if deterministic:
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(int(seed))), key)),
+            1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(int(m_bits)))
+    return F.pmod(F.xxhash64(F.lit(int(seed)), key), F.lit(int(m_bits)))
+
+
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
-                k_hashes: int = 5) -> list[int]:
+                k_hashes: int = 5, deterministic: bool = False) -> list[int]:
     """Build a Bloom filter over a key relation with pure DataFrame
     aggregation: each key sets ``k_hashes`` bits chosen by seeded
-    ``xxhash64``; bit positions fold to 64-bit words with ``bit_or`` in a
+    ``xxhash64`` (or the md5-derived det tier — ``deterministic=True`` —
+    whose bit positions replay in plain SQL for the oracle twin); bit
+    positions fold to 64-bit words with ``bit_or`` in a
     single groupBy on the word index (≤ m/64 groups), and the finished
     bitmap — m/64 longs, driver-bounded by the CHOSEN m, not the key
     count — returns as a plain list ready to fold into probe plans as a
@@ -775,7 +791,7 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
     same construction from registry functions.)"""
     words = (int(m_bits) + 63) // 64
     bit_exprs = [
-        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(int(m_bits)))
+        _bloom_bit(i, F.col(key_col), m_bits, deterministic)
         for i in range(int(k_hashes))
     ]
     inst = keys.select(F.explode(F.array(*bit_exprs)).alias("__bit"))
@@ -799,15 +815,17 @@ def long_array_lit(values: list[int]) -> Column:
 
 
 def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
-                        k_hashes: int = 5) -> Column:
+                        k_hashes: int = 5,
+                        deterministic: bool = False) -> Column:
     """Membership probe against a ``bloom_build`` bitmap: true iff all k
-    seeded bit positions are set. Map-side only — the bitmap rides the
+    seeded bit positions are set (``deterministic`` must match the
+    build). Map-side only — the bitmap rides the
     plan as one array<long> literal; no join, no shuffle. False positives
     at the standard (1 − e^{−kn/m})^k rate; never false negatives."""
     bm = long_array_lit(bitmap)
     out = None
     for i in range(int(k_hashes)):
-        bit = F.pmod(F.xxhash64(F.lit(i), key), F.lit(int(m_bits)))
+        bit = _bloom_bit(i, key, m_bits, deterministic)
         word = F.element_at(bm, (bit / 64).cast("int") + 1)
         c = F.bit_get(word, F.pmod(bit, F.lit(64)).cast("int")) == 1
         out = c if out is None else (out & c)
@@ -817,7 +835,8 @@ def bloom_might_contain(key: Column, bitmap: list[int], m_bits: int,
 def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, m_bits: int = 1 << 20,
-                        k_hashes: int = 5) -> DataFrame:
+                        k_hashes: int = 5,
+                        deterministic: bool = False) -> DataFrame:
     """Map-side benchmark decontamination — the 100 TB fast path beside
     the exact shingle join (``cross_corpus_overlap``): held-out n-grams
     build a Bloom filter ONCE (size fixed by m, not by corpus), then
@@ -832,7 +851,8 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
         F.explode(word_shingles(F.col(text_col), n)).alias("shingle")))
     # no distinct(): bloom bit-setting is idempotent — skipping the
     # dedup shuffle is the point
-    bitmap = bloom_build(ev, "shingle", m_bits=m_bits, k_hashes=k_hashes)
+    bitmap = bloom_build(ev, "shingle", m_bits=m_bits, k_hashes=k_hashes,
+                         deterministic=deterministic)
     # stage 1 materializes the shingle array ONCE per row (higher-order
     # lambdas are interpreted — no CSE across the two consumers);
     # repartition spreads a single-file source across cores, the probe
@@ -849,7 +869,8 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
                       .alias("__sh")))
     flagged = F.filter(
         F.col("__sh"),
-        lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes))
+        lambda s: bloom_might_contain(s, bitmap, m_bits, k_hashes,
+                                      deterministic=deterministic))
     return (staged
             .select(F.col(id_col),
                     F.size("__sh").cast("long").alias("n_shingles"),

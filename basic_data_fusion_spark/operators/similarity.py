@@ -712,3 +712,40 @@ def label_cohesion(df: DataFrame, label_col: str = "label",
                  (F.sum(F.round(F.col("__cos") * F.lit(1e9), 0)
                         .cast("bigint")).cast("double") / F.lit(1e9)
                   / F.first("n").cast("double")).alias("mean_cosine")))
+
+
+def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
+               k: int) -> DataFrame:
+    """Recall@k report for approximate-nearest-neighbor tiers, computed
+    in-engine: each arm's (query_id, neighbor_id) result set scores
+    against the exact brute-force top-k and the report emits one row per
+    (arm, query) — the acceptance gate a production ANN deployment keeps
+    beside its index build (is the IVF/SQ8 tier still finding what the
+    exact tier would?).
+
+    The exact result is query-set-sized (|queries|·k rows), so it rides
+    every arm's plan as a broadcast build side — the arms themselves
+    stay whatever scale their own plans are; no extra shuffle beyond
+    each arm's own. ``n_hits`` is an exact integer count and
+    ``recall_at_k`` an integer-derived division, so the report
+    value-hashes cross-engine.
+
+    Returns (arm, query_id, n_returned, n_hits, recall_at_k).
+    """
+    ex = (exact.select("query_id", "neighbor_id")
+          .withColumn("__hit", F.lit(1)))
+    tagged = None
+    for name in sorted(arms):
+        t = (arms[name].select("query_id", "neighbor_id")
+             .withColumn("arm", F.lit(name)))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per = (tagged.join(F.broadcast(ex), ["query_id", "neighbor_id"],
+                       "left")
+           .groupBy("arm", "query_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_returned"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("long").alias("n_hits")))
+    return per.select(
+        "arm", "query_id", "n_returned", "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(int(k))))
+        .alias("recall_at_k"))

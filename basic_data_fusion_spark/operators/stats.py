@@ -805,8 +805,10 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
     v = F.col(value_col)
     base = df.filter(v.isNotNull())
     g = base.groupBy(F.col(group_col).alias("__g")).agg(
-        F.round(F.expr(f"percentile({value_col}, {lower})"), 4).alias("__lo"),
-        F.round(F.expr(f"percentile({value_col}, {upper})"), 4).alias("__hi"))
+        F.round(F.expr(f"percentile(CAST(`{value_col}` AS DOUBLE), {lower})"),
+                4).alias("__lo"),
+        F.round(F.expr(f"percentile(CAST(`{value_col}` AS DOUBLE), {upper})"),
+                4).alias("__hi"))
     scale = float(10 ** decimals)
     clamped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
     vi = F.round(clamped * F.lit(scale), 0).cast("bigint")

@@ -985,7 +985,14 @@ def distinctive_terms(df: DataFrame, flag: Column, text_col: str = "text",
     ta = F.when(F.col("a") > 0, q8(a * F.log(a / ea))).otherwise(F.lit(0))
     tb = F.when(F.col("b") > 0, q8(b * F.log(b / eb))).otherwise(F.lit(0))
     g2 = (F.lit(2.0) * (ta + tb).cast("double")) / F.lit(1e8)
-    signed = F.when(a / A > b / B, g2).otherwise(-g2)
+    # Degenerate-slice guard (ANSI mode): an empty flag slice (A=0) or
+    # empty complement (B=0) would make a/A or b/B raise DIVIDE_BY_ZERO;
+    # the direction is undefined there, so keyness goes NULL — same
+    # contract as the other stats operators' degenerate cases.
+    p_rate = F.when(A > F.lit(0.0), a / A).otherwise(F.lit(0.0))
+    q_rate = F.when(B > F.lit(0.0), b / B).otherwise(F.lit(0.0))
+    signed = F.when((A > F.lit(0.0)) & (B > F.lit(0.0)),
+                    F.when(p_rate > q_rate, g2).otherwise(-g2))
     out = (counts.crossJoin(F.broadcast(totals))
            .where(F.col("a") + F.col("b") >= min_count)
            .select("term", F.col("a").cast("long").alias("n_in"),
@@ -1019,8 +1026,13 @@ def js_divergence(df: DataFrame, flag: Column,
     totals = counts.agg(F.sum("a").alias("__A"), F.sum("b").alias("__B"))
     a, b = F.col("a").cast("double"), F.col("b").cast("double")
     A, B = F.col("__A").cast("double"), F.col("__B").cast("double")
-    p = a / A
-    q = b / B
+    # Degenerate-slice guard (ANSI mode): with an empty flag slice
+    # (A=0, every a=0) the unguarded a/A raises DIVIDE_BY_ZERO even
+    # though the a>0 branch below is never taken, because p feeds the
+    # always-evaluated m=(p+q)/2 term.  A zero-total side contributes a
+    # zero distribution; JSD then collapses to the finite ln 2 bound.
+    p = F.when(A > F.lit(0.0), a / A).otherwise(F.lit(0.0))
+    q = F.when(B > F.lit(0.0), b / B).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     q12 = lambda x: F.round(x * F.lit(1e12), 0).cast("bigint")
     term = (F.when(F.col("a") > 0, q12(p * F.log(p / m))).otherwise(F.lit(0))

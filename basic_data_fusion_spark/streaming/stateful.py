@@ -108,11 +108,18 @@ def streaming_rolling_zscore(events: DataFrame, lookback: int = 7,
                 pdf["value"].to_numpy(dtype="float64") * scale)
             for ts, eid, v, vi_f in zip(pdf["ts"], pdf["event_id"],
                                         pdf["value"], vis):
-                vi = int(vi_f)
-                prior = vals[-lookback:]
+                # NULL value: mirror the batch twin's frame semantics —
+                # the row still occupies a window slot (rowsBetween
+                # counts rows, not values) but contributes nothing to
+                # the sums/counts (F.sum/F.count skip NULL vi), and it
+                # scores NULL z itself.  int(NaN) would otherwise kill
+                # the whole stream.
+                vi = None if math.isnan(vi_f) else int(vi_f)
+                slots = vals[-lookback:]
+                prior = [p for p in slots if p is not None]
                 n = len(prior)
                 z = None
-                if n >= min_prior:
+                if vi is not None and n >= min_prior:
                     nf = float(n)
                     s1 = float(sum(prior))
                     s2 = float(sum(p * p for p in prior))
@@ -121,7 +128,8 @@ def streaming_rolling_zscore(events: DataFrame, lookback: int = 7,
                         z = (float(vi) - s1 / nf) / math.sqrt(var)
                 rows.append((int(key[0]),
                              int(pd.Timestamp(ts).value) // 1000,
-                             int(eid), float(v), n, z,
+                             int(eid),
+                             None if vi is None else float(v), n, z,
                              bool(z is not None and abs(z) > z_threshold)))
                 vals.append(vi)
                 vals = vals[-lookback:]

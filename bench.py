@@ -125,6 +125,17 @@ HEADLINE = [
     "approx_top_flags",      # approx_top_k heavy-hitter sketch
 ]
 
+# Everything above this index existed in BENCH_r04 — the r4-comparable
+# subtotal sums exactly these queries.  Round-5 additions go BELOW the
+# marker so every historical subtotal stays computable.
+_R4_COMPARABLE_N = len(HEADLINE)
+
+HEADLINE += [
+    # new in round 5 (absent from BENCH_r04 and earlier)
+    "bloom_decontam_det",    # oracle-checkable bloom bitmap decontamination
+    "ann_recall_report",     # in-engine recall@k of IVF/SQ8 vs brute force
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,6 +167,15 @@ def main() -> None:
     # pipeline) that amortizes to zero at scale — steady-state is the
     # number comparable across engines and rounds.
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    # The ~40-query round-over-round comparable core stays at best-of-3;
+    # the extension set drops to best-of-2 (round-5 change: the full
+    # 90-query × best-of-3 sweep ran ~15 min on the driver box and the
+    # sustained load inflated untouched sub-second queries ~1.3× vs a
+    # quiet box — shortening the sweep is the contention fix, and the
+    # core set keeps the tighter estimator where comparisons matter).
+    core_runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    ext_runs = max(1, int(os.environ.get("SPARK_GRAFT_EXT_RUNS", "2")))
+    core_set = set(HEADLINE[:39])
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -170,12 +190,10 @@ def main() -> None:
         # time construction + execution together: iterative operators
         # (e.g. connected components) run driver-side actions while the
         # DataFrame is being BUILT, so timing only the final write would
-        # underreport them. Best-of-R (R=SPARK_GRAFT_RUNS, default 3):
-        # single-shot timings on a shared box occasionally absorb a GC
-        # pause or a competing process; the minimum is the standard
-        # estimator of a query's intrinsic cost. (Default raised 2→3 in
-        # round 3: two sub-second queries moved >1.25× on n=2 jitter.)
-        runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+        # underreport them. Best-of-R: single-shot timings on a shared
+        # box occasionally absorb a GC pause or a competing process; the
+        # minimum is the standard estimator of a query's intrinsic cost.
+        runs = core_runs if name in core_set else ext_runs
         best = float("inf")
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -187,19 +205,40 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     r2_set = set(HEADLINE[:35])  # the queries BENCH_r01/r02 also measured
     r3_set = set(HEADLINE[:39])  # the queries BENCH_r03 also measured
-    print(json.dumps({
+    r4_set = set(HEADLINE[:_R4_COMPARABLE_N])  # queries BENCH_r04 measured
+    summary = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
         # round-over-round comparability: the pre-round-3 / pre-round-4
-        # headline subsets
+        # / pre-round-5 headline subsets
         "subtotal_r02_comparable": round(
             sum(v for k, v in timings.items() if k in r2_set), 4),
         "subtotal_r03_comparable": round(
             sum(v for k, v in timings.items() if k in r3_set), 4),
-    }))
+        "subtotal_r04_comparable": round(
+            sum(v for k, v in timings.items() if k in r4_set), 4),
+    }
+    # Emission order matters for the driver's tail capture (the r4
+    # artifact lost its front half to truncation: one giant line put
+    # "metric"/"value" 6 KB before the tail).  Print the full per-query
+    # dict FIRST, then the compact summary as the LAST line of stdout —
+    # whatever tail window the driver keeps, the final line always
+    # parses and carries the headline numbers.  The full dict is also
+    # written to bench_full.json beside this script for post-hoc
+    # per-query comparison.
+    full = dict(summary)
+    full["queries"] = timings
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    print(json.dumps(summary))
     spark.stop()
 
 

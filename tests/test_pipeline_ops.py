@@ -1671,3 +1671,100 @@ def test_approx_heavy_hitters_matches_exact_small_space(spark):
              li.groupBy("l_returnflag")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == exact
+
+
+def test_keyness_and_jsd_degenerate_empty_slice(spark):
+    """ANSI-mode degenerate contract (advice r4): an empty flag slice
+    (or empty complement) must NOT raise DIVIDE_BY_ZERO.  Keyness
+    direction is undefined there -> NULL; JSD of a zero distribution
+    vs the corpus collapses to the ln 2 bound."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "alpha delta", "en")],
+        "doc_id long, text string, lang string")
+    # flag slice empty (A=0)
+    rows = text.distinctive_terms(df, F.lit(False), min_count=1,
+                                  k=10).collect()
+    assert rows and all(r["keyness"] is None for r in rows)
+    assert all(r["n_in"] == 0 for r in rows)
+    r = text.js_divergence(df, F.lit(False)).collect()[0]
+    assert r["js_nats"] == pytest.approx(math.log(2) / 2, abs=1e-9)
+    assert r["n_tokens_in"] == 0
+    # complement empty (B=0) — symmetric case
+    rows = text.distinctive_terms(df, F.lit(True), min_count=1,
+                                  k=10).collect()
+    assert rows and all(r["keyness"] is None for r in rows)
+    r = text.js_divergence(df, F.lit(True)).collect()[0]
+    assert r["js_nats"] == pytest.approx(math.log(2) / 2, abs=1e-9)
+
+
+def test_bloom_det_tier_no_false_negatives_and_matches_python(spark):
+    """Deterministic Bloom tier (md5-hex15 bit positions): planted
+    leaks are always flagged (no false negatives), and every bit
+    position matches a pure-python md5 replay of the same
+    construction."""
+    import hashlib
+
+    held = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(10, "prefix the quick brown fox jumps suffix words"),  # leak
+         (11, "completely unrelated clean document body here")],
+        "doc_id long, text string")
+    m, k = 1 << 14, 3
+    got = {r["doc_id"]: r for r in
+           dedup.bloom_decontaminate(train, held, n=3, m_bits=m,
+                                     k_hashes=k,
+                                     deterministic=True).collect()}
+    assert got[10]["contaminated"]          # planted leak flagged
+    assert got[10]["n_flagged"] >= 3        # its shared 3-grams all hit
+
+    # python replay of the bit construction for one shingle
+    def bit(seed, shingle):
+        h = int(hashlib.md5(f"{seed}:{shingle}".encode()).hexdigest()[:15],
+                16)
+        return h % m
+    bits = set()
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    for i in range(len(toks) - 2):
+        sh = " ".join(toks[i:i + 3])
+        for j in range(k):
+            bits.add(bit(j, sh))
+    bm = dedup.bloom_build(
+        spark.createDataFrame([(s,) for s in
+                               {" ".join(toks[i:i + 3])
+                                for i in range(len(toks) - 2)}],
+                              "s string"),
+        "s", m_bits=m, k_hashes=k, deterministic=True)
+    set_bits = {w * 64 + b for w, word in enumerate(bm)
+                for b in range(64) if (word >> b) & 1}
+    assert set_bits == bits
+
+
+def test_ann_recall_operator(spark):
+    """ann_recall: perfect arm -> 1.0 per query; disjoint arm -> 0.0;
+    partial arm counts exact hits; every query appears per arm."""
+    from basic_data_fusion_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(q, n) for q in (1, 2) for n in (10, 11, 12)],
+        "query_id long, neighbor_id long")
+    perfect = exact
+    disjoint = spark.createDataFrame(
+        [(q, n) for q in (1, 2) for n in (90, 91, 92)],
+        "query_id long, neighbor_id long")
+    partial = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 12), (2, 98), (2, 97)],
+        "query_id long, neighbor_id long")
+    got = {(r["arm"], r["query_id"]): r for r in
+           ann_recall(exact, {"a_perfect": perfect, "b_none": disjoint,
+                              "c_part": partial}, k=3).collect()}
+    assert len(got) == 6
+    assert got[("a_perfect", 1)]["recall_at_k"] == 1.0
+    assert got[("b_none", 2)]["recall_at_k"] == 0.0
+    assert got[("c_part", 1)]["n_hits"] == 2
+    assert got[("c_part", 1)]["recall_at_k"] == pytest.approx(2 / 3)
+    assert got[("c_part", 2)]["n_hits"] == 1
+    assert all(r["n_returned"] == 3 for r in got.values())

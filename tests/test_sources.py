@@ -413,3 +413,24 @@ def test_catalog_sql_surface(spark):
               .groupBy("c_mktsegment")
               .agg(F.countDistinct("c_custkey").alias("n")).collect()}
     assert {(r["c_mktsegment"], r["n"]) for r in got} == expect
+
+
+def test_register_views_collision_raises(spark, tmp_path):
+    """Two table names that sanitize to the same identifier ('a-b' and
+    'a b' both -> 'a_b') must raise instead of silently shadowing one
+    another's temp view (advice r4)."""
+    import pytest as _pytest
+
+    from basic_data_fusion_spark.catalog import Catalog
+
+    spark.createDataFrame([(1,)], "x long").write.mode("overwrite") \
+        .parquet(str(tmp_path / "stage"))
+    import glob
+    import shutil
+    part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+    shutil.copy(part, tmp_path / "a-b.parquet")
+    shutil.copy(part, tmp_path / "a b.parquet")
+    shutil.rmtree(tmp_path / "stage")
+    cat = Catalog(spark, str(tmp_path), hub_table="a-b", primary_id="x")
+    with _pytest.raises(ValueError, match="collision"):
+        cat.register_views()

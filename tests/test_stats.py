@@ -616,3 +616,19 @@ def test_grouped_ols_matches_numpy(spark):
     assert got["line"]["r2"] == pytest.approx(1.0)
     assert got["constx"]["slope"] is None and got["constx"]["r2"] is None
     assert got["consty"]["slope"] == 0.0 and got["consty"]["r2"] is None
+
+
+def test_winsorized_stats_quoted_column_name(spark):
+    """Identifier safety (advice r4): a value column with spaces/dashes
+    must parse — the percentile call backtick-quotes the name like
+    every other A6-tier percentile expression."""
+    rows = [("g", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, v double") \
+        .withColumnRenamed("v", "the value-col")
+    got = stats.winsorized_stats(df, "grp", "the value-col", 0.05, 0.95,
+                                 decimals=2).collect()[0]
+    assert got["n"] == 100
+    clipped = np.clip(np.arange(1.0, 101.0),
+                      np.percentile(np.arange(1.0, 101.0), 5),
+                      np.percentile(np.arange(1.0, 101.0), 95))
+    assert got["w_mean"] == pytest.approx(clipped.mean(), abs=1e-6)

@@ -488,3 +488,49 @@ def test_streaming_rolling_zscore_matches_batch(spark, tmp_path):
         "t_stream_zscore", output_mode="append").toPandas())
     assert len(got) == len(expected) and len(got) == batch.count()
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_streaming_rolling_zscore_null_value_parity(spark, tmp_path):
+    """NULL tolerance (advice r4): a NULL value must not kill the
+    stream (int(NaN) in the state worker) — it occupies a window slot
+    but contributes nothing to the sums/counts and scores NULL z,
+    exactly like the batch twin's frame semantics."""
+    from basic_data_fusion_spark.operators.linkage import rolling_zscore
+    from basic_data_fusion_spark.streaming.stateful import (
+        streaming_rolling_zscore,
+    )
+
+    rows = []
+    for i in range(12):
+        v = None if i in (4, 7) else float(100 + (i % 5))
+        rows.append((1, f"2024-01-{i + 1:02d} 00:00:00", i, v))
+    rows.append((1, "2024-01-20 00:00:00", 99, 500.0))  # the anomaly
+    batch = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+
+    expected = _norm(
+        rolling_zscore(batch, "user_id", "ts", "event_id", "value",
+                       lookback=7, min_prior=3, decimals=4)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id",
+                "value", "n_prior", "z", "is_anomaly").toPandas())
+
+    d = tmp_path / "znull"
+    d.mkdir(exist_ok=True)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(d / "b0"))
+    import glob
+    import shutil
+    f = glob.glob(str(d / "b0" / "*.parquet"))[0]
+    shutil.copy(f, d / "batch0.parquet")
+    shutil.rmtree(d / "b0")
+
+    stream = (spark.readStream.schema(batch.schema).parquet(str(d)))
+    got = _norm(W.run_available_now(
+        streaming_rolling_zscore(stream, lookback=7, min_prior=3,
+                                 decimals=4),
+        "t_stream_zscore_null", output_mode="append").toPandas())
+    assert len(got) == len(expected)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+    # the NULL rows themselves scored NULL z and survived
+    nulls = got[got["event_id"].isin([4, 7])]
+    assert nulls["z"].isna().all()

