@@ -2130,6 +2130,121 @@ SELECT canonical_url, MIN(doc_id) AS canonical_id,
 FROM canon GROUP BY canonical_url
 """
 
+# The p2..p6 normalization chain of _URL_DEDUP_ORACLE, reused by the
+# domain report (which needs the intermediate host, not just the final
+# canonical string) — split at the "urls" fixture so both oracles share
+# one copy of the chain text.
+_URL_CANON_CHAIN = _URL_DEDUP_ORACLE.split("),\nparts AS", 1)[1].rsplit(
+    "\nSELECT canonical_url", 1)[0]
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection (dedup.keep_best_per_
+    cluster): exact-jaccard near-dup pairs → connected-component
+    clusters → each cluster keeps its highest-quality member (Gopher
+    quality score, min id on ties) instead of the arbitrary min-id doc —
+    the FineWeb-style 'retain the cleanest copy' decision. Every stage
+    (pairs, CC labels, scores, the ranking) replays in SQL, so the
+    keep/drop column itself is hash-checked."""
+    from basic_data_fusion_spark.operators.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+    from basic_data_fusion_spark.operators.text import quality_score
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    scored = quality_score(docs)
+    return keep_best_per_cluster(docs, pairs, scored)
+
+
+def _dedup_keep_best_oracle() -> str:
+    return f"""
+WITH cl AS (SELECT * FROM ({_DEDUP_CLUSTERS_ORACLE}) t),
+q AS (SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE}) t)
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality_score DESC, c.doc_id ASC) = 1
+         AS keep
+FROM cl c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (dedup.corpus_diff): crawl N (docs with id%11 != 0,
+    text revised for id%13 == 0) vs crawl N+1 (docs with id%17 != 0) —
+    per id: added / removed / changed / unchanged from one full-outer
+    join of (id, md5) relations; bodies never shuffle."""
+    from basic_data_fusion_spark.operators.dedup import corpus_diff
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    old = (docs.filter(F.col("doc_id") % 11 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 13 == 0,
+                              F.concat(F.col("text"), F.lit(" v0")))
+                       .otherwise(F.col("text"))))
+    new = docs.filter(F.col("doc_id") % 17 != 0)
+    return corpus_diff(old, new)
+
+
+_CORPUS_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id,
+         md5(COALESCE(CASE WHEN doc_id % 13 = 0 THEN text || ' v0'
+                           ELSE text END, '')) AS old_hash
+  FROM documents WHERE doc_id % 11 <> 0
+),
+new AS (
+  SELECT doc_id, md5(COALESCE(text, '')) AS new_hash
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_hash, n.new_hash
+FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+"""
+
+
+def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus health table (dedup.domain_report) over the
+    planted URL-variant fixture: page count, distinct canonical URLs,
+    URL-dup ratio, fixed-point mean Gopher quality and keep rate per
+    registrable host — the RefinedWeb/FineWeb domain-curation report."""
+    from basic_data_fusion_spark.operators.dedup import domain_report
+    from basic_data_fusion_spark.operators.text import quality_score
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return domain_report(_planted_urls(docs), quality_score(docs))
+
+
+def _domain_report_oracle() -> str:
+    urls_fixture = _URL_DEDUP_ORACLE.split("),\nparts AS", 1)[0] + ")"
+    return f"""
+{urls_fixture},
+parts AS{_URL_CANON_CHAIN},
+hostcanon AS (
+  SELECT c.doc_id, p.host, c.canonical_url
+  FROM canon c JOIN p4 p ON p.doc_id = c.doc_id
+),
+q AS (SELECT doc_id, quality_score, keep FROM ({_QUALITY_ORACLE}) t)
+SELECT h.host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h.canonical_url) AS BIGINT) AS n_pages,
+       CAST(1.0 AS DOUBLE)
+         - CAST(COUNT(DISTINCT h.canonical_url) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS url_dup_ratio,
+       CAST(SUM(CAST(ROUND(q.quality_score * 1000000.0, 0) AS BIGINT))
+            AS DOUBLE) / CAST(1000000.0 AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS mean_quality,
+       CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+FROM hostcanon h JOIN q ON q.doc_id = h.doc_id
+GROUP BY h.host
+"""
+
 
 def _dsir_weights_oracle(buckets: int = 2048) -> str:
     """DuckDB replay of selection.dsir_log_weights: identical md5-bucket
@@ -5343,7 +5458,8 @@ DRIVER_WINDOW = [
     "bloom_decontam", "ivfpq_topk", "hll_distinct_orders",
     "column_summary_approx",
     # (b) new round-5 contract rows
-    "bloom_decontam_det", "ann_recall_report",
+    "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
+    "corpus_diff", "domain_quality_report",
     # (c) backfill: longest-unchecked greens (last driver row: round 2)
     "flagship_merge", "participant_count", "segment_breakdown",
     "acctbal_minmax", "distinct_segments", "top_segments",
@@ -5356,8 +5472,7 @@ DRIVER_WINDOW = [
     "density_2d_lineitem", "pricing_summary", "shipping_priority",
     "regional_volume",
     "dedup_exact", "token_counts", "lang_id", "quality_scores", "pii_scrub",
-    "corpus_curation", "repetition_scores", "token_rarity",
-    "boilerplate_strip", "quality_percentile",
+    "corpus_curation", "repetition_scores",
 ]
 
 
@@ -5381,6 +5496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- DRIVER_WINDOW (b): new round-5 contract rows ----
         "bloom_decontam_det": q_bloom_decontam_det,
         "ann_recall_report": q_ann_recall_report,
+        "dedup_keep_best": q_dedup_keep_best,
+        "corpus_diff": q_corpus_diff,
+        "domain_quality_report": q_domain_quality_report,
         # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -5416,10 +5534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
+        # ---------------- past the window (51+) ----------------
         "token_rarity": q_token_rarity,
         "boilerplate_strip": q_boilerplate_strip,
         "quality_percentile": q_quality_percentile,
-        # ---------------- past the window (51+) ----------------
         # r4-checked greens, the rows-only canaries, and the r3 wave —
         # most-recently-verified rotate to the back.
         **det,  # grouped_normality_k2 (hash-green r4)
@@ -5595,6 +5713,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_det": _minhash_det_oracle(),
         "bloom_decontam_det": _bloom_decontam_det_oracle(),
         "ann_recall_report": _ann_recall_oracle(),
+        "dedup_keep_best": _dedup_keep_best_oracle(),
+        "corpus_diff": _CORPUS_DIFF_ORACLE,
+        "domain_quality_report": _domain_report_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

@@ -985,3 +985,111 @@ def source_overlap(df: DataFrame, source_col: str = "source",
         (F.col("n_shared").cast("double")
          / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"))
         .alias("jaccard"))
+
+
+# ---------------- cluster representative selection ----------------
+
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
+                          scored: DataFrame, id_col: str = "doc_id",
+                          score_col: str = "quality_score") -> DataFrame:
+    """Quality-aware representative selection — the production form of
+    keep-one-per-cluster: near-dup pairs collapse to connected-component
+    clusters and each cluster keeps its HIGHEST-QUALITY member (min id
+    on ties) instead of the arbitrary min-id doc.  This is the
+    FineWeb/RefinedWeb-style dedup decision where the retained copy
+    should be the cleanest rendering of the page, not whichever crawled
+    first.
+
+    ``scored`` supplies (id, score); singletons keep themselves.  One
+    cluster-keyed window ranks members — cluster sizes are bounded by
+    the upstream pair threshold, so the window partition never holds
+    more than a duplicate clique.  Returns (id, cluster_id,
+    cluster_size, score, keep).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    joined = clusters.join(scored.select(F.col(id_col),
+                                         F.col(score_col)), id_col)
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.desc(score_col), F.asc(id_col)))
+    return (joined.withColumn("keep", F.row_number().over(w) == 1)
+            .select(id_col, "cluster_id", "cluster_size", score_col,
+                    "keep"))
+
+
+# ---------------- corpus snapshot diff ----------------
+
+def corpus_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the data-versioning primitive
+    (what changed between crawl N and crawl N+1?): per id, status is
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (both, content hash differs) or ``unchanged``.  Both sides reduce to
+    (id, md5) before the single full-outer hash join, so document
+    bodies never shuffle — the diff of two 100 TB snapshots moves two
+    id+hash relations.
+
+    Returns (id, status, old_hash, new_hash).
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("old_hash"))
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("new_hash"))
+    status = (F.when(F.col("old_hash").isNull(), F.lit("added"))
+              .when(F.col("new_hash").isNull(), F.lit("removed"))
+              .when(F.col("old_hash") != F.col("new_hash"),
+                    F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return (o.join(n, "__id", "full_outer")
+            .select(F.col("__id").alias(id_col), status.alias("status"),
+                    "old_hash", "new_hash"))
+
+
+def url_host(col: Column) -> Column:
+    """Registrable host of a URL (lowercased, ``www.``/default-port
+    stripped) — the grouping key for per-domain corpus reports; same
+    normalization steps as :func:`canonical_url`."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    return (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+
+
+def domain_report(urls: DataFrame, scored: DataFrame,
+                  url_col: str = "url", id_col: str = "doc_id",
+                  score_col: str = "quality_score",
+                  keep_col: str = "keep") -> DataFrame:
+    """Per-domain corpus health report — the crawl-curation table
+    RefinedWeb/FineWeb-style pipelines keep per registrable domain: page
+    count, distinct canonical URLs (→ URL-dup ratio), fixed-point mean
+    quality and keep rate.  One hash aggregation on the host key; the
+    quality relation joins on id before grouping, so page bodies never
+    shuffle.  Returns (host, n_docs, n_pages, url_dup_ratio,
+    mean_quality, keep_rate).
+    """
+    base = (urls.select(F.col(id_col),
+                        url_host(F.col(url_col)).alias("host"),
+                        canonical_url(F.col(url_col)).alias("__cu"))
+            .join(scored.select(F.col(id_col), F.col(score_col),
+                                F.col(keep_col)), id_col))
+    agg = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("__cu").cast("long").alias("n_pages"),
+        F.sum(F.round(F.col(score_col) * F.lit(1e6), 0).cast("bigint"))
+        .alias("__qs"),
+        F.sum(F.col(keep_col).cast("int")).cast("long").alias("__nk"))
+    return agg.select(
+        "host", "n_docs", "n_pages",
+        (F.lit(1.0) - F.col("n_pages").cast("double")
+         / F.col("n_docs").cast("double")).alias("url_dup_ratio"),
+        (F.col("__qs").cast("double") / F.lit(1e6)
+         / F.col("n_docs").cast("double")).alias("mean_quality"),
+        (F.col("__nk").cast("double") / F.col("n_docs").cast("double"))
+        .alias("keep_rate"))

@@ -134,6 +134,9 @@ HEADLINE += [
     # new in round 5 (absent from BENCH_r04 and earlier)
     "bloom_decontam_det",    # oracle-checkable bloom bitmap decontamination
     "ann_recall_report",     # in-engine recall@k of IVF/SQ8 vs brute force
+    "dedup_keep_best",       # CC clusters keep highest-quality member
+    "corpus_diff",           # snapshot diff on (id, md5) relations
+    "domain_quality_report",  # per-host pages/dup-ratio/quality/keep table
 ]
 
 

@@ -1768,3 +1768,66 @@ def test_ann_recall_operator(spark):
     assert got[("c_part", 1)]["recall_at_k"] == pytest.approx(2 / 3)
     assert got[("c_part", 2)]["n_hits"] == 1
     assert all(r["n_returned"] == 3 for r in got.values())
+
+
+def test_keep_best_per_cluster(spark):
+    """Highest-quality member survives each near-dup cluster; min id
+    breaks ties; singletons keep themselves."""
+    from basic_data_fusion_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "solo")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")
+    scored = spark.createDataFrame(
+        [(1, 0.4), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, quality_score double")
+    got = {r["doc_id"]: r for r in
+           keep_best_per_cluster(docs, pairs, scored).collect()}
+    assert len(got) == 4
+    assert all(r["cluster_id"] == 1 and r["cluster_size"] == 3
+               for r in (got[1], got[2], got[3]))
+    # 2 and 3 tie on score -> min id 2 wins; min-id doc 1 does NOT
+    assert got[2]["keep"] and not got[3]["keep"] and not got[1]["keep"]
+    assert got[9]["keep"] and got[9]["cluster_size"] == 1
+
+
+def test_corpus_diff_statuses(spark):
+    """added / removed / changed / unchanged all classified from one
+    full-outer join of (id, md5) relations."""
+    from basic_data_fusion_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in
+           corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged"}
+
+
+def test_domain_report_aggregates(spark):
+    """Per-host rollup: URL-variant pages collapse into n_pages, dup
+    ratio and keep rate come out as exact integer-derived divisions."""
+    from basic_data_fusion_spark.operators.dedup import domain_report
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "https://WWW.A.com/x/"),
+         (3, "https://a.com/y"), (4, "http://b.org:80/only")],
+        "doc_id long, url string")
+    scored = spark.createDataFrame(
+        [(1, 0.8, True), (2, 0.6, True), (3, 0.4, False),
+         (4, 1.0, True)],
+        "doc_id long, quality_score double, keep boolean")
+    got = {r["host"]: r for r in domain_report(urls, scored).collect()}
+    a = got["a.com"]
+    assert a["n_docs"] == 3 and a["n_pages"] == 2  # x and x/ collapse
+    assert a["url_dup_ratio"] == pytest.approx(1 - 2 / 3)
+    assert a["mean_quality"] == pytest.approx(0.6)
+    assert a["keep_rate"] == pytest.approx(2 / 3)
+    b = got["b.org"]
+    assert b["n_docs"] == 1 and b["url_dup_ratio"] == 0.0
