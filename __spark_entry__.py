@@ -1198,6 +1198,88 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, queries_df, books, k=5)
 
 
+def _pq_codebooks_fixed(dim: int = 64, m: int = 8, ksub: int = 16,
+                        seed: int = 11) -> list[list[list[float]]]:
+    """Seeded-random PQ codebooks for the deterministic twin — fixed
+    literals both engines embed verbatim (the trained tier's codebooks
+    are a pure function of the data but numpy-Lloyd-specific, so they
+    can't replay in SQL; fixed books exercise the identical encode/ADC/
+    rank pipeline)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dsub = dim // m
+    return [[[float(x) for x in rng.standard_normal(dsub)]
+             for _ in range(ksub)] for _ in range(m)]
+
+
+def q_pq_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PQ twin: fixed seeded codebook literals +
+    fixed-point integer distance quanta for BOTH the code assignment
+    argmin and the ADC table entries, so the per-vector codes, every
+    ADC sum (an integer sum — order-free) and the final ranking replay
+    in plain SQL and value-hash against the generated oracle. The
+    trained tier (`pq_topk`) stays rows-only with numpy-differential +
+    recall pytest coverage."""
+    from basic_data_fusion_spark.operators.similarity import pq_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_topk(emb, queries_df, _pq_codebooks_fixed(), k=5,
+                   deterministic=True)
+
+
+def _pq_topk_det_oracle(k: int = 5, m: int = 8, ksub: int = 16,
+                        dim: int = 64) -> str:
+    books = _pq_codebooks_fixed(dim=dim, m=m, ksub=ksub)
+    dsub = dim // m
+    values = ", ".join(
+        f"({s}, {j}, {i + 1}, {v!r}::DOUBLE)"
+        for s, book in enumerate(books)
+        for j, cent in enumerate(book)
+        for i, v in enumerate(cent))
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+    return f"""
+WITH cb(s, j, i, cv) AS (VALUES {values}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+dist AS (
+  SELECT b.vec_id, c.s, c.j,
+         SUM(CAST(ROUND((b.e[c.s * {dsub} + c.i] - c.cv)
+                        * (b.e[c.s * {dsub} + c.i] - c.cv) * {fp}, 0)
+                  AS BIGINT)) AS d2i
+  FROM base b CROSS JOIN cb c
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, j AS code
+  FROM (SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2i ASC, j ASC) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+qtab AS (SELECT vec_id AS query_id, s, j, d2i FROM dist WHERE vec_id < 10),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, SUM(q.d2i) AS adci
+  FROM codes c JOIN qtab q ON q.s = c.s AND q.j = c.code
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(adci AS DOUBLE) / {fp} AS adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adci ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ composition with exact re-rank (FAISS billion-scale
     default): nprobe coarse cells bound candidates, 16-byte PQ codes
@@ -4052,6 +4134,91 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(existing, batch, threshold=0.8)
 
 
+def q_incremental_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic twin of the fuzzy incremental dedup: md5 base hash
+    + raw-string band buckets make the standing-index probe AND the
+    exact-jaccard verification replay in SQL, so the per-crawl near-dup
+    link set value-hashes cross-engine (the xxhash64 tier stays the
+    fast path; batch parity pytest-verified). Closes the last
+    incremental-ingestion surface without a hash-checked driver row."""
+    from basic_data_fusion_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    batch = docs.filter(F.col("source").isin(*_INCR_BATCH_SOURCES))
+    existing = docs.filter(~F.col("source").isin(*_INCR_BATCH_SOURCES))
+    return incremental_minhash_dedup(existing, batch, threshold=0.8,
+                                     deterministic=True)
+
+
+def _incremental_minhash_det_oracle(n: int = 3, num_hashes: int = 64,
+                                    bands: int = 16,
+                                    threshold: float = 0.8,
+                                    seed: int = 42) -> str:
+    """DuckDB replay of the det incremental-minhash tier — the
+    _minhash_det_oracle construction with the candidate join crossing
+    the batch/corpus split instead of self-joining."""
+    from basic_data_fusion_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+    )
+
+    params = _affine_params(num_hashes, seed)
+    values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(params))
+    hex15 = _hex15_sql("shingle")
+    rpb = num_hashes // bands
+    srcs = ", ".join(f"'{s}'" for s in _INCR_BATCH_SOURCES)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source IN ({srcs}) AS is_new,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, is_new,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, is_new, {hex15} % {MERSENNE31} AS h0 FROM s),
+params(i, a, b) AS (VALUES {values}),
+mins AS (
+  SELECT h.doc_id, h.is_new, p.i,
+         MIN((p.a * h.h0 + p.b) % {MERSENNE31}) AS mn
+  FROM h CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+bnd AS (
+  SELECT doc_id, is_new, i // {rpb} AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM mins GROUP BY doc_id, is_new, i // {rpb}
+),
+cands AS (
+  SELECT DISTINCT nb.doc_id AS new_id, eb.doc_id AS existing_id
+  FROM bnd nb JOIN bnd eb
+    ON nb.band = eb.band AND nb.bucket = eb.bucket
+  WHERE nb.is_new AND NOT eb.is_new
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT c.new_id, c.existing_id, COUNT(*) AS n_common
+  FROM cands c
+  JOIN s sa ON sa.doc_id = c.new_id
+  JOIN s sb ON sb.doc_id = c.existing_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT v.new_id, v.existing_id,
+       CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+         AS jaccard
+FROM ver v
+JOIN sz x ON x.doc_id = v.new_id
+JOIN sz y ON y.doc_id = v.existing_id
+WHERE CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+      >= CAST({threshold} AS DOUBLE)
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -5459,7 +5626,8 @@ DRIVER_WINDOW = [
     "column_summary_approx",
     # (b) new round-5 contract rows
     "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
-    "corpus_diff", "domain_quality_report",
+    "corpus_diff", "domain_quality_report", "incremental_minhash_det",
+    "pq_topk_det",
     # (c) backfill: longest-unchecked greens (last driver row: round 2)
     "flagship_merge", "participant_count", "segment_breakdown",
     "acctbal_minmax", "distinct_segments", "top_segments",
@@ -5472,7 +5640,6 @@ DRIVER_WINDOW = [
     "density_2d_lineitem", "pricing_summary", "shipping_priority",
     "regional_volume",
     "dedup_exact", "token_counts", "lang_id", "quality_scores", "pii_scrub",
-    "corpus_curation", "repetition_scores",
 ]
 
 
@@ -5499,6 +5666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_diff": q_corpus_diff,
         "domain_quality_report": q_domain_quality_report,
+        "incremental_minhash_det": q_incremental_minhash_det,
+        "pq_topk_det": q_pq_topk_det,
         # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -5532,9 +5701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
+        # ---------------- past the window (51+) ----------------
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
-        # ---------------- past the window (51+) ----------------
         "token_rarity": q_token_rarity,
         "boilerplate_strip": q_boilerplate_strip,
         "quality_percentile": q_quality_percentile,
@@ -5716,6 +5885,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "domain_quality_report": _domain_report_oracle(),
+        "incremental_minhash_det": _incremental_minhash_det_oracle(),
+        "pq_topk_det": _pq_topk_det_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

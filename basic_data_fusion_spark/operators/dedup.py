@@ -479,7 +479,8 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                               id_col: str = "doc_id", n: int = 3,
                               num_hashes: int = 64, bands: int = 16,
                               threshold: float = 0.5,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              deterministic: bool = False) -> DataFrame:
     """Fuzzy tier of incremental ingestion dedup (pairs with
     ``incremental_exact_dedup``): NEW docs that are near-duplicates of
     the STANDING corpus, found via the banded MinHash index and verified
@@ -495,12 +496,22 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
     corpus is never re-shingled per batch in steady state and never
     self-joins — cost is O(batch + candidates), the property that keeps
     per-crawl dedup viable against a 100 TB history.
+
+    ``deterministic=True`` switches to the md5 base hash and raw-string
+    band buckets (the same det tier as ``minhash_dedup_pairs``) so the
+    incremental pipeline — index, probe, verification — replays in
+    plain SQL and value-hashes against a generated oracle.
     """
-    sig_ex = minhash_signatures(existing, text_col, id_col, n, num_hashes, seed)
-    sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes, seed)
-    cands = (minhash_band_keys(sig_new, id_col, "new_id", bands, num_hashes)
+    hash_fn = "md5" if deterministic else "xxhash64"
+    hb = not deterministic
+    sig_ex = minhash_signatures(existing, text_col, id_col, n, num_hashes,
+                                seed, hash_fn=hash_fn)
+    sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes,
+                                 seed, hash_fn=hash_fn)
+    cands = (minhash_band_keys(sig_new, id_col, "new_id", bands,
+                               num_hashes, hash_buckets=hb)
              .join(minhash_band_keys(sig_ex, id_col, "existing_id",
-                                     bands, num_hashes),
+                                     bands, num_hashes, hash_buckets=hb),
                    ["band", "bucket"])
              .select("new_id", "existing_id").distinct())
     sh_new = (new.repartition(new.sparkSession.sparkContext.defaultParallelism)

@@ -201,15 +201,33 @@ def _cell_scores(vec: Column, centroids: list[list[float]],
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def _adc_table(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+def fp_sq_l2_int(a: Column, b: Column, scale: float = 1e12) -> Column:
+    """Σ (aᵢ−bᵢ)² as BIGINT quanta of 1/scale — each squared term
+    quantizes before the integer sum, so the value (and any comparison
+    or further integer summation built on it) is order-independent and
+    bit-identical on any engine. The det-tier companion of ``sq_l2``
+    (whose sequential double fold an unordered SQL SUM cannot replay)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.round(
+            (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")) * F.lit(scale), 0)
+            .cast("long")),
+        F.lit(0).cast("long"), lambda acc, d_: acc + d_)
+
+
+def _adc_table(vec: Column, codebooks: list[list[list[float]]],
+               deterministic: bool = False) -> Column:
     """m×ksub table of squared distances from each of ``vec``'s
-    subvectors to every codebook centroid — the per-query ADC lookup."""
+    subvectors to every codebook centroid — the per-query ADC lookup.
+    Det tier: BIGINT quanta entries, so the final m-term ADC sum stays
+    an integer sum (order-free, oracle-replayable)."""
     dsub = len(codebooks[0][0])
     books = nested_double_lit(codebooks)
+    d_fn = fp_sq_l2_int if deterministic else sq_l2
     return F.transform(
         books,
         lambda book, s: F.transform(
-            book, lambda c: sq_l2(F.slice(vec, s * dsub + 1, dsub), c)))
+            book, lambda c: d_fn(F.slice(vec, s * dsub + 1, dsub), c)))
 
 
 def ivf_index(df: DataFrame, centroids: list[list[float]],
@@ -448,19 +466,24 @@ def _subvectors(vec: Column, codebooks: list[list[list[float]]]) -> Column:
                        lambda s: F.slice(vec, s * dsub + 1, dsub))
 
 
-def _codes_from_subs(subs: Column, codebooks: list[list[list[float]]]) -> Column:
+def _codes_from_subs(subs: Column, codebooks: list[list[list[float]]],
+                     deterministic: bool = False) -> Column:
     """Per-subspace argmin code from pre-sliced subvectors. First-min
-    wins in array_position → deterministic code on centroid ties."""
+    wins in array_position → deterministic code on centroid ties. Det
+    tier: argmin over the fixed-point integer distances, so the CODE
+    each vector gets replays in SQL."""
     books = nested_double_lit(codebooks)
+    d_fn = fp_sq_l2_int if deterministic else sq_l2
     return F.transform(
         F.zip_with(books, subs,
-                   lambda book, sub: F.transform(book, lambda c: sq_l2(sub, c))),
+                   lambda book, sub: F.transform(book, lambda c: d_fn(sub, c))),
         lambda d2s: (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
 
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              deterministic: bool = False) -> DataFrame:
     """Encode every vector as ``m`` small codes: per subspace, the index
     of the nearest codebook centroid (squared L2). One nested-array
     literal per level — generated code constant in m·ksub (same idiom as
@@ -472,14 +495,16 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
             .select(F.col(id_col),
                     _subvectors(F.col(vec_col), codebooks).alias("__subs"))
             .select(F.col(id_col),
-                    _codes_from_subs(F.col("__subs"), codebooks).alias("codes")))
+                    _codes_from_subs(F.col("__subs"), codebooks,
+                                     deterministic).alias("codes")))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame,
             codebooks: list[list[list[float]]], k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding",
             query_id_col: str = "query_id",
-            precomputed_codes: DataFrame | None = None) -> DataFrame:
+            precomputed_codes: DataFrame | None = None,
+            deterministic: bool = False) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: each query builds its m×ksub
     distance table once (a transform over the codebook literal), then
     every corpus vector is scored from its codes alone —
@@ -492,14 +517,25 @@ def pq_topk(corpus: DataFrame, queries: DataFrame,
     recall matters more than the 4·dim/m compression.
     """
     codes_df = (precomputed_codes if precomputed_codes is not None
-                else pq_encode(corpus, codebooks, id_col, vec_col))
+                else pq_encode(corpus, codebooks, id_col, vec_col,
+                               deterministic))
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks))
+         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks,
+                                          deterministic))
          .drop("__qvec"))
-    adc = F.aggregate(
-        F.zip_with(F.col("__dtab"), F.col("codes"),
-                   lambda tab, code: F.element_at(tab, code + 1)),
-        F.lit(0.0), lambda acc, d_: acc + d_)
+    if deterministic:
+        # integer table entries sum as integers (order-free) and exit
+        # through ONE division — the value any SQL engine reproduces
+        adc = (F.aggregate(
+            F.zip_with(F.col("__dtab"), F.col("codes"),
+                       lambda tab, code: F.element_at(tab, code + 1)),
+            F.lit(0).cast("long"), lambda acc, d_: acc + d_)
+            .cast("double") / F.lit(1e12))
+    else:
+        adc = F.aggregate(
+            F.zip_with(F.col("__dtab"), F.col("codes"),
+                       lambda tab, code: F.element_at(tab, code + 1)),
+            F.lit(0.0), lambda acc, d_: acc + d_)
     scored = (codes_df.crossJoin(F.broadcast(q))
               .withColumn("adc_dist", adc))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))

@@ -137,6 +137,8 @@ HEADLINE += [
     "dedup_keep_best",       # CC clusters keep highest-quality member
     "corpus_diff",           # snapshot diff on (id, md5) relations
     "domain_quality_report",  # per-host pages/dup-ratio/quality/keep table
+    "incremental_minhash_det",  # oracle-checkable md5 incremental fuzzy dedup
+    "pq_topk_det",           # oracle-checkable fixed-point PQ ADC search
 ]
 
 

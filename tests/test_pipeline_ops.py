@@ -1831,3 +1831,62 @@ def test_domain_report_aggregates(spark):
     assert a["keep_rate"] == pytest.approx(2 / 3)
     b = got["b.org"]
     assert b["n_docs"] == 1 and b["url_dup_ratio"] == 0.0
+
+
+def test_incremental_minhash_det_tier_matches_fast_tier(spark):
+    """The md5/raw-bucket deterministic incremental tier finds the same
+    verified cross-corpus links (same jaccard values) as the xxhash64
+    fast tier — verification is the exact jaccard in both, so only the
+    candidate generation differs and both recall the planted link."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    existing = spark.createDataFrame(
+        [(100, base), (101, "standing corpus completely different text here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base.replace("delta", "DELTA2")),
+         (2, "brand new unrelated content entirely fresh words")],
+        "doc_id long, text string")
+    fast = {(r["new_id"], r["existing_id"]): r["jaccard"] for r in
+            dedup.incremental_minhash_dedup(existing, new,
+                                            threshold=0.5).collect()}
+    det = {(r["new_id"], r["existing_id"]): r["jaccard"] for r in
+           dedup.incremental_minhash_dedup(existing, new, threshold=0.5,
+                                           deterministic=True).collect()}
+    assert det == fast and (1, 100) in det
+
+
+def test_pq_det_tier_matches_plain_tier_codes_and_ranks(spark):
+    """With the same fixed codebooks, the det tier's integer-quantized
+    distances assign the same codes and the same top-k ranking as the
+    plain-double tier (1e-12 quanta on O(1)-magnitude embeddings dwarf
+    any true distance gap), and the ADC distances agree to the quantum."""
+    import numpy as np
+
+    from basic_data_fusion_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = [[[float(x) for x in rng.standard_normal(4)]
+              for _ in range(8)] for _ in range(4)]
+    q = (df.filter(F.col("vec_id") < 3)
+         .selectExpr("vec_id AS query_id", "embedding"))
+    plain_codes = {r["vec_id"]: list(r["codes"]) for r in
+                   pq_encode(df, books).collect()}
+    det_codes = {r["vec_id"]: list(r["codes"]) for r in
+                 pq_encode(df, books, deterministic=True).collect()}
+    assert det_codes == plain_codes
+    plain = {(r["query_id"], r["rank"]): r for r in
+             pq_topk(df, q, books, k=5).collect()}
+    det = {(r["query_id"], r["rank"]): r for r in
+           pq_topk(df, q, books, k=5, deterministic=True).collect()}
+    assert set(det) == set(plain)
+    for key, r in det.items():
+        assert r["neighbor_id"] == plain[key]["neighbor_id"]
+        assert r["adc_dist"] == pytest.approx(plain[key]["adc_dist"],
+                                              abs=1e-9)
