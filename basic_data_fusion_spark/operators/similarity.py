@@ -272,6 +272,107 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
+def _two_level_split(centroids: list[list[float]], seed: int = 7,
+                     metric: str = "cosine") -> tuple[list[list[float]],
+                                                      list[list[int]]]:
+    """Group the cell centroids under ~√cells super-centroids (driver-
+    local Lloyd on the centroid matrix — cells×dim doubles, trivially
+    small). Returns (super_centroids, children) where children[j] lists
+    the ORIGINAL cell indices routed under super-cell j; empty supers
+    are dropped.
+
+    The grouping must agree with the ROUTING metric or a vector sitting
+    on centroid i can route to a super-cell that doesn't contain i: for
+    cosine, Lloyd runs on L2-normalized centroids with re-normalized
+    means (spherical k-means — argmin L2 ≡ argmax cosine on the unit
+    sphere), and the membership lists come from a FINAL re-assignment
+    against the finished super-centroids (the in-loop assignment lags
+    one mean update)."""
+    import math
+
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    if metric == "cosine":
+        norms = np.linalg.norm(c, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        c = c / norms
+    n = len(c)
+    ksup = max(2, math.isqrt(n))
+    rng = np.random.default_rng(seed)
+    sup = c[rng.choice(n, size=ksup, replace=False)].copy()
+
+    def reassign():
+        d2 = ((c[:, None, :] - sup[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    for _ in range(10):
+        assign = reassign()
+        for j in range(ksup):
+            mask = assign == j
+            if mask.any():
+                m = c[mask].mean(axis=0)
+                if metric == "cosine":
+                    nm = np.linalg.norm(m)
+                    m = m / nm if nm > 0 else m
+                sup[j] = m
+    assign = reassign()
+    children = [[i for i in range(n) if assign[i] == j]
+                for j in range(ksup)]
+    keep = [j for j in range(ksup) if children[j]]
+    return ([[float(x) for x in sup[j]] for j in keep],
+            [children[j] for j in keep])
+
+
+def ivf_index_two_level(df: DataFrame, centroids: list[list[float]],
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        metric: str = "cosine",
+                        repartition_input: bool = True,
+                        seed: int = 7) -> DataFrame:
+    """Hierarchical (two-level) IVF assignment — the O(√cells)-per-row
+    scale path the flat scan degrades from: route each vector to its
+    nearest of ~√cells SUPER-centroids, then scan only that super-cell's
+    child centroids. Per-row cost drops from ``cells`` distance folds to
+    ``√cells + |children|`` (≈2√cells balanced), which is what keeps
+    total assignment near-linear when the cell grid itself scales with
+    the corpus (semantic_dedup auto-scales cells = n/256, so a flat scan
+    would reintroduce an O(n²/256) term — the FAISS IMI/two-level
+    rationale). Assignment is approximate at super-cell boundaries; the
+    consumers re-check candidates with exact distances, so only recall
+    margins move. Same output schema as ``ivf_index``: (id, vec, cell)
+    with cell indices into the ORIGINAL centroid list."""
+    sup, children = _two_level_split(centroids, seed=seed, metric=metric)
+    vec = F.col(vec_col)
+    sup_scores, hib = _cell_scores(vec, sup, metric)
+    sup_best = (F.array_max(sup_scores) if hib
+                else F.array_min(sup_scores))
+    sup_idx = F.array_position(sup_scores, sup_best)  # 1-based
+    child_cents = nested_double_lit([[centroids[i] for i in ch]
+                                     for ch in children])
+    child_ids = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(str(int(i)) for i in ch) + ")"
+            for ch in children) + ")")
+    mine = F.element_at(child_cents, sup_idx.cast("int"))
+    if metric == "l2":
+        local = F.transform(mine, lambda c: sq_l2(vec, c))
+        local_best = F.array_min(local)
+    elif metric == "cosine":
+        local = F.transform(mine, lambda c: cosine(vec, c))
+        local_best = F.array_max(local)
+    else:
+        raise ValueError(
+            f"two-level assignment supports cosine/l2, not {metric!r} "
+            "(the deterministic tier must replay flat in SQL)")
+    pos = F.array_position(local, local_best)
+    cell = F.element_at(F.element_at(child_ids, sup_idx.cast("int")),
+                        pos.cast("int")).cast("int")
+    if repartition_input:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]],
              k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", query_id_col: str = "query_id",
@@ -375,7 +476,14 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     # — not three 64-term folds per candidate pair
     norm_expr = (fixed_point_self_dot(F.col(vec_col)) if deterministic
                  else norm(F.col(vec_col)))
-    indexed = (ivf_index(df, centroids, id_col, vec_col, metric=metric)
+    # past ~64 cells the flat centroid scan dominates (O(n·cells) =
+    # O(n²/target_cell_size) with the auto-scaled grid); the two-level
+    # router keeps assignment O(n·√cells). The det tier stays flat —
+    # its oracle replays the flat argmax.
+    index_fn = (ivf_index_two_level
+                if (not deterministic and len(centroids) >= 64)
+                else ivf_index)
+    indexed = (index_fn(df, centroids, id_col, vec_col, metric=metric)
                .withColumn("__norm", norm_expr)
                .persist())
     a = indexed.select("cell", F.col(id_col).alias("id_a"),

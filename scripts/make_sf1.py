@@ -84,6 +84,22 @@ def main() -> None:
             if tag and c > 0:
                 d = d.withColumn(
                     tag, F.concat(F.col(tag), F.lit(f" copytag{c}")))
+            if t == "embeddings" and c > 0:
+                # identical vector copies would plant 10-copy cliques
+                # (45 near-dup pairs per base vector) and distort every
+                # ANN/semantic-dedup measurement; a +-1% deterministic
+                # hash perturbation keeps the distribution while
+                # breaking exact duplication
+                d = d.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, i: (x.cast("double")
+                                      + (F.pmod(F.xxhash64(F.col("vec_id"),
+                                                           i, F.lit(c)),
+                                                F.lit(2001)) - 1000)
+                                      .cast("double") / F.lit(100000.0))
+                        .cast("float")))
             parts.append(d)
         out = parts[0]
         for p in parts[1:]:

@@ -1890,3 +1890,42 @@ def test_pq_det_tier_matches_plain_tier_codes_and_ranks(spark):
         assert r["neighbor_id"] == plain[key]["neighbor_id"]
         assert r["adc_dist"] == pytest.approx(plain[key]["adc_dist"],
                                               abs=1e-9)
+
+
+def test_two_level_ivf_assignment(spark):
+    """Hierarchical assignment: vectors sitting ON a centroid route to
+    that centroid's cell (the router is exact when the nearest centroid
+    dominates); cells are valid indices; near-identical planted pairs
+    land in the same cell so SemDeDup's candidate recall survives the
+    approximate router."""
+    import numpy as np
+
+    from basic_data_fusion_spark.operators.similarity import (
+        ivf_index_two_level,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    cents = [[float(x) for x in rng.standard_normal(8)]
+             for _ in range(81)]  # 81 cells -> 9 super-cells
+    rows = [(i, cents[i * 7 % 81]) for i in range(30)]  # exactly on cents
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cell"] for r in
+           ivf_index_two_level(df, cents, metric="cosine").collect()}
+    assert all(0 <= c < 81 for c in got.values())
+    for i in range(30):
+        assert got[i] == i * 7 % 81  # on-centroid vectors route exactly
+
+    # planted near-identical pair -> same cell -> dedup drops the copy
+    base = [float(x) for x in rng.standard_normal(8)]
+    near = [v + 1e-6 for v in base]
+    far_rows = [(100 + j,
+                 [float(x) for x in rng.standard_normal(8)])
+                for j in range(200)]
+    ded = spark.createDataFrame([(1, base), (2, near)] + far_rows,
+                                "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(ded, k=81, threshold=0.999,
+                          target_cell_size=2).collect()}
+    assert out[1]["keep"] and not out[2]["keep"]
+    assert out[1]["cell"] == out[2]["cell"]
