@@ -100,6 +100,38 @@ PICK_NOTES = {
     "grouped_ols_events": "ONE aggregation of fixed-point sufficient "
                           "statistics; fits are pure projections over "
                           "the grouped row.",
+    # round-5 additions
+    "winnow_overlap_pairs": "Single fingerprint evaluation: ONE "
+                            "groupBy(fp) collects the df-capped sorted "
+                            "id set; pairs expand map-side from the "
+                            "array — two shuffles total (was 3x "
+                            "fingerprint recompute, 5 shuffles).",
+    "bloom_decontam_det": "Same zero-shuffle probe as the fast tier — "
+                          "md5-derived bit positions fold into the "
+                          "bitmap literal; no join anywhere.",
+    "ann_recall_report": "Exact top-k side is query-set-sized and "
+                         "broadcasts into each arm's own plan; hit "
+                         "counting is one (arm, query) aggregation.",
+    "dedup_keep_best": "CC labels + broadcast sizes join the score "
+                       "relation; ranking is one cluster-keyed window "
+                       "whose partitions are bounded by clique size.",
+    "corpus_diff": "Both snapshots reduce to (id, md5) before the "
+                   "single full-outer hash join — bodies never "
+                   "shuffle.",
+    "domain_quality_report": "Host/canonical-URL derivation is "
+                             "map-side; one id join to scores, one "
+                             "host aggregation.",
+    "incremental_minhash_det": "Standing band index probed by the new "
+                               "batch only; raw-string buckets shuffle "
+                               "in place of xxhash64 — same shape, "
+                               "oracle-replayable keys.",
+    "pq_topk_det": "Integer ADC quanta: codes and table entries are "
+                   "BIGINT folds; the plan is the same broadcast-"
+                   "table + window-rank shape as the fast tier.",
+    "semantic_dedup": "Auto-scaled cell grid + two-level router at "
+                      ">=64 cells: assignment scans sqrt(cells) supers "
+                      "then one child list; within-cell pair join "
+                      "shuffles on the cell key only.",
 }
 MAX_LINES = 40
 
