@@ -1299,6 +1299,130 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=5, nprobe=3, refine=4)
 
 
+def q_ivfpq_topk_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF-PQ twin — the full composition (fixed-point L2
+    cell argmin, integer-quanta PQ codes and ADC sums, fixed-point exact
+    re-rank of the k·refine shortlist) under fixed centroid + codebook
+    literals, so the complete billion-scale search pipeline replays in
+    SQL and value-hashes. With this, every ANN tier (brute force, IVF,
+    SQ8, PQ, IVF-PQ) and every dedup tier has a hash-checked driver
+    row; the trained tier (`ivfpq_topk`) stays the fast path."""
+    from basic_data_fusion_spark.operators.similarity import ivfpq_topk
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivfpq_topk(emb, queries_df, _ivf_centroids(),
+                      _pq_codebooks_fixed(), k=5, nprobe=3, refine=4,
+                      deterministic=True)
+
+
+def _ivfpq_topk_det_oracle(k: int = 5, nprobe: int = 3, refine: int = 4,
+                           m: int = 8, ksub: int = 16,
+                           dim: int = 64) -> str:
+    cents = _ivf_centroids()
+    books = _pq_codebooks_fixed(dim=dim, m=m, ksub=ksub)
+    dsub = dim // m
+    cent_vals = ", ".join(
+        f"({ci}, {i + 1}, {v!r}::DOUBLE)"
+        for ci, row in enumerate(cents) for i, v in enumerate(row))
+    cb_vals = ", ".join(
+        f"({s}, {j}, {i + 1}, {v!r}::DOUBLE)"
+        for s, book in enumerate(books)
+        for j, cent in enumerate(book)
+        for i, v in enumerate(cent))
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+    return f"""
+WITH cent(cell, i, cv) AS (VALUES {cent_vals}),
+cb(s, j, i, cv) AS (VALUES {cb_vals}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+celld AS (
+  SELECT b.vec_id, c.cell,
+         SUM(CAST(ROUND((b.e[c.i] - c.cv) * (b.e[c.i] - c.cv) * {fp}, 0)
+                  AS BIGINT)) AS d2i
+  FROM base b CROSS JOIN cent c
+  GROUP BY 1, 2
+),
+asgn AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2i ASC, cell ASC) AS rn
+        FROM celld)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2i ASC, cell ASC) AS rn
+        FROM celld WHERE vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+dist AS (
+  SELECT b.vec_id, c.s, c.j,
+         SUM(CAST(ROUND((b.e[c.s * {dsub} + c.i] - c.cv)
+                        * (b.e[c.s * {dsub} + c.i] - c.cv) * {fp}, 0)
+                  AS BIGINT)) AS d2i
+  FROM base b CROSS JOIN cb c
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, s, j AS code
+  FROM (SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2i ASC, j ASC) AS rn
+        FROM dist)
+  WHERE rn = 1
+),
+qtab AS (SELECT vec_id AS query_id, s, j, d2i FROM dist WHERE vec_id < 10),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, SUM(q.d2i) AS adci
+  FROM cand c
+  JOIN codes cd ON cd.vec_id = c.neighbor_id
+  JOIN qtab q ON q.query_id = c.query_id
+            AND q.s = cd.s AND q.j = cd.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adci ASC, neighbor_id ASC)
+                 AS rn
+        FROM adc)
+  WHERE rn <= {k * refine}
+),
+dims AS (SELECT i FROM generate_series(1, {dim}) AS g(i)),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         SUM(CAST(ROUND((qb.e[d.i] - nb.e[d.i]) * (qb.e[d.i] - nb.e[d.i])
+                        * {fp}, 0) AS BIGINT)) AS l2i
+  FROM short s
+  JOIN base qb ON qb.vec_id = s.query_id
+  JOIN base nb ON nb.vec_id = s.neighbor_id
+  CROSS JOIN dims d
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(l2i AS DOUBLE) / {fp} AS l2_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY l2i ASC, neighbor_id ASC) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, l2_dist, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_part_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: exact top-20 heaviest join keys in the fact table
     (the report that decides where salting / AQE skew-join is needed).
@@ -5627,7 +5751,7 @@ DRIVER_WINDOW = [
     # (b) new round-5 contract rows
     "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
     "corpus_diff", "domain_quality_report", "incremental_minhash_det",
-    "pq_topk_det",
+    "pq_topk_det", "ivfpq_topk_det",
     # (c) backfill: longest-unchecked greens (last driver row: round 2)
     "flagship_merge", "participant_count", "segment_breakdown",
     "acctbal_minmax", "distinct_segments", "top_segments",
@@ -5639,7 +5763,7 @@ DRIVER_WINDOW = [
     "anova_acctbal_by_segment", "histogram_acctbal", "quality_audit_orders",
     "density_2d_lineitem", "pricing_summary", "shipping_priority",
     "regional_volume",
-    "dedup_exact", "token_counts", "lang_id", "quality_scores", "pii_scrub",
+    "dedup_exact", "token_counts", "lang_id", "quality_scores",
 ]
 
 
@@ -5668,6 +5792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_report": q_domain_quality_report,
         "incremental_minhash_det": q_incremental_minhash_det,
         "pq_topk_det": q_pq_topk_det,
+        "ivfpq_topk_det": q_ivfpq_topk_det,
         # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -5700,8 +5825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
-        "pii_scrub": q_pii_scrub,
         # ---------------- past the window (51+) ----------------
+        "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
         "token_rarity": q_token_rarity,
@@ -5887,6 +6012,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality_report": _domain_report_oracle(),
         "incremental_minhash_det": _incremental_minhash_det_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
+        "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

@@ -194,6 +194,10 @@ def _cell_scores(vec: Column, centroids: list[list[float]],
     cent = nested_double_lit(centroids)
     if metric == "l2":
         return F.transform(cent, lambda c: sq_l2(vec, c)), False
+    if metric == "fixed_l2":
+        # BIGINT quanta — the argmin (and any rank over it) replays in
+        # SQL; array_min/array_position operate on longs directly
+        return F.transform(cent, lambda c: fp_sq_l2_int(vec, c)), False
     if metric == "cosine":
         return F.transform(cent, lambda c: cosine(vec, c)), True
     if metric == "fixed_cosine":
@@ -658,7 +662,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
                codebooks: list[list[list[float]]], k: int = 5,
                nprobe: int = 2, refine: int | None = None,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               query_id_col: str = "query_id") -> DataFrame:
+               query_id_col: str = "query_id",
+               deterministic: bool = False) -> DataFrame:
     """IVF-PQ search (the full Jégou et al. 2011 composition, FAISS's
     billion-scale default): coarse cells bound WHICH vectors are scored
     (only the query's ``nprobe`` nearest cells), PQ codes bound WHAT is
@@ -683,7 +688,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     # on BOTH sides: the fine stage ranks by (squared-L2) ADC, and a
     # mixed-metric quantizer sends true neighbors to unprobed cells.
     npart = corpus.sparkSession.sparkContext.defaultParallelism
-    cell_scores, _ = _cell_scores(F.col(vec_col), centroids, "l2")
+    metric = "fixed_l2" if deterministic else "l2"
+    cell_scores, _ = _cell_scores(F.col(vec_col), centroids, metric)
     staged = (corpus.repartition(npart)
               .select(F.col(id_col),
                       cell_scores.alias("__cs"),
@@ -692,11 +698,13 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         F.col(id_col),
         (F.array_position(F.col("__cs"), F.array_min("__cs")) - 1)
         .cast("int").alias("cell"),
-        _codes_from_subs(F.col("__subs"), codebooks).alias("codes"))
+        _codes_from_subs(F.col("__subs"), codebooks,
+                         deterministic).alias("codes"))
 
-    q_scores, _ = _cell_scores(F.col("__qvec"), centroids, "l2")
+    q_scores, _ = _cell_scores(F.col("__qvec"), centroids, metric)
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
-         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks))
+         .withColumn("__dtab", _adc_table(F.col("__qvec"), codebooks,
+                                          deterministic))
          .select(query_id_col, "__qvec", "__dtab",
                  F.posexplode(q_scores).alias("cell", "__cd2"))
          .withColumn("__rk", F.row_number().over(
@@ -705,10 +713,17 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
          .filter(F.col("__rk") <= nprobe)
          .select(query_id_col, "__qvec", "__dtab", "cell"))
 
-    adc = F.aggregate(
-        F.zip_with(F.col("__dtab"), F.col("codes"),
-                   lambda tab, code: F.element_at(tab, code + 1)),
-        F.lit(0.0), lambda acc, d_: acc + d_)
+    if deterministic:
+        adc = (F.aggregate(
+            F.zip_with(F.col("__dtab"), F.col("codes"),
+                       lambda tab, code: F.element_at(tab, code + 1)),
+            F.lit(0).cast("long"), lambda acc, d_: acc + d_)
+            .cast("double") / F.lit(1e12))
+    else:
+        adc = F.aggregate(
+            F.zip_with(F.col("__dtab"), F.col("codes"),
+                       lambda tab, code: F.element_at(tab, code + 1)),
+            F.lit(0.0), lambda acc, d_: acc + d_)
     scored = side.join(F.broadcast(q), "cell").withColumn("adc_dist", adc)
     w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
     shortlist_k = k * refine if refine else k
@@ -718,9 +733,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
         return short.select(query_id_col, F.col(id_col).alias("neighbor_id"),
                             "adc_dist", "rank")
     vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    refine_d = ((lambda a, b: fp_sq_l2_int(a, b).cast("double")
+                 / F.lit(1e12)) if deterministic else sq_l2)
     refined = (short.select(query_id_col, id_col, "__qvec")
                .join(vecs, id_col)
-               .withColumn("l2_dist", sq_l2(F.col("__cvec"), F.col("__qvec"))))
+               .withColumn("l2_dist",
+                           refine_d(F.col("__cvec"), F.col("__qvec"))))
     w2 = Window.partitionBy(query_id_col).orderBy(F.asc("l2_dist"), F.asc(id_col))
     return (refined.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)

@@ -139,6 +139,7 @@ HEADLINE += [
     "domain_quality_report",  # per-host pages/dup-ratio/quality/keep table
     "incremental_minhash_det",  # oracle-checkable md5 incremental fuzzy dedup
     "pq_topk_det",           # oracle-checkable fixed-point PQ ADC search
+    "ivfpq_topk_det",        # oracle-checkable full IVF-PQ + exact re-rank
 ]
 
 

@@ -1929,3 +1929,33 @@ def test_two_level_ivf_assignment(spark):
                           target_cell_size=2).collect()}
     assert out[1]["keep"] and not out[2]["keep"]
     assert out[1]["cell"] == out[2]["cell"]
+
+
+def test_ivfpq_det_tier_matches_plain_tier(spark):
+    """With the same fixed centroids and codebooks, the det tier's
+    integer quanta reproduce the plain tier's cell assignments,
+    shortlist and refined ranking (1e-12 quanta dwarf true distance
+    gaps on O(1) embeddings)."""
+    import numpy as np
+
+    from basic_data_fusion_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(9)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in rng.standard_normal(16)] for _ in range(4)]
+    books = [[[float(x) for x in rng.standard_normal(4)]
+              for _ in range(8)] for _ in range(4)]
+    q = (df.filter(F.col("vec_id") < 3)
+         .selectExpr("vec_id AS query_id", "embedding"))
+    plain = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["l2_dist"])
+             for r in ivfpq_topk(df, q, cents, books, k=5, nprobe=2,
+                                 refine=3).collect()}
+    det = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["l2_dist"])
+           for r in ivfpq_topk(df, q, cents, books, k=5, nprobe=2,
+                               refine=3, deterministic=True).collect()}
+    assert set(det) == set(plain)
+    for key, (nid, d) in det.items():
+        assert nid == plain[key][0]
+        assert d == pytest.approx(plain[key][1], abs=1e-9)
