@@ -84,14 +84,28 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     with a bounded query set — the common batch-ANN shape). Ties break on
     neighbor id, making the k-set deterministic.
     """
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    # per-side self-dots hoist OUT of the pair loop: cosine(q, c) needs
+    # (dot, |q|², |c|²), and computing the self-dots inside the pair
+    # expression re-evaluates them |queries|× per corpus row (and
+    # |corpus|× per query). Materializing them behind each side's
+    # projection boundary cuts the per-pair work to ONE dot product —
+    # the exact same (aa, bb, ab) values feed the same division tree,
+    # so results (and the det tier's oracle hashes) are bit-identical.
+    self_dot = fixed_point_self_dot if deterministic else \
+        (lambda v: dot(v, v))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                       self_dot(F.col(vec_col)).alias("__qq"))
     # scoring is CPU-bound; a single-file corpus would pin it to one core
     nparts = corpus.sparkSession.sparkContext.defaultParallelism
     c = (corpus.repartition(nparts)
-         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")))
-    sim_fn = fixed_point_cosine if deterministic else cosine
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("__cvec"),
+                 self_dot(F.col(vec_col)).alias("__cc")))
+    pair_dot = fixed_point_dot if deterministic else dot
+    sim = (pair_dot(F.col("__qvec"), F.col("__cvec"))
+           / (F.sqrt("__qq") * F.sqrt("__cc")))
     scored = (c.crossJoin(F.broadcast(q))
-              .withColumn("cosine_sim", sim_fn(F.col("__qvec"), F.col("__cvec"))))
+              .withColumn("cosine_sim", sim))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -391,21 +405,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     given fixed centroid literals the result value-hashes cross-engine).
     """
     metric = "fixed_cosine" if deterministic else "cosine"
-    indexed = ivf_index(corpus, centroids, id_col, vec_col, metric=metric)
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    # per-side self-dots hoist out of the probe loop (same rationale and
+    # same bit-identity argument as brute_force_topk)
+    self_dot = fixed_point_self_dot if deterministic else \
+        (lambda v: dot(v, v))
+    pair_dot = fixed_point_dot if deterministic else dot
+    indexed = (ivf_index(corpus, centroids, id_col, vec_col, metric=metric)
+               .withColumn("__cc", self_dot(F.col(vec_col))))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
+                       self_dot(F.col(vec_col)).alias("__qq"))
     # same single-literal + transform shape as ivf_index (codegen bounded
     # in k); posexplode position IS the cell index
     sims, _ = _cell_scores(F.col("__qvec"), centroids, metric)
-    sim_fn = fixed_point_cosine if deterministic else cosine
-    q_cells = (q.select(query_id_col, "__qvec",
+    q_cells = (q.select(query_id_col, "__qvec", "__qq",
                         F.posexplode(sims).alias("cell", "sim"))
                .withColumn("__rk", F.row_number().over(
                    Window.partitionBy(query_id_col).orderBy(F.desc("sim"),
                                                             F.asc("cell"))))
                .filter(F.col("__rk") <= nprobe)
-               .select(query_id_col, "__qvec", "cell"))
+               .select(query_id_col, "__qvec", "__qq", "cell"))
     scored = (indexed.join(F.broadcast(q_cells), "cell")
-              .withColumn("cosine_sim", sim_fn(F.col("__qvec"), F.col(vec_col))))
+              .withColumn("cosine_sim",
+                          pair_dot(F.col("__qvec"), F.col(vec_col))
+                          / (F.sqrt("__qq") * F.sqrt("__cc"))))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
