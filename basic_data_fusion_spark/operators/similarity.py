@@ -205,6 +205,22 @@ def _cell_scores(vec: Column, centroids: list[list[float]],
     oracle-checkable tier: per-dimension products quantized before the
     sum, so any SQL engine reproduces the exact doubles (and hence the
     exact argmax cell)."""
+    if metric == "cosine":
+        # every caller uses these scores ONLY for argmax / probe
+        # ranking, and cos(v,c) = dot(v, c/|c|) / |v| — the 1/|v|
+        # factor is common across cells, so ranking by dot against
+        # DRIVER-normalized centroids is order-identical at a third of
+        # the per-cell cost (one fold instead of dot+|v|²+|c|²). The
+        # det tier below keeps the full fixed-point cosine: its SQL
+        # oracle replays that exact expression.
+        import math
+
+        scaled = []
+        for c in centroids:
+            nrm = math.sqrt(sum(x * x for x in c))
+            scaled.append([x / nrm for x in c] if nrm > 0 else list(c))
+        return (F.transform(nested_double_lit(scaled),
+                            lambda c: dot(vec, c)), True)
     cent = nested_double_lit(centroids)
     if metric == "l2":
         return F.transform(cent, lambda c: sq_l2(vec, c)), False
@@ -212,8 +228,6 @@ def _cell_scores(vec: Column, centroids: list[list[float]],
         # BIGINT quanta — the argmin (and any rank over it) replays in
         # SQL; array_min/array_position operate on longs directly
         return F.transform(cent, lambda c: fp_sq_l2_int(vec, c)), False
-    if metric == "cosine":
-        return F.transform(cent, lambda c: cosine(vec, c)), True
     if metric == "fixed_cosine":
         return F.transform(cent, lambda c: fixed_point_cosine(vec, c)), True
     raise ValueError(f"unknown metric {metric!r}")
@@ -366,8 +380,19 @@ def ivf_index_two_level(df: DataFrame, centroids: list[list[float]],
     sup_best = (F.array_max(sup_scores) if hib
                 else F.array_min(sup_scores))
     sup_idx = F.array_position(sup_scores, sup_best)  # 1-based
-    child_cents = nested_double_lit([[centroids[i] for i in ch]
-                                     for ch in children])
+    if metric == "cosine":
+        # rank-only scores — normalized children + dot, same
+        # order-equivalence argument as _cell_scores' cosine branch
+        import math
+
+        def _unit(c):
+            nrm = math.sqrt(sum(x * x for x in c))
+            return [x / nrm for x in c] if nrm > 0 else list(c)
+
+        child_mat = [[_unit(centroids[i]) for i in ch] for ch in children]
+    else:
+        child_mat = [[centroids[i] for i in ch] for ch in children]
+    child_cents = nested_double_lit(child_mat)
     child_ids = F.expr(
         "array(" + ",".join(
             "array(" + ",".join(str(int(i)) for i in ch) + ")"
@@ -377,7 +402,7 @@ def ivf_index_two_level(df: DataFrame, centroids: list[list[float]],
         local = F.transform(mine, lambda c: sq_l2(vec, c))
         local_best = F.array_min(local)
     elif metric == "cosine":
-        local = F.transform(mine, lambda c: cosine(vec, c))
+        local = F.transform(mine, lambda c: dot(vec, c))
         local_best = F.array_max(local)
     else:
         raise ValueError(
