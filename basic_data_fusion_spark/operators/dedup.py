@@ -207,6 +207,13 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     reproduce the key bit-exactly.  All JVM expressions; no Python UDFs.
     """
     w = int(window)
+    # spread a narrow source before the O(n·window) md5 hashing — same
+    # conditional idiom as winnow_fingerprints: a single small file
+    # would pin the whole window pass to one core, while an already-wide
+    # corpus skips the text shuffle
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < npart:
+        df = df.repartition(npart)
     blank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
     empty_arr = F.array().cast("array<string>")
     # __t (lowercased) keys the windows; __o (original case) rebuilds the
