@@ -36,7 +36,16 @@ def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
                        buckets: int) -> DataFrame:
     """One row per hashed unigram/bigram INSTANCE. Tokenization matches
     operators/text.tokens; bigrams via the staged-projection idiom
-    (see _repetition_hof) so the document is tokenized once."""
+    (see _repetition_hof) so the document is tokenized once.
+
+    A narrow source spreads before the tokenize+md5-bucket explosion —
+    the CPU-heavy stage of every DSIR pass — via the same conditional
+    repartition idiom as winnowing/ExactSubstr (skipped when the input
+    is already wider than the parallelism, so no text shuffle at
+    scale)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < npart:
+        df = df.repartition(npart)
     toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                     lambda x: x != "")
     cols = [F.col(id_col)] if id_col else []
