@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.partitioning import spread_narrow
 from .text import fingerprint, tokens
 
 
@@ -207,13 +208,10 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     reproduce the key bit-exactly.  All JVM expressions; no Python UDFs.
     """
     w = int(window)
-    # spread a narrow source before the O(n·window) md5 hashing — same
-    # conditional idiom as winnow_fingerprints: a single small file
-    # would pin the whole window pass to one core, while an already-wide
-    # corpus skips the text shuffle
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < npart:
-        df = df.repartition(npart)
+    # spread a narrow source before the O(n·window) md5 hashing (see
+    # sources/partitioning.spread_narrow — conditional, so no text
+    # shuffle for an already-wide corpus)
+    df = spread_narrow(df)
     blank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
     empty_arr = F.array().cast("array<string>")
     # __t (lowercased) keys the windows; __o (original case) rebuilds the
@@ -368,9 +366,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     engine, making the whole minhash pipeline ORACLE-CHECKABLE at the
     cost of the slower hash (the deterministic tier of
     ``minhash_dedup_pairs``)."""
-    spark = df.sparkSession
-    nparts = parallelism or spark.sparkContext.defaultParallelism
-    df = df.repartition(nparts)
+    if parallelism:
+        df = df.repartition(parallelism)
+    else:
+        df = spread_narrow(df)
 
     grams = word_shingles(F.col(text_col), n)
     p = F.lit(MERSENNE31).cast("long")
@@ -521,11 +520,10 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                                      bands, num_hashes, hash_buckets=hb),
                    ["band", "bucket"])
              .select("new_id", "existing_id").distinct())
-    sh_new = (new.repartition(new.sparkSession.sparkContext.defaultParallelism)
+    sh_new = (spread_narrow(new)
               .select(F.col(id_col).alias("new_id"),
                       word_shingles(F.col(text_col), n).alias("sh_n")))
-    sh_ex = (existing
-             .repartition(existing.sparkSession.sparkContext.defaultParallelism)
+    sh_ex = (spread_narrow(existing)
              .select(F.col(id_col).alias("existing_id"),
                      word_shingles(F.col(text_col), n).alias("sh_e")))
     n_common = F.size(F.array_intersect("sh_n", "sh_e"))
@@ -549,9 +547,8 @@ def cross_corpus_overlap(train: DataFrame, held_out: DataFrame,
     leak evaluation content. Same shuffle shape as the jaccard tier —
     join on the shingle, never doc×doc; the held-out side is typically
     tiny (benchmarks), so its shingle relation broadcasts."""
-    tr = shingle_table(
-        train.repartition(train.sparkSession.sparkContext.defaultParallelism),
-        text_col, id_col, n).withColumnRenamed(id_col, "train_id")
+    tr = shingle_table(spread_narrow(train),
+                       text_col, id_col, n).withColumnRenamed(id_col, "train_id")
     ev = (shingle_table(held_out, text_col, id_col, n)
           .withColumnRenamed(id_col, "eval_id").distinct())
     return (tr.join(ev, "shingle")
@@ -875,12 +872,11 @@ def bloom_decontaminate(train: DataFrame, held_out: DataFrame,
     # lambdas are interpreted — no CSE across the two consumers);
     # repartition spreads a single-file source across cores, the probe
     # itself is embarrassingly parallel
-    npart = train.sparkSession.sparkContext.defaultParallelism
     # NULL text ≡ empty text (corpus-wide convention — incremental_exact_
     # dedup above): without the coalesce, size(NULL array) propagates
     # NULL into `contaminated` and NULL-text docs vanish from boolean
     # filters on either polarity
-    staged = (train.repartition(npart)
+    staged = (spread_narrow(train)
               .select(F.col(id_col),
                       word_shingles(
                           F.coalesce(F.col(text_col), F.lit("")), n)

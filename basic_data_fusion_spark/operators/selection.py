@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.partitioning import spread_narrow
 from .text import tokens
 
 _SCALE = 100_000_000.0  # 1e8 fixed-point for per-bucket log ratios
@@ -43,9 +44,7 @@ def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
     repartition idiom as winnowing/ExactSubstr (skipped when the input
     is already wider than the parallelism, so no text shuffle at
     scale)."""
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < npart:
-        df = df.repartition(npart)
+    df = spread_narrow(df)
     toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                     lambda x: x != "")
     cols = [F.col(id_col)] if id_col else []

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.partitioning import spread_narrow
+
 
 def nested_double_lit(x) -> Column:
     """Nested ``array<double>`` literal built through the SQL parser.
@@ -96,8 +98,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
                        self_dot(F.col(vec_col)).alias("__qq"))
     # scoring is CPU-bound; a single-file corpus would pin it to one core
-    nparts = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (corpus.repartition(nparts)
+    c = (spread_narrow(corpus)
          .select(F.col(id_col).alias("neighbor_id"),
                  F.col(vec_col).alias("__cvec"),
                  self_dot(F.col(vec_col)).alias("__cc")))
@@ -300,7 +301,7 @@ def ivf_index(df: DataFrame, centroids: list[list[float]],
     # when the source is already well-split (the at-scale default,
     # where multi-file parquet parallelizes the scan for free).
     if repartition_input:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df = spread_narrow(df)
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
@@ -412,7 +413,7 @@ def ivf_index_two_level(df: DataFrame, centroids: list[list[float]],
     cell = F.element_at(F.element_at(child_ids, sup_idx.cast("int")),
                         pos.cast("int")).cast("int")
     if repartition_input:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df = spread_narrow(df)
     return df.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
 
 
@@ -649,8 +650,7 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     ``ivf_index``). Returns (id, codes array<int>); at 100 TB the code
     table is m bytes/vector instead of 4·dim — the memory shape that
     makes billion-scale ANN fit."""
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    return (df.repartition(npart)
+    return (spread_narrow(df)
             .select(F.col(id_col),
                     _subvectors(F.col(vec_col), codebooks).alias("__subs"))
             .select(F.col(id_col),
@@ -734,10 +734,9 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame,
     # id shuffle; the corpus is read once). The coarse quantizer uses L2
     # on BOTH sides: the fine stage ranks by (squared-L2) ADC, and a
     # mixed-metric quantizer sends true neighbors to unprobed cells.
-    npart = corpus.sparkSession.sparkContext.defaultParallelism
     metric = "fixed_l2" if deterministic else "l2"
     cell_scores, _ = _cell_scores(F.col(vec_col), centroids, metric)
-    staged = (corpus.repartition(npart)
+    staged = (spread_narrow(corpus)
               .select(F.col(id_col),
                       cell_scores.alias("__cs"),
                       _subvectors(F.col(vec_col), codebooks).alias("__subs")))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.partitioning import spread_narrow
+
 # Minimal stopword profiles for the n-gram/stopword language heuristic.
 # (Real deployments swap in full profiles; the mechanism is the point.)
 LANG_PROFILES: dict[str, list[str]] = {
@@ -235,7 +237,7 @@ def repetition_features(df: DataFrame, text_col: str = "text",
     # the row) and the hof/explode tiers disagree (NULL vs 0 max_run) —
     # breaking the bit-identical guarantee.
     txt = F.coalesce(F.col(text_col), F.lit(""))
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col),
                     tokens(txt).alias("toks"),
                     token_count(txt).cast("long").alias("n_tokens")))
@@ -273,7 +275,7 @@ def token_rarity(df: DataFrame, text_col: str = "text",
     # blank text tokenizes to [''] — filter it so empty docs yield zero
     # instances (and fall to the anti-join branch) instead of a '' token
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks"),
                     F.size(toks).cast("long").alias("n_tokens")))
     inst = base.select(id_col, "n_tokens", F.explode("toks").alias("token"))
@@ -475,7 +477,7 @@ def strip_high_df_tokens(df: DataFrame, text_col: str = "text",
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks"),
                     F.size(toks).cast("long").alias("n_tokens")))
     inst = base.select(id_col, F.posexplode("toks").alias("pos", "token"))
@@ -527,7 +529,7 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks")))
     inst = base.select(id_col, F.explode("toks").alias("token"))
     freq = inst.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
@@ -608,7 +610,7 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             yield pd.DataFrame(rows, columns=[
                 id_col, "n_bytes", "n_compressed", "compression_ratio"])
 
-    return (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (spread_narrow(df)
             .select(id_col, text_col).mapInPandas(run, schema))
 
 
@@ -646,7 +648,7 @@ def stupid_backoff_lm(df: DataFrame, text_col: str = "text",
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks")))
     pair_expr = F.when(
         F.size("toks") >= 2,
@@ -744,7 +746,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks"))
             .withColumn("dl", F.size("toks")))
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
@@ -800,7 +802,7 @@ def stupid_backoff_trigram_lm(df: DataFrame, text_col: str = "text",
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (df.repartition(spark.sparkContext.defaultParallelism)
+    base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks")))
     tri_expr = F.when(
         F.size("toks") >= 3,
@@ -886,9 +888,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     # spread a narrow source (single small file -> 1 split) across the
     # cluster before the md5-heavy hashing; a corpus already wider than
     # the parallelism skips the repartition, so no text shuffle at scale
-    npart = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < npart:
-        df = df.repartition(npart)
+    df = spread_narrow(df)
     base = (df.select(F.col(id_col), toks.alias("__t"))
             .where(F.size("__t") >= k))
     t = F.col("__t")

@@ -159,3 +159,21 @@ def write_sharded(df: DataFrame, path: str, id_col: str = "doc_id",
         .sortWithinPartitions("__h")
         .drop("__h")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is narrower than the
+    cluster parallelism — the spread idiom for CPU-bound expression
+    pipelines (tokenize / md5 / shingle / dot-product passes).
+
+    A single small file pins such a pass to one core in local tests; an
+    unconditional ``repartition`` fixes that but becomes a full-corpus
+    round-robin SHUFFLE at 100 TB, where a parquet corpus is already
+    split into thousands of balanced ``maxPartitionBytes`` tasks and
+    needs no spread at all. The partition-count probe is plan-analysis
+    only (no job); results are unaffected either way — every consumer
+    pipeline is partitioning-invariant by design (hash-checked)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < npart:
+        return df.repartition(npart)
+    return df
