@@ -357,9 +357,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     once per hash function. All intermediates stay < 2^62, safe under
     ANSI arithmetic.
 
-    Input is repartitioned (default: spark default parallelism) — the
-    expression is CPU-bound, and a single-file parquet source would
-    otherwise pin it to one core.
+    Input spreads via ``spread_narrow`` (or an explicit
+    ``parallelism`` repartition) — the expression is CPU-bound, and a
+    single-file parquet source would otherwise pin it to one core; an
+    already-wide corpus skips the shuffle.
 
     ``hash_fn``: ``"xxhash64"`` (default, fastest) or ``"md5"`` — the
     first 15 hex chars of md5 as a 60-bit integer, identical on any SQL
