@@ -4258,6 +4258,74 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(existing, batch, threshold=0.8)
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join via prefix filtering (AllPairs/PPJoin):
+    pairs with 3-shingle Jaccard ≥ 0.8 found by joining only on each
+    doc's rarest ``|S|−⌈t·|S|⌉+1`` shingles — complete (no LSH recall
+    loss), and the join keys are low-df by construction so boilerplate
+    shingles never become hot keys. Every step (df table, rarity rank,
+    prefix cut, verification) is integer/md5-deterministic → the pair
+    set value-hashes against the SQL replay. Same output contract as
+    `ngram_jaccard`/`minhash_dedup_det` — the third point in the
+    exact/LSH/prefix-filter similarity-join design space."""
+    from basic_data_fusion_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+def _prefix_jaccard_oracle(n: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM s GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY f.df ASC, s.shingle ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM s JOIN dfreq f ON f.shingle = s.shingle
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= sz - CEIL(ROUND(CAST({threshold} AS DOUBLE) * sz, 9)) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN s sa ON sa.doc_id = c.id_a
+  JOIN s sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT v.id_a, v.id_b,
+       CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+         AS jaccard
+FROM ver v
+JOIN sz x ON x.doc_id = v.id_a
+JOIN sz y ON y.doc_id = v.id_b
+WHERE CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
+      >= CAST({threshold} AS DOUBLE)
+"""
+
+
 def q_incremental_minhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic twin of the fuzzy incremental dedup: md5 base hash
     + raw-string band buckets make the standing-index probe AND the
@@ -5751,7 +5819,7 @@ DRIVER_WINDOW = [
     # (b) new round-5 contract rows
     "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
     "corpus_diff", "domain_quality_report", "incremental_minhash_det",
-    "pq_topk_det", "ivfpq_topk_det",
+    "pq_topk_det", "ivfpq_topk_det", "prefix_jaccard_pairs",
     # (c) backfill: longest-unchecked greens (last driver row: round 2)
     "flagship_merge", "participant_count", "segment_breakdown",
     "acctbal_minmax", "distinct_segments", "top_segments",
@@ -5763,7 +5831,7 @@ DRIVER_WINDOW = [
     "anova_acctbal_by_segment", "histogram_acctbal", "quality_audit_orders",
     "density_2d_lineitem", "pricing_summary", "shipping_priority",
     "regional_volume",
-    "dedup_exact", "token_counts", "lang_id", "quality_scores",
+    "dedup_exact", "token_counts", "lang_id",
 ]
 
 
@@ -5793,6 +5861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_det": q_incremental_minhash_det,
         "pq_topk_det": q_pq_topk_det,
         "ivfpq_topk_det": q_ivfpq_topk_det,
+        "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -5824,8 +5893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
         # ---------------- past the window (51+) ----------------
+        "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
         "repetition_scores": q_repetition_scores,
@@ -6013,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_det": _incremental_minhash_det_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
+        "prefix_jaccard_pairs": _prefix_jaccard_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

@@ -22,7 +22,7 @@ All hot paths are built-in JVM expressions; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.partitioning import spread_narrow
@@ -1108,3 +1108,72 @@ def domain_report(urls: DataFrame, scored: DataFrame,
          / F.col("n_docs").cast("double")).alias("mean_quality"),
         (F.col("__nk").cast("double") / F.col("n_docs").cast("double"))
         .alias("keep_rate"))
+
+
+# ---------------- tier 2b: prefix-filtering similarity join ----------------
+
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 3,
+                                threshold: float = 0.8) -> DataFrame:
+    """EXACT similarity join via prefix filtering (AllPairs/PPJoin —
+    Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs with shingle
+    Jaccard ≥ ``threshold``, without LSH's probabilistic recall and
+    without the all-pairs blowup. Complements the MinHash tier: same
+    output contract as ``ngram_jaccard_pairs``, different scaling lever.
+
+    The filter: order every document's shingles by GLOBAL rarity
+    (ascending document frequency, shingle string as tie-break) and keep
+    only the first ``|S| − ⌈t·|S|⌉ + 1`` as its PREFIX. Two sets with
+    Jaccard ≥ t overlap in ≥ ⌈t·|S|⌉ elements, so they MUST share at
+    least one prefix element — candidates are pairs sharing a prefix
+    shingle, then exact-Jaccard verified. Complete by construction
+    (every qualifying pair is generated — asserted against the
+    exhaustive tier in tests), and the candidate join joins on the
+    RAREST shingles, so hot boilerplate shingles never become join keys
+    — the skew profile the df-capped exhaustive tier needs a cap for,
+    PPJoin gets for free.
+
+    Scale shape: one groupBy(shingle) for the df table; the rank join
+    shuffles (doc, shingle, df) triples; the prefix explode carries
+    ~(1−t)·|S|+1 rows per doc; the candidate join keys on low-df
+    shingles only; verification re-joins candidate ids to the two
+    shingle-set relations. Shuffle keys are shingle hashes and id
+    pairs — never text. Everything is integer/md5-deterministic, so the
+    pair set value-hashes cross-engine.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    t = float(threshold)
+    base = (spread_narrow(df)
+            .select(F.col(id_col),
+                    word_shingles(F.col(text_col), n).alias("__sh")))
+    inst = base.select(id_col, F.explode("__sh").alias("shingle"))
+    dfreq = (inst.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("__df")))
+    # per-doc rarity rank; prefix keeps rn <= s - ceil(t*s) + 1.
+    # round(t*s, 9) before CEIL: IEEE t*s can land a hair above the
+    # exact integer (0.8*5 = 4.0000000000000004), and an unrounded CEIL
+    # would shrink the prefix below the completeness bound.
+    ranked = (inst.join(dfreq, "shingle")
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy(id_col)
+                  .orderBy(F.asc("__df"), F.asc("shingle"))))
+              .withColumn("__s", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col))))
+    plen = (F.col("__s")
+            - F.ceil(F.round(F.lit(t) * F.col("__s"), 9)) + 1)
+    prefix = ranked.filter(F.col("__rn") <= plen).select(id_col, "shingle")
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    common = F.size(F.array_intersect("__sa", "__sb"))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        common.cast("double")
+                        / (F.size("__sa") + F.size("__sb") - common))
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard"))

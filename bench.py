@@ -140,6 +140,7 @@ HEADLINE += [
     "incremental_minhash_det",  # oracle-checkable md5 incremental fuzzy dedup
     "pq_topk_det",           # oracle-checkable fixed-point PQ ADC search
     "ivfpq_topk_det",        # oracle-checkable full IVF-PQ + exact re-rank
+    "prefix_jaccard_pairs",  # PPJoin prefix-filter exact similarity join
 ]
 
 

@@ -1959,3 +1959,33 @@ def test_ivfpq_det_tier_matches_plain_tier(spark):
     for key, (nid, d) in det.items():
         assert nid == plain[key][0]
         assert d == pytest.approx(plain[key][1], abs=1e-9)
+
+
+def test_prefix_filter_jaccard_complete_vs_exact(docs):
+    """PPJoin completeness: the prefix-filter join finds EXACTLY the
+    exhaustive jaccard pair set (no LSH recall loss) at two different
+    thresholds, jaccard values included."""
+    for t in (0.8, 0.5):
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                 dedup.ngram_jaccard_pairs(docs, n=3,
+                                           threshold=t).collect()}
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+               dedup.prefix_filter_jaccard_pairs(docs, n=3,
+                                                 threshold=t).collect()}
+        assert got == exact and exact
+
+
+def test_prefix_filter_prefix_length_boundary(spark):
+    """The ceil-rounding guard: at t=0.8 and |S|=5 the prefix must keep
+    2 shingles (5 − ⌈4⌉ + 1), not 1 — an unrounded IEEE 0.8·5 would
+    shrink it and drop borderline pairs. Two docs sharing exactly 4 of
+    5 shingles (J=2/3 < t) plus two identical docs (J=1 ≥ t) pin both
+    sides of the decision."""
+    a = "w1 w2 w3 w4 w5 w6 w7"       # 5 3-shingles
+    b = "w1 w2 w3 w4 w5 w6 zz"       # shares 4 of its 5
+    got = {(r["id_a"], r["id_b"]) for r in
+           dedup.prefix_filter_jaccard_pairs(
+               spark.createDataFrame([(1, a), (2, b), (3, a)],
+                                     "doc_id long, text string"),
+               n=3, threshold=0.8).collect()}
+    assert (1, 3) in got and (1, 2) not in got
