@@ -1148,28 +1148,53 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col),
                     word_shingles(F.col(text_col), n).alias("__sh")))
     inst = base.select(id_col, F.explode("__sh").alias("shingle"))
-    dfreq = (inst.groupBy("shingle")
-             .agg(F.count(F.lit(1)).alias("__df")))
-    # per-doc rarity rank; prefix keeps rn <= s - ceil(t*s) + 1.
+    # df annotation WITHOUT a join: one groupBy(shingle) carries both
+    # the count and the doc list, the explode re-emits (doc, shingle,
+    # df) triples — two shuffles total and the shingle pipeline
+    # evaluates once (A/B'd ~20% faster than the dfreq-join form; a
+    # row_number window costs another sort pass on top of that).
+    # (df, shingle) postings per key are bounded ONLY by that shingle's
+    # df — the same per-key profile as the verification tier's shingle
+    # join; a df cap is deliberately absent because the prefix cut
+    # below, not candidate generation, is what reads these lists.
+    by_sh = (inst.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("__df"),
+                  F.collect_list(id_col).alias("__docs")))
+    triples = by_sh.select("shingle", "__df",
+                           F.explode("__docs").alias(id_col))
+    # per-doc rarity order via ONE doc-keyed aggregation: collect the
+    # (df, shingle) structs, array_sort (struct order = (df ASC,
+    # shingle ASC) — the global rarity total order), slice the prefix.
+    # Prefix keeps the first s − ⌈t·s⌉ + 1 elements;
     # round(t*s, 9) before CEIL: IEEE t*s can land a hair above the
     # exact integer (0.8*5 = 4.0000000000000004), and an unrounded CEIL
     # would shrink the prefix below the completeness bound.
-    ranked = (inst.join(dfreq, "shingle")
-              .withColumn("__rn", F.row_number().over(
-                  Window.partitionBy(id_col)
-                  .orderBy(F.asc("__df"), F.asc("shingle"))))
-              .withColumn("__s", F.count(F.lit(1)).over(
-                  Window.partitionBy(id_col))))
-    plen = (F.col("__s")
-            - F.ceil(F.round(F.lit(t) * F.col("__s"), 9)) + 1)
-    prefix = ranked.filter(F.col("__rn") <= plen).select(id_col, "shingle")
+    # per_doc's sorted array ALSO carries each doc's full shingle set,
+    # so the prefix cut AND both verification sides read the persisted
+    # doc-count-sized relation — nothing upstream re-evaluates.
+    per_doc = (triples
+               .groupBy(id_col)
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("__df", "shingle")))
+                   .alias("__ranked"))
+               .persist())
+    s_sz = F.size("__ranked")
+    plen = (s_sz - F.ceil(F.round(F.lit(t) * s_sz, 9)) + 1).cast("int")
+    prefix = (per_doc
+              .select(id_col,
+                      F.explode(F.slice(F.col("__ranked"), F.lit(1), plen))
+                      .alias("__ps"))
+              .select(id_col, F.col("__ps.shingle").alias("shingle")))
     a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
     b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
     cands = (a.join(b, "shingle")
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    sa = base.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
-    sb = base.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+    sets = per_doc.select(
+        id_col,
+        F.transform("__ranked", lambda x: x["shingle"]).alias("__set"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     common = F.size(F.array_intersect("__sa", "__sb"))
     return (cands.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard",
