@@ -4258,6 +4258,71 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(existing, batch, threshold=0.8)
 
 
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency tier (aggregations.cms_build/
+    cms_estimate): a 4×1024-cell mergeable sketch over the corpus token
+    stream, probed for the 20 highest-frequency tokens beside their
+    exact counts — demonstrating the never-underestimates contract
+    row-by-row (``is_overestimate`` true for every probe). md5 bucket
+    hashes make every cell and every min-estimate SQL-replayable;
+    completes the sketch tier (HLL distinct / approx_top_k heavy
+    hitters / CMS point frequencies)."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        cms_build,
+        cms_estimate,
+    )
+    from basic_data_fusion_spark.operators.text import tokens
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    toks = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))),
+                    lambda x: x != "")
+    inst = docs.select(F.explode(toks).alias("token"))
+    probes = (inst.groupBy("token")
+              .agg(F.count(F.lit(1)).alias("exact_n"))
+              .orderBy(F.desc("exact_n"), F.asc("token"))
+              .limit(20))
+    cms = cms_build(inst, "token", width=1024, depth=4)
+    est = cms_estimate(cms, probes, "token", width=1024, depth=4)
+    return est.select(
+        "token", "exact_n", "cms_n",
+        (F.col("cms_n") >= F.col("exact_n")).alias("is_overestimate"))
+
+
+def _cms_token_freq_oracle(width: int = 1024, depth: int = 4,
+                           k: int = 20) -> str:
+    hexbit = _hex15_sql("concat(CAST(j AS VARCHAR), ':', token)")
+    hexbit_p = _hex15_sql("concat(CAST(s.j AS VARCHAR), ':', p.token)")
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\\s+'),
+           x -> x <> '')) AS token
+  FROM documents
+),
+exact AS (SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1),
+probes AS (
+  SELECT token, exact_n FROM exact
+  ORDER BY exact_n DESC, token ASC LIMIT {k}
+),
+seeds AS (SELECT unnest(generate_series(0, {depth - 1})) AS j),
+cells AS (
+  SELECT j AS d, {hexbit} % {int(width)} AS bucket, COUNT(*) AS n
+  FROM tok CROSS JOIN seeds
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.token, p.exact_n,
+         MIN(COALESCE(c.n, 0)) AS cms_n
+  FROM probes p CROSS JOIN seeds s
+  LEFT JOIN cells c
+    ON c.d = s.j AND c.bucket = {hexbit_p} % {int(width)}
+  GROUP BY 1, 2
+)
+SELECT token, exact_n, cms_n, cms_n >= exact_n AS is_overestimate
+FROM est
+"""
+
+
 def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT similarity join via prefix filtering (AllPairs/PPJoin):
     pairs with 3-shingle Jaccard ≥ 0.8 found by joining only on each
@@ -5820,6 +5885,7 @@ DRIVER_WINDOW = [
     "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
     "corpus_diff", "domain_quality_report", "incremental_minhash_det",
     "pq_topk_det", "ivfpq_topk_det", "prefix_jaccard_pairs",
+    "cms_token_freq",
     # (c) backfill: longest-unchecked greens (last driver row: round 2)
     "flagship_merge", "participant_count", "segment_breakdown",
     "acctbal_minmax", "distinct_segments", "top_segments",
@@ -5831,7 +5897,7 @@ DRIVER_WINDOW = [
     "anova_acctbal_by_segment", "histogram_acctbal", "quality_audit_orders",
     "density_2d_lineitem", "pricing_summary", "shipping_priority",
     "regional_volume",
-    "dedup_exact", "token_counts", "lang_id",
+    "dedup_exact", "token_counts",
 ]
 
 
@@ -5862,6 +5928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_det": q_pq_topk_det,
         "ivfpq_topk_det": q_ivfpq_topk_det,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+        "cms_token_freq": q_cms_token_freq,
         # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -5892,8 +5959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_volume": det.pop("regional_volume"),
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
         # ---------------- past the window (51+) ----------------
+        "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
         "corpus_curation": q_corpus_curation,
@@ -6083,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),
+        "cms_token_freq": _cms_token_freq_oracle(),
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

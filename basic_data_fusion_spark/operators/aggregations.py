@@ -308,3 +308,65 @@ def approx_heavy_hitters(df: DataFrame, column: str, k: int = 10,
     return (row.select(F.explode("tk").alias("e"))
             .select(F.col("e.item").alias("item"),
                     F.col("e.count").cast("long").alias("approx_count")))
+
+
+# ---------------- count-min sketch frequency tier ----------------
+
+def _cms_bucket(key: Column, seed: int, width: int) -> Column:
+    """Seeded bucket for one CMS row: md5-hex15 (cross-engine-replayable,
+    the det-Bloom construction) mod ``width``; the seed folds in as a
+    ``"seed:"`` prefix so the d hash rows are independent."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(int(seed))), key)),
+        1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def cms_build(df: DataFrame, key_col: str, width: int = 1024,
+              depth: int = 4) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a key
+    column as a plain relation: ``depth × width`` cells, cell (d, b)
+    counting the keys whose d-th hash lands in bucket b.  The
+    frequency-estimation member of the sketch tier beside the HLL
+    distinct sketch and approx_top_k: size is fixed by (width, depth) —
+    never by the key cardinality — and two sketches MERGE by summing
+    cells, so the 100 TB shape is per-shard/per-day sketches at ingest
+    and query-time merges, no re-scan. One explode to d rows per key +
+    one ≤ d·width-group aggregation with map-side partial combine.
+
+    Returns (d, bucket, n).
+    """
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("d"),
+                 _cms_bucket(F.col(key_col), i, width).alias("bucket"))
+        for i in range(int(depth))
+    ])
+    return (df.select(F.explode(cells).alias("__c"))
+            .groupBy(F.col("__c.d").alias("d"),
+                     F.col("__c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-frequency estimates from a ``cms_build`` relation:
+    estimate(k) = min over the d rows of cell(d, h_d(k)) — never an
+    underestimate; over by ≤ ε·N with probability 1−δ for
+    width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.  The probe side explodes to its d
+    cells and joins the (≤ d·width-row, broadcastable) sketch.
+
+    Returns the probe rows plus ``cms_n``.
+    """
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("d"),
+                 _cms_bucket(F.col(key_col), i, width).alias("bucket"))
+        for i in range(int(depth))
+    ])
+    probed = (probes.select("*", F.explode(cells).alias("__c"))
+              .select("*", F.col("__c.d").alias("d"),
+                      F.col("__c.bucket").alias("bucket"))
+              .drop("__c"))
+    return (probed.join(F.broadcast(cms), ["d", "bucket"], "left")
+            .groupBy(*probes.columns)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long")))
+                 .alias("cms_n")))

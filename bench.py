@@ -141,6 +141,7 @@ HEADLINE += [
     "pq_topk_det",           # oracle-checkable fixed-point PQ ADC search
     "ivfpq_topk_det",        # oracle-checkable full IVF-PQ + exact re-rank
     "prefix_jaccard_pairs",  # PPJoin prefix-filter exact similarity join
+    "cms_token_freq",        # count-min sketch point-frequency estimates
 ]
 
 

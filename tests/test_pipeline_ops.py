@@ -1989,3 +1989,35 @@ def test_prefix_filter_prefix_length_boundary(spark):
                                      "doc_id long, text string"),
                n=3, threshold=0.8).collect()}
     assert (1, 3) in got and (1, 2) not in got
+
+
+def test_cms_sketch_properties(spark):
+    """Count-Min invariants: estimates NEVER underestimate; a key space
+    far smaller than the width estimates exactly; merging two shard
+    sketches (cell-wise sum) equals the whole-corpus sketch."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(i, f"k{i % 17}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    true = {r["k"]: r["n"] for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cms = cms_build(df, "k", width=256, depth=4)
+    probes = df.select("k").distinct()
+    est = {r["k"]: r["cms_n"] for r in
+           cms_estimate(cms, probes, "k", width=256, depth=4).collect()}
+    assert est == true  # 17 keys in 256 buckets: no collisions expected
+    assert all(est[k] >= true[k] for k in true)
+
+    # mergeability: shard sketches sum cell-wise to the whole sketch
+    # (deterministic split by row index — a limit() split would draw
+    # two independent nondeterministic subsets)
+    a = cms_build(df.filter(F.col("i") < 500), "k", width=256, depth=4)
+    b = cms_build(df.filter(F.col("i") >= 500), "k", width=256, depth=4)
+    merged = {(r["d"], r["bucket"]): r["n"] for r in
+              a.unionByName(b).groupBy("d", "bucket")
+              .agg(F.sum("n").alias("n")).collect()}
+    whole = {(r["d"], r["bucket"]): r["n"] for r in cms.collect()}
+    assert merged == whole
