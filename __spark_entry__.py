@@ -5869,9 +5869,12 @@ WHERE rn <= 20
 # so this documented list can never drift from the dict.  Round-5 window:
 # (a) the 11 queries no round's driver has ever checked (r4's overflow —
 # 6 oracle-ready incl. the ivf/semantic det twins that close the ANN
-# hash-verification story, 5 rows-only by design), (b) the two NEW
-# round-5 contract rows (the det Bloom twin and the in-engine ANN recall
-# report), (c) backfill with the longest-unchecked greens — the r1/r2
+# hash-verification story, 5 rows-only by design), (b) the ten NEW
+# round-5 contract rows (det twins for Bloom decontamination,
+# incremental MinHash, PQ and IVF-PQ; the in-engine ANN recall report;
+# quality-aware keep-best dedup; corpus snapshot diff; per-domain
+# report; the PPJoin prefix-filter join; the Count-Min frequency tier),
+# (c) backfill with the longest-unchecked greens — the r1/r2
 # wave last driver-checked in round 2.  Everything checked in r3/r4 sits
 # past the window; every query in the dict, windowed or not, stays
 # pinned every pytest run by tests/test_oracle_parity.py.
