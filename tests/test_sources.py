@@ -434,3 +434,24 @@ def test_register_views_collision_raises(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path), hub_table="a-b", primary_id="x")
     with _pytest.raises(ValueError, match="collision"):
         cat.register_views()
+
+
+def test_spread_narrow_is_conditional(spark):
+    """Scale-safety contract of the spread idiom: a source already wider
+    than the parallelism passes through UNTOUCHED (no round-robin
+    exchange in the plan — at 100 TB that repartition would shuffle the
+    whole corpus), while a narrow source gains exactly one."""
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
+
+    wide = spark.range(0, 1000, 1, 64)  # 64 >= defaultParallelism(32)
+    out = spread_narrow(wide)
+    assert out is wide  # identity — plan untouched
+    assert "Repartition" not in \
+        out._jdf.queryExecution().optimizedPlan().toString()
+
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread_narrow(narrow)
+    assert out.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    assert "Repartition" in \
+        out._jdf.queryExecution().optimizedPlan().toString()
