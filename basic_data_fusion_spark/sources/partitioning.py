@@ -162,17 +162,33 @@ def write_sharded(df: DataFrame, path: str, id_col: str = "doc_id",
 
 
 def spread_narrow(df: DataFrame) -> DataFrame:
-    """Round-robin repartition ONLY when the input is narrower than the
-    cluster parallelism — the spread idiom for CPU-bound expression
-    pipelines (tokenize / md5 / shingle / dot-product passes).
+    """Round-robin repartition ONLY when the input is a NARROW SCAN —
+    the spread idiom for CPU-bound expression pipelines (tokenize /
+    md5 / shingle / dot-product passes).
 
     A single small file pins such a pass to one core in local tests; an
     unconditional ``repartition`` fixes that but becomes a full-corpus
     round-robin SHUFFLE at 100 TB, where a parquet corpus is already
     split into thousands of balanced ``maxPartitionBytes`` tasks and
-    needs no spread at all. The partition-count probe is plan-analysis
-    only (no job); results are unaffected either way — every consumer
-    pipeline is partitioning-invariant by design (hash-checked)."""
+    needs no spread at all.
+
+    Two-stage check, cheap-first: (1) if the ANALYZED plan already
+    contains a shuffle-producing operator (aggregate / join / window /
+    sort / repartition / distinct), the data is redistributed upstream —
+    skip entirely.  This guard matters twice over: probing such a plan
+    with ``.rdd`` forces a full physical-planning pass (~seconds on a
+    long curation chain, paid at every plan build), and the pre-AQE
+    partition estimate it returns is wrong anyway (it reported 1 for a
+    post-join relation, which would insert a spurious mid-chain text
+    shuffle — measured 1.5× on the chained curation query).  (2) For
+    scan-shaped plans the partition-count probe runs as before (no job;
+    the file listing it triggers is needed by the query regardless).
+    Results are unaffected either way — every consumer pipeline is
+    partitioning-invariant by design (hash-checked)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(r"\b(Aggregate|Join|Window|Sort|Repartition|Deduplicate"
+                 r"|Generate)\b", plan):
+        return df
     npart = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < npart:
         return df.repartition(npart)

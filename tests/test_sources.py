@@ -455,3 +455,13 @@ def test_spread_narrow_is_conditional(spark):
         spark.sparkContext.defaultParallelism
     assert "Repartition" in \
         out._jdf.queryExecution().optimizedPlan().toString()
+
+    # a plan with an upstream shuffle passes through untouched too —
+    # the aggregate/join already redistributes, and the pre-AQE
+    # partition probe both costs a planning pass and lies about the
+    # final layout (it inserted a spurious mid-chain shuffle before
+    # this guard existed)
+    from pyspark.sql import functions as F
+    derived = (narrow.groupBy((F.col("id") % 10).alias("g"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    assert spread_narrow(derived) is derived
