@@ -4084,13 +4084,19 @@ arms AS (
   SELECT 'ivf' AS arm, query_id, neighbor_id FROM ivf
   UNION ALL
   SELECT 'sq8' AS arm, query_id, neighbor_id FROM sq8
+),
+exact_n AS (
+  SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1
 )
 SELECT a.arm, a.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_returned,
        CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(e.neighbor_id) AS DOUBLE) / CAST(5.0 AS DOUBLE)
-         AS recall_at_k
+       -- denominator mirrors similarity.ann_recall: min(k, n_exact),
+       -- so a perfect arm scores 1.0 even when the corpus holds < k
+       CAST(COUNT(e.neighbor_id) AS DOUBLE)
+         / CAST(LEAST(5, MAX(en.n_exact)) AS DOUBLE) AS recall_at_k
 FROM arms a
+JOIN exact_n en ON en.query_id = a.query_id
 LEFT JOIN exact e
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY a.arm, a.query_id

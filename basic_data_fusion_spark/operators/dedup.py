@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cache_pinned
 from ..sources.partitioning import spread_narrow
 from .text import fingerprint, tokens
 
@@ -307,7 +308,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         rare = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_shingle_doc_freq).select("shingle"))
         sh = sh.join(rare, "shingle", "left_semi")
-    sh = sh.persist()
+    sh = cache_pinned(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -439,7 +440,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         first = sig.select(F.size("signature").alias("n")).first()
         num_hashes = first["n"]
     banded = minhash_band_keys(sig, id_col, id_col, bands, num_hashes,
-                               hash_buckets=hash_buckets).persist()
+                               hash_buckets=hash_buckets)
+    banded = cache_pinned(banded)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
@@ -460,8 +462,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     # sides of the candidate join — parallelize and persist it
     sets = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
             .select(F.col(id_col),
-                    word_shingles(F.col(text_col), n).alias("shingles"))
-            .persist())
+                    word_shingles(F.col(text_col), n).alias("shingles")))
+    sets = cache_pinned(sets)
     # deterministic tier: md5-derived base hash + raw-string band
     # buckets — every key reproducible in plain SQL, so the WHOLE
     # candidate pipeline (not just the verified output) oracle-checks
@@ -719,9 +721,9 @@ def _simhash_band_join(df: DataFrame, sketch: Column,
     is repartitioned for CPU parallelism and persisted so the self-join
     doesn't evaluate the vote fold twice."""
     spark = df.sparkSession
-    sh = (df.repartition(spark.sparkContext.defaultParallelism)
-          .select(F.col(id_col), sketch.alias("simhash"))
-          .persist())
+    sh = cache_pinned(
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col), sketch.alias("simhash")))
     banded = sh.select(id_col, "simhash",
                        F.explode(F.array(*band_structs)).alias("bb")) \
                .select(id_col, "simhash", "bb.band", "bb.bits")
@@ -1018,16 +1020,23 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
     ``scored`` supplies (id, score); singletons keep themselves.  One
     cluster-keyed window ranks members — cluster sizes are bounded by
     the upstream pair threshold, so the window partition never holds
-    more than a duplicate clique.  Returns (id, cluster_id,
-    cluster_size, score, keep).
+    more than a duplicate clique.  A document MISSING from ``scored``
+    is kept in the output with a NULL score and ranks LAST in its
+    cluster (min-id tie-break) — an inner join here would silently drop
+    the doc from the report AND could shift which member a cluster
+    keeps, turning an upstream scoring gap into a wrong dedup decision.
+    Returns (id, cluster_id, cluster_size, score, keep).
     """
     from pyspark.sql import Window
 
     clusters = dedup_clusters(df, pairs, id_col=id_col)
     joined = clusters.join(scored.select(F.col(id_col),
-                                         F.col(score_col)), id_col)
+                                         F.col(score_col)), id_col, "left")
+    # NULL score → -inf rank key: unscored members lose to any scored one
+    rank_score = F.coalesce(F.col(score_col),
+                            F.lit(float("-inf")).cast("double"))
     w = (Window.partitionBy("cluster_id")
-         .orderBy(F.desc(score_col), F.asc(id_col)))
+         .orderBy(F.desc(rank_score), F.asc(id_col)))
     return (joined.withColumn("keep", F.row_number().over(w) == 1)
             .select(id_col, "cluster_id", "cluster_size", score_col,
                     "keep"))
@@ -1133,8 +1142,10 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     — the skew profile the df-capped exhaustive tier needs a cap for,
     PPJoin gets for free.
 
-    Scale shape: one groupBy(shingle) for the df table; the rank join
-    shuffles (doc, shingle, df) triples; the prefix explode carries
+    Scale shape: one count-only groupBy(shingle) for the df table
+    (aggregation state is a single long per shingle — bounded at ANY
+    skew); the df join re-emits (doc, shingle, df) triples as a
+    STREAMED per-key fan-out; the prefix explode carries
     ~(1−t)·|S|+1 rows per doc; the candidate join keys on low-df
     shingles only; verification re-joins candidate ids to the two
     shingle-set relations. Shuffle keys are shingle hashes and id
@@ -1144,24 +1155,32 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     t = float(threshold)
-    base = (spread_narrow(df)
-            .select(F.col(id_col),
-                    word_shingles(F.col(text_col), n).alias("__sh")))
+    # the shingle arrays feed the df count AND the df join — persist so
+    # the tokenize/slice/concat pipeline evaluates once (lifecycle:
+    # caching.cache_pinned; deterministic, so eviction is always safe)
+    base = cache_pinned(
+        spread_narrow(df)
+        .select(F.col(id_col),
+                word_shingles(F.col(text_col), n).alias("__sh")))
     inst = base.select(id_col, F.explode("__sh").alias("shingle"))
-    # df annotation WITHOUT a join: one groupBy(shingle) carries both
-    # the count and the doc list, the explode re-emits (doc, shingle,
-    # df) triples — two shuffles total and the shingle pipeline
-    # evaluates once (A/B'd ~20% faster than the dfreq-join form; a
-    # row_number window costs another sort pass on top of that).
-    # (df, shingle) postings per key are bounded ONLY by that shingle's
-    # df — the same per-key profile as the verification tier's shingle
-    # join; a df cap is deliberately absent because the prefix cut
-    # below, not candidate generation, is what reads these lists.
-    by_sh = (inst.groupBy("shingle")
-             .agg(F.count(F.lit(1)).alias("__df"),
-                  F.collect_list(id_col).alias("__docs")))
-    triples = by_sh.select("shingle", "__df",
-                           F.explode("__docs").alias(id_col))
+    # df annotation via count-aggregate + join (round-6 rework): the
+    # previous single-shuffle fold collected each shingle's FULL doc-id
+    # posting list into one aggregation row before re-exploding it — a
+    # boilerplate shingle present in ~every document put the whole
+    # corpus's ids in one task (the collect_list-on-a-skewed-key OOM;
+    # the one 100 TB scale-killer the r5 audit found).  The count
+    # aggregation's state is one long per shingle regardless of skew,
+    # and the join fans a hot key out across streamed rows instead of
+    # one materialized array.  A df-capped hybrid (fold cold shingles,
+    # join only hot ones) was considered and rejected: finding hot
+    # shingles requires exactly this count pass, after which one join
+    # annotates hot and cold instances alike — a third cold-path
+    # aggregation would only add a shuffle.  Net cost vs the fold: one
+    # extra (doc, shingle) shuffle (~20% locally, planted-skew test in
+    # test_pipeline_ops); bounded memory at any skew is the price's
+    # justification.
+    dfreq = inst.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    triples = inst.join(dfreq, "shingle")
     # per-doc rarity order via ONE doc-keyed aggregation: collect the
     # (df, shingle) structs, array_sort (struct order = (df ASC,
     # shingle ASC) — the global rarity total order), slice the prefix.
@@ -1172,12 +1191,12 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # per_doc's sorted array ALSO carries each doc's full shingle set,
     # so the prefix cut AND both verification sides read the persisted
     # doc-count-sized relation — nothing upstream re-evaluates.
-    per_doc = (triples
-               .groupBy(id_col)
-               .agg(F.array_sort(
-                   F.collect_list(F.struct("__df", "shingle")))
-                   .alias("__ranked"))
-               .persist())
+    per_doc = cache_pinned(
+        triples
+        .groupBy(id_col)
+        .agg(F.array_sort(
+            F.collect_list(F.struct("__df", "shingle")))
+            .alias("__ranked")))
     s_sz = F.size("__ranked")
     plen = (s_sz - F.ceil(F.round(F.lit(t) * s_sz, 9)) + 1).cast("int")
     prefix = (per_doc

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cache_pinned
 from ..sources.partitioning import spread_narrow
 
 
@@ -504,9 +505,16 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     if centroids is None:
         n = df.count()
         cells = max(int(k), -(-n // max(1, int(target_cell_size))))
+        # the training sample must grow with the cell count: a fixed
+        # 100k-vector cap meets cells = n/256 at n ≈ 25.6M, where k-means
+        # k would exceed its training points and the quantizer
+        # degenerates at exactly the scale the auto-scaling exists for.
+        # ≥4 training vectors per cell keeps Lloyd well-posed while the
+        # sample stays ≤ n/64 of the corpus — still a bounded pass.
+        eff_train = max(int(train_sample), 4 * cells)
         train_df = df
-        if n > train_sample:
-            ppm = int(1_000_000 * train_sample / n)
+        if n > eff_train:
+            ppm = int(1_000_000 * eff_train / n)
             train_df = df.filter(
                 F.pmod(F.xxhash64(F.col(id_col), F.lit(17)),
                        F.lit(1_000_000)) < ppm)
@@ -535,9 +543,9 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     index_fn = (ivf_index_two_level
                 if (not deterministic and len(centroids) >= 64)
                 else ivf_index)
-    indexed = (index_fn(df, centroids, id_col, vec_col, metric=metric)
-               .withColumn("__norm", norm_expr)
-               .persist())
+    indexed = cache_pinned(
+        index_fn(df, centroids, id_col, vec_col, metric=metric)
+        .withColumn("__norm", norm_expr))
     a = indexed.select("cell", F.col(id_col).alias("id_a"),
                        F.col(vec_col).alias("__va"), F.col("__norm").alias("__na"))
     b = indexed.select("cell", F.col(id_col).alias("id_b"),
@@ -958,10 +966,21 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
     ``recall_at_k`` an integer-derived division, so the report
     value-hashes cross-engine.
 
+    The denominator is ``min(k, per-query exact-result count)``: when
+    the corpus holds fewer than ``k`` vectors the exact tier returns
+    fewer than ``k`` neighbors, and a fixed-``k`` denominator would cap
+    a PERFECT arm below 1.0 — exactly the regime (tiny eval slices,
+    filtered corpora) where a recall gate matters most.
+
     Returns (arm, query_id, n_returned, n_hits, recall_at_k).
     """
+    if not arms:
+        raise ValueError("ann_recall needs at least one arm to score")
     ex = (exact.select("query_id", "neighbor_id")
           .withColumn("__hit", F.lit(1)))
+    # per-query exact count — query-set-sized, rides the same broadcast
+    ex_n = (ex.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_exact")))
     tagged = None
     for name in sorted(arms):
         t = (arms[name].select("query_id", "neighbor_id")
@@ -973,7 +992,10 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
            .agg(F.count(F.lit(1)).cast("long").alias("n_returned"),
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                 .cast("long").alias("n_hits")))
-    return per.select(
-        "arm", "query_id", "n_returned", "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(float(int(k))))
-        .alias("recall_at_k"))
+    return (per.join(F.broadcast(ex_n), "query_id")
+            .select(
+                "arm", "query_id", "n_returned", "n_hits",
+                (F.col("n_hits").cast("double")
+                 / F.least(F.lit(int(k)), F.col("__n_exact"))
+                 .cast("double"))
+                .alias("recall_at_k")))

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import cache_pinned
 from ..sources.partitioning import spread_narrow
 
 # Minimal stopword profiles for the n-gram/stopword language heuristic.
@@ -923,7 +924,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3, w: int = 4,
                          min_shared: int = 2,
-                         max_df: int | None = 1000) -> DataFrame:
+                         max_df: int | None = 1000,
+                         span: int = 1000) -> DataFrame:
     """Document near-dup/plagiarism candidates from shared winnowing
     fingerprints (the MOSS match step): docs pair when they share at
     least ``min_shared`` distinct fingerprint VALUES. The join key is
@@ -939,25 +941,44 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
     ``None`` to disable. Returns (id_a, id_b, n_shared) with
     id_a < id_b.
 
-    Plan shape (round-5 rework, prompted by the r4 plan audit): the
-    expensive md5 fingerprint pipeline is evaluated ONCE — a single
-    ``groupBy(fp)`` collects each fingerprint's (``max_df``-bounded)
-    sorted doc-id set, the df cap is an array-size filter on that set,
-    and the d·(d−1)/2 pairs expand map-side from the array — instead of
-    the previous distinct → df-count → semi-join → fp-keyed self-join
-    lineage that recomputed the fingerprints three times and shuffled
-    five times. Two shuffles total: the fp grouping and the pair
-    count."""
-    fp_rel = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
-                                 k=k, w=w)
-    # collect_set dedups (doc, fp) repeats; sort gives id_a < id_b for
-    # free when expanding i<j index pairs
-    grouped = (fp_rel.groupBy("fp")
+    Plan shape (round-6 rework): the r5 single-``collect_set`` fold
+    materialized each fingerprint's FULL doc-id set in one aggregation
+    row BEFORE the df-cap filter could drop it — the same
+    collect-on-a-skewed-key profile the r5 audit flagged on the PPJoin
+    tier (a universal boilerplate fingerprint = one corpus-sized array
+    in one task), and with ``max_df=None`` the d·(d−1)/2 expansion
+    ALSO ran map-side in that single task. Now: (1) a count-only
+    two-phase ``countDistinct`` df pass whose state is bounded at any
+    skew; (2) fingerprints with df ≤ ``span`` take the array fold —
+    collect_set is now BOUNDED because the df filter runs BEFORE the
+    collect — and expand map-side; (3) rarer-than-``max_df`` but
+    hotter-than-``span`` fingerprints (only reachable with ``max_df`` >
+    ``span`` or ``None``) expand through a distributed fp-keyed self-join,
+    spreading a hot fingerprint's quadratic blowup across tasks instead
+    of concentrating it. The md5 fingerprint pipeline still evaluates
+    once (persisted via caching.cache_pinned — winnowed density is
+    ~2/(w+1) of the shingle set, far below text size). ``span`` is the
+    per-task bound the array path honors (parameterized so tests can
+    exercise the join path on small corpora)."""
+    fp_rel = cache_pinned(
+        winnow_fingerprints(df, text_col=text_col, id_col=id_col,
+                            k=k, w=w).select(F.col(id_col), "fp"))
+    # two-phase distinct count: (fp, id) partial-dedup then fp count —
+    # both aggregation states bounded regardless of fingerprint skew
+    dfreq = (fp_rel.groupBy("fp")
+             .agg(F.countDistinct(F.col(id_col)).alias("__df")))
+    eligible = dfreq.where(F.col("__df") >= 2)
+    if max_df is not None:
+        eligible = eligible.where(F.col("__df") <= max_df)
+    small = eligible.where(F.col("__df") <= span).select("fp")
+    big = eligible.where(F.col("__df") > span).select("fp")
+    # small path: df-filtered BEFORE the collect, so every array ≤ span;
+    # collect_set dedups (doc, fp) repeats and sort gives id_a < id_b
+    # for free when expanding i<j index pairs
+    grouped = (fp_rel.join(small, "fp")
+               .groupBy("fp")
                .agg(F.sort_array(F.collect_set(F.col(id_col)))
                     .alias("__ids")))
-    grouped = grouped.where(F.size("__ids") >= 2)
-    if max_df is not None:
-        grouped = grouped.where(F.size("__ids") <= max_df)
     ids = F.col("__ids")
     pair_expr = F.flatten(F.transform(
         F.sequence(F.lit(1), F.size(ids) - 1),
@@ -965,8 +986,17 @@ def winnow_overlap_pairs(df: DataFrame, text_col: str = "text",
             F.sequence(i + 1, F.size(ids)),
             lambda j: F.struct(F.element_at(ids, i).alias("id_a"),
                                F.element_at(ids, j).alias("id_b")))))
-    return (grouped.select(F.explode(pair_expr).alias("__p"))
-            .select("__p.id_a", "__p.id_b")
+    small_pairs = (grouped.select(F.explode(pair_expr).alias("__p"))
+                   .select("__p.id_a", "__p.id_b"))
+    # big path: distributed expansion — the self-join streams a hot
+    # fingerprint's pair fan-out across tasks; dedup (doc, fp) first so
+    # multi-position repeats don't inflate n_shared
+    hot = fp_rel.join(big, "fp").distinct()
+    big_pairs = (hot.select("fp", F.col(id_col).alias("id_a"))
+                 .join(hot.select("fp", F.col(id_col).alias("id_b")), "fp")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b"))
+    return (small_pairs.unionByName(big_pairs)
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
             .where(F.col("n_shared") >= min_shared))

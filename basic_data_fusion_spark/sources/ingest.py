@@ -259,11 +259,13 @@ def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"
     side keeps only the raw line — write it to a rejects sink for replay
     after the schema/parser is fixed.
 
-    The parse result is persisted: Spark refuses corrupt-column-only
-    queries against a raw JSON scan (the pushed-down parse would skip
-    the very rows being asked for), and persisting also means ONE parse
-    pass serves both the clean and quarantine sides."""
-    df = df.persist()
+    The parse result is persisted (lifecycle: caching.cache_pinned):
+    Spark refuses corrupt-column-only queries against a raw JSON scan
+    (the pushed-down parse would skip the very rows being asked for),
+    and persisting also means ONE parse pass serves both the clean and
+    quarantine sides."""
+    from ..caching import cache_pinned
+    df = cache_pinned(df)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return clean, bad

@@ -184,12 +184,48 @@ def spread_narrow(df: DataFrame) -> DataFrame:
     scan-shaped plans the partition-count probe runs as before (no job;
     the file listing it triggers is needed by the query regardless).
     Results are unaffected either way — every consumer pipeline is
-    partitioning-invariant by design (hash-checked)."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"\b(Aggregate|Join|Window|Sort|Repartition|Deduplicate"
-                 r"|Generate)\b", plan):
+    partitioning-invariant by design (hash-checked).
+
+    The operator check WALKS the analyzed logical plan's node tree
+    (``TreeNode.nodeName`` per node) rather than word-matching the
+    rendered plan string — a column named ``Sort`` or a string literal
+    ``'Join'`` in a filter appears verbatim in the rendered text and
+    would false-positive a plain scan into silently skipping its spread
+    (round-6 fix; the private-API surface is pinned by
+    tests/test_sources.py::test_spread_narrow_plan_probe so a Spark
+    upgrade that changes it fails loudly instead of silently)."""
+    if _plan_has_shuffle_node(df):
         return df
     npart = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < npart:
         return df.repartition(npart)
     return df
+
+
+# Logical operators whose presence implies the data is (or will be)
+# redistributed — or, for Generate/explode, that row width is about to
+# fan out — upstream of the consumer, making a pre-spread pointless.
+# Repartition covers coalesce/repartition(n); RepartitionByExpression
+# covers repartition(cols)/hint-based forms.
+_SHUFFLE_NODE_NAMES = frozenset({
+    "Aggregate", "Join", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "Deduplicate", "Generate",
+    "GlobalLimit", "Intersect", "Except",
+})
+
+
+def _plan_has_shuffle_node(df: DataFrame) -> bool:
+    """True if the analyzed logical plan contains a shuffle-producing
+    (or row-fanning) operator node.  Walks ``nodeName()`` over the py4j
+    plan tree — exact class-derived names, immune to column names or
+    string literals that happen to contain operator words."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() in _SHUFFLE_NODE_NAMES:
+            return True
+        children = node.children()
+        it = children.iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return False

@@ -2021,3 +2021,126 @@ def test_cms_sketch_properties(spark):
               .agg(F.sum("n").alias("n")).collect()}
     whole = {(r["d"], r["bucket"]): r["n"] for r in cms.collect()}
     assert merged == whole
+
+
+# ---------------- round-6 regression tests ----------------
+
+
+def test_prefix_filter_planted_stop_shingle(spark):
+    """Skew guard for the PPJoin df annotation (r5 audit finding): a
+    boilerplate shingle planted in EVERY document previously made one
+    collect_list aggregation row hold the whole corpus's ids. The
+    count+join form is bounded at any skew — and must still produce
+    exactly the exhaustive tier's pair set on the skewed corpus."""
+    stop = "click here to accept cookies"  # shared 3-shingles in all docs
+    rows = [(i, f"{stop} unique{i} content{i} words{i} body{i} tail{i}")
+            for i in range(40)]
+    rows += [(100, f"{stop} alpha beta gamma delta epsilon zeta"),
+             (101, f"{stop} alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.prefix_filter_jaccard_pairs(df, n=3,
+                                             threshold=0.5).collect()}
+    assert got == exact
+    assert (100, 101) in got  # the planted near-dup survives the skew
+
+
+def test_keep_best_missing_score_defaults(spark):
+    """A doc absent from ``scored`` stays in the report (NULL score) and
+    ranks LAST in its cluster — the r5 inner join silently dropped it
+    and could flip which member the cluster keeps."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (7, "lonely")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    # doc 1 (min id, would win an id tie-break) is UNSCORED; doc 2 scored
+    scored = spark.createDataFrame([(2, 0.1)],
+                                   "doc_id long, quality_score double")
+    got = {r["doc_id"]: r for r in
+           dedup.keep_best_per_cluster(docs, pairs, scored).collect()}
+    assert set(got) == {1, 2, 7}          # nothing silently dropped
+    assert got[1]["quality_score"] is None
+    assert got[2]["keep"] and not got[1]["keep"]  # any score beats none
+    assert got[7]["keep"]                  # unscored singleton keeps itself
+
+
+def test_winnow_overlap_join_path_matches_array_path(spark):
+    """The distributed self-join expansion (fingerprints hotter than
+    ``span``) and the map-side array expansion produce identical
+    (id_a, id_b, n_shared) sets — pinned by forcing every fingerprint
+    through each path on the same corpus."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    rows = [(i, base + f" tail{i} extra{i}") for i in range(8)]
+    rows.append((50, "entirely different set of words here now ok"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_array = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+                 text.winnow_overlap_pairs(df, max_df=None,
+                                           span=1000).collect()}
+    via_join = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+                text.winnow_overlap_pairs(df, max_df=None,
+                                          span=1).collect()}
+    assert via_join == via_array and via_array
+    # max_df still caps BOTH paths
+    capped = text.winnow_overlap_pairs(df, max_df=2, span=1).collect()
+    hot_df8 = [p for p in capped if p["id_a"] < 8 and p["id_b"] < 8]
+    assert hot_df8 == []  # the 8-doc-hot fingerprints are over the cap
+
+
+def test_cache_pinned_lifecycle(spark):
+    """Operator persists register with the caching module; release_cached
+    unpersists them all (JVM-side persistent RDD count returns to its
+    baseline) — the documented batch-driver lifecycle contract."""
+    from basic_data_fusion_spark.caching import (
+        pinned_count,
+        release_cached,
+    )
+
+    release_cached()  # clean slate from earlier tests in the session
+    jvm_rdds = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i % 3} repeated") for i in range(30)],
+        "doc_id long, text string")
+    for _ in range(2):  # repeated invocation must not leak unbounded
+        dedup.prefix_filter_jaccard_pairs(df, n=2, threshold=0.9).count()
+    assert pinned_count() >= 2
+    released = release_cached()
+    assert released >= 2 and pinned_count() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= jvm_rdds
+
+
+def test_ann_recall_guards(spark):
+    """Empty arms dict raises (was AttributeError); a perfect arm on a
+    corpus smaller than k scores 1.0 — the denominator is
+    min(k, per-query exact count), not the literal k."""
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "query_id long, neighbor_id long")
+    with pytest.raises(ValueError, match="at least one arm"):
+        similarity.ann_recall(exact, {}, k=5)
+    got = {(r["arm"], r["query_id"]): r for r in
+           similarity.ann_recall(exact, {"perfect": exact},
+                                 k=5).collect()}
+    # query 1 has 2 exact neighbors, query 2 has 1 — both < k=5
+    assert got[("perfect", 1)]["recall_at_k"] == 1.0
+    assert got[("perfect", 2)]["recall_at_k"] == 1.0
+
+
+def test_semantic_dedup_train_sample_scales_with_cells(spark):
+    """The quantizer training sample grows with the auto-scaled cell
+    count: a tiny ``train_sample`` with many cells previously left
+    k-means with fewer training points than clusters (degenerate at
+    ~25.6M vectors in production; reproduced here with a tiny
+    target_cell_size at toy scale). Must run and keep every planted exact-dup drop."""
+    rng = np.random.default_rng(11)
+    base = [float(x) for x in rng.standard_normal(8)]
+    rows = [(1, base), (2, base)]  # planted exact dup
+    rows += [(10 + j, [float(x) for x in rng.standard_normal(8)])
+             for j in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # cells = ceil(302/2) = 151 >> train_sample=10 -> eff_train = 604 > n
+    out = {r["vec_id"]: r for r in
+           similarity.semantic_dedup(df, target_cell_size=2,
+                                     train_sample=10,
+                                     threshold=0.999).collect()}
+    assert len(out) == 302
+    assert out[1]["keep"] and not out[2]["keep"]

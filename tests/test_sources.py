@@ -465,3 +465,40 @@ def test_spread_narrow_is_conditional(spark):
     derived = (narrow.groupBy((F.col("id") % 10).alias("g"))
                .agg(F.count(F.lit(1)).alias("n")))
     assert spread_narrow(derived) is derived
+
+
+def test_spread_narrow_plan_probe(spark):
+    """Pin the private-API plan probe (r6: _jdf.queryExecution().
+    analyzed() tree walk via nodeName()/children()) across the three
+    plan shapes that decide the spread, PLUS the false-positive trap
+    the old rendered-string regex fell into: a column literally named
+    ``Sort`` with a filter literal ``'Join'`` appears verbatim in the
+    rendered plan text but must NOT suppress the spread. Fails loudly
+    if a Spark upgrade changes the py4j surface or node names."""
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.sources.partitioning import (
+        _plan_has_shuffle_node,
+        spread_narrow,
+    )
+
+    narrow = spark.range(0, 100, 1, 1)
+    # scan shape: no shuffle node -> spread happens
+    assert not _plan_has_shuffle_node(narrow)
+    # post-join shape: Join node found -> skip
+    joined = narrow.alias("a").join(narrow.alias("b"), "id")
+    assert _plan_has_shuffle_node(joined)
+    assert spread_narrow(joined) is joined
+    # exploded shape: Generate node found -> skip
+    exploded = narrow.select(F.explode(F.array(F.lit(1), F.lit(2))))
+    assert _plan_has_shuffle_node(exploded)
+    assert spread_narrow(exploded) is exploded
+    # sorted shape: Sort node found -> skip
+    assert _plan_has_shuffle_node(narrow.orderBy("id"))
+    # trap: operator words as COLUMN NAMES / string literals only
+    trap = (narrow.withColumn("Sort", F.lit("Join"))
+            .withColumn("Window", F.lit("Aggregate Generate"))
+            .filter(F.col("Sort") == "Join"))
+    assert not _plan_has_shuffle_node(trap)
+    assert spread_narrow(trap).rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
