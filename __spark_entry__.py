@@ -242,17 +242,83 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 interactive/100 TB tier: identical summary shape to
-    `column_summary` with the median from `approx_percentile` (KLL-style
-    mergeable sketch, bounded memory per partition) instead of the exact
-    `percentile` (which buffers every value into one final merge — a
-    global sort per column). This is the documented at-scale switch for
-    the percentile surface; sketch output is engine-specific → rows-only
-    driver check, exactness bound pytest-verified against the exact
-    tier."""
-    return _column_summary_impl(
-        spark, sf_dir,
-        lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)").cast("double"))
+    """A5 interactive/100 TB tier as a BAND REPORT (r6 conversion from
+    rows-only to hash-checked): the summary's deterministic columns
+    (n / missing / fixed-point mean / min / max) stay exact, and the
+    `approx_percentile` median (KLL-style mergeable sketch — the
+    documented at-scale switch for the percentile surface) is exposed
+    as ``median_within_band``: does the sketch's median lie between the
+    exact 0.49 and 0.51 quantiles?  The sketch VALUE is engine-specific
+    and can't hash; the band verdict can — the oracle replays the exact
+    side and asserts the flag, so a sketch drifting out of its rank
+    budget (accuracy 10000 → rank error 1e-4, 100× inside the band)
+    flips a hash-checked bit instead of hiding in a rows-only row.
+    Same one-aggregation-pass shape as the exact tier."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+
+    cat = _catalog(spark, sf_dir)
+    rows = []
+    for table, cols in (("customer", ["c_acctbal"]),
+                        ("lineitem", ["l_quantity", "l_extendedprice",
+                                      "l_discount"])):
+        df = (cat.load(table).select(*cols)
+              .repartition(spark.sparkContext.defaultParallelism))
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in cols:
+            col = F.col(c).cast("double")
+            aggs += [
+                F.count(col).alias(f"n_{c}"),
+                (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
+                F.expr(f"approx_percentile({c}, 0.5, 10000)")
+                .cast("double").alias(f"ap_{c}"),
+                F.expr(f"percentile({c}, 0.49)").alias(f"lo_{c}"),
+                F.expr(f"percentile({c}, 0.51)").alias(f"hi_{c}"),
+                F.min(col).alias(f"min_{c}"),
+                F.max(col).alias(f"max_{c}"),
+            ]
+        row = df.agg(*aggs).first()  # one job; result is a single row
+        for c in cols:
+            rows.append((f"{table}.{c}", row[f"n_{c}"],
+                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
+                         row[f"min_{c}"], row[f"max_{c}"],
+                         bool(row[f"lo_{c}"] <= row[f"ap_{c}"]
+                              <= row[f"hi_{c}"])))
+    return spark.createDataFrame(
+        rows, "column string, n_non_null long, n_missing long, mean double, "
+              "min double, max double, median_within_band boolean")
+
+
+_COLUMN_SUMMARY_APPROX_ORACLE = """
+SELECT 'customer.c_acctbal' AS "column",
+       COUNT(c_acctbal) AS n_non_null,
+       (SELECT COUNT(*) FROM customer) - COUNT(c_acctbal) AS n_missing,
+       SUM(CAST(ROUND(c_acctbal * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(c_acctbal) AS mean,
+       MIN(c_acctbal) AS min, MAX(c_acctbal) AS max,
+       TRUE AS median_within_band
+FROM customer
+UNION ALL
+SELECT 'lineitem.' || c AS "column", n_non_null, n_missing, mean, min, max,
+       TRUE AS median_within_band
+FROM (
+  SELECT 'l_quantity' AS c, COUNT(l_quantity) AS n_non_null,
+         (SELECT COUNT(*) FROM lineitem) - COUNT(l_quantity) AS n_missing,
+         SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_quantity) AS mean,
+         MIN(l_quantity) AS min, MAX(l_quantity) AS max
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+         (SELECT COUNT(*) FROM lineitem) - COUNT(l_extendedprice),
+         SUM(CAST(ROUND(l_extendedprice * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_extendedprice),
+         MIN(l_extendedprice), MAX(l_extendedprice)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount),
+         (SELECT COUNT(*) FROM lineitem) - COUNT(l_discount),
+         SUM(CAST(ROUND(l_discount * 1000000.0, 0) AS BIGINT)) / 1000000.0 / COUNT(l_discount),
+         MIN(l_discount), MAX(l_discount)
+  FROM lineitem
+)
+"""
 
 
 def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
@@ -4939,18 +5005,36 @@ FROM counts CROSS JOIN tot
 
 
 def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataSketches HLL distinct estimates for orders columns
-    (aggregations.hll_distinct_counts) — the mergeable interactive
-    tier for the catalog's distinct scans. Sketch internals are
-    engine-specific → rows-only driver check; the error band and the
-    union-equals-whole merge contract are pytest-verified."""
+    """DataSketches HLL distinct tier as a BAND REPORT (r6 conversion
+    from rows-only to hash-checked, aggregations.hll_band_report): per
+    orders column, the exact distinct count plus ``within_band`` — is
+    the hll_sketch_agg estimate within 5% of exact (lg_k=12 ⇒ ~0.8%
+    expected error, so the flag has 6σ headroom)?  The raw estimate is
+    engine-specific and stays internal; the exact side + the verdict
+    boolean value-hash against DuckDB.  The mergeable rollup surface
+    (hll_partitioned_sketches / hll_merge_estimate) and the
+    union-equals-whole contract remain pytest-verified."""
     from basic_data_fusion_spark.operators.aggregations import (
-        hll_distinct_counts,
+        hll_band_report,
     )
 
     orders = _catalog(spark, sf_dir).load("orders")
-    return hll_distinct_counts(orders, ["o_custkey", "o_orderstatus",
-                                        "o_orderpriority"])
+    return hll_band_report(orders, ["o_custkey", "o_orderstatus",
+                                    "o_orderpriority"])
+
+
+_HLL_BAND_ORACLE = """
+SELECT 'o_custkey' AS column_name,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS within_band
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), TRUE
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), TRUE
+FROM orders
+"""
 
 
 def q_approx_top_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5626,21 +5710,49 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (GPT-3-style logistic classifier over
-    hashed token features): train English-vs-rest on the corpus, score
-    every doc. L-BFGS coefficients are float-iterative → rows-only
-    driver tier; separation quality is pytest-verified on planted
-    classes."""
+    hashed token features) as a PLANTED-AUC GATE (r6 conversion from
+    rows-only to hash-checked): inject a marker token into the text of
+    even-id documents IN-QUERY, train the full HashingTF+LR pipeline on
+    the planted classes, score the corpus, and compute the Mann-Whitney
+    ROC AUC in-engine (selection.binary_auc — exact tie handling,
+    integer-derived ranks).  A working trainer separates a perfectly
+    planted signal near AUC 1.0, so ``auc_above_threshold`` (≥ 0.95) is
+    a robust hash-checkable bit at any scale factor — unlike the raw
+    L-BFGS coefficients (float-iterative, engine-specific) or the
+    natural en-vs-rest AUC (corpus-dependent, measured as low as 0.55
+    on the synthetic sf0.1 corpus).  The oracle replays the exact class
+    counts and asserts the flag."""
     from basic_data_fusion_spark.operators.selection import (
+        binary_auc,
         quality_classifier_scores,
         train_quality_classifier,
     )
 
     docs = _catalog(spark, sf_dir).load("documents")
+    is_pos = F.col("doc_id") % 2 == 0
+    planted = docs.select(
+        "doc_id",
+        F.when(is_pos,
+               F.concat(F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(" qmarker qmarker qmarker")))
+        .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+        is_pos.alias("__pos"))
     model = train_quality_classifier(
-        docs.filter(F.col("lang") == "en"),
-        docs.filter(F.col("lang") != "en"), buckets=1 << 12)
-    return (quality_classifier_scores(docs, model)
-            .select("doc_id", (F.col("quality_prob") > 0.5).alias("is_target_like")))
+        planted.filter("__pos"), planted.filter(~F.col("__pos")),
+        buckets=1 << 12)
+    scored = (quality_classifier_scores(planted, model)
+              .join(planted.select("doc_id", "__pos"), "doc_id"))
+    return (binary_auc(scored, F.col("__pos"))
+            .select("n_pos", "n_neg",
+                    (F.col("auc") >= 0.95).alias("auc_above_threshold")))
+
+
+_QUALITY_CLASSIFIER_ORACLE = """
+SELECT CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+       TRUE AS auc_above_threshold
+FROM documents
+"""
 
 
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6160,6 +6272,10 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),
         "cms_token_freq": _cms_token_freq_oracle(),
+        # r6 band-report conversions: formerly rows-only sketch/ML tiers
+        "hll_distinct_orders": _HLL_BAND_ORACLE,
+        "column_summary_approx": _COLUMN_SUMMARY_APPROX_ORACLE,
+        "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,
         "simhash_det": _simhash_det_oracle(),
         "ivf_topk_det": _ivf_det_oracle(),
         "semantic_dedup_det": _semantic_dedup_det_oracle(),

@@ -274,6 +274,43 @@ def hll_distinct_counts(df: DataFrame, columns: list[str],
         .alias(f"{c}_approx_distinct") for c in columns])
 
 
+def hll_band_report(df: DataFrame, columns: list[str], lg_k: int = 12,
+                    band: float = 0.05) -> DataFrame:
+    """Acceptance-gate report for the HLL distinct tier: one pass
+    computes, per column, the EXACT distinct count and the sketch
+    estimate, and emits ``(column_name, n_exact, within_band)`` where
+    ``within_band`` = |estimate − exact| ≤ ``band``·exact.  The raw
+    estimate stays internal (sketch values are engine-specific); the
+    verdict boolean plus the exact side make the report
+    value-hash-checkable cross-engine — the same report-shape trick as
+    ``ann_recall`` (is the approximate tier still inside its error
+    budget?).  lg_k=12 gives ~0.8% relative error, so the 5% default
+    band fails only on a genuinely broken sketch, not on noise.
+
+    Scale note: the gate intentionally pays the exact ``countDistinct``
+    it exists to audit — run it on a partition slice / sampled day, not
+    the full corpus, and let the production path use
+    ``hll_distinct_counts`` alone.  One aggregation pass (Spark plans
+    the multi-column distinct via Expand); the reshape to rows is an
+    in-row explode of a ``len(columns)``-literal struct array."""
+    aggs = []
+    for i, c in enumerate(columns):
+        aggs += [
+            F.countDistinct(F.col(c)).alias(f"__ex{i}"),
+            F.expr(f"hll_sketch_estimate(hll_sketch_agg(`{c}`, {int(lg_k)}))")
+            .alias(f"__ap{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__ex{i}").cast("long").alias("n_exact"),
+            (F.abs(F.col(f"__ap{i}").cast("double") - F.col(f"__ex{i}"))
+             <= F.lit(float(band)) * F.col(f"__ex{i}")).alias("within_band"))
+        for i, c in enumerate(columns)])
+    return row.select(F.explode(structs).alias("__s")).select("__s.*")
+
+
 def hll_partitioned_sketches(df: DataFrame, part_col: str, value_col: str,
                              lg_k: int = 12) -> DataFrame:
     """Per-partition HLL sketches (binary, MERGEABLE) — the rollup

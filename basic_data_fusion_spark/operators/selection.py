@@ -213,6 +213,48 @@ def quality_classifier_scores(df: DataFrame, model, text_col: str = "text",
         vector_to_array("probability").getItem(1).alias("quality_prob"))
 
 
+def binary_auc(scored: DataFrame, label: Column,
+               score_col: str = "quality_prob") -> DataFrame:
+    """ROC AUC of a binary scorer as a one-row relation
+    ``(n_pos, n_neg, auc)`` — the separation gate a production quality
+    classifier keeps beside its training job (did this retrain still
+    separate target from crawl?).
+
+    Mann–Whitney formulation with exact tie handling: AUC =
+    (Σ avg-rank(positives) − n_pos(n_pos+1)/2) / (n_pos·n_neg), where a
+    tie group's members all take the group's mean rank.  Ranks come
+    from ``rank()`` (min-rank) plus a score-keyed count — both derived
+    from the score ORDER only, so the AUC is integer-derived and
+    invariant to partitioning (ranks are doubled into integers before
+    summation: avg-rank is always a multiple of ½).
+
+    Scale note: the global rank is a single-partition window sort — the
+    gate tier's deliberate trade (run it on the training corpus or an
+    eval sample, not the full 100 TB serve path).  The production path
+    applies the trained model with ``quality_classifier_scores`` and
+    never ranks globally."""
+    base = scored.select(F.col(score_col).alias("__s"),
+                         label.cast("int").alias("__y"))
+    w = Window.orderBy(F.col("__s"))
+    wg = Window.partitionBy(F.col("__s"))
+    ranked = base.select(
+        "__y",
+        # 2·avg_rank = 2·min_rank + (tie_count − 1): exact integers
+        (F.lit(2) * F.rank().over(w) + F.count(F.lit(1)).over(wg)
+         - F.lit(1)).cast("long").alias("__r2"))
+    agg = ranked.agg(
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
+        F.sum(F.col("__r2") * F.col("__y")).cast("long").alias("__rp2"))
+    return agg.select(
+        "n_pos", "n_neg",
+        ((F.col("__rp2").cast("double") / 2.0
+          - F.col("n_pos").cast("double")
+          * (F.col("n_pos") + 1).cast("double") / 2.0)
+         / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")))
+        .alias("auc"))
+
+
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 buckets: int = 4096) -> DataFrame:

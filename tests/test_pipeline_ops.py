@@ -2144,3 +2144,49 @@ def test_semantic_dedup_train_sample_scales_with_cells(spark):
                                      threshold=0.999).collect()}
     assert len(out) == 302
     assert out[1]["keep"] and not out[2]["keep"]
+
+
+def test_hll_band_report(spark):
+    """The HLL acceptance gate: exact distinct counts are exact, the
+    estimate sits inside its band on sane key spaces, and a degenerate
+    band (0.0 tolerance on a large key space) CAN flip the flag — the
+    bit genuinely reflects the sketch, not a constant."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        hll_band_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 7, f"v{i}") for i in range(5000)],
+        "a long, b long, c string")
+    got = {r["column_name"]: r for r in
+           hll_band_report(df, ["a", "b", "c"]).collect()}
+    assert got["a"]["n_exact"] == 5000 and got["a"]["within_band"]
+    assert got["b"]["n_exact"] == 7 and got["b"]["within_band"]
+    assert got["c"]["n_exact"] == 5000 and got["c"]["within_band"]
+    # zero band: only sketch-exact columns survive; the big key spaces
+    # have nonzero HLL error, so their flags must be able to go False
+    tight = {r["column_name"]: r["within_band"] for r in
+             hll_band_report(df, ["a", "b"], band=0.0).collect()}
+    assert tight["b"] is True  # 7 keys: HLL exact
+    assert tight["a"] is False  # 5000 keys at lg_k=12: ~0.8% error
+
+
+def test_binary_auc_exact_values(spark):
+    """Mann-Whitney AUC with exact tie handling against hand-computed
+    values: perfect separation = 1.0, anti-separation = 0.0, all-tied
+    scores = 0.5, and a mixed case matches the closed form."""
+    from basic_data_fusion_spark.operators.selection import binary_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "quality_prob double, y boolean")
+        return binary_auc(df, F.col("y")).collect()[0]
+
+    perfect = auc_of([(0.9, True), (0.8, True), (0.2, False), (0.1, False)])
+    assert perfect["auc"] == 1.0 and perfect["n_pos"] == 2
+    inverted = auc_of([(0.1, True), (0.2, False)])
+    assert inverted["auc"] == 0.0
+    tied = auc_of([(0.5, True), (0.5, True), (0.5, False), (0.5, False)])
+    assert tied["auc"] == 0.5
+    # pos scores {0.8, 0.4}, neg {0.6, 0.2}: pairs won 3 of 4 -> 0.75
+    mixed = auc_of([(0.8, True), (0.4, True), (0.6, False), (0.2, False)])
+    assert mixed["auc"] == 0.75
