@@ -5983,51 +5983,60 @@ WHERE rn <= 20
 
 
 # The first 50 keys of queries() — the driver's CORRECTNESS window.
-# tests/test_window_pin.py asserts list(queries())[:50] == DRIVER_WINDOW,
-# so this documented list can never drift from the dict.  Round-5 window:
-# (a) the 11 queries no round's driver has ever checked (r4's overflow —
-# 6 oracle-ready incl. the ivf/semantic det twins that close the ANN
-# hash-verification story, 5 rows-only by design), (b) the ten NEW
-# round-5 contract rows (det twins for Bloom decontamination,
-# incremental MinHash, PQ and IVF-PQ; the in-engine ANN recall report;
-# quality-aware keep-best dedup; corpus snapshot diff; per-domain
-# report; the PPJoin prefix-filter join; the Count-Min frequency tier),
-# (c) backfill with the longest-unchecked greens — the r1/r2
-# wave last driver-checked in round 2.  Everything checked in r3/r4 sits
-# past the window; every query in the dict, windowed or not, stays
-# pinned every pytest run by tests/test_oracle_parity.py.
+# tests/test_window_pin.py asserts list(queries())[:50] == DRIVER_WINDOW;
+# since round 6 queries() ORDERS ITSELF from this constant (window keys
+# first, remaining keys in registration order), so drift is impossible
+# by construction — a typo'd/duplicated window key still fails the pin.
+#
+# Round-6 policy = RECENCY (all 166 contract queries have had a driver
+# row at least once as of r5, so the window now chases staleness):
+# (a) the three r6 band-report conversions — first-ever ORACLE check
+#     (their r5 rows were rows-only),
+# (b) the four queries whose operators were REWORKED this round
+#     (bounded PPJoin df annotation, bounded winnow expansion,
+#     keep-best left-join, ann_recall denominator) — re-verify the
+#     changed plans,
+# (c) every green whose last driver row is round 2,
+# (d) the 27 oldest round-3 greens (the remaining 23 r3-era rotate in
+#     next round).  Everything checked in r4/r5 sits past the window;
+# every query, windowed or not, stays pinned each pytest run by
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) never driver-checked in any round
-    "ivf_topk_det", "semantic_dedup_det", "token_budget_mix", "trigram_lm",
-    "corpus_curation_v2", "part_heavy_hitters", "incremental_minhash",
-    "bloom_decontam", "ivfpq_topk", "hll_distinct_orders",
-    "column_summary_approx",
-    # (b) new round-5 contract rows
-    "bloom_decontam_det", "ann_recall_report", "dedup_keep_best",
-    "corpus_diff", "domain_quality_report", "incremental_minhash_det",
-    "pq_topk_det", "ivfpq_topk_det", "prefix_jaccard_pairs",
-    "cms_token_freq",
-    # (c) backfill: longest-unchecked greens (last driver row: round 2)
-    "flagship_merge", "participant_count", "segment_breakdown",
-    "acctbal_minmax", "distinct_segments", "top_segments",
-    "numeric_ranges_lineitem", "filter_impact", "enwiden_events",
-    "baseline_consolidation", "column_summary", "dist_stats_acctbal",
-    "iqr_outliers_acctbal", "substudy_filter", "longitudinal_merge",
-    "distinct_capped", "categorical_summary",
-    "pearson_corr", "spearman_corr", "ols_regression",
-    "anova_acctbal_by_segment", "histogram_acctbal", "quality_audit_orders",
-    "density_2d_lineitem", "pricing_summary", "shipping_priority",
-    "regional_volume",
-    "dedup_exact", "token_counts",
+    # (a) r6 conversions: rows-only -> hash-checked band reports
+    "hll_distinct_orders", "column_summary_approx", "quality_classifier",
+    # (b) operators reworked in r6 — changed plans need fresh hashes
+    "ann_recall_report", "prefix_jaccard_pairs", "dedup_keep_best",
+    "winnow_overlap_pairs",
+    # (c) longest-unchecked greens (last driver row: round 2)
+    "lang_id", "quality_scores", "pii_scrub", "corpus_curation",
+    "repetition_scores", "token_rarity", "boilerplate_strip",
+    "quality_percentile", "lm_surprisal", "shard_plan", "chunk_documents",
+    "pack_sequences", "decontam_overlap", "ngram_jaccard",
+    "dedup_clusters", "embedding_topk",
+    # (d) oldest round-3 greens
+    "media_features", "events_tumbling_daily", "events_sliding",
+    "events_sessions", "events_props", "top_event_per_day",
+    "asof_latest_order", "event_funnel_5m", "funnel_steps",
+    "retention_weekly", "customers_no_orders", "pricing_rollup",
+    "orders_cube", "median_by_segment", "hash_sample_orders",
+    "stratified_sample_docs", "events_interarrival", "running_spend",
+    "trailing_7d_value", "acctbal_deciles", "cohort_setops",
+    "vocab_top_tokens", "tfidf_top_terms", "token_diversity",
+    "top_orders_per_segment", "late_shipment_priority",
+    "small_lot_revenue",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS check covers the first
-    # 50 keys — see DRIVER_WINDOW above (pinned by tests/test_window_pin).
+    # 50 keys.  Since round 6 the order is DERIVED from DRIVER_WINDOW
+    # (window keys first, the rest in registration order below), so the
+    # documented window and the served window cannot drift; the
+    # registration groups below are historical (which round added what),
+    # not the window.
     det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
-    return {
-        # ---- DRIVER_WINDOW (a): never driver-checked in any round ----
+    base = {
+        # ---- round-4/5 additions ----
         "ivf_topk_det": q_ivf_topk_det,
         "semantic_dedup_det": q_semantic_dedup_det,
         "token_budget_mix": q_token_budget_mix,
@@ -6039,7 +6048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "hll_distinct_orders": q_hll_distinct_orders,
         "column_summary_approx": q_column_summary_approx,
-        # ---- DRIVER_WINDOW (b): new round-5 contract rows ----
+        # ---- round-5 contract rows ----
         "bloom_decontam_det": q_bloom_decontam_det,
         "ann_recall_report": q_ann_recall_report,
         "dedup_keep_best": q_dedup_keep_best,
@@ -6050,7 +6059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_det": q_ivfpq_topk_det,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "cms_token_freq": q_cms_token_freq,
-        # ---- DRIVER_WINDOW (c): longest-unchecked greens (round 2) ----
+        # ---- round-1/2 core ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
         "segment_breakdown": q_segment_breakdown,
@@ -6201,6 +6210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "embedding_near_dups": q_embedding_near_dups,
     }
+    ordered = {k: base[k] for k in DRIVER_WINDOW}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -32,13 +32,16 @@ def test_every_window_query_has_definition_and_most_have_oracles():
     osql = entry.oracle_sql()
     # every oracle key must have a query (an orphan oracle is dead code)
     assert set(osql) <= set(qs)
-    # the documented rows-only set — everything else in the window must
-    # carry an oracle so the driver records the full hash check
+    # the documented rows-only set (r6: hll_distinct_orders,
+    # column_summary_approx and quality_classifier left this set via
+    # their band-report conversions) — everything else in the window
+    # must carry an oracle so the driver records the full hash check
     rows_only = {"minhash_dedup", "simhash_near_dups", "semantic_dedup",
-                 "ivf_topk", "bpe_encode_docs", "quality_classifier",
+                 "ivf_topk", "bpe_encode_docs",
                  "compression_ratio", "incremental_minhash",
-                 "bloom_decontam", "ivfpq_topk", "pq_topk",
-                 "hll_distinct_orders", "column_summary_approx"}
+                 "bloom_decontam", "ivfpq_topk", "pq_topk"}
     missing = [n for n in entry.DRIVER_WINDOW
                if n not in osql and n not in rows_only]
     assert missing == [], f"window queries lacking an oracle: {missing}"
+    # r6 window is FULLY oracle-backed (50 hash rows, 0 rows-only)
+    assert not (set(entry.DRIVER_WINDOW) & rows_only)
