@@ -4330,6 +4330,77 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_dedup(existing, batch, threshold=0.8)
 
 
+def q_quantile_rollup_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (aggregations.quantile_hist_sketch /
+    quantile_rollup — NEW r6): per-priority equi-width histogram
+    sketches over order totalprice merged into global quantile
+    estimates. The percentile analogue of the HLL partitioned-sketch
+    tier — at 100 TB, per-shard histograms computed once at ingest
+    answer any later cross-shard quantile by summing ≤bins integer
+    rows, replacing both the exact percentile's global sort and
+    approx_percentile's engine-opaque KLL state. Every estimate is
+    integer-count + literal arithmetic, so the tier value-hashes
+    cross-engine EXACTLY (no band flag needed — unlike the HLL/KLL
+    gates). Merge-equals-whole and the one-bin-width error bound are
+    pytest-pinned."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_rollup_report,
+    )
+
+    orders = _catalog(spark, sf_dir).load("orders")
+    return quantile_rollup_report(orders, "o_orderpriority",
+                                  "o_totalprice", bins=512)
+
+
+_QUANTILE_ROLLUP_ORACLE = """
+WITH dom AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS lo,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS hi
+  FROM orders
+),
+sk AS (
+  SELECT LEAST(511, GREATEST(0, CAST(FLOOR(
+           (CAST(o_totalprice AS DOUBLE) - dom.lo) / (dom.hi - dom.lo) * 512
+         ) AS INT))) AS bin,
+         COUNT(*) AS n
+  FROM orders, dom
+  WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin, n,
+         COALESCE(SUM(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+         SUM(n) OVER () AS total
+  FROM sk
+),
+qs AS (
+  SELECT CAST(0.25 AS DOUBLE) AS quantile
+  UNION ALL SELECT CAST(0.5 AS DOUBLE)
+  UNION ALL SELECT CAST(0.75 AS DOUBLE)
+  UNION ALL SELECT CAST(0.9 AS DOUBLE)
+  UNION ALL SELECT CAST(0.99 AS DOUBLE)
+),
+picks AS (
+  SELECT qs.quantile, c.bin, c.n, c.cb, c.total,
+         ROW_NUMBER() OVER (PARTITION BY qs.quantile ORDER BY c.bin) AS rn
+  FROM qs JOIN cum c
+    ON CAST(c.cb AS DOUBLE) + CAST(c.n AS DOUBLE)
+       >= qs.quantile * CAST(c.total AS DOUBLE)
+)
+SELECT p.quantile,
+       CAST(p.total AS BIGINT) AS n_total,
+       dom.lo + (CAST(p.bin AS DOUBLE)
+                 + GREATEST(0.0, (p.quantile * CAST(p.total AS DOUBLE)
+                                  - CAST(p.cb AS DOUBLE))
+                            / CAST(p.n AS DOUBLE)))
+               * ((dom.hi - dom.lo) / 512) AS estimate
+FROM picks p, dom
+WHERE p.rn = 1
+ORDER BY p.quantile
+"""
+
+
 def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency tier (aggregations.cms_build/
     cms_estimate): a 4×1024-cell mergeable sketch over the corpus token
@@ -5997,12 +6068,13 @@ WHERE rn <= 20
 #     keep-best left-join, ann_recall denominator) — re-verify the
 #     changed plans,
 # (c) every green whose last driver row is round 2,
-# (d) the 27 oldest round-3 greens (the remaining 23 r3-era rotate in
+# (d) the 26 oldest round-3 greens (the remaining 24 r3-era rotate in
 #     next round).  Everything checked in r4/r5 sits past the window;
 # every query, windowed or not, stays pinned each pytest run by
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r6 conversions: rows-only -> hash-checked band reports
+    # (a) r6 new contract row + conversions to hash-checked reports
+    "quantile_rollup_totalprice",
     "hll_distinct_orders", "column_summary_approx", "quality_classifier",
     # (b) operators reworked in r6 — changed plans need fresh hashes
     "ann_recall_report", "prefix_jaccard_pairs", "dedup_keep_best",
@@ -6023,7 +6095,6 @@ DRIVER_WINDOW = [
     "trailing_7d_value", "acctbal_deciles", "cohort_setops",
     "vocab_top_tokens", "tfidf_top_terms", "token_diversity",
     "top_orders_per_segment", "late_shipment_priority",
-    "small_lot_revenue",
 ]
 
 
@@ -6059,6 +6130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_det": q_ivfpq_topk_det,
         "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
         "cms_token_freq": q_cms_token_freq,
+        # ---- round-6 contract rows ----
+        "quantile_rollup_totalprice": q_quantile_rollup_totalprice,
         # ---- round-1/2 core ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -6285,6 +6358,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),
         "cms_token_freq": _cms_token_freq_oracle(),
         # r6 band-report conversions: formerly rows-only sketch/ML tiers
+        "quantile_rollup_totalprice": _QUANTILE_ROLLUP_ORACLE,
         "hll_distinct_orders": _HLL_BAND_ORACLE,
         "column_summary_approx": _COLUMN_SUMMARY_APPROX_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,

@@ -407,3 +407,100 @@ def cms_estimate(cms: DataFrame, probes: DataFrame, key_col: str,
             .groupBy(*probes.columns)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0).cast("long")))
                  .alias("cms_n")))
+
+
+# ---------------- mergeable quantile rollup (histogram sketch tier) ----------------
+
+def quantile_hist_sketch(df: DataFrame, part_col: str, value_col: str,
+                         lo: float, hi: float,
+                         bins: int = 1024) -> DataFrame:
+    """Per-partition mergeable equi-width histogram sketch — the
+    QUANTILE analogue of ``hll_partitioned_sketches``: sketch each
+    day/source/shard once at ingest as ``(partition, bin, n)`` rows,
+    answer any cross-partition quantile later by summing bins
+    (``quantile_rollup``) without rescanning data.  The 100 TB shape
+    for percentile surfaces: the exact ``percentile`` is a global sort
+    per column, `approx_percentile`'s KLL state is engine-opaque —
+    fixed-width integer histograms are mergeable by construction AND
+    every derived estimate is plain integer/IEEE arithmetic, so the
+    whole tier value-hashes cross-engine (no band flag needed).
+
+    ``lo``/``hi`` are the binning domain (ingest metadata — min/max
+    from the catalog's numeric-range scan, S4).  Values at ``hi`` clamp
+    into the last bin; estimate error is ≤ one bin width
+    ((hi−lo)/bins), the classic equi-width trade documented at the
+    call site.  NULLs are excluded (consistent with ``percentile``).
+    """
+    x = F.col(value_col).cast("double")
+    width_frac = (x - F.lit(float(lo))) / (F.lit(float(hi)) - F.lit(float(lo)))
+    raw_bin = F.floor(width_frac * F.lit(int(bins))).cast("int")
+    bin_ = F.least(F.lit(int(bins) - 1), F.greatest(F.lit(0), raw_bin))
+    if float(hi) == float(lo):
+        bin_ = F.lit(0)
+    return (df.where(x.isNotNull())
+            .groupBy(F.col(part_col).alias("partition"),
+                     bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def quantile_rollup(sketches: DataFrame, lo: float, hi: float,
+                    bins: int, quantiles: list[float]) -> DataFrame:
+    """Merge per-partition histogram sketches and read off quantile
+    estimates: one sum-by-bin aggregation (≤ ``bins`` rows survive),
+    a cumulative count over that bounded relation (single-partition
+    window over ≤ ``bins`` rows — bounded by construction, never by
+    data volume), then for each requested quantile the FIRST bin whose
+    cumulative count reaches rank q·N, with linear interpolation inside
+    the bin:
+
+        estimate = lo + (bin + (q·N − cum_before)/n_bin) · (hi−lo)/bins
+
+    Every term derives from integer counts and the (lo, hi, bins)
+    literals, so estimates replay bit-exactly in any SQL engine.
+    Returns (quantile, n_total, estimate) sorted by quantile.
+    """
+    merged = (sketches.groupBy("bin")
+              .agg(F.sum("n").cast("long").alias("n")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = (merged
+           .withColumn("cb", F.coalesce(F.sum("n").over(w),
+                                        F.lit(0).cast("long")))
+           .withColumn("n_total", F.sum("n").over(
+               Window.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    qrel = F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+    picks = (cum.select("bin", "n", "cb", "n_total", qrel.alias("quantile"))
+             .withColumn("r",
+                         F.col("quantile") * F.col("n_total").cast("double"))
+             .where(F.col("cb").cast("double") + F.col("n").cast("double")
+                    >= F.col("r"))
+             .groupBy("quantile")
+             .agg(F.min(F.struct("bin", "n", "cb", "n_total")).alias("__p")))
+    bin_, n_, cb_, n_tot = (F.col("__p.bin"), F.col("__p.n"),
+                            F.col("__p.cb"), F.col("__p.n_total"))
+    frac = F.greatest(
+        F.lit(0.0),
+        (F.col("quantile") * n_tot.cast("double") - cb_.cast("double"))
+        / n_.cast("double"))
+    est = (F.lit(float(lo))
+           + (bin_.cast("double") + frac)
+           * ((F.lit(float(hi)) - F.lit(float(lo))) / F.lit(int(bins))))
+    return (picks.select("quantile", n_tot.alias("n_total"),
+                         est.alias("estimate"))
+            .orderBy("quantile"))
+
+
+def quantile_rollup_report(df: DataFrame, part_col: str, value_col: str,
+                           bins: int = 1024,
+                           quantiles: list[float] | None = None
+                           ) -> DataFrame:
+    """Convenience composition: min/max domain scan (one aggregation —
+    in production this comes from ingest metadata, catalog S4) →
+    per-partition sketches → merged quantile estimates.  The contract
+    surface for the mergeable-quantile tier."""
+    quantiles = quantiles or [0.25, 0.5, 0.75, 0.9, 0.99]
+    row = df.agg(F.min(F.col(value_col).cast("double")).alias("lo"),
+                 F.max(F.col(value_col).cast("double")).alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    sk = quantile_hist_sketch(df, part_col, value_col, lo, hi, bins)
+    return quantile_rollup(sk, lo, hi, bins, quantiles)

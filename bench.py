@@ -142,6 +142,9 @@ HEADLINE += [
     "ivfpq_topk_det",        # oracle-checkable full IVF-PQ + exact re-rank
     "prefix_jaccard_pairs",  # PPJoin prefix-filter exact similarity join
     "cms_token_freq",        # count-min sketch point-frequency estimates
+
+    # new in round 6 (absent from BENCH_r05 and earlier)
+    "quantile_rollup_totalprice",  # mergeable histogram quantile rollup
 ]
 
 

@@ -2190,3 +2190,40 @@ def test_binary_auc_exact_values(spark):
     # pos scores {0.8, 0.4}, neg {0.6, 0.2}: pairs won 3 of 4 -> 0.75
     mixed = auc_of([(0.8, True), (0.4, True), (0.6, False), (0.2, False)])
     assert mixed["auc"] == 0.75
+
+
+def test_quantile_rollup_merge_and_accuracy(spark):
+    """Mergeable quantile tier invariants: (1) summing per-partition
+    sketches equals the whole-corpus sketch (mergeability by
+    construction); (2) every estimate is within one bin width of the
+    exact percentile (the equi-width error bound); (3) estimates are
+    identical whether computed from 1 partition or many (partitioning
+    invariance of integer counts)."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_hist_sketch,
+        quantile_rollup,
+    )
+
+    rows = [(i % 4, float(i) ** 1.5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "part int, x double")
+    lo, hi = 0.0, float(1999) ** 1.5
+    bins, qs = 256, [0.25, 0.5, 0.9]
+
+    sk = quantile_hist_sketch(df, "part", "x", lo, hi, bins)
+    whole = quantile_hist_sketch(
+        df.withColumn("part", F.lit(0)), "part", "x", lo, hi, bins)
+    merged = {r["bin"]: r["n"] for r in
+              sk.groupBy("bin").agg(F.sum("n").alias("n")).collect()}
+    assert merged == {r["bin"]: r["n"] for r in whole.collect()}
+
+    est = {r["quantile"]: r["estimate"] for r in
+           quantile_rollup(sk, lo, hi, bins, qs).collect()}
+    exact = df.agg(*[F.expr(f"percentile(x, {q})").alias(str(q))
+                     for q in qs]).first()
+    bin_w = (hi - lo) / bins
+    for q in qs:
+        assert abs(est[q] - exact[str(q)]) <= bin_w, (q, est[q], exact[str(q)])
+
+    est_1p = {r["quantile"]: r["estimate"] for r in
+              quantile_rollup(whole, lo, hi, bins, qs).collect()}
+    assert est_1p == est
