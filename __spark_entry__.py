@@ -1599,10 +1599,19 @@ def q_semantic_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SemDeDup tier: fixed centroid literals + fixed-point
     cosine for assignment AND the within-cell near predicate — the whole
     keep/drop decision replays in SQL and value-hashes. The trained-
-    quantizer default stays rows-only."""
+    quantizer default stays rows-only.
+
+    The gate runs on a BOUNDED id slice (vec_id < 2000 — the full
+    corpus at the driver's scale factors, a fixed-size sample above):
+    fixed centroid literals cannot auto-scale their cell count with the
+    corpus, so an unbounded det tier degrades as n²/cells (the r6 sf1
+    sweep measured 27× at 10× data) — an acceptance gate samples; the
+    trained-quantizer fast tier with its auto-scaled grid is the
+    production path."""
     from basic_data_fusion_spark.operators.similarity import semantic_dedup
 
-    emb = _catalog(spark, sf_dir).load("embeddings")
+    emb = (_catalog(spark, sf_dir).load("embeddings")
+           .filter(F.col("vec_id") < 2000))
     return semantic_dedup(emb, threshold=0.95,
                           centroids=_ivf_centroids(),
                           deterministic=True)
@@ -1620,6 +1629,7 @@ WITH cent(cell, i, cv) AS (VALUES {values}),
 base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
+  WHERE vec_id < 2000
 ),
 asgn_parts AS (
   SELECT b.vec_id, c.cell,
@@ -4401,6 +4411,112 @@ ORDER BY p.quantile
 """
 
 
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup acceptance gate as a first-class relational result (NEW
+    r6, dedup.dedup_recall_report — the near-dup analogue of
+    ann_recall_report): recall AND precision of the deterministic
+    MinHash+LSH tier and the PPJoin prefix-filter tier against the
+    exhaustive n-gram-jaccard truth set, computed entirely in-engine.
+    Verification makes both arms' precision exact (1.0) and PPJoin is
+    complete by construction (recall 1.0); the MinHash arm's recall is
+    the banding's real operating point — the number a production dedup
+    deployment watches.  All three pair sets are md5-deterministic, so
+    the report value-hashes cross-engine."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_recall_report,
+        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    mh = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
+                             threshold=0.8, deterministic=True)
+    pp = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dedup_recall_report(truth, {"minhash_det": mh, "ppjoin": pp})
+
+
+def _dedup_recall_oracle() -> str:
+    """The same composition in SQL: each arm's published oracle runs as
+    a derived table so this stays in lockstep with the per-arm oracles."""
+    return f"""
+WITH truth AS (
+  SELECT DISTINCT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE}) t
+),
+mh AS (
+  SELECT DISTINCT id_a, id_b FROM ({_minhash_det_oracle()}) t
+),
+pp AS (
+  SELECT DISTINCT id_a, id_b FROM ({_prefix_jaccard_oracle()}) t
+),
+tn AS (SELECT COUNT(*) AS n_truth FROM truth),
+arms AS (
+  SELECT 'minhash_det' AS arm, id_a, id_b FROM mh
+  UNION ALL
+  SELECT 'ppjoin' AS arm, id_a, id_b FROM pp
+)
+SELECT a.arm,
+       CAST(MAX(tn.n_truth) AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_found,
+       CAST(COUNT(t.id_a) AS BIGINT) AS n_hits,
+       CAST(COUNT(t.id_a) AS DOUBLE) / CAST(MAX(tn.n_truth) AS DOUBLE)
+         AS recall,
+       CAST(COUNT(t.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS precision
+FROM arms a
+CROSS JOIN tn
+LEFT JOIN truth t ON t.id_a = a.id_a AND t.id_b = a.id_b
+GROUP BY a.arm
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (NEW r6,
+    dedup.leakage_safe_split): split assignment by a deterministic
+    uniform draw on the near-dup CLUSTER id, so a duplicate clique can
+    never straddle splits — the eval-hygiene primitive a per-document
+    split violates (a test doc whose near-copy sits in train is a
+    leaked answer).  Clusters come from the deterministic exact-jaccard
+    pair graph, the draw is the md5 hash_uniform, so the whole
+    assignment replays in SQL."""
+    from basic_data_fusion_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return leakage_safe_split(docs, pairs)
+
+
+def _leakage_split_oracle(train_frac: float = 0.8,
+                          val_frac: float = 0.1) -> str:
+    """SQL replay: the dedup_clusters oracle labels clusters, then the
+    md5-hex8 uniform (temperature_mix idiom) routes each CLUSTER.  The
+    CASE thresholds embed the Python-side float sums via repr so the
+    IEEE boundary values match the Spark plan bit-for-bit."""
+    hv = ("(strpos('0123456789abcdef', substr(md5('split:' || "
+          "CAST(cluster_id AS VARCHAR)), {i}, 1)) - 1) * {p}::BIGINT")
+    hex8 = "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+    t1 = repr(float(train_frac))
+    t2 = repr(float(train_frac) + float(val_frac))
+    return f"""
+WITH base AS ({_DEDUP_CLUSTERS_ORACLE}),
+drawn AS (
+  SELECT doc_id, cluster_id,
+         (CAST({hex8} AS DOUBLE) + 0.5) / 4294967296.0 AS u
+  FROM base
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN u < CAST({t1} AS DOUBLE) THEN 'train'
+            WHEN u < CAST({t2} AS DOUBLE) THEN 'val'
+            ELSE 'test' END AS split
+FROM drawn
+"""
+
+
 def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency tier (aggregations.cms_build/
     cms_estimate): a 4×1024-cell mergeable sketch over the corpus token
@@ -6068,13 +6184,14 @@ WHERE rn <= 20
 #     keep-best left-join, ann_recall denominator) — re-verify the
 #     changed plans,
 # (c) every green whose last driver row is round 2,
-# (d) the 26 oldest round-3 greens (the remaining 24 r3-era rotate in
+# (d) the 24 oldest round-3 greens (the remaining 26 r3-era rotate in
 #     next round).  Everything checked in r4/r5 sits past the window;
 # every query, windowed or not, stays pinned each pytest run by
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r6 new contract row + conversions to hash-checked reports
-    "quantile_rollup_totalprice",
+    # (a) r6 new contract rows + conversions to hash-checked reports
+    "quantile_rollup_totalprice", "dedup_recall_report",
+    "leakage_safe_split",
     "hll_distinct_orders", "column_summary_approx", "quality_classifier",
     # (b) operators reworked in r6 — changed plans need fresh hashes
     "ann_recall_report", "prefix_jaccard_pairs", "dedup_keep_best",
@@ -6094,7 +6211,6 @@ DRIVER_WINDOW = [
     "stratified_sample_docs", "events_interarrival", "running_spend",
     "trailing_7d_value", "acctbal_deciles", "cohort_setops",
     "vocab_top_tokens", "tfidf_top_terms", "token_diversity",
-    "top_orders_per_segment", "late_shipment_priority",
 ]
 
 
@@ -6132,6 +6248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_freq": q_cms_token_freq,
         # ---- round-6 contract rows ----
         "quantile_rollup_totalprice": q_quantile_rollup_totalprice,
+        "dedup_recall_report": q_dedup_recall_report,
+        "leakage_safe_split": q_leakage_safe_split,
         # ---- round-1/2 core ----
         "flagship_merge": q_flagship_merge,
         "participant_count": q_participant_count,
@@ -6359,6 +6477,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freq": _cms_token_freq_oracle(),
         # r6 band-report conversions: formerly rows-only sketch/ML tiers
         "quantile_rollup_totalprice": _QUANTILE_ROLLUP_ORACLE,
+        "dedup_recall_report": _dedup_recall_oracle(),
+        "leakage_safe_split": _leakage_split_oracle(),
         "hll_distinct_orders": _HLL_BAND_ORACLE,
         "column_summary_approx": _COLUMN_SUMMARY_APPROX_ORACLE,
         "quality_classifier": _QUALITY_CLASSIFIER_ORACLE,

@@ -1221,3 +1221,72 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         / (F.size("__sa") + F.size("__sb") - common))
             .filter(F.col("jaccard") >= t)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------- acceptance gates: recall report + leakage-safe split ----------------
+
+def dedup_recall_report(truth_pairs: DataFrame,
+                        arms: dict[str, DataFrame]) -> DataFrame:
+    """Recall/precision acceptance gate for approximate near-dup tiers,
+    computed in-engine — the dedup analogue of ``similarity.ann_recall``
+    (is the LSH/banded tier still finding the pairs the exhaustive tier
+    would?).  ``truth_pairs`` is the exhaustive (id_a, id_b) pair set;
+    each arm scores against it and the report emits one row per arm.
+
+    The truth set is pair-count-sized, so it rides every arm's plan as
+    a broadcast build side; counts are exact integers and the
+    recall/precision divisions integer-derived, so the report
+    value-hashes cross-engine when the arms are deterministic tiers.
+    Returns (arm, n_truth, n_found, n_hits, recall, precision).
+    """
+    if not arms:
+        raise ValueError("dedup_recall_report needs at least one arm")
+    t = (truth_pairs.select("id_a", "id_b").distinct()
+         .withColumn("__t", F.lit(1)))
+    tn = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    per = None
+    for name in sorted(arms):
+        a = arms[name].select("id_a", "id_b").distinct()
+        row = (a.join(F.broadcast(t), ["id_a", "id_b"], "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_found"),
+                    F.count("__t").cast("long").alias("n_hits"))
+               .withColumn("arm", F.lit(name)))
+        per = row if per is None else per.unionByName(row)
+    return (per.crossJoin(F.broadcast(tn))
+            .select("arm", "n_truth", "n_found", "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_truth").cast("double")).alias("recall"),
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_found").cast("double")).alias("precision")))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       train_frac: float = 0.8, val_frac: float = 0.1,
+                       seed: str = "split") -> DataFrame:
+    """Train/val/test assignment that CANNOT leak near-duplicates across
+    splits: documents are routed by a deterministic uniform draw on
+    their near-dup CLUSTER id (connected components of the pair graph),
+    so every member of a duplicate clique lands in the same split.  The
+    standard eval-hygiene requirement a naive per-document split
+    violates — a test document whose near-copy sits in train is a
+    leaked answer, and at pretraining scale near-dup rates make that
+    the rule, not the exception.
+
+    The draw is ``selection.hash_uniform`` (md5-derived, engine- and
+    partitioning-invariant), so split membership reproduces everywhere;
+    split sizes are proportional in expectation at CLUSTER granularity.
+    Scale shape: one CC labeling (the dedup_clusters machinery) plus a
+    per-row hash — no extra shuffle beyond the cluster join.
+    Returns (id, cluster_id, split).
+    """
+    from .selection import hash_uniform
+
+    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    u = hash_uniform(F.col("cluster_id"), seed)
+    split = (F.when(u < F.lit(float(train_frac)), F.lit("train"))
+             .when(u < F.lit(float(train_frac) + float(val_frac)),
+                   F.lit("val"))
+             .otherwise(F.lit("test")))
+    return clusters.select(F.col(id_col), "cluster_id",
+                           split.alias("split"))

@@ -145,6 +145,8 @@ HEADLINE += [
 
     # new in round 6 (absent from BENCH_r05 and earlier)
     "quantile_rollup_totalprice",  # mergeable histogram quantile rollup
+    "dedup_recall_report",   # LSH/PPJoin recall+precision vs exhaustive
+    "leakage_safe_split",    # cluster-keyed train/val/test assignment
 ]
 
 

@@ -2227,3 +2227,42 @@ def test_quantile_rollup_merge_and_accuracy(spark):
     est_1p = {r["quantile"]: r["estimate"] for r in
               quantile_rollup(whole, lo, hi, bins, qs).collect()}
     assert est_1p == est
+
+
+def test_dedup_recall_report(spark):
+    """Gate semantics on a controlled truth set: a perfect arm scores
+    recall 1.0 / precision 1.0; an arm with one miss and one false
+    positive scores 0.5 / 0.5; the empty-arms dict raises."""
+    truth = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    perfect = truth
+    half = spark.createDataFrame([(1, 2), (7, 8)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="at least one arm"):
+        dedup.dedup_recall_report(truth, {})
+    got = {r["arm"]: r for r in
+           dedup.dedup_recall_report(
+               truth, {"perfect": perfect, "half": half}).collect()}
+    assert got["perfect"]["recall"] == 1.0
+    assert got["perfect"]["precision"] == 1.0
+    assert got["half"]["n_truth"] == 2 and got["half"]["n_found"] == 2
+    assert got["half"]["n_hits"] == 1
+    assert got["half"]["recall"] == 0.5 and got["half"]["precision"] == 0.5
+
+
+def test_leakage_safe_split_no_cluster_straddle(spark, docs):
+    """The eval-hygiene invariant: every near-dup cluster lands entirely
+    in ONE split (zero pairs straddle), every doc is assigned, and the
+    assignment is deterministic across invocations."""
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    out = dedup.leakage_safe_split(docs, pairs).collect()
+    assert len(out) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # near-dup pairs specifically never straddle
+    for p in pairs.collect():
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    again = {r["doc_id"]: r["split"] for r in
+             dedup.leakage_safe_split(docs, pairs).collect()}
+    assert again == split_of
