@@ -361,9 +361,10 @@ def test_approx_quantiles_near_exact(spark):
 
 
 def test_column_summary_approx_matches_exact_tier(spark):
-    """The interactive approx_percentile tier must agree with the exact
-    tier on everything except the median, and the sketch median must sit
-    within the GK/KLL rank-error envelope of the exact one."""
+    """The interactive tier's band report (r6 shape): deterministic
+    columns agree with the exact tier EXACTLY, and the in-engine
+    median_within_band verdict is True — the approx_percentile sketch
+    sits inside the exact 0.49/0.51 quantile envelope."""
     import __spark_entry__ as entrymod
 
     exact = {r["column"]: r for r in entrymod.queries()[
@@ -376,8 +377,7 @@ def test_column_summary_approx_matches_exact_tier(spark):
         assert (e["n_non_null"], e["n_missing"], e["min"], e["max"]) == \
             (a["n_non_null"], a["n_missing"], a["min"], a["max"])
         assert a["mean"] == e["mean"]  # fixed-point sum — identical tier
-        spread = e["max"] - e["min"]
-        assert abs(a["median"] - e["median"]) <= max(0.02 * spread, 1e-9), c
+        assert a["median_within_band"] is True, c
 
 
 def test_ks_two_sample_matches_scipy_or_reference(spark):
