@@ -103,3 +103,41 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def quantile_sketch_sink(df: DataFrame, sketch_path: str, checkpoint: str,
+                         part_col: str, value_col: str,
+                         lo: float, hi: float, bins: int = 1024,
+                         available_now: bool = True) -> StreamingQuery:
+    """Streaming side of the mergeable quantile tier
+    (operators/aggregations.quantile_hist_sketch): each micro-batch
+    reduces to its ``(partition, bin, n)`` histogram rows and writes
+    them to a replay-idempotent ``batch_id=N`` directory.  Because the
+    sketch is mergeable by construction (bins sum), the standing
+    sketch store answers any later quantile question — per partition,
+    per batch range, or global — via ``quantile_rollup`` over a plain
+    parquet read, WITHOUT reprocessing the stream.
+
+    This is the ingest-time shape the batch tier documents: at 100 TB
+    the stream is the only pass that ever sees the raw values; every
+    downstream percentile reads kilobyte-scale integer histograms.
+    State is bounded by bins×partitions per batch (no watermark
+    needed — the sink is a pure per-batch aggregation, not stateful
+    across batches); a failure-retried batch overwrites its own
+    directory, so the store never double-counts.
+    """
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_hist_sketch,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = quantile_hist_sketch(batch_df, part_col, value_col,
+                                  lo, hi, bins)
+        sk.write.mode("overwrite").parquet(
+            f"{sketch_path}/batch_id={batch_id}")
+
+    writer = (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -534,3 +534,56 @@ def test_streaming_rolling_zscore_null_value_parity(spark, tmp_path):
     # the NULL rows themselves scored NULL z and survived
     nulls = got[got["event_id"].isin([4, 7])]
     assert nulls["z"].isna().all()
+
+
+def test_quantile_sketch_sink_rollup_matches_batch(spark, tmp_path):
+    """The streaming histogram sink completes the mergeable quantile
+    tier: per-batch sketches written by the stream, merged by
+    quantile_rollup, produce BIT-IDENTICAL estimates to the one-shot
+    batch sketch over the same data — mergeability means the batch
+    boundary cannot be observed. Replays overwrite their own batch_id
+    directory, so the store never double-counts."""
+    import glob
+    import shutil
+
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_hist_sketch,
+        quantile_rollup,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        quantile_sketch_sink,
+        read_sink,
+    )
+
+    batch = _events_batch(spark).select("event_id", "value")
+    lo_hi = batch.agg(F.min(F.col("value").cast("double")),
+                      F.max(F.col("value").cast("double"))).first()
+    lo, hi = float(lo_hi[0]), float(lo_hi[1])
+    bins, qs = 128, [0.25, 0.5, 0.9]
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for i in range(2):
+        (batch.filter(F.col("event_id") % 2 == i).coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(f, d / f"in{i}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    sk_path, ckpt = str(tmp_path / "sk"), str(tmp_path / "ckpt")
+    q = quantile_sketch_sink(stream, sk_path, ckpt,
+                             part_col="event_id", value_col="value",
+                             lo=lo, hi=hi, bins=bins)
+    q.awaitTermination()
+
+    sunk = read_sink(spark, sk_path)
+    assert sunk.select("batch_id").distinct().count() == 2
+    streamed = {(r["quantile"]): (r["n_total"], r["estimate"]) for r in
+                quantile_rollup(sunk, lo, hi, bins, qs).collect()}
+    one_shot = quantile_hist_sketch(batch, "event_id", "value",
+                                    lo, hi, bins)
+    expected = {(r["quantile"]): (r["n_total"], r["estimate"]) for r in
+                quantile_rollup(one_shot, lo, hi, bins, qs).collect()}
+    assert streamed == expected
