@@ -141,3 +141,105 @@ def quantile_sketch_sink(df: DataFrame, sketch_path: str, checkpoint: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
+                       checkpoint: str, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64, bands: int = 16,
+                       threshold: float = 0.8, seed: int = 42,
+                       available_now: bool = True,
+                       run_id: str | None = None) -> StreamingQuery:
+    """Streaming FUZZY dedup with an unbounded horizon — the MinHash
+    tier above ``index_backed_dedup_sink``'s exact tier, completing the
+    streaming dedup ladder: each micro-batch signs its documents,
+    probes a PERSISTED banded index for candidates, verifies by
+    SIGNATURE-estimated Jaccard (equal-position fraction — the standard
+    store-the-sketch-not-the-corpus trade: shingle sets are
+    corpus-sized, signatures are ``num_hashes`` longs), drops batch
+    docs near-duplicate to the indexed history OR to a smaller-id batch
+    sibling, then appends its survivors to ``out_path`` and their
+    signatures + band keys to the two index stores — everything into
+    replay-idempotent ``batch_id=N`` directories.
+
+    Layout mirrors a production deployment: ``index_path/bands`` holds
+    the compact (band, bucket, id) probe relation, ``index_path/sigs``
+    the (id, signature) verification relation — the candidate join
+    never touches signatures, verification joins only candidates.
+    Per-batch cost is O(batch + candidates) against any history size;
+    document bodies never shuffle. Only SURVIVORS index (a dropped
+    duplicate's canonical is already there).
+
+    ``run_id`` namespaces this query's index partitions (same replay
+    rationale as ``index_backed_dedup_sink``).
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    band_dir = f"{index_path}/bands"
+    sig_dir = f"{index_path}/sigs"
+
+    def est_sim(sa, sb):
+        eq = F.zip_with(sa, sb, lambda a, b: (a == b).cast("int"))
+        return (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+                .cast("double") / F.lit(int(num_hashes)))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, text_col, id_col, n,
+                                 num_hashes, seed).persist()
+        bkeys = minhash_band_keys(sig, id_col, id_col, bands, num_hashes)
+        not_this = lambda rel: rel.filter(
+            ~((F.col("run_id") == run) & (F.col("batch_id") == batch_id)))
+        drops = None
+        if os.path.isdir(band_dir):
+            idx_b = not_this(spark.read.parquet(band_dir)).select(
+                "band", "bucket", F.col(id_col).alias("__ex_id"))
+            idx_s = not_this(spark.read.parquet(sig_dir)).select(
+                F.col(id_col).alias("__ex_id"),
+                F.col("signature").alias("__ex_sig"))
+            cand = (bkeys.join(idx_b, ["band", "bucket"])
+                    .select(id_col, "__ex_id").distinct())
+            drops = (cand.join(sig, id_col).join(idx_s, "__ex_id")
+                     .filter(est_sim(F.col("signature"), F.col("__ex_sig"))
+                             >= F.lit(float(threshold)))
+                     .select(id_col).distinct())
+        a = bkeys.select(F.col(id_col).alias("__ia"), "band", "bucket")
+        b = bkeys.select(F.col(id_col).alias("__ib"), "band", "bucket")
+        in_cand = (a.join(b, ["band", "bucket"])
+                   .filter(F.col("__ia") < F.col("__ib"))
+                   .select("__ia", "__ib").distinct())
+        sa = sig.select(F.col(id_col).alias("__ia"),
+                        F.col("signature").alias("__sa"))
+        sb = sig.select(F.col(id_col).alias("__ib"),
+                        F.col("signature").alias("__sb"))
+        in_drop = (in_cand.join(sa, "__ia").join(sb, "__ib")
+                   .filter(est_sim(F.col("__sa"), F.col("__sb"))
+                           >= F.lit(float(threshold)))
+                   .select(F.col("__ib").alias(id_col)).distinct())
+        drops = in_drop if drops is None else drops.unionByName(in_drop).distinct()
+        survivors = batch_df.join(drops, id_col, "left_anti").persist()
+        (survivors.write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+        surv_sig = sig.join(survivors.select(id_col), id_col, "left_semi")
+        (surv_sig.write.mode("overwrite")
+         .parquet(f"{sig_dir}/run_id={run}/batch_id={batch_id}"))
+        (minhash_band_keys(surv_sig, id_col, id_col, bands, num_hashes)
+         .write.mode("overwrite")
+         .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
+        survivors.unpersist()
+        sig.unpersist()
+
+    writer = (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

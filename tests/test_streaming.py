@@ -587,3 +587,52 @@ def test_quantile_sketch_sink_rollup_matches_batch(spark, tmp_path):
     expected = {(r["quantile"]): (r["n_total"], r["estimate"]) for r in
                 quantile_rollup(one_shot, lo, hi, bins, qs).collect()}
     assert streamed == expected
+
+
+def test_minhash_index_sink_fuzzy_dedup_across_batches(spark, tmp_path):
+    """Streaming fuzzy dedup against the persisted signature index: a
+    batch-2 copy of a batch-1 doc is dropped (cross-batch, unbounded
+    horizon), an in-batch copy loses to its smaller-id sibling, novel
+    docs survive, and only survivors join the index."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        minhash_index_sink,
+        read_sink,
+    )
+
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("entirely different words about streaming systems and "
+             "their various failure modes in production pipelines")
+    batch1 = [(1, long), (2, other)]
+    batch2 = [(3, long),                       # near-dup of indexed 1 -> drop
+              (4, "fresh novel content here about something new ok"),
+              (5, "fresh novel content here about something new ok")]  # in-batch dup of 4 -> drop
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        (spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+    import glob
+    import shutil
+    for i, f in enumerate(sorted(glob.glob(str(d / "f*" / "*.parquet")))):
+        shutil.copy(f, d / f"in{i}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+    q = minhash_index_sink(stream, out, idx, str(tmp_path / "ckpt"),
+                           threshold=0.8)
+    q.awaitTermination()
+
+    survived = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
+    assert survived == [1, 2, 4]
+    indexed = sorted(r["doc_id"] for r in
+                     spark.read.parquet(f"{idx}/sigs").collect())
+    assert indexed == [1, 2, 4]  # dropped dups never index
+    # replay idempotence: re-invoking the batch fn with the same
+    # batch_id overwrites its own partitions -> no double counting
+    sunk = read_sink(spark, out)
+    assert sunk.count() == 3
