@@ -306,3 +306,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quantile_rollup_bounded_and_pushed(spark):
+    """The mergeable quantile tier's load-bearing properties: the null
+    filter is pushed to the parquet scan, the scan reads only the two
+    needed columns, and no Python/Arrow operator appears — the whole
+    tier is JVM expressions over integer counts."""
+    df = entrymod.queries()["quantile_rollup_totalprice"](spark, SF0001)
+    plan = _final_plan(df)
+    pushed = [m.group(1) for m in
+              re.finditer(r"PushedFilters: \[([^\]]+)\]", plan)
+              if m.group(1).strip()]
+    assert any("o_totalprice" in p for p in pushed), \
+        "IsNotNull must reach the scan"
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "o_comment" not in m.group(1)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_recall_gate_broadcasts_truth(spark):
+    """The recall gate's contract: the pair-count-sized truth set and
+    per-arm counts ride broadcast joins — the gate adds no extra
+    full-corpus shuffle beyond its arms' own plans."""
+    df = entrymod.queries()["dedup_recall_report"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_truth attach
+
+
+def test_hll_band_gate_single_aggregation(spark):
+    """The HLL band gate runs as ONE aggregation pass (Expand-planned
+    multi-distinct) over a single orders scan — no per-column jobs.
+    (AdaptiveSparkPlan.toString appends the pre-AQE '== Initial Plan =='
+    section — count operators in the final section only.)"""
+    df = entrymod.queries()["hll_distinct_orders"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan  # multi-column distinct planned in one pass
