@@ -101,11 +101,11 @@ PICK_NOTES = {
                           "statistics; fits are pure projections over "
                           "the grouped row.",
     # round-5 additions
-    "winnow_overlap_pairs": "Single fingerprint evaluation: ONE "
-                            "groupBy(fp) collects the df-capped sorted "
-                            "id set; pairs expand map-side from the "
-                            "array — two shuffles total (was 3x "
-                            "fingerprint recompute, 5 shuffles).",
+    "winnow_overlap_pairs": "r6 bounded shape: fingerprints persist "
+                            "once; a count-only two-phase countDistinct "
+                            "df pass (state bounded at any skew) gates a "
+                            "span-bounded collect for cold fps and a "
+                            "distributed self-join for hot ones.",
     "bloom_decontam_det": "Same zero-shuffle probe as the fast tier — "
                           "md5-derived bit positions fold into the "
                           "bitmap literal; no join anywhere.",
@@ -132,6 +132,26 @@ PICK_NOTES = {
                       ">=64 cells: assignment scans sqrt(cells) supers "
                       "then one child list; within-cell pair join "
                       "shuffles on the cell key only.",
+    # round-6 additions
+    "prefix_jaccard_pairs": "r6 bounded df annotation: count-only "
+                            "groupBy(shingle) (one long per key at any "
+                            "skew) + a streamed join — the collect-fold "
+                            "posting arrays are gone; shingle arrays "
+                            "persist so the pipeline evaluates once.",
+    "quantile_rollup_totalprice": "Null filter pushed to the scan; two "
+                                  "bounded-state aggregations; the "
+                                  "cumulative window runs over <=bins "
+                                  "integer rows — data volume never "
+                                  "reaches a sort.",
+    "dedup_recall_report": "Truth set + 1-row totals broadcast into "
+                           "each arm's own plan; the gate adds no "
+                           "full-corpus shuffle of its own.",
+    "leakage_safe_split": "CC cluster labels + a map-side md5 draw on "
+                          "the cluster id; no shuffle beyond the "
+                          "clustering it labels with.",
+    "hll_distinct_orders": "Exact + sketch sides in ONE Expand-planned "
+                           "aggregation pass over a single scan; the "
+                           "band verdict is an in-row projection.",
 }
 MAX_LINES = 40
 
