@@ -1252,10 +1252,15 @@ def dedup_recall_report(truth_pairs: DataFrame,
                     F.count("__t").cast("long").alias("n_hits"))
                .withColumn("arm", F.lit(name)))
         per = row if per is None else per.unionByName(row)
+    # empty truth set → recall undefined: NULL, not an ANSI-mode
+    # divide-by-zero crash (n_found > 0 by groupBy construction —
+    # an arm with no pairs has no report row at all)
+    recall = F.when(F.col("n_truth") > 0,
+                    F.col("n_hits").cast("double")
+                    / F.col("n_truth").cast("double"))
     return (per.crossJoin(F.broadcast(tn))
             .select("arm", "n_truth", "n_found", "n_hits",
-                    (F.col("n_hits").cast("double")
-                     / F.col("n_truth").cast("double")).alias("recall"),
+                    recall.alias("recall"),
                     (F.col("n_hits").cast("double")
                      / F.col("n_found").cast("double")).alias("precision")))
 

@@ -246,12 +246,17 @@ def binary_auc(scored: DataFrame, label: Column,
         F.sum("__y").cast("long").alias("n_pos"),
         F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
         F.sum(F.col("__r2") * F.col("__y")).cast("long").alias("__rp2"))
+    # one-class input → AUC undefined: NULL, not a crash (ANSI mode
+    # makes a bare 0-divisor throw) and not a fabricated 0.5
+    defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
     return agg.select(
         "n_pos", "n_neg",
-        ((F.col("__rp2").cast("double") / 2.0
-          - F.col("n_pos").cast("double")
-          * (F.col("n_pos") + 1).cast("double") / 2.0)
-         / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")))
+        F.when(defined,
+               (F.col("__rp2").cast("double") / 2.0
+                - F.col("n_pos").cast("double")
+                * (F.col("n_pos") + 1).cast("double") / 2.0)
+               / (F.col("n_pos").cast("double")
+                  * F.col("n_neg").cast("double")))
         .alias("auc"))
 
 

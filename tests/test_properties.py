@@ -330,3 +330,85 @@ def test_chi2_matches_python(spark, cells):
     assert got["dof"] == (len(rs) - 1) * (len(cs) - 1)
     sym = chi2_independence(df, "y", "x").collect()[0]
     assert sym["chi2"] == got["chi2"] and sym["dof"] == got["dof"]
+
+
+def test_quantile_rollup_error_bound_property(spark):
+    """Hypothesis-style sweep without hypothesis overhead on a Spark
+    fixture: across several synthetic distributions (uniform, skewed,
+    boundary-heavy — values sitting EXACTLY on bin edges, and the
+    degenerate hi==lo domain), every rollup estimate stays within one
+    bin width of the exact percentile and n_total is exact."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_hist_sketch,
+        quantile_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    cases = {
+        "uniform": [float(i) for i in range(1000)],
+        "skewed": [float(i) ** 3 for i in range(500)],
+        # every value on a bin edge for bins=10 over [0, 100]
+        "edges": [float(x) for x in range(0, 101, 10)] * 7,
+        "degenerate": [42.0] * 50,
+    }
+    for name, vals in cases.items():
+        df = spark.createDataFrame([(i % 3, v) for i, v in enumerate(vals)],
+                                   "p int, x double")
+        lo, hi = min(vals), max(vals)
+        bins = 10 if name == "edges" else 64
+        qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        sk = quantile_hist_sketch(df, "p", "x", lo, hi, bins)
+        got = {r["quantile"]: r for r in
+               quantile_rollup(sk, lo, hi, bins, qs).collect()}
+        exact = df.agg(*[F.expr(f"percentile(x, {q})").alias(str(q))
+                         for q in qs]).first()
+        width = (hi - lo) / bins if hi > lo else 0.0
+        for q in qs:
+            assert got[q]["n_total"] == len(vals), (name, q)
+            assert abs(got[q]["estimate"] - exact[str(q)]) <= width + 1e-9, \
+                (name, q, got[q]["estimate"], exact[str(q)])
+
+
+def test_hll_band_report_null_handling(spark):
+    """countDistinct and hll_sketch_agg must agree on NULL semantics
+    (both ignore nulls) — a null-heavy column's band verdict reflects
+    only the non-null key space, and an all-null column reports 0
+    exact distinct without erroring."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        hll_band_report,
+    )
+
+    rows = [(i, f"v{i % 5}" if i % 2 == 0 else None, None)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "a long, b string, c string")
+    got = {r["column_name"]: r for r in
+           hll_band_report(df, ["a", "b", "c"]).collect()}
+    assert got["a"]["n_exact"] == 200 and got["a"]["within_band"]
+    assert got["b"]["n_exact"] == 5 and got["b"]["within_band"]
+    assert got["c"]["n_exact"] == 0  # all-null: defined, no crash
+
+
+def test_binary_auc_single_class_is_null_not_crash(spark):
+    """With zero negatives (or positives) AUC is undefined — the
+    operator returns NULL rather than raising or fabricating a value,
+    and the counts still report exactly."""
+    from basic_data_fusion_spark.operators.selection import binary_auc
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0.9, True), (0.1, True)],
+                               "quality_prob double, y boolean")
+    r = binary_auc(df, F.col("y")).collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 0
+    assert r["auc"] is None
+
+
+def test_dedup_recall_empty_truth_is_null_not_crash(spark):
+    """Empty truth set: recall is NULL (undefined), precision still
+    exact — not an ANSI divide-by-zero crash."""
+    from basic_data_fusion_spark.operators.dedup import dedup_recall_report
+
+    truth = spark.createDataFrame([], "id_a long, id_b long")
+    arm = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = dedup_recall_report(truth, {"a": arm}).collect()[0]
+    assert r["n_truth"] == 0 and r["recall"] is None
+    assert r["n_found"] == 1 and r["n_hits"] == 0 and r["precision"] == 0.0
