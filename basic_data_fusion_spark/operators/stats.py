@@ -108,10 +108,28 @@ def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson
         cols = [f"__rk_{c}" for c in columns]
     else:
         cols = columns
+    # sufficient-statistics form instead of F.corr: Spark 4 runs ANSI
+    # mode, where F.corr's internal division THROWS on a zero-variance
+    # column — a constant column is legal input and must yield NULL
+    # (pandas semantics), so the division is guarded (try_divide; the
+    # variance terms clamp at 0 against catastrophic-cancellation
+    # negatives that would surface as NaN through sqrt)
     aggs = []
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+            x = F.col(a).cast("double")
+            y = F.col(b).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            gx = F.when(both, x)
+            gy = F.when(both, y)
+            n = F.count(gx).cast("double")
+            sx, sy = F.sum(gx), F.sum(gy)
+            sxx, syy = F.sum(gx * gx), F.sum(gy * gy)
+            sxy = F.sum(gx * gy)
+            vx = F.greatest(F.lit(0.0), n * sxx - sx * sx)
+            vy = F.greatest(F.lit(0.0), n * syy - sy * sy)
+            aggs.append(F.try_divide(n * sxy - sx * sy,
+                                     F.sqrt(vx) * F.sqrt(vy))
                         .alias(f"{a}||{b}"))
     row = work.agg(*aggs).first()
     data = []
@@ -438,6 +456,9 @@ def histogram(df: DataFrame, column: str, bins: int = 10,
         r = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).first()
         lo = lo if lo is not None else r["lo"]
         hi = hi if hi is not None else r["hi"]
+    if lo is None or hi is None:  # empty / all-null input: empty histogram
+        return df.sparkSession.createDataFrame(
+            [], "bin int, bin_start double, bin_end double, n long")
     width = (hi - lo) / bins if hi > lo else 1.0
     bin_expr = F.least(F.floor((c - F.lit(lo)) / F.lit(width)).cast("int"),
                        F.lit(bins - 1))

@@ -632,3 +632,34 @@ def test_winsorized_stats_quoted_column_name(spark):
                       np.percentile(np.arange(1.0, 101.0), 5),
                       np.percentile(np.arange(1.0, 101.0), 95))
     assert got["w_mean"] == pytest.approx(clipped.mean(), abs=1e-6)
+
+
+def test_correlation_degenerate_inputs_yield_null(spark):
+    """ANSI-mode hardening: a constant column (zero variance), a single
+    row, or an empty relation yield corr=NULL — pandas semantics — not
+    a DIVIDE_BY_ZERO job failure (Spark 4's F.corr throws; the operator
+    uses guarded sufficient statistics instead)."""
+    from basic_data_fusion_spark.operators.stats import correlation_matrix
+
+    const = spark.createDataFrame(
+        [(5.0, float(i)) for i in range(6)], "x double, y double")
+    assert correlation_matrix(const, ["x", "y"]).collect()[0]["corr"] is None
+    assert correlation_matrix(
+        const, ["x", "y"], "spearman").collect()[0]["corr"] is None
+    single = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    assert correlation_matrix(single, ["x", "y"]).collect()[0]["corr"] is None
+    # sanity: real correlation still computed (vs closed form)
+    lin = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1) for i in range(10)], "x double, y double")
+    assert correlation_matrix(lin, ["x", "y"]).collect()[0]["corr"] == \
+        pytest.approx(1.0)
+
+
+def test_histogram_empty_input_returns_empty(spark):
+    from basic_data_fusion_spark.operators.stats import histogram
+
+    empty = spark.createDataFrame([], "x double")
+    out = histogram(empty, "x")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == \
+        ["bin", "bin_start", "bin_end", "n"]
