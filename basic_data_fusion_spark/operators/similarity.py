@@ -186,7 +186,19 @@ def train_centroids(df: DataFrame, k: int = 16, vec_col: str = "embedding",
 
     feats = df.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=k, maxIter=max_iter, seed=seed, initMode=init_mode).fit(feats)
+    # ml.KMeans crashes (ArrayIndexOutOfBounds) when the training set
+    # holds fewer DISTINCT points than k, and rejects k < 2 outright —
+    # both reachable with tiny or duplicate-heavy corpora. Clamp k to
+    # the distinct-point count (one aggregation over the training set,
+    # which is already the bounded sample at scale); a single distinct
+    # point needs no clustering at all.
+    n_distinct = df.select(F.col(vec_col).cast("array<double>")).distinct().count()
+    k_eff = min(int(k), n_distinct)
+    if k_eff < 2:
+        row = df.select(F.col(vec_col).cast("array<double>")).first()
+        return [[float(x) for x in row[0]]]
+    model = KMeans(k=k_eff, maxIter=max_iter, seed=seed,
+                   initMode=init_mode).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
@@ -504,7 +516,14 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                          "literals (a trained quantizer is engine-specific)")
     if centroids is None:
         n = df.count()
-        cells = max(int(k), -(-n // max(1, int(target_cell_size))))
+        if n < 2:
+            # no pairs possible — every vector keeps itself (KMeans also
+            # requires k >= 2, so training is meaningless here)
+            return df.select(F.col(id_col), F.lit(0).alias("cell"),
+                             F.lit(True).alias("keep"))
+        # KMeans requires k >= 2; a 2-cell grid on a tiny corpus is
+        # harmless (the exact cosine re-check decides membership)
+        cells = max(2, int(k), -(-n // max(1, int(target_cell_size))))
         # the training sample must grow with the cell count: a fixed
         # 100k-vector cap meets cells = n/256 at n ≈ 25.6M, where k-means
         # k would exceed its training points and the quantizer

@@ -2266,3 +2266,19 @@ def test_leakage_safe_split_no_cluster_straddle(spark, docs):
     again = {r["doc_id"]: r["split"] for r in
              dedup.leakage_safe_split(docs, pairs).collect()}
     assert again == split_of
+
+
+def test_semantic_dedup_tiny_corpus(spark):
+    """A 0/1-vector corpus has no pairs: every vector keeps itself and
+    KMeans (which requires k >= 2) is never trained; a 2-vector corpus
+    trains a valid 2-cell quantizer and still drops the planted dup."""
+    one = spark.createDataFrame([(1, [1.0] * 8)],
+                                "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(one, k=1, target_cell_size=1).collect()
+    assert len(out) == 1 and out[0]["keep"]
+    two = spark.createDataFrame([(1, [1.0] * 8), (2, [1.0] * 8)],
+                                "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["keep"] for r in
+           similarity.semantic_dedup(two, k=1, target_cell_size=1,
+                                     threshold=0.99).collect()}
+    assert got == {1: True, 2: False}
