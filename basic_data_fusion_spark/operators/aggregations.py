@@ -501,6 +501,12 @@ def quantile_rollup_report(df: DataFrame, part_col: str, value_col: str,
     quantiles = quantiles or [0.25, 0.5, 0.75, 0.9, 0.99]
     row = df.agg(F.min(F.col(value_col).cast("double")).alias("lo"),
                  F.max(F.col(value_col).cast("double")).alias("hi")).first()
-    lo, hi = float(row["lo"]), float(row["hi"])
+    if row["lo"] is None or row["hi"] is None:
+        # Empty or all-NULL value column: no domain to bin over.  Use a
+        # degenerate (0, 0) domain — the sketch is empty (NULLs are
+        # excluded), so the rollup returns 0 rows with the same schema.
+        lo, hi = 0.0, 0.0
+    else:
+        lo, hi = float(row["lo"]), float(row["hi"])
     sk = quantile_hist_sketch(df, part_col, value_col, lo, hi, bins)
     return quantile_rollup(sk, lo, hi, bins, quantiles)

@@ -2229,6 +2229,24 @@ def test_quantile_rollup_merge_and_accuracy(spark):
     assert est_1p == est
 
 
+def test_quantile_rollup_report_degenerate(spark):
+    """An empty relation or an all-NULL value column has no binning
+    domain; the report must return 0 rows with the contract schema
+    instead of crashing on float(None)."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_rollup_report,
+    )
+
+    empty = spark.createDataFrame([], "part string, x double")
+    out = quantile_rollup_report(empty, "part", "x")
+    assert out.columns == ["quantile", "n_total", "estimate"]
+    assert out.count() == 0
+
+    all_null = spark.createDataFrame([("a", None), ("b", None)],
+                                     "part string, x double")
+    assert quantile_rollup_report(all_null, "part", "x").count() == 0
+
+
 def test_dedup_recall_report(spark):
     """Gate semantics on a controlled truth set: a perfect arm scores
     recall 1.0 / precision 1.0; an arm with one miss and one false
