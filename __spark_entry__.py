@@ -1719,6 +1719,34 @@ def q_exactsubstr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(docs, window=20, min_docs=2)
 
 
+def q_memorization_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (Carlini-style): the 20 most-duplicated
+    20-token sequences in documents with distinct-doc and occurrence
+    counts — the shortlist a blocklist or ExactSubstr pass would act
+    on. Counting groups md5 keys; span text is rebuilt only for the 20
+    winners via a broadcast probe of their representative docs."""
+    from basic_data_fusion_spark.operators.dedup import (
+        memorization_risk_report,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return memorization_risk_report(docs, window=20, k=20)
+
+
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span decontamination (GPT-3 §C removal variant): every
+    13-token window of a training doc that appears verbatim in the
+    held-out slice (doc_id % 7 == 0) is cut out; the clean remainder
+    survives, unlike the doc-level drop of `decontam_overlap`. Held-out
+    window hashes broadcast; train bodies never shuffle."""
+    from basic_data_fusion_spark.operators.dedup import decontaminate_spans
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate_spans(train, held, window=13)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) for tilting the corpus
     toward its English slice: hashed unigram+bigram bucket models,
@@ -2312,6 +2340,95 @@ dup AS (SELECT h FROM hw GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
 dwin AS (SELECT doc_id, wpos FROM hw WHERE h IN (SELECT h FROM dup)),
 cov AS (SELECT DISTINCT doc_id, wpos + j AS tokpos
         FROM dwin, unnest(generate_series(0, 19)) AS g(j)),
+alltok AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(otoks))) AS tokpos,
+         unnest(otoks) AS tok
+  FROM base
+),
+kept AS (SELECT a.doc_id, a.tokpos, a.tok
+         FROM alltok a ANTI JOIN cov USING (doc_id, tokpos)),
+reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       COALESCE(reb.clean_text, '') AS clean_text,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
+FROM base b LEFT JOIN reb USING (doc_id)
+"""
+
+
+# DuckDB replay of dedup.memorization_risk_report: same lowercased
+# whitespace tokenization and 20-token stride-1 windows; grouping is by
+# span text (equivalent to Spark's md5-of-span grouping), and the k-cut
+# tie-break replays Spark's md5 order exactly (md5(span) == the Spark
+# window key, both engines hash the identical space-joined string).
+_MEMORIZATION_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 19),
+             i -> array_to_string(list_slice(toks, i, i + 19), ' '))) AS span
+  FROM base WHERE len(toks) >= 20
+),
+agg AS (
+  SELECT span,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_occurrences
+  FROM wins GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cut AS (
+  SELECT * FROM agg
+  ORDER BY n_docs DESC, n_occurrences DESC, md5(span)
+  LIMIT 20
+)
+SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM cut ORDER BY n_docs DESC, n_occurrences DESC, span
+"""
+
+
+# DuckDB replay of dedup.decontaminate_spans over the %7 held-out split:
+# the _EXACTSUBSTR_ORACLE machinery with the flagged keys coming from
+# the held-out side's DISTINCT 13-token window hashes instead of a
+# >=min_docs self-count; the covered-token removal tail is identical.
+_DECONTAM_SPANS_ORACLE = r"""
+WITH alldocs AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS otoks
+  FROM documents
+),
+base AS (SELECT * FROM alldocs WHERE doc_id % 7 <> 0),
+heldout AS (SELECT * FROM alldocs WHERE doc_id % 7 = 0),
+hw AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks) - 12)) AS wpos,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM base WHERE len(toks) >= 13
+),
+ev AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM heldout WHERE len(toks) >= 13
+),
+dwin AS (SELECT doc_id, wpos FROM hw WHERE h IN (SELECT h FROM ev)),
+cov AS (SELECT DISTINCT doc_id, wpos + j AS tokpos
+        FROM dwin, unnest(generate_series(0, 12)) AS g(j)),
 alltok AS (
   SELECT doc_id,
          unnest(generate_series(1, len(otoks))) AS tokpos,
@@ -6184,14 +6301,14 @@ WHERE rn <= 20
 #     keep-best left-join, ann_recall denominator) — re-verify the
 #     changed plans,
 # (c) every green whose last driver row is round 2,
-# (d) the 24 oldest round-3 greens (the remaining 26 r3-era rotate in
+# (d) the 22 oldest round-3 greens (the remaining r3-era rotate in
 #     next round).  Everything checked in r4/r5 sits past the window;
 # every query, windowed or not, stays pinned each pytest run by
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # (a) r6 new contract rows + conversions to hash-checked reports
     "quantile_rollup_totalprice", "dedup_recall_report",
-    "leakage_safe_split",
+    "leakage_safe_split", "memorization_risk", "decontam_spans",
     "hll_distinct_orders", "column_summary_approx", "quality_classifier",
     # (b) operators reworked in r6 — changed plans need fresh hashes
     "ann_recall_report", "prefix_jaccard_pairs", "dedup_keep_best",
@@ -6210,7 +6327,9 @@ DRIVER_WINDOW = [
     "orders_cube", "median_by_segment", "hash_sample_orders",
     "stratified_sample_docs", "events_interarrival", "running_spend",
     "trailing_7d_value", "acctbal_deciles", "cohort_setops",
-    "vocab_top_tokens", "tfidf_top_terms", "token_diversity",
+    "vocab_top_tokens",
+    # tfidf_top_terms / token_diversity displaced by the two new r6
+    # rows above — they rotate in with the remaining r3 greens next round
 ]
 
 
@@ -6305,6 +6424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "exactsubstr_dedup": q_exactsubstr_dedup,
+        "memorization_risk": q_memorization_risk,
+        "decontam_spans": q_decontam_spans,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6429,6 +6550,8 @@ def oracle_sql() -> dict[str, str]:
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
+        "memorization_risk": _MEMORIZATION_ORACLE,
+        "decontam_spans": _DECONTAM_SPANS_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

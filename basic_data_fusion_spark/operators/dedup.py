@@ -212,31 +212,48 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     # spread a narrow source before the O(n·window) md5 hashing (see
     # sources/partitioning.spread_narrow — conditional, so no text
     # shuffle for an already-wide corpus)
-    df = spread_narrow(df)
-    blank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
-    empty_arr = F.array().cast("array<string>")
-    # __t (lowercased) keys the windows; __o (original case) rebuilds the
-    # text. Lowercasing never changes whitespace, so both splits produce
-    # position-aligned arrays.
-    toks = F.when(blank, empty_arr).otherwise(tokens(F.col(text_col)))
-    orig = F.when(blank, empty_arr).otherwise(
-        F.split(F.trim(F.col(text_col)), r"\s+"))
-    base = df.select(F.col(id_col), toks.alias("__t"), orig.alias("__o"))
-
-    # (id, wpos, h): wpos is the 1-based token index of the window start.
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__t") - w + 1, F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, w))))
-    wins = (base.filter(F.size("__t") >= w)
-            .select(id_col, F.posexplode(win_hashes).alias("__p0", "__h"))
-            .select(id_col, (F.col("__p0") + 1).alias("wpos"), "__h"))
+    base = _tokenized_base(spread_narrow(df), text_col, id_col)
+    wins = _window_hash_table(base, id_col, w)
 
     dup_keys = (wins.groupBy("__h")
                 .agg(F.countDistinct(id_col).alias("__df"))
                 .filter(F.col("__df") >= min_docs)
                 .select("__h"))
     dup_wins = wins.join(dup_keys, "__h", "left_semi")
+    return _covered_span_report(base, dup_wins, id_col, w)
 
+
+def _tokenized_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, __t, __o): lowercased tokens keying the windows, and
+    original-case tokens for the rebuild.  Lowercasing never changes
+    whitespace, so both splits are position-aligned."""
+    blank = F.trim(F.coalesce(F.col(text_col), F.lit(""))) == ""
+    empty_arr = F.array().cast("array<string>")
+    toks = F.when(blank, empty_arr).otherwise(tokens(F.col(text_col)))
+    orig = F.when(blank, empty_arr).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.select(F.col(id_col), toks.alias("__t"), orig.alias("__o"))
+
+
+def _window_hash_table(base: DataFrame, id_col: str, w: int) -> DataFrame:
+    """(id, wpos, __h): every ``w``-token sliding window (stride 1)
+    keyed by md5 of its space-joined lowercased tokens; wpos is the
+    1-based token index of the window start.  Only these narrow triples
+    ever shuffle — never document bodies."""
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__t") - w + 1, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i, w))))
+    return (base.filter(F.size("__t") >= w)
+            .select(id_col, F.posexplode(win_hashes).alias("__p0", "__h"))
+            .select(id_col, (F.col("__p0") + 1).alias("wpos"), "__h"))
+
+
+def _covered_span_report(base: DataFrame, dup_wins: DataFrame,
+                         id_col: str, w: int) -> DataFrame:
+    """Shared tail of the span-removal operators
+    (``exact_substring_dedup``, ``decontaminate_spans``): expand the
+    flagged windows to covered token positions, drop those tokens, and
+    rebuild (id, clean_text, n_tokens, n_removed) for every input doc."""
     covered = (dup_wins
                .select(id_col,
                        F.explode(F.sequence(F.col("wpos"),
@@ -263,6 +280,90 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                     "n_tokens",
                     (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def decontaminate_spans(train: DataFrame, held_out: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        window: int = 13) -> DataFrame:
+    """Surgical benchmark decontamination (GPT-3 §C's removal variant):
+    instead of dropping every training document that shares an n-gram
+    with the held-out set (``cross_corpus_overlap`` + filter — the
+    blunt instrument), remove only the CONTAMINATED SPANS: any
+    ``window``-token sequence of a training doc that appears verbatim
+    anywhere in the held-out corpus is cut out; the clean remainder
+    survives.  GPT-3 used 13-gram collisions; at that length false
+    positives are rare, so span removal keeps data a doc-level drop
+    would waste.  The reference has no analogue (its overlap surface
+    stops at file-level MD5).
+
+    Returns (id, clean_text, n_tokens, n_removed) for every train doc
+    — the same contract as ``exact_substring_dedup``, which shares its
+    machinery: the only difference is WHERE the flagged window keys
+    come from (the held-out corpus, not a ≥min_docs self-count).
+
+    Scale shape: train side shuffles only (id, wpos, md5) triples; the
+    held-out side reduces to DISTINCT window hashes — benchmarks are
+    tiny relative to a training corpus, so that relation broadcasts and
+    the probe is map-side.  All JVM expressions; no Python UDFs.
+    """
+    w = int(window)
+    base = _tokenized_base(spread_narrow(train), text_col, id_col)
+    wins = _window_hash_table(base, id_col, w)
+
+    eval_keys = (_window_hash_table(
+                     _tokenized_base(held_out, text_col, id_col),
+                     id_col, w)
+                 .select("__h").distinct())
+    dup_wins = wins.join(F.broadcast(eval_keys), "__h", "left_semi")
+    return _covered_span_report(base, dup_wins, id_col, w)
+
+
+def memorization_risk_report(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", window: int = 20,
+                             k: int = 20) -> DataFrame:
+    """Memorization-risk audit (Carlini et al. 2021/2022: verbatim
+    sequences repeated across training data are the ones models emit):
+    the top-``k`` most-duplicated ``window``-token sequences in the
+    corpus, with how many distinct documents and total occurrences each
+    has — ``(span, n_docs, n_occurrences)`` ordered by
+    (n_docs DESC, n_occurrences DESC, span).  The actionable shortlist
+    for an ExactSubstr pass or a blocklist.  Spans are reported in the
+    lowercased token form that keys the count (case-insensitive match,
+    same convention as ``exact_substring_dedup``).
+
+    Scale shape: counting groups 16-byte md5 keys, never span text; the
+    top-k survives on the bounded aggregate (TakeOrdered, no global
+    sort materialization).  Span text is only reconstructed for the k
+    winners, by re-slicing the ONE representative (min (id, wpos))
+    document per winner — a broadcast semi-probe back into the corpus,
+    touching k documents.  Overlapping occurrences inside one document
+    each count toward n_occurrences (stride-1 windows), in both engines.
+    """
+    w, k = int(window), int(k)
+    base = _tokenized_base(spread_narrow(df), text_col, id_col)
+    wins = _window_hash_table(base, id_col, w)
+
+    top = (wins.groupBy("__h")
+           .agg(F.countDistinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_occurrences"),
+                F.min(F.struct(F.col(id_col).alias("id"),
+                               F.col("wpos").alias("wpos"))).alias("__rep"))
+           .filter(F.col("n_docs") >= 2))
+
+    # Reconstruct span text for the winners only: probe the k
+    # representative docs (broadcast of a k-row relation).
+    rep = (top.select("__h", "n_docs", "n_occurrences",
+                      F.col("__rep.id").alias("__rid"),
+                      F.col("__rep.wpos").alias("__rpos"))
+           .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "__h")
+           .limit(k))
+    return (base.join(F.broadcast(rep),
+                      base[id_col] == rep["__rid"])
+            .select(F.concat_ws(
+                        " ", F.slice("__t", F.col("__rpos"), w))
+                    .alias("span"),
+                    "n_docs", "n_occurrences")
+            .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span"))
 
 
 # ---------------- shingles ----------------

@@ -261,6 +261,66 @@ def test_exact_substring_dedup_planted_span(spark):
         assert r["clean_text"] == "" and r["n_removed"] == 60
 
 
+def test_decontaminate_spans_planted(spark):
+    """Surgical decontamination: only the held-out-colliding window is
+    cut from a train doc (unique tokens survive); train docs with no
+    collision pass through untouched; matching is case-insensitive;
+    held-out docs themselves are not in the output."""
+    from basic_data_fusion_spark.operators.dedup import decontaminate_spans
+
+    leak = "the quick brown fox jumps"                # 5-token eval span
+    train = spark.createDataFrame(
+        [(1, "intro " + leak + " outro"),
+         (2, "totally clean document here"),
+         (3, "INTRO " + leak.upper() + " OUTRO"),     # case-insensitive hit
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(100, "padding " + leak + " trailer")], "doc_id long, text string")
+
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate_spans(train, held, window=5).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}                # train ids only
+    assert out[1]["clean_text"] == "intro outro"
+    assert out[1]["n_tokens"] == 7 and out[1]["n_removed"] == 5
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "totally clean document here"
+    # original case survives on kept tokens; removal keyed on lowercase
+    assert out[3]["clean_text"] == "INTRO OUTRO" and out[3]["n_removed"] == 5
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 0
+
+
+def test_memorization_risk_report_planted(spark):
+    """Top repeated windows: a 4-token span planted in 3 docs tops the
+    report with n_docs=3; a span repeated only WITHIN one doc is
+    excluded (n_docs >= 2 gate); occurrences count stride-1 overlaps in
+    every doc; output is capped at k."""
+    from basic_data_fusion_spark.operators.dedup import (
+        memorization_risk_report,
+    )
+
+    hot = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, "x " + hot + " y"),
+         (2, hot),
+         (3, "z " + hot),
+         # within-doc repetition only — must NOT appear
+         (4, "p q r s p q r s".replace("s p", "s mid p")),
+         (5, "")],
+        "doc_id long, text string")
+    rows = memorization_risk_report(docs, window=4, k=10).collect()
+    spans = [r["span"] for r in rows]
+    assert spans[0] == hot
+    top = rows[0]
+    assert top["n_docs"] == 3 and top["n_occurrences"] == 3
+    assert all("p q r s" != s for s in spans)
+    assert len(rows) <= 10
+    # k cap: ask for 1, get exactly the hottest span
+    only = memorization_risk_report(docs, window=4, k=1).collect()
+    assert len(only) == 1 and only[0]["span"] == hot
+
+
 def test_dsir_weights_tilt_toward_target(spark):
     """DSIR log-weights must rank target-like docs above off-target docs:
     with an English target over the mixed-language corpus, the top
