@@ -147,6 +147,8 @@ HEADLINE += [
     "quantile_rollup_totalprice",  # mergeable histogram quantile rollup
     "dedup_recall_report",   # LSH/PPJoin recall+precision vs exhaustive
     "leakage_safe_split",    # cluster-keyed train/val/test assignment
+    "memorization_risk",     # top-k duplicated windows, broadcast rebuild
+    "decontam_spans",        # surgical held-out span removal
 ]
 
 

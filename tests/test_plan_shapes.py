@@ -335,6 +335,29 @@ def test_dedup_recall_gate_broadcasts_truth(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_truth attach
 
 
+def test_memorization_risk_broadcast_rebuild(spark):
+    """The memorization report's scale contract: counting groups md5
+    keys and only the k winners go back to the corpus for span rebuild
+    — that probe must be a broadcast join (k rows build side), and the
+    whole pipeline stays JVM-side."""
+    df = entrymod.queries()["memorization_risk"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, "winners probe must broadcast"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decontam_spans_broadcasts_heldout_keys(spark):
+    """Surgical decontamination probes train windows against the
+    held-out key set; benchmarks are tiny relative to a training
+    corpus, so that semi-probe must be a broadcast semi-join — never a
+    shuffled join keyed on window hashes of the full train side."""
+    df = entrymod.queries()["decontam_spans"](spark, SF0001)
+    plan = _final_plan(df)
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), \
+        "held-out window keys must broadcast into a semi-join"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_hll_band_gate_single_aggregation(spark):
     """The HLL band gate runs as ONE aggregation pass (Expand-planned
     multi-distinct) over a single orders scan — no per-column jobs.
