@@ -2360,3 +2360,45 @@ def test_semantic_dedup_tiny_corpus(spark):
            similarity.semantic_dedup(two, k=1, target_cell_size=1,
                                      threshold=0.99).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_degenerate_inputs_never_crash(spark):
+    """Empty relations and all-NULL columns must flow through the
+    arithmetic-heavy operators as empty/NULL results, never as
+    exceptions (ANSI mode turns unguarded ÷0 and float(None) into
+    crashes — the round-6 fuzz found real instances in pearson/
+    histogram/quantile_rollup; this pins the guards).  One corpus per
+    family keeps the sweep cheap; the full six-corpus fuzz lives in the
+    round logs."""
+    from basic_data_fusion_spark.operators import (
+        aggregations as agg, dedup, events, joins, linkage, quality,
+        relational, stats,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    null_num = spark.createDataFrame([("a", None), ("b", None)],
+                                     "g string, x double")
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event string, ts timestamp, value double")
+
+    # dedup ladder on an empty corpus
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.exact_substring_dedup(empty_docs).count() == 0
+    assert dedup.memorization_risk_report(empty_docs).count() == 0
+    assert dedup.decontaminate_spans(empty_docs, empty_docs).count() == 0
+    # stats/aggregations on all-NULL numerics
+    assert agg.quantile_rollup_report(null_num, "g", "x").count() == 0
+    assert agg.numeric_summary(null_num, ["x"]).count() >= 0
+    stats.histogram(null_num, "x").count()
+    stats.correlation_matrix(null_num.withColumn("y", F.col("x")),
+                             ["x", "y"]).count()
+    quality.benford_audit(null_num, "x").count()
+    # event/time-series shapes on an empty stream
+    assert events.funnel_counts(empty_ev, ["a", "b"], "user_id",
+                                "event", "ts").count() >= 0
+    assert events.retention_matrix(empty_ev, user_col="user_id",
+                                   ts_col="ts").count() == 0
+    assert linkage.rolling_zscore(empty_ev, "user_id", "ts", "event",
+                                  "value").count() == 0
+    assert joins.skew_report(empty_ev, "event").count() == 0
+    assert relational.positive_mean_cents(empty_ev, "value").count() >= 0
