@@ -636,3 +636,49 @@ def test_minhash_index_sink_fuzzy_dedup_across_batches(spark, tmp_path):
     # batch_id overwrites its own partitions -> no double counting
     sunk = read_sink(spark, out)
     assert sunk.count() == 3
+
+
+def test_streaming_decontaminate_flags_leaks(spark, tmp_path):
+    """Streaming decontamination gate: docs sharing a 5-token window
+    with the static held-out set are flagged across micro-batches
+    (update mode, stateless probe — no watermark needed); clean and
+    too-short docs pass unflagged; the batch path returns identical
+    rows from the same call site."""
+    from basic_data_fusion_spark.streaming.dedup import (
+        streaming_decontaminate,
+    )
+
+    leak = "the quick brown fox jumps"
+    rows1 = [(1, "intro " + leak + " outro"),           # contaminated
+             (2, "totally clean document right here")]  # clean
+    rows2 = [(3, leak),                                 # exactly the leak
+             (4, "tiny doc")]                           # < window: 0 windows
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}")))
+
+    held = spark.createDataFrame(
+        [(100, "padding " + leak + " trailer")], schema)
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(str(d))
+    stream = (spark.readStream.schema(batch.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    out = W.run_available_now(
+        streaming_decontaminate(stream, held, window=5),
+        "t_stream_decontam", output_mode="update")
+    got = {r["doc_id"]: (r["n_windows"], r["n_contaminated"],
+                         r["contaminated"]) for r in out.collect()}
+    assert got[1] == (3, 1, True)     # 7 toks → 3 windows, 1 hits the leak
+    assert got[2][2] is False and got[2][1] == 0
+    assert got[3] == (1, 1, True)
+    assert got[4] == (0, 0, False)    # 2 toks < window: no windows, clean
+
+    bgot = {r["doc_id"]: (r["n_windows"], r["n_contaminated"],
+                          r["contaminated"])
+            for r in streaming_decontaminate(batch, held, window=5).collect()}
+    assert bgot == got
