@@ -1747,6 +1747,22 @@ def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_spans(train, held, window=13)
 
 
+def q_decontam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination fraction (GPT-3 'dirty document'
+    verdict): how many of each train doc's 13-token windows collide
+    with the held-out slice (doc_id % 7 == 0). Runs the streaming
+    gate's shared batch path — the same stateless broadcast probe a
+    live ingest pipeline runs per micro-batch."""
+    from basic_data_fusion_spark.streaming.dedup import (
+        streaming_decontaminate,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return streaming_decontaminate(train, held, window=13)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) for tilting the corpus
     toward its English slice: hashed unigram+bigram bucket models,
@@ -2445,6 +2461,46 @@ SELECT b.doc_id,
        CAST(len(b.toks) AS BIGINT) AS n_tokens,
        CAST(len(b.toks) AS BIGINT) - COALESCE(reb.n_kept, 0) AS n_removed
 FROM base b LEFT JOIN reb USING (doc_id)
+"""
+
+
+# DuckDB replay of streaming_decontaminate's batch path: per-train-doc
+# 13-token window counts and held-out-collision counts (the contamination
+# fraction's numerator/denominator as exact integers).
+_DECONTAM_FRACTION_ORACLE = r"""
+WITH alldocs AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+base AS (SELECT * FROM alldocs WHERE doc_id % 7 <> 0),
+heldout AS (SELECT * FROM alldocs WHERE doc_id % 7 = 0),
+hw AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM base WHERE len(toks) >= 13
+),
+ev AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM heldout WHERE len(toks) >= 13
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END)
+             AS n_contaminated
+  FROM hw GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(c.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(c.n_contaminated, 0) > 0 AS contaminated
+FROM base b LEFT JOIN cnt c USING (doc_id)
 """
 
 
@@ -6426,6 +6482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "memorization_risk": q_memorization_risk,
         "decontam_spans": q_decontam_spans,
+        "decontam_fraction": q_decontam_fraction,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6552,6 +6609,7 @@ def oracle_sql() -> dict[str, str]:
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,
         "decontam_spans": _DECONTAM_SPANS_ORACLE,
+        "decontam_fraction": _DECONTAM_FRACTION_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

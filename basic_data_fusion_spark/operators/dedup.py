@@ -431,6 +431,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
 MERSENNE31 = 2147483647  # 2^31 - 1
 
 
+def plan_minhash_bands(threshold: float, num_hashes: int = 64,
+                       fn_weight: float = 1.0) -> tuple[int, int]:
+    """Pick the LSH banding (bands, rows_per_band) for a target Jaccard
+    ``threshold`` — the knob callers otherwise guess.  For b bands of r
+    rows, P(candidate | jaccard=s) = 1 − (1 − s^r)^b, an S-curve with
+    inflection ≈ (1/b)^(1/r); the planner scans every (b, r) with
+    b·r ≤ num_hashes and minimizes the integrated error
+    ∫₀ᵗ P(s) ds  +  fn_weight · ∫ₜ¹ (1 − P(s)) ds
+    (false-positive mass below the threshold plus weighted
+    false-negative mass above it — the MMDS ch.3 objective, evaluated
+    on a fixed 1000-point grid so the choice is deterministic).
+    ``fn_weight > 1`` biases toward recall (dedup pipelines usually
+    prefer re-verifying extra candidates over missing near-dups).
+    Driver-side arithmetic only; feed the result to
+    ``minhash_dedup_pairs``/``lsh_candidate_pairs``.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best, best_cost = None, None
+    grid = [(i + 0.5) / 1000.0 for i in range(1000)]
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        cost = 0.0
+        for s in grid:
+            p = 1.0 - (1.0 - s ** r) ** b
+            cost += (p if s < threshold else fn_weight * (1.0 - p)) / 1000.0
+        if best_cost is None or cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
+
+
 def _affine_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the affine min-hash family
     h_i(x) = (a_i * x + b_i) mod p — derived from the seed via a simple

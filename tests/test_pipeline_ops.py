@@ -2402,3 +2402,31 @@ def test_degenerate_inputs_never_crash(spark):
                                   "value").count() == 0
     assert joins.skew_report(empty_ev, "event").count() == 0
     assert relational.positive_mean_cents(empty_ev, "value").count() >= 0
+
+
+def test_plan_minhash_bands(spark):
+    """Band planning sanity: the chosen banding's S-curve inflection
+    (1/b)^(1/r) tracks the requested threshold (low thresholds get
+    many short bands, high thresholds few long bands); the full hash
+    budget is used; recall weighting moves the curve left (more
+    permissive); bad inputs raise."""
+    import pytest as _pytest
+
+    from basic_data_fusion_spark.operators.dedup import plan_minhash_bands
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r = plan_minhash_bands(t, num_hashes=64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        inflection = (1.0 / b) ** (1.0 / r)
+        assert abs(inflection - t) < 0.2, (t, b, r, inflection)
+    b_lo, r_lo = plan_minhash_bands(0.3, 64)
+    b_hi, r_hi = plan_minhash_bands(0.9, 64)
+    assert r_lo < r_hi and b_lo > b_hi
+    # recall bias: higher fn_weight never RAISES the inflection point
+    b1, r1 = plan_minhash_bands(0.7, 64, fn_weight=1.0)
+    b4, r4 = plan_minhash_bands(0.7, 64, fn_weight=4.0)
+    assert (1.0 / b4) ** (1.0 / r4) <= (1.0 / b1) ** (1.0 / r1) + 1e-9
+    with _pytest.raises(ValueError):
+        plan_minhash_bands(0.0)
+    with _pytest.raises(ValueError):
+        plan_minhash_bands(0.5, num_hashes=1)
