@@ -152,6 +152,17 @@ PICK_NOTES = {
     "hll_distinct_orders": "Exact + sketch sides in ONE Expand-planned "
                            "aggregation pass over a single scan; the "
                            "band verdict is an in-row projection.",
+    "memorization_risk": "Counting groups 16-byte md5 keys; the k "
+                         "winners broadcast back into the corpus for "
+                         "span rebuild — bodies never shuffle.",
+    "decontam_spans": "Held-out window hashes broadcast into a "
+                      "LeftSemi probe of the train windows; the "
+                      "covered-token removal is the shared ExactSubstr "
+                      "tail (one doc-id aggregation).",
+    "decontam_fraction": "Stateless gate shape: one broadcast left "
+                         "join on window hashes + one per-doc count "
+                         "aggregation — zero state, the per-micro-"
+                         "batch streaming plan verbatim.",
 }
 MAX_LINES = 40
 
