@@ -412,3 +412,69 @@ def test_dedup_recall_empty_truth_is_null_not_crash(spark):
     r = dedup_recall_report(truth, {"a": arm}).collect()[0]
     assert r["n_truth"] == 0 and r["recall"] is None
     assert r["n_found"] == 1 and r["n_hits"] == 0 and r["precision"] == 0.0
+
+
+def _py_windows(toks: list[str], w: int) -> list[str]:
+    return [" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)]
+
+
+@FAST
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12),
+        min_size=1, max_size=6),
+    heldout=st.lists(
+        st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12),
+        min_size=1, max_size=3),
+    w=st.integers(2, 4))
+def test_decontaminate_spans_matches_python(spark, corpus, heldout, w):
+    """Differential: decontaminate_spans vs a pure-Python mirror of the
+    covered-window semantics (tiny 4-symbol alphabet forces frequent
+    collisions, short docs, empty docs)."""
+    train_rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    held_rows = [(100 + i, " ".join(toks)) for i, toks in enumerate(heldout)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+
+    ev = {win for _, t in held_rows for win in _py_windows(t.split(), w)}
+    expect = {}
+    for i, t in train_rows:
+        toks = t.split()
+        covered = set()
+        for p, win in enumerate(_py_windows(toks, w)):
+            if win in ev:
+                covered.update(range(p, p + w))
+        kept = [tok for j, tok in enumerate(toks) if j not in covered]
+        expect[i] = (" ".join(kept), len(toks), len(covered))
+
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in dedup.decontaminate_spans(train, held, window=w).collect()}
+    assert got == expect
+
+
+@FAST
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=10),
+        min_size=1, max_size=6),
+    w=st.integers(2, 3))
+def test_memorization_report_matches_python(spark, corpus, w):
+    """Differential: memorization_risk_report counts vs a Python mirror
+    (span -> (distinct docs, occurrences), n_docs >= 2, k large enough
+    to keep everything — ordering checked on the sort keys)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict[str, list] = {}
+    for i, t in rows:
+        for win in _py_windows(t.split(), w):
+            stats.setdefault(win, [set(), 0])
+            stats[win][0].add(i)
+            stats[win][1] += 1
+    expect = {s: (len(d), n) for s, (d, n) in stats.items() if len(d) >= 2}
+
+    out = dedup.memorization_risk_report(df, window=w, k=1000).collect()
+    got = {r["span"]: (r["n_docs"], r["n_occurrences"]) for r in out}
+    assert got == expect
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["span"]) for r in out]
+    assert keys == sorted(keys)
