@@ -1217,6 +1217,20 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3, n=2)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector (vec_id < 10), the 5
+    most-similar corpus vectors with a DIFFERENT label — the
+    contrastive-training pair source. Same broadcast + window-rank
+    shape as embedding_topk, plus the per-pair label test."""
+    from basic_data_fusion_spark.operators.similarity import hard_negatives
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding",
+                          "label"))
+    return hard_negatives(emb, queries_df, k=5, deterministic=True)
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.similarity import brute_force_topk
 
@@ -2238,6 +2252,41 @@ FROM documents d
 LEFT JOIN lbl l ON l.n = d.doc_id
 LEFT JOIN sz s ON s.cluster_id = l.cluster_id
 """)
+
+_HARD_NEGATIVES_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+  FROM embeddings WHERE vec_id < 10
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+parts AS (
+  SELECT q.query_id, q.query_label,
+         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS dot,
+         SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM q CROSS JOIN embeddings e CROSS JOIN dims
+  WHERE e.label <> q.query_label
+  GROUP BY q.query_id, q.query_label, e.vec_id, e.label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         dot / (SQRT(aa) * SQRT(bb)) AS cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(aa) * SQRT(bb)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM parts
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 _EMBEDDING_TOPK_ORACLE = """
 WITH q AS (
@@ -6527,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "embedding_topk": q_embedding_topk,
+        "hard_negatives": q_hard_negatives,
         # --- round-3 greens (driver-checked r3, all 50 hash-green) ---
         "media_features": q_media_features,
         "events_tumbling_daily": q_events_tumbling_daily,
@@ -6749,6 +6799,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
+        "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "flagship_merge": f"""
             SELECT demo.c_custkey, demo.c_name, demo.c_nationkey, demo.c_acctbal,
                    demo.c_mktsegment, orders.o_orderkey, orders.o_totalprice,

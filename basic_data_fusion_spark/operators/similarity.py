@@ -114,6 +114,54 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select(query_id_col, "neighbor_id", "cosine_sim", "rank"))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   query_id_col: str = "query_id",
+                   deterministic: bool = False) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-``k`` most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the negatives that sit closest to the
+    decision boundary, which is where contrastive/triplet losses get
+    their gradient (same-label neighbors are the positives;
+    ``brute_force_topk`` without the label test).  Ties break on
+    neighbor id; the output adds the two labels so downstream pair
+    writers don't re-join.
+
+    Scale shape: identical to ``brute_force_topk`` — the bounded query
+    set broadcasts with per-side self-dots hoisted out of the pair
+    expression, the corpus never shuffles, and per-query top-k is a
+    window rank on the query partition.  At corpus scales where even
+    one broadcast pass is too hot, compose the IVF tier first (probe
+    cells, then apply the label filter to the candidate list) — the
+    label test composes with any candidate generator because it is a
+    per-pair projection, not a join.
+    """
+    self_dot = fixed_point_self_dot if deterministic else \
+        (lambda v: dot(v, v))
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qvec"),
+                       F.col(label_col).alias("query_label"),
+                       self_dot(F.col(vec_col)).alias("__qq"))
+    c = (spread_narrow(corpus)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("__cvec"),
+                 F.col(label_col).alias("neighbor_label"),
+                 self_dot(F.col(vec_col)).alias("__cc")))
+    pair_dot = fixed_point_dot if deterministic else dot
+    sim = (pair_dot(F.col("__qvec"), F.col("__cvec"))
+           / (F.sqrt("__qq") * F.sqrt("__cc")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_label") != F.col("query_label"))
+              .withColumn("cosine_sim", sim))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                                 F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "query_label", "neighbor_id",
+                    "neighbor_label", "cosine_sim", "rank"))
+
+
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.95,
                         planes: int = 16, seed: int = 42,

@@ -2430,3 +2430,34 @@ def test_plan_minhash_bands(spark):
         plan_minhash_bands(0.0)
     with _pytest.raises(ValueError):
         plan_minhash_bands(0.5, num_hashes=1)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """Hard-negative mining: the nearest SAME-label vector (a perfect
+    copy that tops plain top-k) never appears; the mined negative is
+    the closest different-label vector; both labels ride the output;
+    k caps each query's list; a query whose label covers the whole
+    corpus yields no rows."""
+    from basic_data_fusion_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),   # query
+        (1, [1.0, 0.0, 0.0], 1),   # identical, same label -> excluded
+        (2, [0.9, 0.1, 0.0], 2),   # closest different-label -> rank 1
+        (3, [0.0, 1.0, 0.0], 2),
+        (4, [0.0, 0.0, 1.0], 3),
+    ]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    got = similarity.hard_negatives(emb, q, k=2).collect()
+    assert [r["neighbor_id"] for r in got] == [2, 3]
+    assert all(r["neighbor_label"] != r["query_label"] for r in got)
+    assert got[0]["rank"] == 1 and got[1]["rank"] == 2
+
+    # all corpus vectors share the query's label -> nothing to mine
+    same = emb.withColumn("label", F.lit(1))
+    qs = (same.filter(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    assert similarity.hard_negatives(same, qs, k=2).count() == 0
