@@ -47,8 +47,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def safe_cos_div(num: Column, den: Column) -> Column:
+    """NULL instead of ANSI DIVIDE_BY_ZERO when a zero/empty vector
+    makes a cosine denominator 0. A NULL similarity sorts LAST under
+    the descending rank every top-k tier uses (desc = nulls-last), so
+    degenerate vectors never outrank real neighbors — and never crash
+    the whole job, which is what an unguarded ÷0 does under ANSI."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return safe_cos_div(dot(a, b), norm(a) * norm(b))
 
 
 def fp_sum(prod_arr: Column, scale: float = 1e12) -> Column:
@@ -74,7 +83,7 @@ def fixed_point_cosine(a: Column, b: Column, scale: float = 1e12) -> Column:
     ab = fixed_point_dot(a, b, scale)
     aa = fixed_point_self_dot(a, scale)
     bb = fixed_point_self_dot(b, scale)
-    return ab / (F.sqrt(aa) * F.sqrt(bb))
+    return safe_cos_div(ab, F.sqrt(aa) * F.sqrt(bb))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -104,8 +113,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  F.col(vec_col).alias("__cvec"),
                  self_dot(F.col(vec_col)).alias("__cc")))
     pair_dot = fixed_point_dot if deterministic else dot
-    sim = (pair_dot(F.col("__qvec"), F.col("__cvec"))
-           / (F.sqrt("__qq") * F.sqrt("__cc")))
+    sim = safe_cos_div(pair_dot(F.col("__qvec"), F.col("__cvec")),
+                       F.sqrt("__qq") * F.sqrt("__cc"))
     scored = (c.crossJoin(F.broadcast(q))
               .withColumn("cosine_sim", sim))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -149,8 +158,8 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  F.col(label_col).alias("neighbor_label"),
                  self_dot(F.col(vec_col)).alias("__cc")))
     pair_dot = fixed_point_dot if deterministic else dot
-    sim = (pair_dot(F.col("__qvec"), F.col("__cvec"))
-           / (F.sqrt("__qq") * F.sqrt("__cc")))
+    sim = safe_cos_div(pair_dot(F.col("__qvec"), F.col("__cvec")),
+                       F.sqrt("__qq") * F.sqrt("__cc"))
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_label") != F.col("query_label"))
               .withColumn("cosine_sim", sim))
@@ -232,19 +241,28 @@ def train_centroids(df: DataFrame, k: int = 16, vec_col: str = "embedding",
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = df.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    # NULL / empty / dim-inconsistent vectors crash ml.KMeans.fit with
+    # an opaque JVM error; a real corpus hits all three (failed encoder
+    # runs, schema drift). Train on the rows matching the first valid
+    # row's dimension — the same drop-don't-crash policy as the scoring
+    # tiers' NULL cosine.
+    vecs = (df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+            .filter(F.col("__v").isNotNull() & (F.size("__v") > 0)))
+    head = vecs.first()
+    if head is None:
+        raise ValueError("train_centroids: no non-empty vectors to train on")
+    vecs = vecs.filter(F.size("__v") == len(head["__v"]))
+    feats = vecs.select(array_to_vector(F.col("__v")).alias("features"))
     # ml.KMeans crashes (ArrayIndexOutOfBounds) when the training set
     # holds fewer DISTINCT points than k, and rejects k < 2 outright —
     # both reachable with tiny or duplicate-heavy corpora. Clamp k to
     # the distinct-point count (one aggregation over the training set,
     # which is already the bounded sample at scale); a single distinct
     # point needs no clustering at all.
-    n_distinct = df.select(F.col(vec_col).cast("array<double>")).distinct().count()
+    n_distinct = vecs.distinct().count()
     k_eff = min(int(k), n_distinct)
     if k_eff < 2:
-        row = df.select(F.col(vec_col).cast("array<double>")).first()
-        return [[float(x) for x in row[0]]]
+        return [[float(x) for x in head["__v"]]]
     model = KMeans(k=k_eff, maxIter=max_iter, seed=seed,
                    initMode=init_mode).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
@@ -513,8 +531,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
                .select(query_id_col, "__qvec", "__qq", "cell"))
     scored = (indexed.join(F.broadcast(q_cells), "cell")
               .withColumn("cosine_sim",
-                          pair_dot(F.col("__qvec"), F.col(vec_col))
-                          / (F.sqrt("__qq") * F.sqrt("__cc"))))
+                          safe_cos_div(
+                              pair_dot(F.col("__qvec"), F.col(vec_col)),
+                              F.sqrt("__qq") * F.sqrt("__cc"))))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -623,8 +642,9 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
         # the guard one degenerate vector would drop its whole cell);
         # __na here is the fixed-point self-dot, matching the oracle
         near = ((F.col("__na") > 0) & (F.col("__nb") > 0)
-                & (fixed_point_dot(F.col("__va"), F.col("__vb"))
-                   / (F.sqrt("__na") * F.sqrt("__nb"))
+                & (safe_cos_div(fixed_point_dot(F.col("__va"),
+                                                F.col("__vb")),
+                                F.sqrt("__na") * F.sqrt("__nb"))
                    >= F.lit(float(threshold))))
     else:
         near = ((F.col("__na") > 0) & (F.col("__nb") > 0)
@@ -665,7 +685,15 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, ksub: int = 16,
     """
     import numpy as np
 
-    rows = (df.select(F.col(id_col), F.col(vec_col))
+    # same drop-don't-crash policy as train_centroids: NULL/empty
+    # vectors are skipped, the first valid row fixes the dimension.
+    valid = (df.select(F.col(id_col), F.col(vec_col))
+             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)))
+    head = valid.first()
+    if head is None:
+        raise ValueError(
+            "train_pq_codebooks: no non-empty vectors to train on")
+    rows = (valid.filter(F.size(vec_col) == len(head[1]))
             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .limit(int(sample)).collect())
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)

@@ -2461,3 +2461,36 @@ def test_hard_negatives_excludes_same_label(spark):
     qs = (same.filter(F.col("vec_id") == 0)
           .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
     assert similarity.hard_negatives(same, qs, k=2).count() == 0
+
+
+def test_similarity_degenerate_vectors_never_crash(spark):
+    """Zero vectors, NULL embeddings, and empty arrays must yield NULL
+    cosine (ranked last, never returned above real neighbors) instead
+    of ANSI DIVIDE_BY_ZERO; trainers drop invalid vectors and raise a
+    CLEAR error only when nothing is left to train on."""
+    import pytest as _pytest
+
+    from basic_data_fusion_spark.operators import similarity
+
+    rows = [(1, [0.0, 0.0], 1), (2, [1.0, 1.0], 2), (3, None, 3),
+            (4, [], 4), (5, [0.5, 0.5], 5)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>, label int")
+    q = (emb.filter(F.col("vec_id") == 2)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    got = similarity.brute_force_topk(emb, q, k=3).collect()
+    # real neighbors rank first; degenerate ones only trail as NULL sims
+    assert [r["neighbor_id"] for r in got][:2] == [2, 5]
+    assert all(r["cosine_sim"] is not None for r in got[:2])
+    neg = similarity.hard_negatives(emb, q, k=2).collect()
+    assert neg[0]["neighbor_id"] == 5 and neg[0]["cosine_sim"] is not None
+
+    # trainers: invalid vectors dropped; all-invalid raises clearly
+    cents = similarity.train_centroids(emb, k=2)
+    assert all(len(c) == 2 for c in cents)
+    bad = spark.createDataFrame([(1, None), (2, [])],
+                                "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="no non-empty vectors"):
+        similarity.train_centroids(bad)
+    with _pytest.raises(ValueError, match="no non-empty vectors"):
+        similarity.train_pq_codebooks(bad, m=2, ksub=2)
