@@ -6431,10 +6431,13 @@ DRIVER_WINDOW = [
     "retention_weekly", "customers_no_orders", "pricing_rollup",
     "orders_cube", "median_by_segment", "hash_sample_orders",
     "stratified_sample_docs", "events_interarrival", "running_spend",
-    "trailing_7d_value", "acctbal_deciles", "cohort_setops",
-    "vocab_top_tokens",
-    # tfidf_top_terms / token_diversity displaced by the two new r6
-    # rows above — they rotate in with the remaining r3 greens next round
+    "trailing_7d_value", "acctbal_deciles",
+    # (e) contract rows added late in r6 (never driver-checked) — these
+    # outrank recency per the window policy; cohort_setops /
+    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
+    # next round with tfidf_top_terms / token_diversity and the
+    # remaining r3-era greens
+    "decontam_fraction", "hard_negatives",
 ]
 
 
