@@ -1198,6 +1198,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule flags (Rae et al. 2021 §A1.1) per document —
+    word-count / mean-word-length bounds, symbol and bullet/ellipsis
+    line ratios, alphabetic-word fraction, must-have-stopword presence,
+    plus the conjunction ``keep``. Bounds are tuned to the synthetic
+    corpus (min_words=30, min_stop_hits=1) so the flags discriminate;
+    the operator defaults are the published Gopher constants."""
+    from basic_data_fusion_spark.operators.text import gopher_rules
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return gopher_rules(docs, min_words=30, min_stop_hits=1)
+
+
+def q_dedup_impact_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup planning report: price greedy keep-smallest-id removal at
+    four candidate jaccard thresholds from ONE pair relation (the
+    deterministic exact n-gram tier here; prefix-filter/LSH candidates
+    at production scale). Thresholds sit inside the corpus's observed
+    [0.9, 0.99] near-dup band so the sweep discriminates."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_impact_sweep,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    return dedup_impact_sweep(docs, pairs, [0.9, 0.94, 0.96, 0.98])
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH → exact-jaccard verification. Engine-specific hash
     (xxhash64) → rows-only driver check; recall vs exhaustive jaccard is
@@ -2154,7 +2183,13 @@ FROM h
 """
 
 
-_NGRAM_JACCARD_ORACLE = """
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    """The exact word-3-gram jaccard pair relation at ``threshold`` —
+    shared by the pair/cluster/impact-sweep oracles."""
+    return _NGRAM_JACCARD_ORACLE_T.replace("__THRESHOLD__", repr(float(threshold)))
+
+
+_NGRAM_JACCARD_ORACLE_T = """
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
 ),
@@ -2177,8 +2212,90 @@ SELECT id_a, id_b, n_common, x.set_size AS size_a, y.set_size AS size_b,
 FROM inter
 JOIN sz x ON x.doc_id = id_a
 JOIN sz y ON y.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) >= CAST(0.8 AS DOUBLE)
+WHERE CAST(n_common AS DOUBLE) / (x.set_size + y.set_size - n_common) >= CAST(__THRESHOLD__ AS DOUBLE)
 """
+
+_NGRAM_JACCARD_ORACLE = _ngram_jaccard_oracle(0.8)
+
+# Gopher rule flags — same staged token/line arrays, integer-derived
+# ratio divisions, boolean rule columns; corpus-tuned bounds
+# (min_words=30, min_stop_hits=1) mirror q_gopher_rules.
+_GOPHER_RULES_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         list_filter(regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+                     t -> t <> '') AS toks,
+         list_filter(str_split(COALESCE(text, ''), chr(10)),
+                     l -> trim(l) <> '') AS lines
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
+    length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(toks, w))) AS stop_hits,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> substr(trim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+    len(list_filter(lines, l -> trim(l) LIKE '%...')) AS n_ell_end
+  FROM d
+),
+g AS (
+  SELECT doc_id, n_words, stop_hits,
+    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN CAST(n_hash + n_ellipsis AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_word_frac,
+    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_ratio,
+    CASE WHEN n_lines > 0 THEN CAST(n_ell_end AS DOUBLE) / n_lines ELSE 0.0 END AS ell_ratio
+  FROM f
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  mean_word_len, symbol_ratio, alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  (n_words >= 30 AND n_words <= 100000) AS rule_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+  (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+  (bullet_ratio <= 0.9) AS rule_bullet_lines,
+  (ell_ratio <= 0.3) AS rule_ellipsis_lines,
+  (alpha_word_frac >= 0.8) AS rule_alpha_words,
+  (stop_hits >= 1) AS rule_stopwords,
+  (n_words >= 30 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND ell_ratio <= 0.3
+   AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS keep
+FROM g
+"""
+
+# Threshold sweep over the SAME exact-jaccard pair relation; greedy
+# keep-smallest-id removal (id_b of any qualifying pair), integer
+# counts/sums, integer-derived percentages.
+_DEDUP_IMPACT_ORACLE = ("""
+WITH p AS (""" + _ngram_jaccard_oracle(0.9) + """),
+t AS (SELECT CAST(x AS DOUBLE) AS threshold
+      FROM (VALUES (0.9), (0.94), (0.96), (0.98)) v(x)),
+e AS (SELECT t.threshold, p.id_b FROM t JOIN p ON p.jaccard >= t.threshold),
+pc AS (SELECT threshold, COUNT(*) AS n_pairs FROM e GROUP BY 1),
+r AS (SELECT DISTINCT threshold, id_b FROM e),
+ra AS (SELECT r.threshold, COUNT(*) AS docs_removed,
+              SUM(d.n_chars) AS chars_removed
+       FROM r JOIN documents d ON d.doc_id = r.id_b GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars FROM documents)
+SELECT t.threshold,
+  CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(ra.docs_removed, 0) AS BIGINT) AS docs_removed,
+  CAST(COALESCE(ra.chars_removed, 0) AS BIGINT) AS chars_removed,
+  CAST(COALESCE(ra.docs_removed, 0) AS DOUBLE) / tot.n_docs AS pct_docs_removed,
+  CAST(COALESCE(ra.chars_removed, 0) AS DOUBLE) / tot.n_chars AS pct_chars_removed
+FROM t
+LEFT JOIN pc USING (threshold)
+LEFT JOIN ra ON ra.threshold = t.threshold
+CROSS JOIN tot
+ORDER BY threshold
+""")
 
 # Positional token table (zipped unnest) → word counts, lead() bigrams,
 # gaps-and-islands run lengths. All ratios are integer-count divisions.
@@ -6431,13 +6548,13 @@ DRIVER_WINDOW = [
     "retention_weekly", "customers_no_orders", "pricing_rollup",
     "orders_cube", "median_by_segment", "hash_sample_orders",
     "stratified_sample_docs", "events_interarrival", "running_spend",
-    "trailing_7d_value", "acctbal_deciles",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; cohort_setops /
-    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
-    # next round with tfidf_top_terms / token_diversity and the
-    # remaining r3-era greens
-    "decontam_fraction", "hard_negatives",
+    # outrank recency per the window policy; trailing_7d_value /
+    # acctbal_deciles / cohort_setops / vocab_top_tokens (r3 greens,
+    # untouched this round) rotate back in next round with
+    # tfidf_top_terms / token_diversity and the remaining r3-era greens
+    "decontam_fraction", "hard_negatives", "gopher_rules",
+    "dedup_impact_sweep",
 ]
 
 
@@ -6535,6 +6652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_risk": q_memorization_risk,
         "decontam_spans": q_decontam_spans,
         "decontam_fraction": q_decontam_fraction,
+        "gopher_rules": q_gopher_rules,
+        "dedup_impact_sweep": q_dedup_impact_sweep,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6663,6 +6782,8 @@ def oracle_sql() -> dict[str, str]:
         "memorization_risk": _MEMORIZATION_ORACLE,
         "decontam_spans": _DECONTAM_SPANS_ORACLE,
         "decontam_fraction": _DECONTAM_FRACTION_ORACLE,
+        "gopher_rules": _GOPHER_RULES_ORACLE,
+        "dedup_impact_sweep": _DEDUP_IMPACT_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1431,3 +1431,59 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame,
              .otherwise(F.lit("test")))
     return clusters.select(F.col(id_col), "cluster_id",
                            split.alias("split"))
+
+
+def dedup_impact_sweep(docs: DataFrame, pairs: DataFrame,
+                       thresholds: list[float], id_col: str = "doc_id",
+                       weight_col: str = "n_chars") -> DataFrame:
+    """Dedup planning report: for each candidate similarity threshold,
+    how much of the corpus would greedy keep-smallest-id removal delete.
+
+    ``pairs`` is any (id_a, id_b, jaccard) relation with id_a < id_b
+    already cut at min(thresholds) — at production scale the
+    prefix-filter or LSH candidate tiers; the exhaustive n-gram tier in
+    the oracle-checked contract row.  The removal rule is pairwise and
+    deterministic: a document is removed at threshold t iff it has a
+    smaller-id partner with jaccard ≥ t (no transitive closure — the
+    planning estimate deliberately prices each threshold from the SAME
+    pair relation so the sweep is one scan of the pairs, not one dedup
+    run per threshold).
+
+    Scale shape: |pairs| × |thresholds| explode (thresholds is a tiny
+    literal array), two hash aggregations on that, one join back to the
+    (id, weight) projection of the corpus — bodies never shuffle — and a
+    broadcast of the single-row corpus totals.  Percentages are
+    integer-derived divisions, so the report is bit-deterministic.
+    Reference analogue: none (planning extension).
+    """
+    ts = sorted(float(t) for t in thresholds)
+    t_arr = F.array(*[F.lit(t) for t in ts])
+    hits = (pairs.select("id_a", "id_b", "jaccard")
+            .withColumn("threshold", F.explode(t_arr))
+            .where(F.col("jaccard") >= F.col("threshold")))
+    pair_counts = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    removed = (hits.select("threshold", F.col("id_b").alias(id_col))
+               .distinct()
+               .join(docs.select(id_col, weight_col), id_col)
+               .groupBy("threshold")
+               .agg(F.count(F.lit(1)).alias("docs_removed"),
+                    F.sum(weight_col).alias("chars_removed")))
+    totals = docs.agg(F.count(F.lit(1)).alias("__n_docs"),
+                      F.sum(weight_col).alias("__n_chars"))
+    base = (docs.sparkSession.range(1)
+            .select(F.explode(t_arr).alias("threshold")))
+    out = (base.join(pair_counts, "threshold", "left")
+           .join(removed, "threshold", "left")
+           .crossJoin(F.broadcast(totals)))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return out.select(
+        "threshold",
+        z("n_pairs").alias("n_pairs"),
+        z("docs_removed").alias("docs_removed"),
+        z("chars_removed").alias("chars_removed"),
+        (z("docs_removed").cast("double") / F.col("__n_docs"))
+        .alias("pct_docs_removed"),
+        (z("chars_removed").cast("double") / F.col("__n_chars"))
+        .alias("pct_chars_removed"),
+    ).orderBy("threshold")

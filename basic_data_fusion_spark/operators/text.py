@@ -1095,3 +1095,94 @@ def js_divergence(df: DataFrame, flag: Column,
                  F.count(F.lit(1)).cast("long").alias("n_terms"),
                  F.first("__A").cast("long").alias("n_tokens_in"),
                  F.first("__B").cast("long").alias("n_tokens_out")))
+
+
+# ---------------- Gopher-style rule filters ----------------
+
+# The "must-have" English word list from the Gopher repetition/quality
+# rules (Rae et al. 2021, "Scaling Language Models", §A1.1): a document
+# is expected to contain at least ``min_stop_hits`` DISTINCT of these.
+GOPHER_MUST_HAVE = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_line_ratio: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Per-document Gopher quality-rule flags (Rae et al. 2021 §A1.1) —
+    the standard pretraining heuristic filter set: word-count bounds,
+    mean-word-length bounds, symbol-to-word ratio (# and ellipses),
+    bullet-start / ellipsis-end line ratios, alphabetic-word fraction,
+    and must-have-stopword presence.  One boolean column per rule plus
+    the conjunction ``keep``.
+
+    Everything is a single JVM projection over staged token/line arrays
+    (no shuffle, no UDF): at 100 TB this is a map-only pass that
+    pipelines with the scan, and the flags are the cheap first stage of
+    a curation cascade — later (shuffling) dedup stages only see
+    survivors.  Reference analogue: none (the reference has no corpus
+    filters); thresholds follow the public Gopher paper.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # Stage the arrays once: tokens feeds five rules, lines feeds two.
+    # (A nested HOF re-evaluates its argument subtree per outer element —
+    # the same staging rationale as _repetition_hof above.)
+    staged = df.select(
+        F.col(id_col), c.alias("__text"),
+        F.filter(tokens(c), lambda t: t != "").alias("__toks"),
+        F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
+    )
+    toks, lines, txt = F.col("__toks"), F.col("__lines"), F.col("__text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    # integer-derived divisions -> bit-deterministic doubles
+    mean_word_len = F.when(n_words > 0,
+                           sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.length(F.regexp_replace(txt, "[^#]", ""))
+    n_ellipsis = ((F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", "")))
+                  / F.lit(3)).cast("long")
+    symbol_ratio = F.when(n_words > 0,
+                          (n_hash + n_ellipsis).cast("double") / n_words
+                          ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•")))
+    ell_end = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    bullet_ratio = F.when(n_lines > 0,
+                          bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    ell_ratio = F.when(n_lines > 0,
+                       ell_end.cast("double") / n_lines).otherwise(F.lit(0.0))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = F.when(n_words > 0,
+                        alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_MUST_HAVE])))
+    flags = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_word_len >= F.lit(float(min_mean_word_len)))
+                              & (mean_word_len <= F.lit(float(max_mean_word_len))),
+        "rule_symbol_ratio": symbol_ratio <= F.lit(float(max_symbol_ratio)),
+        "rule_bullet_lines": bullet_ratio <= F.lit(float(max_bullet_ratio)),
+        "rule_ellipsis_lines": ell_ratio <= F.lit(float(max_ellipsis_line_ratio)),
+        "rule_alpha_words": alpha_frac >= F.lit(float(min_alpha_word_frac)),
+        "rule_stopwords": stop_hits >= F.lit(int(min_stop_hits)),
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else (keep & expr)
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )

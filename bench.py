@@ -149,6 +149,10 @@ HEADLINE += [
     "leakage_safe_split",    # cluster-keyed train/val/test assignment
     "memorization_risk",     # top-k duplicated windows, broadcast rebuild
     "decontam_spans",        # surgical held-out span removal
+    "decontam_fraction",     # stateless streaming-gate batch path
+    "hard_negatives",        # contrastive hard-negative mining
+    "gopher_rules",          # Gopher quality-rule flags (map-only pass)
+    "dedup_impact_sweep",    # threshold-sweep dedup planning report
 ]
 
 

@@ -2494,3 +2494,70 @@ def test_similarity_degenerate_vectors_never_crash(spark):
         similarity.train_centroids(bad)
     with _pytest.raises(ValueError, match="no non-empty vectors"):
         similarity.train_pq_codebooks(bad, m=2, ksub=2)
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each Gopher rule trips on a document planted to violate exactly
+    it (word count, mean word length, symbol ratio, bullet lines,
+    ellipsis lines, alpha-word fraction, stopword presence)."""
+    good_body = ("the quick brown fox jumps over lazy dogs near the "
+                 "river bank and that have with more plain words ") * 5
+    rows = [
+        (0, good_body),                                   # passes all
+        (1, "the short one"),                             # word count
+        (2, "a " * 60 + "the be of"),                     # mean word len < 3
+        (3, ("the word " * 30) + "#" * 40),               # symbol ratio (#)
+        (4, "\n".join(f"- the bullet item {i} here" for i in range(10))
+            + "\nthe only plain line with that have of and be to with "
+            + "more words here to cross the floor " * 3),  # bullet > 0.9? no:
+        # 10 of 11 lines bulleted = 0.909 > 0.9 -> fails rule_bullet_lines
+        (5, "\n".join(f"the trailing line {i} that have with..." for i in range(10))
+            + "\n" + good_body),                          # ellipsis lines
+        (6, ("123 456 789 " * 20) + "the be"),            # alpha frac
+        (7, "zebra quagga okapi " * 20),                  # no must-have stopword
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert got[0]["keep"]
+    assert not got[1]["rule_word_count"]
+    assert not got[2]["rule_mean_word_len"]
+    assert not got[3]["rule_symbol_ratio"] and got[3]["symbol_ratio"] > 0.1
+    assert not got[4]["rule_bullet_lines"]
+    assert not got[5]["rule_ellipsis_lines"]
+    assert not got[6]["rule_alpha_words"]
+    assert not got[7]["rule_stopwords"] and got[7]["stop_hits"] == 0
+    for d in (1, 2, 3, 4, 5, 6, 7):
+        assert not got[d]["keep"]
+
+
+def test_dedup_impact_sweep_planted(spark):
+    """Hand-computed sweep on a planted pair relation: monotone
+    non-increasing removal as the threshold rises, greedy
+    keep-smallest-id rule (doc removed iff it is the LARGER id of a
+    qualifying pair), zero-filled thresholds above every pair."""
+    docs = spark.createDataFrame(
+        [(i, "t", 100 * (i + 1)) for i in range(6)],
+        "doc_id long, text string, n_chars long")
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.95), (0, 2, 0.85), (1, 2, 0.85), (3, 4, 0.75)],
+        "id_a long, id_b long, jaccard double")
+    got = {r["threshold"]: r for r in
+           dedup.dedup_impact_sweep(docs, pairs, [0.7, 0.8, 0.9, 0.99])
+           .collect()}
+    assert set(got) == {0.7, 0.8, 0.9, 0.99}
+    # t=0.7: removed = {1, 2, 4} -> chars 200+300+500
+    assert got[0.7]["n_pairs"] == 4
+    assert got[0.7]["docs_removed"] == 3
+    assert got[0.7]["chars_removed"] == 1000
+    assert got[0.7]["pct_docs_removed"] == 0.5
+    # t=0.8: pair (3,4) drops out -> removed {1, 2}
+    assert got[0.8]["n_pairs"] == 3
+    assert got[0.8]["docs_removed"] == 2
+    assert got[0.8]["chars_removed"] == 500
+    # t=0.9: only (0,1) -> removed {1}
+    assert got[0.9]["n_pairs"] == 1
+    assert got[0.9]["docs_removed"] == 1
+    # t=0.99: nothing qualifies; the row is still present, zero-filled
+    assert got[0.99]["n_pairs"] == 0
+    assert got[0.99]["docs_removed"] == 0
+    assert got[0.99]["pct_chars_removed"] == 0.0
