@@ -1213,17 +1213,21 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_impact_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup planning report: price greedy keep-smallest-id removal at
-    four candidate jaccard thresholds from ONE pair relation (the
-    deterministic exact n-gram tier here; prefix-filter/LSH candidates
-    at production scale). Thresholds sit inside the corpus's observed
-    [0.9, 0.99] near-dup band so the sweep discriminates."""
+    four candidate jaccard thresholds from ONE pair relation — here the
+    PPJoin prefix-filter tier, which is EXACT (same pair set as the
+    exhaustive tier, pinned by test_prefix_filter_*) but prefix-bounded,
+    so the sweep's cost at scale is the production similarity join plus
+    two tiny aggregations. Thresholds sit inside the corpus's observed
+    [0.9, 0.99] near-dup band so the sweep discriminates. The DuckDB
+    oracle replays the exhaustive tier — the prefix filter's exactness
+    is part of what the hash check pins."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_impact_sweep,
-        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
     )
 
     docs = _catalog(spark, sf_dir).load("documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.9)
     return dedup_impact_sweep(docs, pairs, [0.9, 0.94, 0.96, 0.98])
 
 

@@ -367,3 +367,29 @@ def test_hll_band_gate_single_aggregation(spark):
     plan = _final_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("FileScan") == 1
     assert "Expand" in plan  # multi-column distinct planned in one pass
+
+
+def test_gopher_rules_map_only_no_shuffle(spark):
+    """The Gopher rule pass is the cheap FIRST stage of a curation
+    cascade: it must compile to a map-only projection that pipelines
+    with the scan — no exchange, no UDF, and only the referenced
+    columns read from disk."""
+    df = entrymod.queries()["gopher_rules"](spark, SF0001)
+    plan = _final_plan(df)
+    assert "Exchange" not in plan, "rule flags must not shuffle"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert "n_chars" not in m.group(1), "unprojected column read"
+
+
+def test_dedup_impact_sweep_single_pair_scan(spark):
+    """The sweep prices every threshold from ONE pair relation: the
+    explode multiplies pairs by a literal threshold array (no join
+    against a threshold table on the pair side), totals arrive via
+    broadcast, and nothing drops to Python."""
+    df = entrymod.queries()["dedup_impact_sweep"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert "Generate explode" in plan, "thresholds must explode from a literal array"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
