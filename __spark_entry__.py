@@ -5982,6 +5982,66 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label farthest-from-centroid audit
+    (similarity.embedding_outliers): fixed-point centroids, broadcast
+    join-back, ascending fixed-point cosine rank within label (NULLS
+    FIRST, id tie-break), k=5."""
+    from basic_data_fusion_spark.operators.similarity import embedding_outliers
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    return embedding_outliers(emb, "label", "embedding", "vec_id",
+                              k=5, dim=64)
+
+
+_EMBEDDING_OUTLIERS_ORACLE = """
+WITH dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+sums AS (
+  SELECT label, i,
+         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0, 0)
+                  AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM embeddings CROSS JOIN dims GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, i,
+         (CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE) AS c
+  FROM sums
+),
+parts AS (
+  SELECT e.vec_id, e.label,
+         SUM(CAST(ROUND(CAST(e.embedding[ct.i] AS DOUBLE) * ct.c
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS ab,
+         SUM(CAST(ROUND(CAST(e.embedding[ct.i] AS DOUBLE)
+                        * CAST(e.embedding[ct.i] AS DOUBLE)
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS aa,
+         SUM(CAST(ROUND(ct.c * ct.c
+                        * CAST(1000000000000.0 AS DOUBLE), 0) AS BIGINT))
+           / CAST(1000000000000.0 AS DOUBLE) AS bb
+  FROM embeddings e JOIN cent ct ON e.label = ct.label
+  GROUP BY e.vec_id, e.label
+),
+cs AS (
+  SELECT label, vec_id,
+         CASE WHEN SQRT(aa) * SQRT(bb) <> 0
+              THEN ab / (SQRT(aa) * SQRT(bb)) END AS cosine_to_centroid
+  FROM parts
+),
+r AS (
+  SELECT label, vec_id, cosine_to_centroid,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY cosine_to_centroid ASC NULLS FIRST, vec_id ASC
+         ) AS INTEGER) AS outlier_rank
+  FROM cs
+)
+SELECT label, vec_id, cosine_to_centroid, outlier_rank
+FROM r WHERE outlier_rank <= 5
+"""
+
+
 def q_mutual_info_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information + marginal entropies + NMI between order
     priority and status (stats.mutual_information): one fact
@@ -6551,14 +6611,15 @@ DRIVER_WINDOW = [
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
     "orders_cube", "median_by_segment", "hash_sample_orders",
-    "stratified_sample_docs", "events_interarrival", "running_spend",
+    "stratified_sample_docs", "events_interarrival",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; trailing_7d_value /
-    # acctbal_deciles / cohort_setops / vocab_top_tokens (r3 greens,
-    # untouched this round) rotate back in next round with
-    # tfidf_top_terms / token_diversity and the remaining r3-era greens
+    # outrank recency per the window policy; running_spend /
+    # trailing_7d_value / acctbal_deciles / cohort_setops /
+    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
+    # next round with tfidf_top_terms / token_diversity and the
+    # remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
-    "dedup_impact_sweep",
+    "dedup_impact_sweep", "embedding_outliers",
 ]
 
 
@@ -6658,6 +6719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fraction": q_decontam_fraction,
         "gopher_rules": q_gopher_rules,
         "dedup_impact_sweep": q_dedup_impact_sweep,
+        "embedding_outliers": q_embedding_outliers,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6788,6 +6850,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_fraction": _DECONTAM_FRACTION_ORACLE,
         "gopher_rules": _GOPHER_RULES_ORACLE,
         "dedup_impact_sweep": _DEDUP_IMPACT_ORACLE,
+        "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1094,3 +1094,48 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
                  / F.least(F.lit(int(k)), F.col("__n_exact"))
                  .cast("double"))
                 .alias("recall_at_k")))
+
+
+def embedding_outliers(df: DataFrame, label_col: str = "label",
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       k: int = 5, dim: int = 64) -> DataFrame:
+    """Per-label farthest-from-centroid members — the corpus-noise
+    audit over an embedding column: the k members of each label with
+    the LOWEST cosine to their own label centroid are the likely
+    mislabels/noise a curation pass reviews or drops (the SemDeDup
+    companion question: not "who is duplicated" but "who doesn't
+    belong").
+
+    Same two label-keyed passes as ``label_cohesion``: fixed-point
+    per-dimension centroid sums (no explode), then members re-join
+    their broadcast dimension-sized centroid and rank within their
+    label by fixed-point cosine (ascending, NULLS FIRST so degenerate
+    zero-norm vectors surface as maximal outliers; ties break on id).
+    The per-label window is bounded by label cardinality; at 100 TB the
+    rank-then-filter top-k shuffles only (id, label, cosine) triples —
+    vectors never pass through the window.
+    """
+    v = lambda i: F.col(vec_col).getItem(i).cast("double")
+    sums = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.round(v(i) * F.lit(1e6), 0).cast("bigint")).alias(f"__s{i}")
+          for i in range(dim)])
+    centroid = F.array(*[
+        (F.col(f"__s{i}").cast("double") / F.lit(1e6))
+        / F.col("n").cast("double") for i in range(dim)])
+    cents = sums.select("__lbl", centroid.alias("__cent"))
+    scored = (df.join(F.broadcast(cents),
+                      F.col(label_col) == F.col("__lbl"))
+              .withColumn("__cos",
+                          fixed_point_cosine(
+                              F.transform(F.col(vec_col),
+                                          lambda x: x.cast("double")),
+                              F.col("__cent"))))
+    # vectors drop BEFORE the window: only (label, id, cosine) shuffles
+    slim = scored.select(F.col(label_col), F.col(id_col),
+                         F.col("__cos").alias("cosine_to_centroid"))
+    w = (Window.partitionBy(label_col)
+         .orderBy(F.col("cosine_to_centroid").asc_nulls_first(),
+                  F.col(id_col).asc()))
+    return (slim.withColumn("outlier_rank", F.row_number().over(w))
+            .where(F.col("outlier_rank") <= int(k)))

@@ -153,6 +153,7 @@ HEADLINE += [
     "hard_negatives",        # contrastive hard-negative mining
     "gopher_rules",          # Gopher quality-rule flags (map-only pass)
     "dedup_impact_sweep",    # threshold-sweep dedup planning report
+    "embedding_outliers",    # per-label farthest-from-centroid audit
 ]
 
 

@@ -2561,3 +2561,23 @@ def test_dedup_impact_sweep_planted(spark):
     assert got[0.99]["n_pairs"] == 0
     assert got[0.99]["docs_removed"] == 0
     assert got[0.99]["pct_chars_removed"] == 0.0
+
+
+def test_embedding_outliers_planted(spark):
+    """A vector planted OPPOSITE its label's tight cluster ranks as the
+    label's #1 outlier; a degenerate zero vector surfaces first (NULL
+    cosine, NULLS FIRST) in its own label."""
+    base = [1.0] + [0.0] * 63
+    near = [0.98, 0.01] + [0.0] * 62
+    opp = [-1.0] + [0.0] * 63
+    zero = [0.0] * 64
+    rows = [(1, base, 0), (2, near, 0), (3, base, 0), (4, opp, 0),
+            (10, base, 1), (11, near, 1), (12, zero, 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["label"], r["outlier_rank"]): r for r in
+           similarity.embedding_outliers(emb, k=2).collect()}
+    assert got[(0, 1)]["vec_id"] == 4          # planted opposite wins
+    assert got[(0, 1)]["cosine_to_centroid"] < 0
+    assert got[(1, 1)]["vec_id"] == 12         # zero vector first
+    assert got[(1, 1)]["cosine_to_centroid"] is None

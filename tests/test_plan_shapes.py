@@ -393,3 +393,17 @@ def test_dedup_impact_sweep_single_pair_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_outliers_broadcast_and_slim_window(spark):
+    """The outlier audit joins members to DIMENSION-SIZED centroids —
+    that must broadcast — and the per-label rank window must sort only
+    (label, cosine, id) triples: the embedding array is projected away
+    before the window exchange, so vectors never shuffle twice."""
+    df = entrymod.queries()["embedding_outliers"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, "centroid join must broadcast"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    m = re.search(r"Window \[[^\]]*\]", plan)
+    assert m and "embedding" not in m.group(0), \
+        "vector column must drop before the rank window"
