@@ -5982,6 +5982,38 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleave serve order
+    (selection.interleave_order): weight-3 src0 / weight-2 src1 /
+    weight-1 rest, stride scheduling on md5-shuffled per-source
+    ranks."""
+    from basic_data_fusion_spark.operators.selection import interleave_order
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return interleave_order(docs, {"src0": 3.0, "src1": 2.0})
+
+
+_INTERLEAVE_ORDER_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS BIGINT) AS rank_in_source,
+         CASE source WHEN 'src0' THEN CAST(3.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(rank_in_source AS DOUBLE) / w ASC,
+                  source ASC, rank_in_source ASC
+       ) AS BIGINT) AS serve_pos
+FROM r
+"""
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label farthest-from-centroid audit
     (similarity.embedding_outliers): fixed-point centroids, broadcast
@@ -6611,15 +6643,15 @@ DRIVER_WINDOW = [
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
     "orders_cube", "median_by_segment", "hash_sample_orders",
-    "stratified_sample_docs", "events_interarrival",
+    "stratified_sample_docs",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; running_spend /
-    # trailing_7d_value / acctbal_deciles / cohort_setops /
-    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
-    # next round with tfidf_top_terms / token_diversity and the
-    # remaining r3-era greens
+    # outrank recency per the window policy; events_interarrival /
+    # running_spend / trailing_7d_value / acctbal_deciles /
+    # cohort_setops / vocab_top_tokens (r3 greens, untouched this
+    # round) rotate back in next round with tfidf_top_terms /
+    # token_diversity and the remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
-    "dedup_impact_sweep", "embedding_outliers",
+    "dedup_impact_sweep", "embedding_outliers", "interleave_order",
 ]
 
 
@@ -6720,6 +6752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dedup_impact_sweep": q_dedup_impact_sweep,
         "embedding_outliers": q_embedding_outliers,
+        "interleave_order": q_interleave_order,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6851,6 +6884,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": _GOPHER_RULES_ORACLE,
         "dedup_impact_sweep": _DEDUP_IMPACT_ORACLE,
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
+        "interleave_order": _INTERLEAVE_ORDER_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -459,3 +459,46 @@ def corpus_composition(df: DataFrame, source_col: str = "source",
     return cells.withColumn(
         "pct_tokens",
         F.col("n_tokens").cast("double") / total.cast("double"))
+
+
+def interleave_order(df: DataFrame, weights: dict[str, float],
+                     source_col: str = "source", id_col: str = "doc_id",
+                     default_weight: float = 1.0) -> DataFrame:
+    """Deterministic proportional interleave across sources — the serve
+    order that realizes a mixture table at training time (stride
+    scheduling / weighted fair queuing): each source's documents are
+    shuffled deterministically (md5(id) key), then the i-th document of
+    a weight-w source serves at stride key i/w, so a weight-2 source
+    appears twice as often as a weight-1 source at EVERY prefix of the
+    stream, not just in aggregate — which is what keeps gradient-batch
+    composition stationary across a training run.
+
+    Two window passes, both engine-portable integer/double arithmetic:
+    a per-source rank (shuffles by source — bounded-cardinality keys)
+    and the global serve order. The second is a global sort — the price
+    of a total order; at the 100 TB tier compose with
+    ``shard_assignments`` and interleave WITHIN each shard (the mixture
+    holds per shard because the shard hash is independent of source),
+    which removes the global sort exactly as documented for
+    ``curriculum_order``. Returns (id, source, rank_in_source,
+    serve_pos). Reference analogue: none (serving extension).
+    """
+    w_expr = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        lit = F.lit(float(wt))
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    w_expr = (w_expr.otherwise(F.lit(float(default_weight)))
+              if w_expr is not None else F.lit(float(default_weight)))
+    h = F.md5(F.col(id_col).cast("string"))
+    w_src = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col), F.col(source_col),
+        F.row_number().over(w_src).cast("long").alias("rank_in_source"),
+        w_expr.alias("__w"))
+    stride = F.col("rank_in_source").cast("double") / F.col("__w")
+    w_serve = Window.orderBy(stride.asc(), F.col(source_col).asc(),
+                             F.col("rank_in_source").asc())
+    return (ranked
+            .withColumn("serve_pos", F.row_number().over(w_serve).cast("long"))
+            .select(id_col, source_col, "rank_in_source", "serve_pos"))

@@ -154,6 +154,7 @@ HEADLINE += [
     "gopher_rules",          # Gopher quality-rule flags (map-only pass)
     "dedup_impact_sweep",    # threshold-sweep dedup planning report
     "embedding_outliers",    # per-label farthest-from-centroid audit
+    "interleave_order",      # proportional stride-scheduled serve order
 ]
 
 

@@ -2581,3 +2581,26 @@ def test_embedding_outliers_planted(spark):
     assert got[(0, 1)]["cosine_to_centroid"] < 0
     assert got[(1, 1)]["vec_id"] == 12         # zero vector first
     assert got[(1, 1)]["cosine_to_centroid"] is None
+
+
+def test_interleave_order_proportional_prefix(spark):
+    """Stride scheduling: at every aligned prefix of the serve stream a
+    weight-2 source has served ~2x a weight-1 source (off by at most
+    one stride round), and the order is deterministic across runs."""
+    from basic_data_fusion_spark.operators.selection import interleave_order
+
+    rows = ([(i, "a") for i in range(40)] + [(i, "b") for i in range(100, 140)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_order(df, {"a": 2.0, "b": 1.0}).collect()
+    serve = sorted(out, key=lambda r: r["serve_pos"])
+    # positions are a dense 1..N total order
+    assert [r["serve_pos"] for r in serve] == list(range(1, 81))
+    for n in (15, 30, 45, 60):
+        head = serve[:n]
+        a = sum(1 for r in head if r["source"] == "a")
+        b = n - a
+        assert abs(a - 2 * b) <= 2, (n, a, b)
+    # weight-2 source exhausts first (same stride span, double rate)
+    assert all(r["source"] == "b" for r in serve[-10:])
+    again = interleave_order(df, {"a": 2.0, "b": 1.0}).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
