@@ -1122,47 +1122,60 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     and must-have-stopword presence.  One boolean column per rule plus
     the conjunction ``keep``.
 
-    Everything is a single JVM projection over staged token/line arrays
-    (no shuffle, no UDF): at 100 TB this is a map-only pass that
-    pipelines with the scan, and the flags are the cheap first stage of
-    a curation cascade — later (shuffling) dedup stages only see
-    survivors.  Reference analogue: none (the reference has no corpus
-    filters); thresholds follow the public Gopher paper.
+    Everything is JVM projections (no shuffle, no UDF): at 100 TB this
+    is a map-only pass that pipelines with the scan, and the flags are
+    the cheap first stage of a curation cascade — later (shuffling)
+    dedup stages only see survivors.  Reference analogue: none (the
+    reference has no corpus filters); thresholds follow the public
+    Gopher paper.
+
+    Three staged projections, each materializing what the next re-uses:
+    arrays (tokens feed five rules, lines two), then the integer
+    feature scalars (the token-length fold and the rlike filter are the
+    expensive trees — referencing them as COLUMNS means they evaluate
+    once per row, where deriving every flag from the raw expressions
+    re-evaluated the fold ~6x per row), then ratios/flags.  Same
+    staging rationale as _repetition_hof above, one level further.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
-    # Stage the arrays once: tokens feeds five rules, lines feeds two.
-    # (A nested HOF re-evaluates its argument subtree per outer element —
-    # the same staging rationale as _repetition_hof above.)
-    staged = df.select(
+    arrays = df.select(
         F.col(id_col), c.alias("__text"),
         F.filter(tokens(c), lambda t: t != "").alias("__toks"),
         F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
     )
     toks, lines, txt = F.col("__toks"), F.col("__lines"), F.col("__text")
-    n_words = F.size(toks)
-    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    feats = arrays.select(
+        F.col(id_col),
+        F.size(toks).alias("__n_words"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+         .alias("__sum_len"),
+        F.length(F.regexp_replace(txt, "[^#]", "")).alias("__n_hash"),
+        ((F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", "")))
+         / F.lit(3)).cast("long").alias("__n_ellipsis"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+         .alias("__n_alpha"),
+        F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_MUST_HAVE])))
+         .alias("__stop_hits"),
+        F.size(lines).alias("__n_lines"),
+        F.size(F.filter(
+            lines,
+            lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•")))
+         .alias("__n_bullet"),
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+         .alias("__n_ell_end"),
+    )
+    n_words = F.col("__n_words")
     # integer-derived divisions -> bit-deterministic doubles
-    mean_word_len = F.when(n_words > 0,
-                           sum_len.cast("double") / n_words).otherwise(F.lit(0.0))
-    n_hash = F.length(F.regexp_replace(txt, "[^#]", ""))
-    n_ellipsis = ((F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", "")))
-                  / F.lit(3)).cast("long")
-    symbol_ratio = F.when(n_words > 0,
-                          (n_hash + n_ellipsis).cast("double") / n_words
-                          ).otherwise(F.lit(0.0))
-    n_lines = F.size(lines)
-    bullet = F.size(F.filter(
-        lines, lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•")))
-    ell_end = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
-    bullet_ratio = F.when(n_lines > 0,
-                          bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
-    ell_ratio = F.when(n_lines > 0,
-                       ell_end.cast("double") / n_lines).otherwise(F.lit(0.0))
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    alpha_frac = F.when(n_words > 0,
-                        alpha.cast("double") / n_words).otherwise(F.lit(0.0))
-    stop_hits = F.size(F.array_intersect(
-        F.array_distinct(toks), F.array(*[F.lit(w) for w in GOPHER_MUST_HAVE])))
+    ratio = lambda num, den: F.when(den > 0, num.cast("double") / den) \
+                              .otherwise(F.lit(0.0))
+    mean_word_len = ratio(F.col("__sum_len"), n_words)
+    symbol_ratio = ratio(F.col("__n_hash") + F.col("__n_ellipsis"), n_words)
+    bullet_ratio = ratio(F.col("__n_bullet"), F.col("__n_lines"))
+    ell_ratio = ratio(F.col("__n_ell_end"), F.col("__n_lines"))
+    alpha_frac = ratio(F.col("__n_alpha"), n_words)
+    stop_hits = F.col("__stop_hits")
     flags = {
         "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
         "rule_mean_word_len": (mean_word_len >= F.lit(float(min_mean_word_len)))
@@ -1176,7 +1189,7 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     keep = None
     for expr in flags.values():
         keep = expr if keep is None else (keep & expr)
-    return staged.select(
+    return feats.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
         mean_word_len.alias("mean_word_len"),

@@ -163,6 +163,21 @@ PICK_NOTES = {
                          "join on window hashes + one per-doc count "
                          "aggregation — zero state, the per-micro-"
                          "batch streaming plan verbatim.",
+    "gopher_rules": "Map-only: arrays -> integer feature scalars -> "
+                    "flags as THREE staged projections (each tree "
+                    "evaluates once per row) — no Exchange, pipelines "
+                    "with the scan.",
+    "dedup_impact_sweep": "One PPJoin pair relation exploded by a "
+                          "literal threshold array; two hash "
+                          "aggregations + broadcast single-row "
+                          "totals price every threshold in one scan.",
+    "embedding_outliers": "Dimension-sized centroids broadcast back; "
+                          "the embedding column is projected away "
+                          "before the rank window, so the window "
+                          "exchange moves (label,id,cosine) triples.",
+    "interleave_order": "Per-source rank window + one global "
+                        "serve-order sort over 3-column triples; "
+                        "stride key is a projection, not a join.",
 }
 MAX_LINES = 40
 
