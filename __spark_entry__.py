@@ -5982,6 +5982,49 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning sweep (packing.packing_efficiency_sweep):
+    naive vs perfect-concat packing padding at ctx 64/128/256/512 —
+    one tokenize pass, literal-array explode, one aggregation per
+    ctx."""
+    from basic_data_fusion_spark.operators.packing import (
+        packing_efficiency_sweep,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return packing_efficiency_sweep(docs, [64, 128, 256, 512])
+
+
+_PACKING_EFFICIENCY_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         t -> t <> '')) AS n
+  FROM documents
+),
+c AS (SELECT CAST(x AS BIGINT) AS ctx
+      FROM (VALUES (64), (128), (256), (512)) v(x)),
+e AS (SELECT c.ctx, d.n FROM c CROSS JOIN d WHERE d.n > 0),
+a AS (
+  SELECT ctx, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+         SUM(CAST(CEIL(CAST(n AS DOUBLE) / ctx) AS BIGINT)) AS n_seq_naive
+  FROM e GROUP BY 1
+)
+SELECT ctx,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(total_tokens AS BIGINT) AS total_tokens,
+  CAST(n_seq_naive AS BIGINT) AS n_seq_naive,
+  CAST(n_seq_naive * ctx - total_tokens AS DOUBLE)
+    / CAST(n_seq_naive * ctx AS DOUBLE) AS pad_frac_naive,
+  CAST(CEIL(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT) AS n_seq_packed_lb,
+  CAST(CAST(CEIL(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT) * ctx
+       - total_tokens AS DOUBLE)
+    / CAST(CAST(CEIL(CAST(total_tokens AS DOUBLE) / ctx) AS BIGINT) * ctx
+           AS DOUBLE) AS pad_frac_packed_lb
+FROM a ORDER BY ctx
+"""
+
+
 def q_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic proportional interleave serve order
     (selection.interleave_order): weight-3 src0 / weight-2 src1 /
@@ -6643,15 +6686,15 @@ DRIVER_WINDOW = [
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
     "orders_cube", "median_by_segment", "hash_sample_orders",
-    "stratified_sample_docs",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; events_interarrival /
-    # running_spend / trailing_7d_value / acctbal_deciles /
-    # cohort_setops / vocab_top_tokens (r3 greens, untouched this
-    # round) rotate back in next round with tfidf_top_terms /
-    # token_diversity and the remaining r3-era greens
+    # outrank recency per the window policy; stratified_sample_docs /
+    # events_interarrival / running_spend / trailing_7d_value /
+    # acctbal_deciles / cohort_setops / vocab_top_tokens (r3 greens,
+    # untouched this round) rotate back in next round with
+    # tfidf_top_terms / token_diversity and the remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
+    "packing_efficiency",
 ]
 
 
@@ -6753,6 +6796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact_sweep": q_dedup_impact_sweep,
         "embedding_outliers": q_embedding_outliers,
         "interleave_order": q_interleave_order,
+        "packing_efficiency": q_packing_efficiency,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6885,6 +6929,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_impact_sweep": _DEDUP_IMPACT_ORACLE,
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "interleave_order": _INTERLEAVE_ORDER_ORACLE,
+        "packing_efficiency": _PACKING_EFFICIENCY_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -79,3 +79,47 @@ def pack_sequences(df: DataFrame, budget: int = 256,
     else:
         pack = local_pack
     return base.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
+
+
+def packing_efficiency_sweep(df: DataFrame, context_lengths: list[int],
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Context-length planning report: for each candidate training
+    context length, the sequence counts and padding fractions of the
+    two boundary packing strategies — naive one-document-per-sequence
+    (each doc occupies ceil(n/ctx) sequences, the last one padded) and
+    the perfect-concat lower bound (ceil(total/ctx) sequences — what
+    ``pack_sequences``-style greedy packing approaches). The spread
+    between the two padding fractions is the token budget a packing
+    stage can recover at that context length; pipelines pick ctx (and
+    whether packing is worth its shuffle) from this table before
+    spending a single training-token pass.
+
+    One tokenize pass over the corpus: per-doc token counts explode
+    against the LITERAL context-length array (same one-scan sweep shape
+    as ``dedup_impact_sweep``), then one hash aggregation per ctx.
+    Everything is integer arithmetic and integer-derived divisions —
+    bit-deterministic. Reference analogue: none (planning extension).
+    """
+    ctxs = sorted(int(c) for c in context_lengths)
+    c_arr = F.array(*[F.lit(c) for c in ctxs])
+    n = F.size(_clean_tokens(text_col))
+    per_doc = (df.select(F.col(id_col), n.alias("__n"))
+               .filter(F.col("__n") > 0)
+               .withColumn("ctx", F.explode(c_arr)))
+    seqs_naive = F.ceil(F.col("__n") / F.col("ctx")).cast("long")
+    agg = (per_doc.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.sum(seqs_naive).alias("n_seq_naive")))
+    n_seq_packed = F.ceil(F.col("total_tokens") / F.col("ctx")).cast("long")
+    pad = lambda n_seq: ((n_seq * F.col("ctx") - F.col("total_tokens"))
+                         .cast("double")
+                         / (n_seq * F.col("ctx")).cast("double"))
+    return (agg.select(
+        F.col("ctx").cast("long").alias("ctx"),
+        "n_docs", "total_tokens", "n_seq_naive",
+        pad(F.col("n_seq_naive")).alias("pad_frac_naive"),
+        n_seq_packed.alias("n_seq_packed_lb"),
+        pad(n_seq_packed).alias("pad_frac_packed_lb"))
+        .orderBy("ctx"))

@@ -155,6 +155,7 @@ HEADLINE += [
     "dedup_impact_sweep",    # threshold-sweep dedup planning report
     "embedding_outliers",    # per-label farthest-from-centroid audit
     "interleave_order",      # proportional stride-scheduled serve order
+    "packing_efficiency",    # context-length padding planning sweep
 ]
 
 

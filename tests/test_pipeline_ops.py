@@ -2604,3 +2604,24 @@ def test_interleave_order_proportional_prefix(spark):
     assert all(r["source"] == "b" for r in serve[-10:])
     again = interleave_order(df, {"a": 2.0, "b": 1.0}).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_packing_efficiency_sweep_hand_computed(spark):
+    """Hand-computed sweep: naive = per-doc ceil(n/ctx), packed lower
+    bound = ceil(total/ctx); blank docs contribute nothing."""
+    from basic_data_fusion_spark.operators.packing import (
+        packing_efficiency_sweep,
+    )
+
+    rows = [(1, " ".join(["w"] * 10)), (2, " ".join(["w"] * 70)),
+            (3, " ".join(["w"] * 130)), (4, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["ctx"]: r for r in
+           packing_efficiency_sweep(df, [64, 128]).collect()}
+    assert got[64]["n_docs"] == 3 and got[64]["total_tokens"] == 210
+    assert got[64]["n_seq_naive"] == 1 + 2 + 3
+    assert got[64]["pad_frac_naive"] == (6 * 64 - 210) / (6 * 64)
+    assert got[64]["n_seq_packed_lb"] == 4
+    assert got[64]["pad_frac_packed_lb"] == (4 * 64 - 210) / (4 * 64)
+    assert got[128]["n_seq_naive"] == 1 + 1 + 2
+    assert got[128]["n_seq_packed_lb"] == 2
