@@ -478,3 +478,66 @@ def test_memorization_report_matches_python(spark, corpus, w):
     assert got == expect
     keys = [(-r["n_docs"], -r["n_occurrences"], r["span"]) for r in out]
     assert keys == sorted(keys)
+
+
+@FAST
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20),
+              st.sampled_from([0.5, 0.7, 0.8, 0.95, 1.0])),
+    min_size=0, max_size=30),
+    thresholds=st.lists(st.sampled_from([0.6, 0.7, 0.8, 0.9, 0.99]),
+                        min_size=1, max_size=4, unique=True))
+def test_dedup_impact_sweep_matches_python(spark, pairs, thresholds):
+    """Sweep vs a pure-Python mirror of the greedy keep-smallest-id
+    rule on arbitrary pair relations (including empty ones and
+    thresholds above every pair)."""
+    from basic_data_fusion_spark.operators.dedup import dedup_impact_sweep
+
+    edges = [(min(a, b), max(a, b), j) for a, b, j in pairs if a != b]
+    docs_ids = sorted({i for e in edges for i in e[:2]} | {0, 1})
+    docs = spark.createDataFrame([(i, 10 * (i + 1)) for i in docs_ids],
+                                 "doc_id long, n_chars long")
+    pdf = spark.createDataFrame(
+        edges or [(0, 1, -1.0)],  # createDataFrame needs >=1 row; j=-1 never fires
+        "id_a long, id_b long, jaccard double")
+    got = {r["threshold"]: r for r in
+           dedup_impact_sweep(docs, pdf, thresholds).collect()}
+    chars = {i: 10 * (i + 1) for i in docs_ids}
+    for t in thresholds:
+        live = [e for e in edges if e[2] >= t]
+        removed = {b for _, b, _ in live}
+        assert got[t]["n_pairs"] == len(live)
+        assert got[t]["docs_removed"] == len(removed)
+        assert got[t]["chars_removed"] == sum(chars[b] for b in removed)
+        assert got[t]["pct_docs_removed"] == len(removed) / len(docs_ids)
+
+
+@FAST
+@given(counts=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                                 st.integers(1, 12)),
+                       min_size=1, max_size=24),
+       wa=st.sampled_from([1.0, 2.0, 3.0]))
+def test_interleave_order_matches_python(spark, counts, wa):
+    """Serve order vs a pure-Python stride scheduler using the same
+    md5 within-source shuffle and (stride, source, rank) sort key."""
+    from basic_data_fusion_spark.operators.selection import interleave_order
+
+    rows = [(i, src) for i, (src, _) in enumerate(counts)]
+    weights = {"a": wa, "b": 1.0}
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = [(r["doc_id"], r["source"], r["rank_in_source"], r["serve_pos"])
+           for r in interleave_order(df, weights).collect()]
+
+    by_src: dict[str, list[int]] = {}
+    for i, src in rows:
+        by_src.setdefault(src, []).append(i)
+    expect = []
+    for src, ids in by_src.items():
+        w = weights.get(src, 1.0)
+        for rank, i in enumerate(sorted(ids, key=lambda x: (_md5_hex(x), x)),
+                                 start=1):
+            expect.append((rank / w, src, rank, i))
+    expect.sort()
+    expect = [(i, src, rank, pos + 1)
+              for pos, (_, src, rank, i) in enumerate(expect)]
+    assert sorted(got, key=lambda r: r[3]) == expect
