@@ -682,3 +682,38 @@ def test_streaming_decontaminate_flags_leaks(spark, tmp_path):
                           r["contaminated"])
             for r in streaming_decontaminate(batch, held, window=5).collect()}
     assert bgot == got
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """gopher_rules is a stateless map-only projection, so it applies
+    unchanged to a readStream source — the live-ingestion rule gate.
+    Streaming flags must equal batch flags row-for-row (no watermark,
+    no state, restart-safe by construction)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from basic_data_fusion_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and that have "
+            "with more plain words here to cross the rule floor ") * 3
+    bad = "zx " * 8
+    indir = tmp_path / "in"
+    indir.mkdir()
+    import json as _json
+    (indir / "docs.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": good}) + "\n"
+        + _json.dumps({"doc_id": 2, "text": bad}) + "\n")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    stream = spark.readStream.schema(schema).json(str(indir))
+    flagged = gopher_rules(stream, min_words=30, min_stop_hits=1)
+    q = (flagged.writeStream.format("memory").queryName("gopher_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["doc_id"]: r.asDict()
+           for r in spark.sql("SELECT * FROM gopher_stream").collect()}
+    batch = {r["doc_id"]: r.asDict() for r in gopher_rules(
+        spark.createDataFrame([(1, good), (2, bad)],
+                              "doc_id long, text string"),
+        min_words=30, min_stop_hits=1).collect()}
+    assert got == batch
+    assert got[1]["keep"] and not got[2]["keep"]
