@@ -92,10 +92,21 @@ def detect_language(col: Column, profiles: dict[str, list[str]] | None = None,
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features (length/punct/stopword/word-shape
-    ratios — the standard pretraining-corpus filters)."""
+    ratios — the standard pretraining-corpus filters).
+
+    The token array and token count are STAGED through a projection
+    boundary before the feature expressions reference them: the
+    unstaged form re-tokenized the document once per referencing
+    feature (~6× per row — same lesson as ``gopher_rules``' staged
+    scalars; see SCALE.md). Values are bit-identical — the staged
+    columns feed the exact same expression trees."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = token_count(c)
+    staged = df.withColumns({
+        "__toks": tokens(c),
+        "__n_tok": token_count(c),
+    })
+    toks = F.col("__toks")
+    n_tok = F.col("__n_tok")
     n_chars = F.length(c)
     n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
     n_digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
@@ -105,8 +116,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_word_len = F.when(n_tok > 0,
                            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
                            .cast("double") / n_tok)
-    return df.select(
-        "*",
+    return staged.select(
+        *[F.col(name) for name in df.columns],
         n_chars.alias("n_chars_q"),
         n_tok.alias("n_tokens"),
         (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
