@@ -5982,6 +5982,47 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-pair collocations by PMI (text.pmi_collocations):
+    positional explode → bigram lead counts + unigram counts, support
+    floor 5, single rounded ln."""
+    from basic_data_fusion_spark.operators.text import pmi_collocations
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return pmi_collocations(docs, min_count=5, k=30)
+
+
+_PMI_COLLOCATIONS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(toks) AS w,
+         unnest(generate_series(1, len(toks))) AS i
+  FROM t
+),
+uni AS (SELECT w, COUNT(*) AS c_w FROM w GROUP BY 1),
+bg AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM w QUALIFY w2 IS NOT NULL
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2
+       HAVING COUNT(*) >= 5),
+n AS (SELECT SUM(greatest(len(toks) - 1, 0)) AS nb FROM t)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(a.c_w AS BIGINT) AS c_a, CAST(b.c_w AS BIGINT) AS c_b,
+       ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n.nb AS DOUBLE)
+                / (CAST(a.c_w AS DOUBLE) * CAST(b.c_w AS DOUBLE))), 6)
+         AS pmi
+FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2 CROSS JOIN n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length planning sweep (packing.packing_efficiency_sweep):
     naive vs perfect-concat packing padding at ctx 64/128/256/512 —
@@ -6685,16 +6726,17 @@ DRIVER_WINDOW = [
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
-    "orders_cube", "median_by_segment", "hash_sample_orders",
+    "orders_cube", "median_by_segment",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; stratified_sample_docs /
-    # events_interarrival / running_spend / trailing_7d_value /
-    # acctbal_deciles / cohort_setops / vocab_top_tokens (r3 greens,
-    # untouched this round) rotate back in next round with
-    # tfidf_top_terms / token_diversity and the remaining r3-era greens
+    # outrank recency per the window policy; hash_sample_orders /
+    # stratified_sample_docs / events_interarrival / running_spend /
+    # trailing_7d_value / acctbal_deciles / cohort_setops /
+    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
+    # next round with tfidf_top_terms / token_diversity and the
+    # remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
-    "packing_efficiency",
+    "packing_efficiency", "pmi_collocations",
 ]
 
 
@@ -6797,6 +6839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "interleave_order": q_interleave_order,
         "packing_efficiency": q_packing_efficiency,
+        "pmi_collocations": q_pmi_collocations,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6930,6 +6973,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
         "interleave_order": _INTERLEAVE_ORDER_ORACLE,
         "packing_efficiency": _PACKING_EFFICIENCY_ORACLE,
+        "pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1210,3 +1210,59 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         *[expr.alias(name) for name, expr in flags.items()],
         keep.alias("keep"),
     )
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 5, k: int = 30,
+                     decimals: int = 6) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information over
+    adjacent token pairs — the corpus-analysis pass that surfaces
+    multiword expressions ("new york", "machine learning") and, on a
+    training corpus, boilerplate n-grams worth a dedup rule:
+    ``pmi = ln(N · c(a,b) / (c(a) · c(b)))`` with a ``min_count``
+    support floor so rare-pair noise (whose PMI is inflated by
+    construction) never ranks.
+
+    One positional explode feeds BOTH count tables (bigrams via lead
+    over the in-document position, unigrams from the same rows); the
+    pair relation then joins the vocabulary-sized unigram counts twice.
+    Counts are exact integers; the single ``ln`` is rounded to
+    ``decimals`` (libm last-ulp policy, grouped_k2 pattern) so the
+    report value-hashes cross-engine. Top-k is a TakeOrdered with
+    (pmi, pair) tie-break. Reference analogue: none (text-analysis
+    extension)."""
+    spark = df.sparkSession
+    # __rid is staged BEFORE the generator so every token of a document
+    # shares one id ((rid, i) then orders tokens within a document
+    # without shuffling text); a nondeterministic id in the same
+    # projection as the explode could evaluate per GENERATED row
+    with_id = (df.repartition(spark.sparkContext.defaultParallelism)
+               .select(F.monotonically_increasing_id().alias("__rid"),
+                       F.filter(tokens(F.col(text_col)),
+                                lambda t: t != "").alias("__tk")))
+    base = with_id.select("__rid",
+                          F.posexplode("__tk").alias("__i", "__w"))
+    base = cache_pinned(base)
+    uni = base.groupBy(F.col("__w").alias("w")).agg(
+        F.count(F.lit(1)).alias("c_w"))
+    w_doc = Window.partitionBy("__rid").orderBy("__i")
+    bg = (base.withColumn("__next", F.lead("__w").over(w_doc))
+          .filter(F.col("__next").isNotNull())
+          .groupBy(F.col("__w").alias("w1"), F.col("__next").alias("w2"))
+          .agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= int(min_count)))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    n_bigrams = (df.select(
+        F.sum(F.greatest(F.size(F.filter(tokens(F.col(text_col)),
+                                         lambda t: t != "")) - 1,
+                         F.lit(0))).alias("__n")))
+    pmi = F.round(F.log(F.col("c_ab").cast("double") * F.col("__n")
+                        / (F.col("c_a").cast("double") * F.col("c_b"))),
+                  int(decimals))
+    return (bg.join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(n_bigrams))
+            .select("w1", "w2", "c_ab", "c_a", "c_b",
+                    pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+            .limit(int(k)))

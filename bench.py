@@ -156,6 +156,7 @@ HEADLINE += [
     "embedding_outliers",    # per-label farthest-from-centroid audit
     "interleave_order",      # proportional stride-scheduled serve order
     "packing_efficiency",    # context-length padding planning sweep
+    "pmi_collocations",      # PMI collocations over adjacent pairs
 ]
 
 

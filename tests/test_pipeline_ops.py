@@ -2625,3 +2625,20 @@ def test_packing_efficiency_sweep_hand_computed(spark):
     assert got[64]["pad_frac_packed_lb"] == (4 * 64 - 210) / (4 * 64)
     assert got[128]["n_seq_naive"] == 1 + 1 + 2
     assert got[128]["n_seq_packed_lb"] == 2
+
+
+def test_pmi_collocations_planted(spark):
+    """A planted collocation (always-adjacent pair) outranks frequent
+    independent pairs, with the hand-computed PMI value."""
+    import math
+
+    filler = "aa bb cc dd " * 3                   # independent pairs
+    rows = [(i, filler + "san francisco") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.pmi_collocations(df, min_count=5, k=5).collect()
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    # counts: each doc has 14 tokens -> 13 bigrams, 8 docs -> N = 104;
+    # c(san,francisco)=8, c(san)=8, c(francisco)=8
+    assert top["c_ab"] == 8 and top["c_a"] == 8 and top["c_b"] == 8
+    assert top["pmi"] == round(math.log(8 * 104 / (8 * 8)), 6)
