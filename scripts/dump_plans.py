@@ -178,6 +178,9 @@ PICK_NOTES = {
     "interleave_order": "Per-source rank window + one global "
                         "serve-order sort over 3-column triples; "
                         "stride key is a projection, not a join.",
+    "pmi_collocations": "One positional explode feeds both count "
+                        "tables; unigram joins are vocab-sized; "
+                        "top-k collapses to TakeOrderedAndProject.",
 }
 MAX_LINES = 40
 
