@@ -5982,6 +5982,61 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation composite spanning the round-6 stages:
+    Gopher rule gate (corpus-tuned bounds) → exact dedup (min-id per
+    normalized content, AMONG gate survivors — order matters and the
+    oracle replays the exact chain) → proportional stride-interleaved
+    serve order. The output is the thing a training run actually
+    consumes: (doc, source, serve position) for the cleaned, deduped,
+    mixture-correct stream."""
+    from basic_data_fusion_spark.operators.dedup import exact_dedup
+    from basic_data_fusion_spark.operators.selection import interleave_order
+    from basic_data_fusion_spark.operators.text import gopher_rules
+
+    docs = (_catalog(spark, sf_dir).load("documents")
+            .repartition(spark.sparkContext.defaultParallelism))
+    gated_ids = (gopher_rules(docs, min_words=30, min_stop_hits=1)
+                 .filter("keep").select("doc_id"))
+    gated = docs.join(gated_ids, "doc_id", "left_semi")
+    survivors = exact_dedup(gated)
+    return interleave_order(survivors, {"src0": 3.0, "src1": 2.0})
+
+
+_CURATION_V3_ORACLE = ("""
+WITH kept_ids AS (
+  SELECT doc_id FROM (""" + _GOPHER_RULES_ORACLE + """) WHERE keep
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN kept_ids USING (doc_id)
+),
+keepmin AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+surv AS (SELECT k.doc_id, k.source FROM kept k JOIN keepmin USING (doc_id)),
+r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS BIGINT) AS rank_in_source,
+         CASE source WHEN 'src0' THEN CAST(3.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM surv
+)
+SELECT doc_id, source, rank_in_source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY CAST(rank_in_source AS DOUBLE) / w ASC,
+                  source ASC, rank_in_source ASC
+       ) AS BIGINT) AS serve_pos
+FROM r
+""")
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent-pair collocations by PMI (text.pmi_collocations):
     positional explode → bigram lead counts + unigram counts, support
@@ -6726,17 +6781,17 @@ DRIVER_WINDOW = [
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
-    "orders_cube", "median_by_segment",
+    "orders_cube",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; hash_sample_orders /
-    # stratified_sample_docs / events_interarrival / running_spend /
-    # trailing_7d_value / acctbal_deciles / cohort_setops /
-    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
-    # next round with tfidf_top_terms / token_diversity and the
-    # remaining r3-era greens
+    # outrank recency per the window policy; median_by_segment /
+    # hash_sample_orders / stratified_sample_docs / events_interarrival
+    # / running_spend / trailing_7d_value / acctbal_deciles /
+    # cohort_setops / vocab_top_tokens (r3 greens, untouched this
+    # round) rotate back in next round with tfidf_top_terms /
+    # token_diversity and the remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
-    "packing_efficiency", "pmi_collocations",
+    "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
 ]
 
 
@@ -6840,6 +6895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_order": q_interleave_order,
         "packing_efficiency": q_packing_efficiency,
         "pmi_collocations": q_pmi_collocations,
+        "corpus_curation_v3": q_corpus_curation_v3,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -6974,6 +7030,7 @@ def oracle_sql() -> dict[str, str]:
         "interleave_order": _INTERLEAVE_ORDER_ORACLE,
         "packing_efficiency": _PACKING_EFFICIENCY_ORACLE,
         "pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
+        "corpus_curation_v3": _CURATION_V3_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -157,6 +157,7 @@ HEADLINE += [
     "interleave_order",      # proportional stride-scheduled serve order
     "packing_efficiency",    # context-length padding planning sweep
     "pmi_collocations",      # PMI collocations over adjacent pairs
+    "corpus_curation_v3",    # gate -> dedup -> interleave composite
 ]
 
 
