@@ -5982,6 +5982,78 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def q_decontam_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-gate width planning (dedup.decontam_window_sweep):
+    dirty-doc and dirty-window rates at n-gram windows 7/13/21 against
+    the held-out slice (doc_id % 7 == 0), one report."""
+    from basic_data_fusion_spark.operators.dedup import decontam_window_sweep
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontam_window_sweep(train, held, [7, 13, 21])
+
+
+_DECONTAM_SWEEP_ORACLE = r"""
+WITH alldocs AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+ws AS (SELECT CAST(x AS BIGINT) AS w FROM (VALUES (7), (13), (21)) v(x)),
+base AS (SELECT * FROM alldocs WHERE doc_id % 7 <> 0),
+heldout AS (SELECT * FROM alldocs WHERE doc_id % 7 = 0),
+hw AS (
+  SELECT ws.w, b.doc_id,
+         unnest(list_transform(
+             generate_series(1, len(b.toks) - ws.w + 1),
+             i -> md5(array_to_string(list_slice(b.toks, i, i + ws.w - 1),
+                                      ' ')))) AS h
+  FROM base b CROSS JOIN ws WHERE len(b.toks) >= ws.w
+),
+ev AS (
+  SELECT DISTINCT ws.w,
+         unnest(list_transform(
+             generate_series(1, len(h.toks) - ws.w + 1),
+             i -> md5(array_to_string(list_slice(h.toks, i, i + ws.w - 1),
+                                      ' ')))) AS h
+  FROM heldout h CROSS JOIN ws WHERE len(h.toks) >= ws.w
+),
+per_doc AS (
+  SELECT hw.w, hw.doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM hw LEFT JOIN ev ON ev.w = hw.w AND ev.h = hw.h
+  GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM base),
+rep AS (
+  SELECT w,
+         SUM(CASE WHEN n_windows > 0 THEN 1 ELSE 0 END) AS n_docs_evaluable,
+         SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS n_dirty_docs,
+         SUM(n_windows) AS n_windows,
+         SUM(n_hits) AS n_contaminated_windows
+  FROM per_doc GROUP BY 1
+)
+SELECT ws.w AS "window",
+  CAST(tot.n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(rep.n_docs_evaluable, 0) AS BIGINT) AS n_docs_evaluable,
+  CAST(COALESCE(rep.n_dirty_docs, 0) AS BIGINT) AS n_dirty_docs,
+  CASE WHEN tot.n_docs > 0
+       THEN CAST(COALESCE(rep.n_dirty_docs, 0) AS DOUBLE) / tot.n_docs
+       ELSE 0.0 END AS dirty_doc_frac,
+  CAST(COALESCE(rep.n_windows, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(rep.n_contaminated_windows, 0) AS BIGINT)
+    AS n_contaminated_windows,
+  CASE WHEN COALESCE(rep.n_windows, 0) > 0
+       THEN CAST(COALESCE(rep.n_contaminated_windows, 0) AS DOUBLE)
+            / rep.n_windows
+       ELSE 0.0 END AS dirty_window_frac
+FROM ws LEFT JOIN rep ON rep.w = ws.w CROSS JOIN tot
+ORDER BY "window"
+"""
+
+
 def q_corpus_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third-generation curation composite spanning the round-6 stages:
     Gopher rule gate (corpus-tuned bounds) → exact dedup (min-id per
@@ -6781,9 +6853,9 @@ DRIVER_WINDOW = [
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
     "retention_weekly", "customers_no_orders", "pricing_rollup",
-    "orders_cube",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; median_by_segment /
+    # outrank recency per the window policy; orders_cube /
+    # median_by_segment /
     # hash_sample_orders / stratified_sample_docs / events_interarrival
     # / running_spend / trailing_7d_value / acctbal_deciles /
     # cohort_setops / vocab_top_tokens (r3 greens, untouched this
@@ -6792,6 +6864,7 @@ DRIVER_WINDOW = [
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
     "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
+    "decontam_window_sweep",
 ]
 
 
@@ -6896,6 +6969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": q_packing_efficiency,
         "pmi_collocations": q_pmi_collocations,
         "corpus_curation_v3": q_corpus_curation_v3,
+        "decontam_window_sweep": q_decontam_window_sweep,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7031,6 +7105,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency": _PACKING_EFFICIENCY_ORACLE,
         "pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
         "corpus_curation_v3": _CURATION_V3_ORACLE,
+        "decontam_window_sweep": _DECONTAM_SWEEP_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1487,3 +1487,70 @@ def dedup_impact_sweep(docs: DataFrame, pairs: DataFrame,
         (z("chars_removed").cast("double") / F.col("__n_chars"))
         .alias("pct_chars_removed"),
     ).orderBy("threshold")
+
+
+def decontam_window_sweep(train: DataFrame, held_out: DataFrame,
+                          windows: list[int], text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Contamination-gate planning report: the dirty-document and
+    dirty-window rates at several candidate n-gram window sizes, so a
+    pipeline picks its decontamination width (GPT-3 used 13; shorter
+    windows catch more but over-flag common phrases) from ONE report
+    instead of N gate runs.
+
+    One tokenize pass per side; each side's token arrays explode
+    against the LITERAL window-size array (the sweep-family shape —
+    the per-(doc, w) window hashes are generated from the SAME staged
+    array). Held-out keys reduce to distinct (w, hash) and broadcast
+    into the train probe; per-(w, doc) hit counts roll up to one row
+    per window size. Everything shuffled is (id, w, hash) triples —
+    bodies never move. Counts are exact integers, fractions
+    integer-derived. Reference analogue: none (planning extension).
+    """
+    ws = sorted(int(w) for w in windows)
+    w_arr = F.array(*[F.lit(w) for w in ws])
+
+    def side_windows(df: DataFrame) -> DataFrame:
+        base = (_tokenized_base(df, text_col, id_col)
+                .select(id_col, "__t")
+                .withColumn("w", F.explode(w_arr)))
+        hashes = F.when(
+            F.size("__t") >= F.col("w"),
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size("__t") - F.col("w") + 1,
+                                      F.lit(0))),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__t", i,
+                                                         F.col("w"))))),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(id_col, "w",
+                           F.posexplode_outer(hashes).alias("__p0", "__h"))
+
+    ev = (side_windows(held_out)
+          .filter(F.col("__h").isNotNull())
+          .select("w", "__h").distinct()
+          .withColumn("__hit", F.lit(1)))
+    per_doc = (side_windows(train)
+               .join(F.broadcast(ev), ["w", "__h"], "left")
+               .groupBy("w", id_col)
+               .agg(F.count("__h").cast("long").alias("n_windows"),
+                    F.sum(F.coalesce("__hit", F.lit(0)))
+                    .cast("long").alias("n_hits")))
+    totals = train.agg(F.count(F.lit(1)).alias("__n_docs"))
+    report = (per_doc.groupBy("w").agg(
+        F.sum((F.col("n_windows") > 0).cast("long")).alias("n_docs_evaluable"),
+        F.sum((F.col("n_hits") > 0).cast("long")).alias("n_dirty_docs"),
+        F.sum("n_windows").cast("long").alias("n_windows"),
+        F.sum("n_hits").cast("long").alias("n_contaminated_windows"))
+        .crossJoin(F.broadcast(totals)))
+    z = lambda a, b: F.when(F.col(b) > 0,
+                            F.col(a).cast("double") / F.col(b)) \
+                      .otherwise(F.lit(0.0))
+    return (report.select(
+        F.col("w").cast("long").alias("window"),
+        F.col("__n_docs").cast("long").alias("n_docs"),
+        "n_docs_evaluable", "n_dirty_docs",
+        z("n_dirty_docs", "__n_docs").alias("dirty_doc_frac"),
+        "n_windows", "n_contaminated_windows",
+        z("n_contaminated_windows", "n_windows").alias("dirty_window_frac"))
+        .orderBy("window"))

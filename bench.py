@@ -158,6 +158,7 @@ HEADLINE += [
     "packing_efficiency",    # context-length padding planning sweep
     "pmi_collocations",      # PMI collocations over adjacent pairs
     "corpus_curation_v3",    # gate -> dedup -> interleave composite
+    "decontam_window_sweep",  # gate-width contamination planning report
 ]
 
 

@@ -2642,3 +2642,23 @@ def test_pmi_collocations_planted(spark):
     # c(san,francisco)=8, c(san)=8, c(francisco)=8
     assert top["c_ab"] == 8 and top["c_a"] == 8 and top["c_b"] == 8
     assert top["pmi"] == round(math.log(8 * 104 / (8 * 8)), 6)
+
+
+def test_decontam_window_sweep_width_effect(spark):
+    """A planted 10-token overlap flags at window 7 but NOT at window
+    13 — exactly the width trade-off the sweep exists to expose."""
+    leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, leak + " unique tail words here one two three"),
+         (2, "totally different content with many plain words in it")],
+        "doc_id long, text string")
+    held = spark.createDataFrame(
+        [(100, leak + " other benchmark suffix tokens")],
+        "doc_id long, text string")
+    got = {r["window"]: r for r in
+           dedup.decontam_window_sweep(train, held, [7, 13]).collect()}
+    assert got[7]["n_dirty_docs"] == 1
+    assert got[7]["n_contaminated_windows"] == 4   # 10-token overlap, w=7
+    assert got[13]["n_dirty_docs"] == 0
+    assert got[13]["n_docs"] == 2
+    assert got[7]["dirty_doc_frac"] == 0.5
