@@ -407,3 +407,26 @@ def test_embedding_outliers_broadcast_and_slim_window(spark):
     m = re.search(r"Window \[[^\]]*\]", plan)
     assert m and "embedding" not in m.group(0), \
         "vector column must drop before the rank window"
+
+
+def test_curation_v3_semi_join_dedup_no_python(spark):
+    """The v3 composite's dedup stage must stay the min-id SEMI-join
+    (documents join a keep-set of ids, never shuffle by content), and
+    the whole gate->dedup->interleave chain stays JVM-side."""
+    df = entrymod.queries()["corpus_curation_v3"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert "LeftSemi" in plan, "dedup keep-set must apply as a semi-join"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_window_sweep_broadcast_probe(spark):
+    """The window-size sweep probes train (w, hash) triples against the
+    held-out key set — benchmarks are tiny relative to a training
+    corpus, so that probe must be a broadcast join, and nothing drops
+    to Python."""
+    df = entrymod.queries()["decontam_window_sweep"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, "held-out keys must broadcast"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Generate explode" in plan
