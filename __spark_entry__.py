@@ -5982,6 +5982,101 @@ GROUP BY p.label, cn.n, cnorm.centroid_norm
 """
 
 
+def _planted_c4_texts(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line punctuation fixture derived from doc_id
+    (the synthetic corpus has no punctuation or newlines, so the C4
+    line rules would be constant on it — same precedent as
+    _planted_urls): variant v = doc_id % 5 plants one clean page and
+    one violation of each C4 page rule."""
+    v = F.col("doc_id") % 5
+    text = (
+        F.when(v == 0, F.lit("One good sentence. Another fine one! "
+                             "A third question?\n"
+                             "The last line ends well."))
+        .when(v == 1, F.lit("a line with no punctuation\n"
+                            "another plain line"))
+        .when(v == 2, F.lit("Lorem ipsum dolor sit amet. Second sentence! "
+                            "Third one?\nClean tail line."))
+        .when(v == 3, F.lit("Call f(x) now. It returns {a: 1}! Why not?\n"
+                            "Short tail."))
+        .otherwise(F.lit("Please enable javascript to proceed. Fine! Ok?\n"
+                         "Done now.")))
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleanup flags (Raffel et al. 2020 §2.2) over the planted
+    punctuation fixture: sentence floor, terminal-punctuation lines,
+    lorem-ipsum / curly-brace / javascript page rules, short-line
+    fraction."""
+    from basic_data_fusion_spark.operators.text import c4_rules
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return c4_rules(_planted_c4_texts(docs))
+
+
+_C4_RULES_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN 'One good sentence. Another fine one! A third question?'
+                || chr(10) || 'The last line ends well.'
+    WHEN 1 THEN 'a line with no punctuation' || chr(10)
+                || 'another plain line'
+    WHEN 2 THEN 'Lorem ipsum dolor sit amet. Second sentence! Third one?'
+                || chr(10) || 'Clean tail line.'
+    WHEN 3 THEN 'Call f(x) now. It returns {a: 1}! Why not?'
+                || chr(10) || 'Short tail.'
+    ELSE 'Please enable javascript to proceed. Fine! Ok?'
+         || chr(10) || 'Done now.'
+  END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, lower(text) AS lc,
+    list_filter(str_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+    length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+      AS n_sentences
+  FROM d
+),
+g AS (
+  SELECT doc_id, n_sentences,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')))
+      AS n_terminal,
+    len(list_filter(lines,
+        l -> len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                             t -> t <> '')) < 5)) AS n_short,
+    len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS n_js,
+    contains(lc, 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace
+  FROM f
+),
+h AS (
+  SELECT doc_id, n_lines, n_sentences, n_short,
+    CASE WHEN n_lines > 0 THEN CAST(n_terminal AS DOUBLE) / n_lines
+         ELSE 0.0 END AS terminal_line_frac,
+    (n_sentences >= 3) AS rule_min_sentences,
+    NOT has_lorem AS rule_no_lorem,
+    NOT has_brace AS rule_no_brace,
+    (n_js = 0) AS rule_no_javascript
+  FROM g
+)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  terminal_line_frac,
+  CASE WHEN n_lines > 0 THEN CAST(n_short AS DOUBLE) / n_lines
+       ELSE 0.0 END AS short_line_frac,
+  rule_min_sentences,
+  (terminal_line_frac >= 1.0) AS rule_terminal_lines,
+  rule_no_lorem, rule_no_brace, rule_no_javascript,
+  TRUE AS rule_no_badwords,
+  (rule_min_sentences AND terminal_line_frac >= 1.0 AND rule_no_lorem
+   AND rule_no_brace AND rule_no_javascript) AS keep
+FROM h
+"""
+
+
 def q_decontam_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination-gate width planning (dedup.decontam_window_sweep):
     dirty-doc and dirty-window rates at n-gram windows 7/13/21 against
@@ -6852,19 +6947,19 @@ DRIVER_WINDOW = [
     "media_features", "events_tumbling_daily", "events_sliding",
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
-    "retention_weekly", "customers_no_orders", "pricing_rollup",
+    "retention_weekly", "customers_no_orders",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; orders_cube /
-    # median_by_segment /
-    # hash_sample_orders / stratified_sample_docs / events_interarrival
-    # / running_spend / trailing_7d_value / acctbal_deciles /
-    # cohort_setops / vocab_top_tokens (r3 greens, untouched this
-    # round) rotate back in next round with tfidf_top_terms /
-    # token_diversity and the remaining r3-era greens
+    # outrank recency per the window policy; pricing_rollup /
+    # orders_cube / median_by_segment / hash_sample_orders /
+    # stratified_sample_docs / events_interarrival / running_spend /
+    # trailing_7d_value / acctbal_deciles / cohort_setops /
+    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
+    # next round with tfidf_top_terms / token_diversity and the
+    # remaining r3-era greens
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
     "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
-    "decontam_window_sweep",
+    "decontam_window_sweep", "c4_rules",
 ]
 
 
@@ -6970,6 +7065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "corpus_curation_v3": q_corpus_curation_v3,
         "decontam_window_sweep": q_decontam_window_sweep,
+        "c4_rules": q_c4_rules,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7106,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
         "corpus_curation_v3": _CURATION_V3_ORACLE,
         "decontam_window_sweep": _DECONTAM_SWEEP_ORACLE,
+        "c4_rules": _C4_RULES_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1266,3 +1266,72 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
                     pmi.alias("pmi"))
             .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
             .limit(int(k)))
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", *,
+             min_sentences: int = 3,
+             min_terminal_line_frac: float = 1.0,
+             min_words_per_line: int = 5,
+             badwords: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document C4 cleanup flags (Raffel et al. 2020 §2.2) — the
+    other canonical pretraining filter set beside ``gopher_rules``:
+    sentence-count floor, lines-end-in-terminal-punctuation, no
+    "lorem ipsum", no curly brace (code), no "javascript" lines, no
+    blocklist words; plus the short-line fraction C4's line filter
+    would remove. One boolean per rule and the conjunction ``keep``.
+
+    Same execution shape as ``gopher_rules``: staged line array →
+    integer feature scalars → flags, three map-only projections that
+    pipeline with the scan (no shuffle, no UDF). Reference analogue:
+    none (corpus-filter extension)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    arrays = df.select(
+        F.col(id_col), c.alias("__text"),
+        F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "").alias("__lines"),
+    )
+    lines, txt = F.col("__lines"), F.col("__text")
+    lc = F.lower(txt)
+    line_words = lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                           lambda t: t != ""))
+    feats = arrays.select(
+        F.col(id_col),
+        F.size(lines).alias("__n_lines"),
+        (F.length(txt) - F.length(F.regexp_replace(txt, r"[.!?]", "")))
+        .alias("__n_sentences"),
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike('[.!?"]$')))
+        .alias("__n_terminal"),
+        F.size(F.filter(lines, lambda l: line_words(l) < min_words_per_line))
+        .alias("__n_short"),
+        F.size(F.filter(lines,
+                        lambda l: F.lower(l).contains("javascript")))
+        .alias("__n_js"),
+        lc.contains("lorem ipsum").alias("__has_lorem"),
+        txt.contains("{").alias("__has_brace"),
+        (sum((lc.contains(w.lower()).cast("int") for w in badwords),
+             F.lit(0)) > 0).alias("__has_badword"),
+    )
+    ratio = lambda num, den: F.when(den > 0, num.cast("double") / den) \
+                              .otherwise(F.lit(0.0))
+    term_frac = ratio(F.col("__n_terminal"), F.col("__n_lines"))
+    flags = {
+        "rule_min_sentences": F.col("__n_sentences") >= int(min_sentences),
+        "rule_terminal_lines":
+            term_frac >= F.lit(float(min_terminal_line_frac)),
+        "rule_no_lorem": ~F.col("__has_lorem"),
+        "rule_no_brace": ~F.col("__has_brace"),
+        "rule_no_javascript": F.col("__n_js") == 0,
+        "rule_no_badwords": ~F.col("__has_badword"),
+    }
+    keep = None
+    for expr in flags.values():
+        keep = expr if keep is None else (keep & expr)
+    return feats.select(
+        F.col(id_col),
+        F.col("__n_lines").cast("long").alias("n_lines"),
+        F.col("__n_sentences").cast("long").alias("n_sentences"),
+        term_frac.alias("terminal_line_frac"),
+        ratio(F.col("__n_short"), F.col("__n_lines")).alias("short_line_frac"),
+        *[expr.alias(name) for name, expr in flags.items()],
+        keep.alias("keep"),
+    )

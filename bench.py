@@ -159,6 +159,7 @@ HEADLINE += [
     "pmi_collocations",      # PMI collocations over adjacent pairs
     "corpus_curation_v3",    # gate -> dedup -> interleave composite
     "decontam_window_sweep",  # gate-width contamination planning report
+    "c4_rules",              # C4 cleanup flags (planted punctuation fixture)
 ]
 
 

@@ -2662,3 +2662,29 @@ def test_decontam_window_sweep_width_effect(spark):
     assert got[13]["n_dirty_docs"] == 0
     assert got[13]["n_docs"] == 2
     assert got[7]["dirty_doc_frac"] == 0.5
+
+
+def test_c4_rules_planted_violations(spark):
+    """Each C4 page rule trips on a document planted to violate exactly
+    it; the clean page keeps; the short-line fraction counts <5-word
+    lines."""
+    rows = [
+        (0, "Alpha beta gamma delta epsilon one. Two more words follow!"
+            " A third question here?\nThe very last line ends nicely."),
+        (1, "no punctuation anywhere on this line\nnor on this one"),
+        (2, "Contains Lorem Ipsum filler. Second sentence! Third one?"),
+        (3, "Code page { with braces. Second! Third?"),
+        (4, "Enable JavaScript to continue. Second! Third?"),
+        (5, "Tiny line.\nAnother big line with many words in it today."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
+    assert got[0]["keep"]
+    assert not got[1]["rule_min_sentences"]
+    assert not got[1]["rule_terminal_lines"]
+    assert not got[2]["rule_no_lorem"]          # case-insensitive
+    assert not got[3]["rule_no_brace"]
+    assert not got[4]["rule_no_javascript"]     # case-insensitive
+    assert got[5]["short_line_frac"] == 0.5     # "Tiny line." has 2 words
+    for d in (1, 2, 3, 4):
+        assert not got[d]["keep"]
