@@ -1158,6 +1158,39 @@ FROM h
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest (partitioning.shard_manifest):
+    doc/token counts plus an order-independent content checksum
+    (sum of 60-bit content-md5 prefixes mod 2^60) per md5-nibble
+    shard — the artifact a consumer verifies before training."""
+    from basic_data_fusion_spark.sources.partitioning import shard_manifest
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return shard_manifest(docs)
+
+
+_SHARD_MANIFEST_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hx,
+         CAST(('0x' || substr(
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+             1, 15)) AS BIGINT) AS term,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+         END AS tok
+  FROM documents
+)
+SELECT CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS INT)
+         AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(term AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+         AS content_checksum
+FROM h GROUP BY 1 ORDER BY shard
+"""
+
+
 def _quality_percentile_oracle() -> str:
     # nests the quality-score oracle (defined below) as a subquery; built
     # lazily so module definition order doesn't matter
@@ -6947,9 +6980,10 @@ DRIVER_WINDOW = [
     "media_features", "events_tumbling_daily", "events_sliding",
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
-    "retention_weekly", "customers_no_orders",
+    "retention_weekly",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; pricing_rollup /
+    # outrank recency per the window policy; customers_no_orders /
+    # pricing_rollup /
     # orders_cube / median_by_segment / hash_sample_orders /
     # stratified_sample_docs / events_interarrival / running_spend /
     # trailing_7d_value / acctbal_deciles / cohort_setops /
@@ -6959,7 +6993,7 @@ DRIVER_WINDOW = [
     "decontam_fraction", "hard_negatives", "gopher_rules",
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
     "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
-    "decontam_window_sweep", "c4_rules",
+    "decontam_window_sweep", "c4_rules", "shard_manifest",
 ]
 
 
@@ -7066,6 +7100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_v3": q_corpus_curation_v3,
         "decontam_window_sweep": q_decontam_window_sweep,
         "c4_rules": q_c4_rules,
+        "shard_manifest": q_shard_manifest,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7203,6 +7238,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation_v3": _CURATION_V3_ORACLE,
         "decontam_window_sweep": _DECONTAM_SWEEP_ORACLE,
         "c4_rules": _C4_RULES_ORACLE,
+        "shard_manifest": _SHARD_MANIFEST_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -229,3 +229,37 @@ def _plan_has_shuffle_node(df: DataFrame) -> bool:
         while it.hasNext():
             stack.append(it.next())
     return False
+
+
+def shard_manifest(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-shard integrity manifest for a sharded export — the handoff
+    artifact a consumer checks before training: document count, token
+    count, and an ORDER-INDEPENDENT content checksum per shard
+    (sum of each document's 60-bit content-md5 prefix, mod 2^60), so
+    two independently-produced copies of a shard can be compared
+    without re-reading either in a fixed order.
+
+    One map-only pass derives (shard, tokens, checksum-term) per doc;
+    one 16-group aggregation produces the manifest. The checksum is
+    commutative integer arithmetic — engine-portable and partitioning-
+    independent, unlike a hash of concatenated rows. Reference
+    analogue: none (layout extension)."""
+    from ..operators.text import fingerprint, token_count
+
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = (F.position(F.substring(h, 1, 1),
+                        F.lit("0123456789abcdef")) - 1).cast("int")
+    term = F.conv(F.substring(fingerprint(F.col(text_col)), 1, 15),
+                  16, 10).cast("decimal(38,0)")
+    per_doc = df.select(
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("__tok"),
+        term.alias("__term"))
+    two60 = 2 ** 60
+    return (per_doc.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__tok").cast("long").alias("n_tokens"),
+                 F.pmod(F.sum("__term"), F.lit(two60).cast("decimal(38,0)"))
+                 .cast("long").alias("content_checksum"))
+            .orderBy("shard"))

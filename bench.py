@@ -160,6 +160,7 @@ HEADLINE += [
     "corpus_curation_v3",    # gate -> dedup -> interleave composite
     "decontam_window_sweep",  # gate-width contamination planning report
     "c4_rules",              # C4 cleanup flags (planted punctuation fixture)
+    "shard_manifest",        # per-shard integrity counts + checksum
 ]
 
 

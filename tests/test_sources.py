@@ -502,3 +502,28 @@ def test_spread_narrow_plan_probe(spark):
     assert not _plan_has_shuffle_node(trap)
     assert spread_narrow(trap).rdd.getNumPartitions() == \
         spark.sparkContext.defaultParallelism
+
+
+def test_shard_manifest_order_independent_and_tamper_evident(spark):
+    """The manifest checksum must not depend on row order or
+    partitioning (commutative integer sum), and must move when any
+    document's content changes — the two properties that make it a
+    handoff integrity artifact."""
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.sources.partitioning import shard_manifest
+
+    rows = [(i, f"doc body number {i} with words") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["shard"]: r for r in shard_manifest(df).collect()}
+    shuffled = shard_manifest(
+        df.orderBy(F.desc("doc_id")).repartition(7)).collect()
+    assert {r["shard"]: r for r in shuffled} == base
+    tampered = df.withColumn(
+        "text", F.when(F.col("doc_id") == 3, F.lit("tampered body"))
+                 .otherwise(F.col("text")))
+    after = {r["shard"]: r for r in shard_manifest(tampered).collect()}
+    moved = [s for s in base
+             if base[s]["content_checksum"] != after[s]["content_checksum"]]
+    assert len(moved) == 1   # exactly doc 3's shard moved
+    assert all(base[s]["n_docs"] == after[s]["n_docs"] for s in base)
