@@ -181,6 +181,20 @@ PICK_NOTES = {
     "pmi_collocations": "One positional explode feeds both count "
                         "tables; unigram joins are vocab-sized; "
                         "top-k collapses to TakeOrderedAndProject.",
+    "corpus_curation_v3": "Gate is map-only; dedup applies as a min-id "
+                          "LeftSemi keep-set (bodies never shuffle by "
+                          "content); interleave windows ride 3-column "
+                          "triples.",
+    "decontam_window_sweep": "(w, hash) triples explode against the "
+                             "literal width array; held-out keys "
+                             "broadcast into the probe; two hash "
+                             "aggregations roll up the report.",
+    "c4_rules": "Arrays -> scalars -> flags as staged map-only "
+                "projections; the planted fixture is a doc_id CASE, "
+                "no extra scan.",
+    "shard_manifest": "Map-only (shard, tok, term) projection + one "
+                      "16-group hash aggregation; commutative checksum "
+                      "means no sort anywhere.",
 }
 MAX_LINES = 40
 
