@@ -6037,6 +6037,65 @@ def _planted_c4_texts(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", text.alias("text"))
 
 
+def q_attribute_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data attribution (dedup.attribute_spans): per held-out
+    query (doc_id % 7 == 0), the top-3 train docs sharing the most
+    13-token windows, with coverage fractions."""
+    from basic_data_fusion_spark.operators.dedup import attribute_spans
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select(F.col("doc_id").alias("query_id"), "text"))
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return attribute_spans(train, held, window=13, k=3,
+                           query_id_col="query_id")
+
+
+_ATTRIBUTE_SPANS_ORACLE = r"""
+WITH alldocs AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+cw AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' '))))
+           AS h
+  FROM alldocs WHERE doc_id % 7 <> 0 AND len(toks) >= 13
+),
+df_ok AS (SELECT h FROM cw GROUP BY h HAVING COUNT(*) <= 1000),
+cwc AS (SELECT cw.doc_id, cw.h FROM cw JOIN df_ok USING (h)),
+qw AS (
+  SELECT DISTINCT doc_id AS query_id,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' '))))
+           AS h
+  FROM alldocs WHERE doc_id % 7 = 0 AND len(toks) >= 13
+),
+qt AS (SELECT query_id, COUNT(*) AS nq FROM qw GROUP BY 1),
+m AS (
+  SELECT qw.query_id, cwc.doc_id, COUNT(*) AS n_shared
+  FROM qw JOIN cwc USING (h) GROUP BY 1, 2
+),
+r AS (
+  SELECT m.query_id, m.doc_id, m.n_shared, qt.nq,
+         ROW_NUMBER() OVER (PARTITION BY m.query_id
+                            ORDER BY m.n_shared DESC, m.doc_id ASC) AS rnk
+  FROM m JOIN qt USING (query_id)
+)
+SELECT query_id, doc_id AS source_doc_id,
+       CAST(n_shared AS BIGINT) AS n_shared_windows,
+       CAST(nq AS BIGINT) AS n_query_windows,
+       CAST(n_shared AS DOUBLE) / nq AS query_coverage,
+       CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 3
+"""
+
+
 def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleanup flags (Raffel et al. 2020 §2.2) over the planted
     punctuation fixture: sentence floor, terminal-punctuation lines,
@@ -6980,10 +7039,9 @@ DRIVER_WINDOW = [
     "media_features", "events_tumbling_daily", "events_sliding",
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m", "funnel_steps",
-    "retention_weekly",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; customers_no_orders /
-    # pricing_rollup /
+    # outrank recency per the window policy; retention_weekly /
+    # customers_no_orders / pricing_rollup /
     # orders_cube / median_by_segment / hash_sample_orders /
     # stratified_sample_docs / events_interarrival / running_spend /
     # trailing_7d_value / acctbal_deciles / cohort_setops /
@@ -6994,6 +7052,7 @@ DRIVER_WINDOW = [
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
     "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
     "decontam_window_sweep", "c4_rules", "shard_manifest",
+    "attribute_spans",
 ]
 
 
@@ -7101,6 +7160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_window_sweep": q_decontam_window_sweep,
         "c4_rules": q_c4_rules,
         "shard_manifest": q_shard_manifest,
+        "attribute_spans": q_attribute_spans,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7239,6 +7299,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_window_sweep": _DECONTAM_SWEEP_ORACLE,
         "c4_rules": _C4_RULES_ORACLE,
         "shard_manifest": _SHARD_MANIFEST_ORACLE,
+        "attribute_spans": _ATTRIBUTE_SPANS_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1554,3 +1554,54 @@ def decontam_window_sweep(train: DataFrame, held_out: DataFrame,
         "n_windows", "n_contaminated_windows",
         z("n_contaminated_windows", "n_windows").alias("dirty_window_frac"))
         .orderBy("window"))
+
+
+def attribute_spans(corpus: DataFrame, queries: DataFrame, *,
+                    window: int = 13, k: int = 3,
+                    max_window_doc_freq: int = 1000,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """Training-data attribution: for each query text, the top-``k``
+    corpus documents sharing the most ``window``-token spans with it,
+    with the fraction of the query's windows each explains — the
+    inverse of the decontamination probe (memorization_risk asks
+    "which spans repeat"; this asks "a generation looks memorized —
+    WHERE did it come from").
+
+    Both sides reduce to distinct (id, window-hash) pairs before the
+    only join; corpus windows present in more than
+    ``max_window_doc_freq`` documents are dropped first (boilerplate
+    spans attribute to everything and only fan out the join — the same
+    df-cap rationale as the winnowing match step). Per-query totals
+    broadcast; coverage is an integer-derived division; top-k ranks on
+    (shared windows desc, doc id asc). Bodies never shuffle.
+    """
+    w, cap = int(window), int(max_window_doc_freq)
+    qw = (_window_hash_table(
+              _tokenized_base(queries, text_col, query_id_col),
+              query_id_col, w)
+          .select(query_id_col, "__h").distinct())
+    q_tot = (qw.groupBy(query_id_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("__q_windows")))
+    cw = (_window_hash_table(
+              _tokenized_base(corpus, text_col, id_col), id_col, w)
+          .select(id_col, "__h").distinct())
+    df_ok = (cw.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+             .filter(F.col("__df") <= cap).select("__h"))
+    cw = cw.join(df_ok, "__h", "left_semi")
+    matched = (qw.join(cw, "__h")
+               .groupBy(query_id_col, id_col)
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_shared_windows")))
+    ranked = (matched.join(F.broadcast(q_tot), query_id_col)
+              .withColumn("query_coverage",
+                          F.col("n_shared_windows").cast("double")
+                          / F.col("__q_windows")))
+    rw = (Window.partitionBy(query_id_col)
+          .orderBy(F.desc("n_shared_windows"), F.asc(id_col)))
+    return (ranked.withColumn("rank", F.row_number().over(rw))
+            .filter(F.col("rank") <= int(k))
+            .select(query_id_col, F.col(id_col).alias("source_doc_id"),
+                    "n_shared_windows",
+                    F.col("__q_windows").alias("n_query_windows"),
+                    "query_coverage", "rank"))

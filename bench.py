@@ -161,6 +161,7 @@ HEADLINE += [
     "decontam_window_sweep",  # gate-width contamination planning report
     "c4_rules",              # C4 cleanup flags (planted punctuation fixture)
     "shard_manifest",        # per-shard integrity counts + checksum
+    "attribute_spans",       # training-data span attribution top-k
 ]
 
 

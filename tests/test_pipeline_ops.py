@@ -2688,3 +2688,26 @@ def test_c4_rules_planted_violations(spark):
     assert got[5]["short_line_frac"] == 0.5     # "Tiny line." has 2 words
     for d in (1, 2, 3, 4):
         assert not got[d]["keep"]
+
+
+def test_attribute_spans_planted_sources(spark):
+    """A query stitched from two train documents attributes to BOTH
+    with partial coverage summing to ~1; a boilerplate window planted
+    in every train doc is df-capped out so it attributes to nothing."""
+    a_body = " ".join(f"alpha{i}" for i in range(20))
+    b_body = " ".join(f"beta{i}" for i in range(20))
+    stop = " ".join(f"common{i}" for i in range(13))
+    train = spark.createDataFrame(
+        [(1, a_body + " " + stop), (2, b_body + " " + stop)]
+        + [(10 + i, f"filler{i} " * 30 + stop) for i in range(4)],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, a_body + " " + b_body)], "query_id long, text string")
+    got = dedup.attribute_spans(train, queries, window=13, k=3,
+                                max_window_doc_freq=2).collect()
+    by_src = {r["source_doc_id"]: r for r in got}
+    assert set(by_src) == {1, 2}           # both halves found, filler not
+    assert by_src[1]["rank"] == 1 and by_src[1]["n_shared_windows"] == 8
+    # 40-token query -> 28 windows; 8 windows live fully inside each half
+    assert by_src[1]["n_query_windows"] == 28
+    assert by_src[1]["query_coverage"] == 8 / 28
