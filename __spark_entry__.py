@@ -6337,6 +6337,54 @@ LIMIT 30
 """
 
 
+def q_interleave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture acceptance gate (selection.interleave_mixture_gate):
+    per-source target vs achieved share in the first 10% of the
+    interleaved serve stream, band 0.05. Integer-valued weights keep
+    the double weight-sum exact at any partitioning."""
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_mixture_gate,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return interleave_mixture_gate(docs, {"src0": 3.0, "src1": 2.0})
+
+
+def _interleave_gate_oracle() -> str:
+    # nests the interleave oracle (defined below) as a subquery; built
+    # lazily so module definition order doesn't matter
+    return ("""
+WITH serve AS (""" + _INTERLEAVE_ORDER_ORACLE + """),
+src AS (
+  SELECT source, COUNT(*) AS n_source,
+         CASE source WHEN 'src0' THEN CAST(3.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM serve GROUP BY 1
+),
+tot AS (SELECT SUM(w) AS sum_w, SUM(n_source) AS n FROM src),
+pre AS (
+  SELECT source, COUNT(*) AS n_prefix
+  FROM serve CROSS JOIN tot
+  WHERE serve_pos <= CAST(CEIL(n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+  GROUP BY 1
+)
+SELECT s.source,
+  CAST(s.n_source AS BIGINT) AS n_source,
+  CAST(COALESCE(p.n_prefix, 0) AS BIGINT) AS n_prefix,
+  CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT) AS prefix_len,
+  s.w / t.sum_w AS target_share,
+  CAST(COALESCE(p.n_prefix, 0) AS DOUBLE)
+    / CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT) AS prefix_share,
+  (ABS(CAST(COALESCE(p.n_prefix, 0) AS DOUBLE)
+       / CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+       - s.w / t.sum_w) <= CAST(0.05 AS DOUBLE)) AS within_band
+FROM src s LEFT JOIN pre p USING (source) CROSS JOIN tot t
+ORDER BY source
+""")
+
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length planning sweep (packing.packing_efficiency_sweep):
     naive vs perfect-concat packing padding at ctx 64/128/256/512 —
@@ -7038,10 +7086,10 @@ DRIVER_WINDOW = [
     # (d) oldest round-3 greens
     "media_features", "events_tumbling_daily", "events_sliding",
     "events_sessions", "events_props", "top_event_per_day",
-    "asof_latest_order", "event_funnel_5m", "funnel_steps",
+    "asof_latest_order", "event_funnel_5m",
     # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; retention_weekly /
-    # customers_no_orders / pricing_rollup /
+    # outrank recency per the window policy; funnel_steps /
+    # retention_weekly / customers_no_orders / pricing_rollup /
     # orders_cube / median_by_segment / hash_sample_orders /
     # stratified_sample_docs / events_interarrival / running_spend /
     # trailing_7d_value / acctbal_deciles / cohort_setops /
@@ -7052,7 +7100,7 @@ DRIVER_WINDOW = [
     "dedup_impact_sweep", "embedding_outliers", "interleave_order",
     "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
     "decontam_window_sweep", "c4_rules", "shard_manifest",
-    "attribute_spans",
+    "attribute_spans", "interleave_gate",
 ]
 
 
@@ -7161,6 +7209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "shard_manifest": q_shard_manifest,
         "attribute_spans": q_attribute_spans,
+        "interleave_gate": q_interleave_gate,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7300,6 +7349,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_rules": _C4_RULES_ORACLE,
         "shard_manifest": _SHARD_MANIFEST_ORACLE,
         "attribute_spans": _ATTRIBUTE_SPANS_ORACLE,
+        "interleave_gate": _interleave_gate_oracle(),
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -502,3 +502,57 @@ def interleave_order(df: DataFrame, weights: dict[str, float],
     return (ranked
             .withColumn("serve_pos", F.row_number().over(w_serve).cast("long"))
             .select(id_col, source_col, "rank_in_source", "serve_pos"))
+
+
+def interleave_mixture_gate(df: DataFrame, weights: dict[str, float],
+                            source_col: str = "source",
+                            id_col: str = "doc_id", *,
+                            prefix_frac: float = 0.1,
+                            band: float = 0.05,
+                            default_weight: float = 1.0) -> DataFrame:
+    """Acceptance gate for ``interleave_order``: does the FIRST
+    ``prefix_frac`` of the serve stream realize the target mixture?
+    One row per source with its target share (weight normalized over
+    the observed sources), its achieved share in the prefix, and a
+    ``within_band`` verdict — the check a training pipeline runs on a
+    serve manifest before pointing a run at it (stationary early-batch
+    composition is the property stride scheduling exists to provide).
+
+    Composes the interleave, takes the prefix by serve position, and
+    compares integer-derived shares against the literal weight table;
+    sources absent from the prefix still get a (zero-share, failing)
+    row. All joins are broadcasts of source-cardinality relations.
+    """
+    serve = interleave_order(df, weights, source_col, id_col,
+                             default_weight)
+    w_expr = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        lit = F.lit(float(wt))
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    w_expr = (w_expr.otherwise(F.lit(float(default_weight)))
+              if w_expr is not None else F.lit(float(default_weight)))
+    sources = (serve.groupBy(source_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_source"))
+               .withColumn("__w", w_expr))
+    totals = sources.agg(F.sum("__w").alias("__sum_w"),
+                         F.sum("n_source").alias("__n"))
+    k = F.ceil(F.col("__n") * F.lit(float(prefix_frac))).cast("long")
+    prefix = (serve.crossJoin(F.broadcast(totals))
+              .filter(F.col("serve_pos") <= k)
+              .groupBy(source_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_prefix")))
+    out = (sources.join(prefix, source_col, "left")
+           .crossJoin(F.broadcast(totals)))
+    n_prefix = F.coalesce(F.col("n_prefix"), F.lit(0)).cast("long")
+    k_out = F.ceil(F.col("__n") * F.lit(float(prefix_frac))).cast("long")
+    target = F.col("__w") / F.col("__sum_w")
+    share = n_prefix.cast("double") / k_out
+    return (out.select(
+        F.col(source_col), F.col("n_source"),
+        n_prefix.alias("n_prefix"),
+        k_out.alias("prefix_len"),
+        target.alias("target_share"),
+        share.alias("prefix_share"),
+        (F.abs(share - target) <= F.lit(float(band))).alias("within_band"))
+        .orderBy(source_col))

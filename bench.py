@@ -162,6 +162,7 @@ HEADLINE += [
     "c4_rules",              # C4 cleanup flags (planted punctuation fixture)
     "shard_manifest",        # per-shard integrity counts + checksum
     "attribute_spans",       # training-data span attribution top-k
+    "interleave_gate",       # serve-stream prefix mixture acceptance gate
 ]
 
 

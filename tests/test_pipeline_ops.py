@@ -2711,3 +2711,24 @@ def test_attribute_spans_planted_sources(spark):
     # 40-token query -> 28 windows; 8 windows live fully inside each half
     assert by_src[1]["n_query_windows"] == 28
     assert by_src[1]["query_coverage"] == 8 / 28
+
+
+def test_interleave_mixture_gate_planted(spark):
+    """Gate targets = weights normalized over observed sources; the
+    stride-scheduled prefix realizes them within the band."""
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_mixture_gate,
+    )
+
+    rows = ([(i, "a") for i in range(80)] + [(100 + i, "b") for i in range(80)]
+            + [(200 + i, "c") for i in range(80)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in
+           interleave_mixture_gate(df, {"a": 2.0, "b": 1.0},
+                                   prefix_frac=0.25, band=0.05).collect()}
+    assert got["a"]["target_share"] == 0.5          # 2 / (2+1+1)
+    assert got["b"]["target_share"] == 0.25
+    assert got["c"]["target_share"] == 0.25         # default weight
+    assert got["a"]["prefix_len"] == 60
+    assert all(got[s]["within_band"] for s in "abc")
+    assert abs(got["a"]["prefix_share"] - 0.5) <= 0.05
