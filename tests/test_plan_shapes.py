@@ -430,3 +430,37 @@ def test_decontam_window_sweep_broadcast_probe(spark):
     assert "BroadcastHashJoin" in plan, "held-out keys must broadcast"
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Generate explode" in plan
+
+
+def test_shard_manifest_map_only_single_agg(spark):
+    """The manifest is one map-only projection feeding one 16-group
+    aggregation — a single fact scan, no join, no Python."""
+    df = entrymod.queries()["shard_manifest"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_attribute_spans_df_cap_before_probe(spark):
+    """Attribution must drop boilerplate windows BEFORE the probe join
+    (a semi-join against the df-capped window set) and the per-query
+    totals must broadcast — never a shuffled join keyed on totals."""
+    df = entrymod.queries()["attribute_spans"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert re.search(r"Join.*LeftSemi", plan) or "LeftSemi" in plan, \
+        "df cap must apply as a semi-join on window hashes"
+    assert "BroadcastHashJoin" in plan, "query totals must broadcast"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_interleave_gate_broadcast_totals(spark):
+    """The mixture gate's totals and prefix relations are
+    source-cardinality-sized: they must ride as broadcasts (the
+    single-row totals as BroadcastNestedLoopJoin is the scalar idiom),
+    with no Python anywhere."""
+    df = entrymod.queries()["interleave_gate"](spark, SF0001)
+    plan = _final_plan(df).split("== Initial Plan ==")[0]
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

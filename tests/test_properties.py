@@ -541,3 +541,64 @@ def test_interleave_order_matches_python(spark, counts, wa):
     expect = [(i, src, rank, pos + 1)
               for pos, (_, src, rank, i) in enumerate(expect)]
     assert sorted(got, key=lambda r: r[3]) == expect
+
+
+@FAST
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1, max_size=25))
+def test_shard_manifest_matches_python(spark, texts):
+    """Manifest vs a pure-Python mirror of the md5-nibble routing, the
+    whitespace token count, and the 60-bit content-checksum arithmetic
+    on arbitrary (including blank) texts."""
+    import re as _re
+
+    from basic_data_fusion_spark.sources.partitioning import shard_manifest
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["shard"]: (r["n_docs"], r["n_tokens"], r["content_checksum"])
+           for r in shard_manifest(df).collect()}
+
+    expect: dict[int, list[int]] = {}
+    for i, t in rows:
+        shard = int(_md5_hex(i)[0], 16)
+        toks = 0 if t.strip() == "" else len(_re.split(r"\s+", t.strip()))
+        norm = _re.sub(r"\s+", " ", t).strip().lower()
+        term = int(hashlib.md5(norm.encode()).hexdigest()[:15], 16)
+        e = expect.setdefault(shard, [0, 0, 0])
+        e[0] += 1; e[1] += toks; e[2] += term
+    assert got == {s: (n, tok, chk % 2**60)
+                   for s, (n, tok, chk) in expect.items()}
+
+
+@FAST
+@given(counts=st.lists(st.integers(0, 300), min_size=1, max_size=20),
+       ctxs=st.lists(st.sampled_from([8, 32, 64, 128, 512]),
+                     min_size=1, max_size=3, unique=True))
+def test_packing_efficiency_matches_python(spark, counts, ctxs):
+    """Sweep vs a pure-Python mirror of the naive / perfect-concat
+    sequence counts on arbitrary token-count profiles (including
+    all-blank corpora, which must yield no rows)."""
+    import math
+
+    from basic_data_fusion_spark.operators.packing import (
+        packing_efficiency_sweep,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["ctx"]: r for r in packing_efficiency_sweep(df, ctxs).collect()}
+    live = [n for n in counts if n > 0]
+    if not live:
+        assert got == {}
+        return
+    total = sum(live)
+    for c in ctxs:
+        naive = sum(math.ceil(n / c) for n in live)
+        packed = math.ceil(total / c)
+        assert got[c]["n_docs"] == len(live)
+        assert got[c]["total_tokens"] == total
+        assert got[c]["n_seq_naive"] == naive
+        assert got[c]["n_seq_packed_lb"] == packed
+        assert got[c]["pad_frac_naive"] == (naive * c - total) / (naive * c)
