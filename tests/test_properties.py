@@ -602,3 +602,43 @@ def test_packing_efficiency_matches_python(spark, counts, ctxs):
         assert got[c]["n_seq_naive"] == naive
         assert got[c]["n_seq_packed_lb"] == packed
         assert got[c]["pad_frac_naive"] == (naive * c - total) / (naive * c)
+
+
+@FAST
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30),
+    min_size=1, max_size=10),
+    w=st.sampled_from([3, 5]))
+def test_attribute_spans_matches_python(spark, docs, w):
+    """Attribution vs a pure-Python mirror: distinct shared w-token
+    windows per (query, doc), coverage fractions, (shared desc, id asc)
+    top-k rank — queries are the odd-indexed docs, corpus the even."""
+    texts = [" ".join(d) for d in docs]
+    corpus = [(i, t) for i, t in enumerate(texts) if i % 2 == 0]
+    queries = [(i, t) for i, t in enumerate(texts) if i % 2 == 1]
+    if not queries:
+        return
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = {(r["query_id"], r["source_doc_id"]):
+           (r["n_shared_windows"], r["n_query_windows"], r["rank"])
+           for r in dedup.attribute_spans(
+               cdf, qdf, window=w, k=2, query_id_col="query_id",
+               max_window_doc_freq=1000).collect()}
+
+    def wins(t: str) -> set:
+        toks = t.strip().lower().split()
+        return {" ".join(toks[i:i + w]) for i in range(len(toks) - w + 1)}
+
+    expect = {}
+    for qid, qt in queries:
+        qw = wins(qt)
+        if not qw:
+            continue
+        scored = sorted(
+            ((len(qw & wins(ct)), cid) for cid, ct in corpus
+             if qw & wins(ct)),
+            key=lambda x: (-x[0], x[1]))
+        for rank, (shared, cid) in enumerate(scored[:2], start=1):
+            expect[(qid, cid)] = (shared, len(qw), rank)
+    assert got == expect
