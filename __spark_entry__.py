@@ -4836,10 +4836,10 @@ SELECT a.arm,
        CAST(MAX(tn.n_truth) AS BIGINT) AS n_truth,
        CAST(COUNT(*) AS BIGINT) AS n_found,
        CAST(COUNT(t.id_a) AS BIGINT) AS n_hits,
-       CAST(COUNT(t.id_a) AS DOUBLE) / CAST(MAX(tn.n_truth) AS DOUBLE)
-         AS recall,
-       CAST(COUNT(t.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-         AS precision
+       CAST(COUNT(t.id_a) AS DOUBLE)
+         / NULLIF(CAST(MAX(tn.n_truth) AS DOUBLE), 0.0) AS recall,
+       CAST(COUNT(t.id_a) AS DOUBLE)
+         / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0) AS precision
 FROM arms a
 CROSS JOIN tn
 LEFT JOIN truth t ON t.id_a = a.id_a AND t.id_b = a.id_b

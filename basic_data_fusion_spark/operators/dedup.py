@@ -1388,17 +1388,19 @@ def dedup_recall_report(truth_pairs: DataFrame,
                     F.count("__t").cast("long").alias("n_hits"))
                .withColumn("arm", F.lit(name)))
         per = row if per is None else per.unionByName(row)
-    # empty truth set → recall undefined: NULL, not an ANSI-mode
-    # divide-by-zero crash (n_found > 0 by groupBy construction —
-    # an arm with no pairs has no report row at all)
-    recall = F.when(F.col("n_truth") > 0,
-                    F.col("n_hits").cast("double")
-                    / F.col("n_truth").cast("double"))
+    # Both divisions can see a zero denominator: an empty truth set
+    # (n_truth=0) and an EMPTY ARM — the per-arm row is a global agg,
+    # so an arm that found no pairs still emits a row with n_found=0.
+    # try_divide → NULL on zero, never an ANSI divide-by-zero crash
+    # (and evaluates each operand once; see spark-guarded-division).
     return (per.crossJoin(F.broadcast(tn))
             .select("arm", "n_truth", "n_found", "n_hits",
-                    recall.alias("recall"),
-                    (F.col("n_hits").cast("double")
-                     / F.col("n_found").cast("double")).alias("precision")))
+                    F.try_divide(F.col("n_hits").cast("double"),
+                                 F.col("n_truth").cast("double"))
+                    .alias("recall"),
+                    F.try_divide(F.col("n_hits").cast("double"),
+                                 F.col("n_found").cast("double"))
+                    .alias("precision")))
 
 
 def leakage_safe_split(df: DataFrame, pairs: DataFrame,

@@ -1094,11 +1094,17 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
            .agg(F.count(F.lit(1)).cast("long").alias("n_returned"),
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
                 .cast("long").alias("n_hits")))
-    return (per.join(F.broadcast(ex_n), "query_id")
+    # LEFT join: a query where an arm returned neighbors but the exact
+    # tier returned ZERO rows must still be scored, not silently
+    # dropped from the report. With no exact rows there are no possible
+    # hits, so the denominator falls back to k (recall = 0/k = 0.0).
+    return (per.join(F.broadcast(ex_n), "query_id", "left")
             .select(
                 "arm", "query_id", "n_returned", "n_hits",
                 (F.col("n_hits").cast("double")
-                 / F.least(F.lit(int(k)), F.col("__n_exact"))
+                 / F.least(F.lit(int(k)),
+                           F.coalesce(F.col("__n_exact"),
+                                      F.lit(int(k)).cast("long")))
                  .cast("double"))
                 .alias("recall_at_k")))
 

@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """Does a Spark-readable index already exist at ``path``?
+
+    Probed through the Hadoop FileSystem API resolved FROM the path
+    (so hdfs://, s3a://, and plain local paths all answer correctly —
+    a driver-local ``os.path.isdir`` is always False on a remote store,
+    which would silently disable cross-batch history dedup in exactly
+    the production layout these sinks describe).  Falls back to an
+    attempted read when the JVM gateway isn't reachable (e.g. Spark
+    Connect), where a missing path raises AnalysisException.
+    """
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
+
+
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                               available_now: bool = True) -> StreamingQuery:
     """Write a streaming DataFrame to ``path`` with replay-idempotent
@@ -71,7 +95,6 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     and silently un-index it.
     """
     import hashlib
-    import os
 
     from pyspark.sql import functions as F
 
@@ -83,7 +106,7 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
         spark = batch_df.sparkSession
         hashed = batch_df.withColumn(
             "__h", fingerprint(F.coalesce(F.col(text_col), F.lit(""))))
-        if os.path.isdir(index_path):
+        if _index_exists(spark, index_path):
             idx = (spark.read.parquet(index_path)
                    .filter(~((F.col("run_id") == run)
                              & (F.col("batch_id") == batch_id)))
@@ -174,7 +197,6 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     rationale as ``index_backed_dedup_sink``).
     """
     import hashlib
-    import os
 
     from pyspark.sql import functions as F
 
@@ -200,7 +222,7 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
         not_this = lambda rel: rel.filter(
             ~((F.col("run_id") == run) & (F.col("batch_id") == batch_id)))
         drops = None
-        if os.path.isdir(band_dir):
+        if _index_exists(spark, band_dir):
             idx_b = not_this(spark.read.parquet(band_dir)).select(
                 "band", "bucket", F.col(id_col).alias("__ex_id"))
             idx_s = not_this(spark.read.parquet(sig_dir)).select(

@@ -2183,6 +2183,15 @@ def test_ann_recall_guards(spark):
     # query 1 has 2 exact neighbors, query 2 has 1 — both < k=5
     assert got[("perfect", 1)]["recall_at_k"] == 1.0
     assert got[("perfect", 2)]["recall_at_k"] == 1.0
+    # an arm row whose query has ZERO exact rows is scored (recall 0),
+    # not silently dropped by an inner denominator join
+    orphan = spark.createDataFrame([(9, 99)],
+                                   "query_id long, neighbor_id long")
+    got2 = {(r["arm"], r["query_id"]): r for r in
+            similarity.ann_recall(exact, {"orphan": orphan},
+                                  k=5).collect()}
+    assert ("orphan", 9) in got2
+    assert got2[("orphan", 9)]["recall_at_k"] == 0.0
 
 
 def test_semantic_dedup_train_sample_scales_with_cells(spark):
@@ -2324,6 +2333,27 @@ def test_dedup_recall_report(spark):
     assert got["half"]["n_truth"] == 2 and got["half"]["n_found"] == 2
     assert got["half"]["n_hits"] == 1
     assert got["half"]["recall"] == 0.5 and got["half"]["precision"] == 0.5
+
+
+def test_dedup_recall_report_empty_arm(spark):
+    """An arm that found ZERO pairs still gets a report row (the
+    per-arm score is a global agg, so n_found=0 rows exist) and its
+    precision must be NULL, not an ANSI divide-by-zero crash.  Same
+    for recall against an EMPTY truth set."""
+    truth = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["arm"]: r for r in
+           dedup.dedup_recall_report(
+               truth, {"empty": empty, "full": truth}).collect()}
+    assert got["empty"]["n_found"] == 0 and got["empty"]["n_hits"] == 0
+    assert got["empty"]["precision"] is None
+    assert got["empty"]["recall"] == 0.0
+    assert got["full"]["precision"] == 1.0
+    # empty truth set: recall NULL for every arm, precision still real
+    got2 = {r["arm"]: r for r in
+            dedup.dedup_recall_report(empty, {"full": truth}).collect()}
+    assert got2["full"]["recall"] is None
+    assert got2["full"]["precision"] == 0.0
 
 
 def test_leakage_safe_split_no_cluster_straddle(spark, docs):

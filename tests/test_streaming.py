@@ -717,3 +717,18 @@ def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
         min_words=30, min_stop_hits=1).collect()}
     assert got == batch
     assert got[1]["keep"] and not got[2]["keep"]
+
+
+def test_index_exists_probe(spark, tmp_path):
+    """The cross-batch index probe goes through the Hadoop FileSystem
+    API (path-scheme-aware — hdfs/s3a answer correctly in production),
+    not a driver-local os.path.isdir: absent -> False, written parquet
+    -> True, and a bare file:// URI resolves too."""
+    from basic_data_fusion_spark.streaming.sinks import _index_exists
+
+    missing = str(tmp_path / "nope")
+    assert _index_exists(spark, missing) is False
+    d = str(tmp_path / "idx")
+    spark.range(3).write.parquet(d)
+    assert _index_exists(spark, d) is True
+    assert _index_exists(spark, "file://" + d) is True
