@@ -4797,15 +4797,23 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete by construction (recall 1.0); the MinHash arm's recall is
     the banding's real operating point — the number a production dedup
     deployment watches.  All three pair sets are md5-deterministic, so
-    the report value-hashes cross-engine."""
+    the report value-hashes cross-engine.
+
+    r7: the gate prices a deterministic md5 SLICE of the corpus by
+    default (dedup.gate_slice, frac=0.3) — it composes three full
+    dedup pipelines by definition, so at production scale the bounded
+    sample is the standing gate and the full corpus (frac=1.0) the
+    opt-in.  Pair-tier cost falls ~1/frac² (~11× here); the oracle
+    replays the identical predicate via a shadowing documents CTE."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_recall_report,
+        gate_slice,
         minhash_dedup_pairs,
         ngram_jaccard_pairs,
         prefix_filter_jaccard_pairs,
     )
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
     truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     mh = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
                              threshold=0.8, deterministic=True)
@@ -4813,11 +4821,17 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_recall_report(truth, {"minhash_det": mh, "ppjoin": pp})
 
 
-def _dedup_recall_oracle() -> str:
+def _dedup_recall_oracle(slice_frac: float = 0.3) -> str:
     """The same composition in SQL: each arm's published oracle runs as
-    a derived table so this stays in lockstep with the per-arm oracles."""
+    a derived table so this stays in lockstep with the per-arm oracles.
+    The md5 gate slice replays as a shadowing ``documents`` CTE (the
+    per-arm oracles' bare ``documents`` references resolve to it), so
+    the sliced gate needs no per-arm oracle edits."""
+    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
     return f"""
-WITH truth AS (
+WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
+truth AS (
   SELECT DISTINCT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE}) t
 ),
 mh AS (
@@ -4855,13 +4869,20 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split violates (a test doc whose near-copy sits in train is a
     leaked answer).  Clusters come from the deterministic exact-jaccard
     pair graph, the draw is the md5 hash_uniform, so the whole
-    assignment replays in SQL."""
+    assignment replays in SQL.
+
+    r7: the standing hygiene gate runs on the md5 gate slice
+    (frac=0.3) — its cost is the pair graph + CC labeling, quadratic
+    in documents; production verifies split hygiene on the bounded
+    sample and runs the full-corpus assignment (frac=1.0) as the
+    opt-in job."""
     from basic_data_fusion_spark.operators.dedup import (
+        gate_slice,
         leakage_safe_split,
         ngram_jaccard_pairs,
     )
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return leakage_safe_split(docs, pairs)
 
@@ -4878,8 +4899,11 @@ def _leakage_split_oracle(train_frac: float = 0.8,
         hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
     t1 = repr(float(train_frac))
     t2 = repr(float(train_frac) + float(val_frac))
+    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({0.3!r} AS DOUBLE)")
     return f"""
-WITH base AS ({_DEDUP_CLUSTERS_ORACLE}),
+WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
+base AS ({_DEDUP_CLUSTERS_ORACLE}),
 drawn AS (
   SELECT doc_id, cluster_id,
          (CAST({hex8} AS DOUBLE) + 0.5) / 4294967296.0 AS u

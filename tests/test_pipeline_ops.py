@@ -2335,6 +2335,24 @@ def test_dedup_recall_report(spark):
     assert got["half"]["recall"] == 0.5 and got["half"]["precision"] == 0.5
 
 
+def test_gate_slice(spark, docs):
+    """The md5 gate slice: deterministic across invocations, monotone
+    in frac (a 0.3 slice is a subset of a 0.5 slice — same seed, same
+    draw), frac=1.0 is the identity (same plan object, no filter), and
+    out-of-range fracs raise."""
+    ids = lambda frac: {r["doc_id"] for r in
+                        dedup.gate_slice(docs, frac).select("doc_id")
+                        .collect()}
+    s3, s5 = ids(0.3), ids(0.5)
+    assert 0 < len(s3) < len(s5) < docs.count()
+    assert s3 <= s5
+    assert ids(0.3) == s3  # deterministic
+    assert dedup.gate_slice(docs, 1.0) is docs
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="frac"):
+            dedup.gate_slice(docs, bad)
+
+
 def test_dedup_recall_report_empty_arm(spark):
     """An arm that found ZERO pairs still gets a report row (the
     per-arm score is a global agg, so n_found=0 rows exist) and its
