@@ -6484,6 +6484,170 @@ FROM r
 """
 
 
+def _shard_sql(n_shards: int) -> str:
+    """selection.serve_shard replayed in DuckDB: first 32 md5 bits of
+    the id (no seed prefix) mod ``n_shards``."""
+    hv = ("(strpos('0123456789abcdef', "
+          "substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1) * {p}::BIGINT")
+    hex8 = "(" + " + ".join(
+        hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+    return f"CAST(({hex8}) % {n_shards} AS INT)"
+
+
+def q_interleave_order_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded proportional interleave (NEW r7,
+    selection.interleave_order_sharded): the serve order with NO global
+    window — md5 shard routing (source-independent), stride scheduling
+    within each of 4 shards.  Every window carries a partition key; the
+    plan guard asserts no partition-less Window survives."""
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_order_sharded,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return interleave_order_sharded(docs, {"src0": 3.0, "src1": 2.0},
+                                    n_shards=4)
+
+
+def _interleave_sharded_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {_shard_sql(4)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CASE source WHEN 'src0' THEN CAST(3.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, shard, w,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard, source ORDER BY h ASC, doc_id ASC
+         ) AS BIGINT) AS rank_in_source
+  FROM base
+)
+SELECT doc_id, source, shard, rank_in_source,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard
+         ORDER BY CAST(rank_in_source AS DOUBLE) / w ASC,
+                  source ASC, rank_in_source ASC
+       ) AS BIGINT) AS serve_pos
+FROM r
+"""
+
+
+def q_interleave_gate_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard mixture acceptance gate (NEW r7,
+    selection.interleave_mixture_gate_sharded): one row per
+    (shard, source), targets normalized over the sources observed in
+    each shard, achieved share in each shard's first 10%."""
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_mixture_gate_sharded,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return interleave_mixture_gate_sharded(docs, {"src0": 3.0, "src1": 2.0},
+                                           n_shards=4)
+
+
+def _interleave_gate_sharded_oracle() -> str:
+    return ("""
+WITH serve AS (""" + _interleave_sharded_oracle() + """),
+src AS (
+  SELECT shard, source, COUNT(*) AS n_source,
+         CASE source WHEN 'src0' THEN CAST(3.0 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+  FROM serve GROUP BY 1, 2
+),
+tot AS (SELECT shard, SUM(w) AS sum_w, SUM(n_source) AS n
+        FROM src GROUP BY 1),
+pre AS (
+  SELECT s.shard, s.source, COUNT(*) AS n_prefix
+  FROM serve s JOIN tot t ON t.shard = s.shard
+  WHERE s.serve_pos <= CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT s.shard, s.source,
+  CAST(s.n_source AS BIGINT) AS n_source,
+  CAST(COALESCE(p.n_prefix, 0) AS BIGINT) AS n_prefix,
+  CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT) AS prefix_len,
+  s.w / t.sum_w AS target_share,
+  CAST(COALESCE(p.n_prefix, 0) AS DOUBLE)
+    / CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT) AS prefix_share,
+  ABS(CAST(COALESCE(p.n_prefix, 0) AS DOUBLE)
+      / CAST(CEIL(t.n * CAST(0.1 AS DOUBLE)) AS BIGINT)
+      - s.w / t.sum_w) <= CAST(0.05 AS DOUBLE) AS within_band
+FROM src s
+JOIN tot t ON t.shard = s.shard
+LEFT JOIN pre p ON p.shard = s.shard AND p.source = s.source
+ORDER BY s.shard, s.source
+""")
+
+
+def q_curriculum_order_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded curriculum serve order (NEW r7,
+    selection.curriculum_order_sharded): NTILE stages and the
+    easy→hard order both within md5 shards — no global sort."""
+    from basic_data_fusion_spark.operators.selection import (
+        curriculum_order_sharded,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return curriculum_order_sharded(docs, "n_chars", n_shards=4)
+
+
+def _curriculum_sharded_oracle() -> str:
+    return f"""
+WITH staged AS (
+  SELECT doc_id, n_chars, {_shard_sql(4)} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+st AS (
+  SELECT doc_id, n_chars, shard, h,
+         CAST(NTILE(4) OVER (
+           PARTITION BY shard ORDER BY n_chars ASC, doc_id ASC
+         ) AS INT) AS stage
+  FROM staged
+)
+SELECT doc_id, n_chars, shard, stage,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shard ORDER BY stage, h, doc_id
+       ) AS BIGINT) AS serve_pos
+FROM st
+"""
+
+
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded contiguous-fill packing (NEW r7,
+    packing.pack_sequences_sharded): the running token offset is
+    per-shard, pack ids are 'shard_localpack' — no global window."""
+    from basic_data_fusion_spark.operators.packing import (
+        pack_sequences_sharded,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return pack_sequences_sharded(docs, budget=256, n_shards=4)
+
+
+def _pack_sharded_oracle() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, {_shard_sql(4)} AS shard,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+       CAST(shard AS VARCHAR) || '_' ||
+       CAST(CAST(floor((SUM(n_tokens) OVER (
+              PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              - n_tokens) / 256.0) AS BIGINT) AS VARCHAR) AS pack_id
+FROM t
+"""
+
+
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label farthest-from-centroid audit
     (similarity.embedding_outliers): fixed-point centroids, broadcast
@@ -7234,6 +7398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "attribute_spans": q_attribute_spans,
         "interleave_gate": q_interleave_gate,
+        "interleave_order_sharded": q_interleave_order_sharded,
+        "interleave_gate_sharded": q_interleave_gate_sharded,
+        "curriculum_order_sharded": q_curriculum_order_sharded,
+        "pack_sequences_sharded": q_pack_sequences_sharded,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7374,6 +7542,10 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _SHARD_MANIFEST_ORACLE,
         "attribute_spans": _ATTRIBUTE_SPANS_ORACLE,
         "interleave_gate": _interleave_gate_oracle(),
+        "interleave_order_sharded": _interleave_sharded_oracle(),
+        "interleave_gate_sharded": _interleave_gate_sharded_oracle(),
+        "curriculum_order_sharded": _curriculum_sharded_oracle(),
+        "pack_sequences_sharded": _pack_sharded_oracle(),
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

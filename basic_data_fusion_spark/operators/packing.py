@@ -59,9 +59,10 @@ def pack_sequences(df: DataFrame, budget: int = 256,
     The running sum is a window over a global order — a single-partition
     sort at the extreme. That is fine up to ~billions of rows of (id,
     count) pairs (the window sees two longs per doc, never text); beyond
-    that pass ``bucket_col`` (e.g. a hash bucket): packing then runs
-    per bucket in parallel and ``pack_id`` is unique via
-    (bucket, local_pack) composition."""
+    that use ``pack_sequences_sharded`` (md5 serve shards via
+    ``bucket_col`` — tested, plan-guarded) or pass your own
+    ``bucket_col``: packing then runs per bucket in parallel and
+    ``pack_id`` is unique via (bucket, local_pack) composition."""
     toks = F.coalesce(F.size(_clean_tokens(text_col)), F.lit(0)).cast("long")
     base = df.select(F.col(id_col), toks.alias("n_tokens"),
                      *([F.col(bucket_col)] if bucket_col else []))
@@ -123,3 +124,29 @@ def packing_efficiency_sweep(df: DataFrame, context_lengths: list[int],
         n_seq_packed.alias("n_seq_packed_lb"),
         pad(n_seq_packed).alias("pad_frac_packed_lb"))
         .orderBy("ctx"))
+
+
+def pack_sequences_sharded(df: DataFrame, budget: int = 256,
+                           n_shards: int = 16,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """``pack_sequences`` with NO global window — the tested 100 TB
+    path: documents route to md5 serve shards (``selection.serve_shard``
+    — length-independent, so shard fill rates match the corpus) and the
+    contiguous-fill running sum is per-shard (``bucket_col`` machinery),
+    giving globally-unique ``pack_id = 'shard_localpack'``.  The window
+    partitions by shard, so no (id, count) relation moves through one
+    task; restricted to one shard the packing is exactly
+    ``pack_sequences`` of that shard's documents.
+    Returns (id, n_tokens, shard, pack_id)."""
+    from .selection import serve_shard
+
+    sharded = df.withColumn("__shard",
+                            serve_shard(F.col(id_col), n_shards))
+    packed = pack_sequences(sharded, budget, text_col, id_col,
+                            bucket_col="__shard")
+    # pack_sequences projects the bucket away; re-derive it (same
+    # deterministic md5 expression, map-side, no extra shuffle)
+    return packed.select(
+        F.col(id_col), "n_tokens",
+        serve_shard(F.col(id_col), n_shards).alias("shard"), "pack_id")

@@ -418,9 +418,10 @@ def curriculum_order(df: DataFrame, score_col: str, id_col: str = "doc_id",
     Everything is engine-portable (NTILE remainder-to-early-buckets
     semantics match ANSI; md5 is the repo's standard deterministic
     shuffle key). Two global sort windows — the price of materializing
-    a total serve order; at the 100 TB tier compose with
-    ``shard_assignments`` and run the curriculum within each shard so
-    no global sort exists. Returns (id, score, stage, serve_pos).
+    a total serve order; at the 100 TB tier use
+    ``curriculum_order_sharded``, which runs the same curriculum within
+    md5 serve shards so no global sort exists (tested, plan-guarded).
+    Returns (id, score, stage, serve_pos).
     """
     w_stage = Window.orderBy(F.col(score_col).asc(), F.col(id_col).asc())
     h = F.md5(F.col(id_col).cast("string"))
@@ -476,20 +477,15 @@ def interleave_order(df: DataFrame, weights: dict[str, float],
     Two window passes, both engine-portable integer/double arithmetic:
     a per-source rank (shuffles by source — bounded-cardinality keys)
     and the global serve order. The second is a global sort — the price
-    of a total order; at the 100 TB tier compose with
-    ``shard_assignments`` and interleave WITHIN each shard (the mixture
-    holds per shard because the shard hash is independent of source),
-    which removes the global sort exactly as documented for
-    ``curriculum_order``. Returns (id, source, rank_in_source,
-    serve_pos). Reference analogue: none (serving extension).
+    of a total order; at the 100 TB tier use
+    ``interleave_order_sharded`` (the mixture holds per shard because
+    the shard hash is independent of source), which removes the global
+    sort — tested, plan-guarded, per-shard-gated by
+    ``interleave_mixture_gate_sharded``. Returns (id, source,
+    rank_in_source, serve_pos). Reference analogue: none (serving
+    extension).
     """
-    w_expr = None
-    for src, wt in sorted(weights.items()):
-        cond = F.col(source_col) == src
-        lit = F.lit(float(wt))
-        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
-    w_expr = (w_expr.otherwise(F.lit(float(default_weight)))
-              if w_expr is not None else F.lit(float(default_weight)))
+    w_expr = _source_weight(weights, source_col, default_weight)
     h = F.md5(F.col(id_col).cast("string"))
     w_src = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
     ranked = df.select(
@@ -525,13 +521,7 @@ def interleave_mixture_gate(df: DataFrame, weights: dict[str, float],
     """
     serve = interleave_order(df, weights, source_col, id_col,
                              default_weight)
-    w_expr = None
-    for src, wt in sorted(weights.items()):
-        cond = F.col(source_col) == src
-        lit = F.lit(float(wt))
-        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
-    w_expr = (w_expr.otherwise(F.lit(float(default_weight)))
-              if w_expr is not None else F.lit(float(default_weight)))
+    w_expr = _source_weight(weights, source_col, default_weight)
     sources = (serve.groupBy(source_col)
                .agg(F.count(F.lit(1)).cast("long").alias("n_source"))
                .withColumn("__w", w_expr))
@@ -556,3 +546,152 @@ def interleave_mixture_gate(df: DataFrame, weights: dict[str, float],
         share.alias("prefix_share"),
         (F.abs(share - target) <= F.lit(float(band))).alias("within_band"))
         .orderBy(source_col))
+
+
+# ---------------- sharded serve-order tier (the 100 TB path) ----------------
+
+def _source_weight(weights: dict[str, float], source_col: str,
+                   default_weight: float) -> Column:
+    """Literal CASE mapping source → mixture weight (broadcast-free:
+    the table is a handful of literals folded into the expression)."""
+    w_expr = None
+    for src, wt in sorted(weights.items()):
+        cond = F.col(source_col) == src
+        lit = F.lit(float(wt))
+        w_expr = F.when(cond, lit) if w_expr is None else w_expr.when(cond, lit)
+    return (w_expr.otherwise(F.lit(float(default_weight)))
+            if w_expr is not None else F.lit(float(default_weight)))
+
+
+def serve_shard(col: Column, n_shards: int) -> Column:
+    """Deterministic serve-shard id: first 32 md5 bits of the id mod
+    ``n_shards`` (the ``write_sharded`` routing, engine-portable).
+    Independent of source/score/length by construction — which is
+    exactly why per-shard mixtures and curricula hold in expectation."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long"), F.lit(int(n_shards))).cast("int")
+
+
+def interleave_order_sharded(df: DataFrame, weights: dict[str, float],
+                             n_shards: int = 16,
+                             source_col: str = "source",
+                             id_col: str = "doc_id",
+                             default_weight: float = 1.0) -> DataFrame:
+    """``interleave_order`` with NO global window — the tested 100 TB
+    path the single-stream tier's docstring previously only described:
+    documents route to ``n_shards`` serve shards by an md5 hash of the
+    id (source-independent, so every shard sees the same mixture in
+    expectation), and the stride-scheduling interleave runs WITHIN each
+    shard (``serve_pos`` is per-shard; training serves shard files
+    round-robin or in parallel, the standard sharded-manifest layout).
+
+    Both windows carry a partition key — per-source rank partitions by
+    (shard, source), the serve order by shard — so no relation ever
+    moves through a single task: plan-guarded by
+    ``test_sharded_serve_no_global_window``.  Restricted to one shard,
+    the output is EXACTLY ``interleave_order`` of that shard's
+    documents (path-equivalence test); the per-shard mixture is gated
+    by ``interleave_mixture_gate_sharded``.
+    Returns (id, source, shard, rank_in_source, serve_pos).
+    """
+    w_expr = _source_weight(weights, source_col, default_weight)
+    h = F.md5(F.col(id_col).cast("string"))
+    ranked = df.select(
+        F.col(id_col), F.col(source_col),
+        serve_shard(F.col(id_col), n_shards).alias("shard"),
+        h.alias("__h"), w_expr.alias("__w"))
+    w_src = (Window.partitionBy("shard", source_col)
+             .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
+    ranked = ranked.withColumn(
+        "rank_in_source", F.row_number().over(w_src).cast("long"))
+    stride = F.col("rank_in_source").cast("double") / F.col("__w")
+    w_serve = (Window.partitionBy("shard")
+               .orderBy(stride.asc(), F.col(source_col).asc(),
+                        F.col("rank_in_source").asc()))
+    return (ranked
+            .withColumn("serve_pos",
+                        F.row_number().over(w_serve).cast("long"))
+            .select(id_col, source_col, "shard", "rank_in_source",
+                    "serve_pos"))
+
+
+def interleave_mixture_gate_sharded(df: DataFrame,
+                                    weights: dict[str, float],
+                                    n_shards: int = 16,
+                                    source_col: str = "source",
+                                    id_col: str = "doc_id", *,
+                                    prefix_frac: float = 0.1,
+                                    band: float = 0.05,
+                                    default_weight: float = 1.0
+                                    ) -> DataFrame:
+    """The mixture acceptance gate asserted PER SHARD: for each shard,
+    does the first ``prefix_frac`` of that shard's serve stream realize
+    the target mixture?  One row per (shard, source) — the manifest
+    check a sharded training layout runs before a job fans out over the
+    shard files (a shard whose early batches are off-mixture skews the
+    workers reading it, even if the global stream is fine).
+
+    Same integer-derived arithmetic as the single-stream gate; target
+    shares normalize over the sources OBSERVED in each shard.  All
+    aggregations key on (shard, source) — bounded cardinality — and the
+    prefix filter composes with the sharded interleave's per-shard
+    windows, so the gate inherits the no-global-window plan.
+    Returns (shard, source, n_source, n_prefix, prefix_len,
+    target_share, prefix_share, within_band).
+    """
+    serve = interleave_order_sharded(df, weights, n_shards, source_col,
+                                     id_col, default_weight)
+    w_expr = _source_weight(weights, source_col, default_weight)
+    sources = (serve.groupBy("shard", source_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_source"))
+               .withColumn("__w", w_expr))
+    totals = (sources.groupBy("shard")
+              .agg(F.sum("__w").alias("__sum_w"),
+                   F.sum("n_source").alias("__n")))
+    k = F.ceil(F.col("__n") * F.lit(float(prefix_frac))).cast("long")
+    prefix = (serve.join(F.broadcast(totals), "shard")
+              .filter(F.col("serve_pos") <= k)
+              .groupBy("shard", source_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_prefix")))
+    out = (sources.join(prefix, ["shard", source_col], "left")
+           .join(F.broadcast(totals), "shard"))
+    n_prefix = F.coalesce(F.col("n_prefix"), F.lit(0)).cast("long")
+    k_out = F.ceil(F.col("__n") * F.lit(float(prefix_frac))).cast("long")
+    target = F.col("__w") / F.col("__sum_w")
+    share = n_prefix.cast("double") / k_out
+    return (out.select(
+        F.col("shard"), F.col(source_col), F.col("n_source"),
+        n_prefix.alias("n_prefix"),
+        k_out.alias("prefix_len"),
+        target.alias("target_share"),
+        share.alias("prefix_share"),
+        (F.abs(share - target) <= F.lit(float(band))).alias("within_band"))
+        .orderBy("shard", source_col))
+
+
+def curriculum_order_sharded(df: DataFrame, score_col: str,
+                             n_shards: int = 16,
+                             id_col: str = "doc_id",
+                             n_stages: int = 4) -> DataFrame:
+    """``curriculum_order`` with NO global window — the tested 100 TB
+    path: documents route to md5 serve shards (score-independent, so
+    each shard's score distribution matches the corpus), stages come
+    from NTILE within the shard, and the easy→hard serve order is
+    per-shard.  Every window partitions by shard; restricted to one
+    shard the output is exactly ``curriculum_order`` of that shard's
+    documents.  Returns (id, score, shard, stage, serve_pos)."""
+    sh = serve_shard(F.col(id_col), n_shards)
+    h = F.md5(F.col(id_col).cast("string"))
+    w_stage = (Window.partitionBy("shard")
+               .orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+    staged = (df.select(F.col(id_col), F.col(score_col),
+                        sh.alias("shard"), h.alias("__h"))
+              .withColumn("stage", F.ntile(n_stages).over(w_stage)))
+    w_serve = (Window.partitionBy("shard")
+               .orderBy(F.col("stage").asc(), F.col("__h").asc(),
+                        F.col(id_col).asc()))
+    return (staged
+            .withColumn("serve_pos",
+                        F.row_number().over(w_serve).cast("long"))
+            .select(id_col, score_col, "shard", "stage", "serve_pos"))

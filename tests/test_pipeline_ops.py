@@ -2780,3 +2780,96 @@ def test_interleave_mixture_gate_planted(spark):
     assert got["a"]["prefix_len"] == 60
     assert all(got[s]["within_band"] for s in "abc")
     assert abs(got["a"]["prefix_share"] - 0.5) <= 0.05
+
+
+def test_sharded_serve_path_equivalence(spark):
+    """Restricted to one shard, each sharded serve operator is EXACTLY
+    its single-stream tier applied to that shard's documents — the
+    correctness anchor that lets the sharded path claim the same
+    semantics without any global window."""
+    from basic_data_fusion_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_sharded,
+    )
+    from basic_data_fusion_spark.operators.selection import (
+        curriculum_order,
+        curriculum_order_sharded,
+        interleave_order,
+        interleave_order_sharded,
+        serve_shard,
+    )
+
+    rows = [(i, f"src{i % 3}", "word " * (5 + i % 7)) for i in range(120)]
+    df = (spark.createDataFrame(rows, "doc_id long, source string, text string")
+          .withColumn("n_chars", F.length("text")))
+    n_shards = 4
+    weights = {"src0": 3.0, "src1": 2.0}
+    il = interleave_order_sharded(df, weights, n_shards).collect()
+    cu = curriculum_order_sharded(df, "n_chars", n_shards).collect()
+    pk = pack_sequences_sharded(df, budget=32, n_shards=n_shards).collect()
+    assert {r["shard"] for r in il} == set(range(n_shards))
+    tagged = df.withColumn("shard", serve_shard(F.col("doc_id"), n_shards))
+    for s in range(n_shards):
+        sub = tagged.filter(F.col("shard") == s).drop("shard")
+        exp_il = {(r["doc_id"], r["source"], r["rank_in_source"],
+                   r["serve_pos"])
+                  for r in interleave_order(sub, weights).collect()}
+        got_il = {(r["doc_id"], r["source"], r["rank_in_source"],
+                   r["serve_pos"]) for r in il if r["shard"] == s}
+        assert got_il == exp_il, f"interleave shard {s}"
+        exp_cu = {(r["doc_id"], r["n_chars"], r["stage"], r["serve_pos"])
+                  for r in curriculum_order(sub, "n_chars").collect()}
+        got_cu = {(r["doc_id"], r["n_chars"], r["stage"], r["serve_pos"])
+                  for r in cu if r["shard"] == s}
+        assert got_cu == exp_cu, f"curriculum shard {s}"
+        exp_pk = {(r["doc_id"], r["n_tokens"], f"{s}_{r['pack_id']}")
+                  for r in pack_sequences(sub, budget=32).collect()}
+        got_pk = {(r["doc_id"], r["n_tokens"], r["pack_id"])
+                  for r in pk if r["shard"] == s}
+        assert got_pk == exp_pk, f"pack shard {s}"
+
+
+def test_interleave_gate_sharded_mirror(spark):
+    """The per-shard mixture gate rows mirror an independent Python
+    recomputation from the sharded serve stream: per-shard prefix
+    lengths, counts, and targets normalized over the sources OBSERVED
+    in each shard."""
+    import math
+
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_mixture_gate_sharded,
+        interleave_order_sharded,
+    )
+
+    rows = ([(i, "a") for i in range(90)]
+            + [(200 + i, "b") for i in range(90)]
+            + [(400 + i, "c") for i in range(90)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights, n_shards, frac = {"a": 2.0, "b": 1.0}, 4, 0.25
+    serve = interleave_order_sharded(df, weights, n_shards).collect()
+    got = {(r["shard"], r["source"]): r for r in
+           interleave_mixture_gate_sharded(
+               df, weights, n_shards, prefix_frac=frac,
+               band=0.1).collect()}
+    by_shard = {}
+    for r in serve:
+        by_shard.setdefault(r["shard"], []).append(r)
+    n_rows = 0
+    for s, members in by_shard.items():
+        srcs = {m["source"] for m in members}
+        sum_w = sum(weights.get(x, 1.0) for x in srcs)
+        k = math.ceil(len(members) * frac)
+        prefix = [m for m in members if m["serve_pos"] <= k]
+        for src in srcs:
+            row = got[(s, src)]
+            n_rows += 1
+            assert row["n_source"] == sum(
+                1 for m in members if m["source"] == src)
+            assert row["prefix_len"] == k
+            assert row["n_prefix"] == sum(
+                1 for m in prefix if m["source"] == src)
+            assert row["target_share"] == weights.get(src, 1.0) / sum_w
+            assert row["prefix_share"] == row["n_prefix"] / k
+            assert row["within_band"] == (
+                abs(row["prefix_share"] - row["target_share"]) <= 0.1)
+    assert n_rows == len(got)

@@ -464,3 +464,23 @@ def test_interleave_gate_broadcast_totals(spark):
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sharded_serve_no_global_window(spark):
+    """The r7 sharded serve tier's whole point: NO partition-less
+    window anywhere in the executed plans — every Window node must
+    carry a partition spec (rendered as three bracket lists:
+    functions, partitionSpec, orderSpec; a global window renders only
+    two), so no relation moves through a single task. The
+    single-stream tiers keep their documented global order; these are
+    the 100 TB entry points."""
+    for name in ("interleave_order_sharded", "interleave_gate_sharded",
+                 "curriculum_order_sharded", "pack_sequences_sharded"):
+        df = entrymod.queries()[name](spark, SF0001)
+        plan = _final_plan(df).split("== Initial Plan ==")[0]
+        windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert windows, f"{name}: expected window nodes in the plan"
+        for ln in windows:
+            assert re.search(r"\], \[[^\]]+\], \[", ln), \
+                f"{name}: partition-less Window: {ln.strip()}"
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
