@@ -7244,51 +7244,53 @@ WHERE rn <= 20
 # first, remaining keys in registration order), so drift is impossible
 # by construction — a typo'd/duplicated window key still fails the pin.
 #
-# Round-6 policy = RECENCY (all 166 contract queries have had a driver
-# row at least once as of r5, so the window now chases staleness):
-# (a) the three r6 band-report conversions — first-ever ORACLE check
-#     (their r5 rows were rows-only),
-# (b) the four queries whose operators were REWORKED this round
-#     (bounded PPJoin df annotation, bounded winnow expansion,
-#     keep-best left-join, ann_recall denominator) — re-verify the
-#     changed plans,
-# (c) every green whose last driver row is round 2,
-# (d) the 22 oldest round-3 greens (the remaining r3-era rotate in
-#     next round).  Everything checked in r4/r5 sits past the window;
-# every query, windowed or not, stays pinned each pytest run by
-# tests/test_oracle_parity.py.
+# Round-7 policy = CHANGED-PLANS-FIRST, then recency (the r6 verdict's
+# rotation request): a query whose plan or oracle changed after the
+# previous window froze has no driver row for its CURRENT contract, so
+# those outrank everything.
+# (a) changed after the r6 window froze, driver rows predate the
+#     contracts: semantic_dedup_det (bounded-slice gate + lockstep
+#     oracle, 2d6e31a) and the try_divide cosine rework (cfb3365)
+#     touching ivf_topk_det / label_cohesion, plus the two unexplained
+#     r6 bench movers (sq8_topk, label_cohesion) so their re-measure
+#     rides on fresh hashes,
+# (b) the four NEW r7 contract rows (sharded serve-order tier),
+# (c) reworked in r7 — sliced gate contracts (gate_slice frac=0.3,
+#     oracles re-derived), ann_recall orphan-row left join, and the
+#     CC lazy-checkpoint rework underneath dedup_clusters /
+#     dedup_keep_best / leakage_safe_split,
+# (d) the 16 r3-era greens the r6 window comment promised next,
+# (e) the next 21 r3-era greens in registration order (the remaining
+#     5 — filter_impact_individual / profiling_stats / line_dedup /
+#     dsir_weights / embedding_near_dups — rotate in r8 with the
+#     oldest r4 greens).  Everything checked in r5/r6 sits past the
+# window; every query, windowed or not, stays pinned each pytest run
+# by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r6 new contract rows + conversions to hash-checked reports
-    "quantile_rollup_totalprice", "dedup_recall_report",
-    "leakage_safe_split", "memorization_risk", "decontam_spans",
-    "hll_distinct_orders", "column_summary_approx", "quality_classifier",
-    # (b) operators reworked in r6 — changed plans need fresh hashes
-    "ann_recall_report", "prefix_jaccard_pairs", "dedup_keep_best",
-    "winnow_overlap_pairs",
-    # (c) longest-unchecked greens (last driver row: round 2)
-    "lang_id", "quality_scores", "pii_scrub", "corpus_curation",
-    "repetition_scores", "token_rarity", "boilerplate_strip",
-    "quality_percentile", "lm_surprisal", "shard_plan", "chunk_documents",
-    "pack_sequences", "decontam_overlap", "ngram_jaccard",
-    "dedup_clusters", "embedding_topk",
-    # (d) oldest round-3 greens
-    "media_features", "events_tumbling_daily", "events_sliding",
-    "events_sessions", "events_props", "top_event_per_day",
-    "asof_latest_order", "event_funnel_5m",
-    # (e) contract rows added late in r6 (never driver-checked) — these
-    # outrank recency per the window policy; funnel_steps /
-    # retention_weekly / customers_no_orders / pricing_rollup /
-    # orders_cube / median_by_segment / hash_sample_orders /
-    # stratified_sample_docs / events_interarrival / running_spend /
-    # trailing_7d_value / acctbal_deciles / cohort_setops /
-    # vocab_top_tokens (r3 greens, untouched this round) rotate back in
-    # next round with tfidf_top_terms / token_diversity and the
-    # remaining r3-era greens
-    "decontam_fraction", "hard_negatives", "gopher_rules",
-    "dedup_impact_sweep", "embedding_outliers", "interleave_order",
-    "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
-    "decontam_window_sweep", "c4_rules", "shard_manifest",
-    "attribute_spans", "interleave_gate",
+    # (a) post-freeze plan changes — fresh hashes for current contracts
+    "semantic_dedup_det", "ivf_topk_det", "label_cohesion", "sq8_topk",
+    # (b) new r7 contract rows: the sharded serve-order tier
+    "interleave_order_sharded", "interleave_gate_sharded",
+    "curriculum_order_sharded", "pack_sequences_sharded",
+    # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint CC
+    "dedup_recall_report", "leakage_safe_split", "ann_recall_report",
+    "dedup_clusters", "dedup_keep_best",
+    # (d) r3-era greens promised by the r6 window comment
+    "funnel_steps", "retention_weekly", "customers_no_orders",
+    "pricing_rollup", "orders_cube", "median_by_segment",
+    "hash_sample_orders", "stratified_sample_docs", "events_interarrival",
+    "running_spend", "trailing_7d_value", "acctbal_deciles",
+    "cohort_setops", "vocab_top_tokens", "tfidf_top_terms",
+    "token_diversity",
+    # (e) next r3-era greens in registration order
+    "top_orders_per_segment", "late_shipment_priority",
+    "small_lot_revenue", "big_order_customers", "wealthy_idle_customers",
+    "fuzzy_part_pairs", "latest_event_state", "daily_value_gapfill",
+    "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
+    "customer_order_distribution", "promo_revenue_ratio",
+    "top_revenue_supplier", "disjunctive_parts_revenue",
+    "part_supplier_variety", "nation_pair_trade", "melt_measures",
+    "zscore_by_segment", "mad_outliers_by_segment", "segment_sample",
 ]
 
 
