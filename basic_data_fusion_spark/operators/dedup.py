@@ -719,12 +719,18 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     Round scheduling (r7): checkpoints are LAZY (``eager=False``) so
     the per-round convergence action is the job that materializes them
     — one job per round, not two — and convergence is the DIRECT
-    star-graph test (no node appears on both sides of the edge list,
-    i.e. ``u-set ∩ v-set = ∅``) instead of a round-over-round
-    signature compare, which needed one full extra confirmation round
-    to observe a stable fixed point.  Near-dup graphs converge in 1-2
-    rounds, so the confirmation round WAS the floor: dedup_clusters
-    2.3→1.5 s at sf0.1, unchanged labels.  The groupBy-min + join
+    fixed-point test instead of a round-over-round signature compare,
+    which needed one full extra confirmation round to observe a stable
+    fixed point.  The fixed point is "e is a disjoint union of stars",
+    which needs BOTH halves: no node is child and parent (star), and
+    no child has two parents (function) — a child with edges to two
+    roots passes the star half alone while its two components still
+    must merge (property-tested counterexample: edges (0,3) (1,4)
+    (2,3) (2,4) contract in one round to {2→0, 2→1, 3→0, 4→1}, star
+    but not a function).  Both halves fold into ONE node-keyed
+    aggregation job, so the round cost stays one action.  Near-dup
+    graphs converge in 1-2 rounds, so the confirmation round WAS the
+    floor: dedup_clusters 2.3→1.5 s at sf0.1, unchanged labels.  The groupBy-min + join
     round body is kept over a window-min formulation deliberately:
     partial aggregation plus AQE skew-join splitting keep a hub node's
     edge mass divisible across tasks, where WindowExec would buffer it
@@ -752,11 +758,19 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
              .select(F.col("n").alias("u"), F.col("m").alias("v"))
              .localCheckpoint(eager=False))
 
-        # star test: e is the fixed point iff no node is both a child
-        # and a parent; this action also materializes the checkpoint
-        non_star = (e.select(F.col("u").alias("n"))
-                    .intersect(e.select(F.col("v").alias("n"))).count())
-        if non_star == 0:
+        # fixed point iff e is a disjoint star union: no node is both
+        # child and parent AND no child has two parents.  One node-keyed
+        # aggregation job — which also materializes the checkpoint.
+        viol = (e.select(F.col("u").alias("n"), F.lit(1).alias("c"),
+                         F.lit(0).alias("p"))
+                .union(e.select(F.col("v").alias("n"), F.lit(0), F.lit(1)))
+                .groupBy("n")
+                .agg(F.sum("c").alias("nc"), F.max("p").alias("np"))
+                .agg(F.coalesce(F.sum(F.when(
+                    (F.col("nc") > 1) | ((F.col("nc") > 0) & (F.col("np") > 0)),
+                    1).otherwise(0)), F.lit(0)).alias("v"))
+                .first()["v"])
+        if viol == 0:
             break
     # fixed point: e is a star graph node→component-min; add the roots
     roots = e.select(F.col("v").alias("u"), F.col("v")).distinct()

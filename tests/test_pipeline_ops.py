@@ -651,6 +651,20 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_star_but_not_function(spark):
+    """Regression (r7, hypothesis-found): edges (0,3) (1,4) (2,3) (2,4)
+    contract in one alternating-star round to {2→0, 2→1, 3→0, 4→1} —
+    a STAR graph (no node child and parent) but NOT a function (node 2
+    has two roots), so a star-only convergence test stops early and
+    splits one component into {0,2,3} / {1,4}.  The fixed-point test
+    must require both halves."""
+    edges = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.connected_components(edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
 def test_connected_components_random_vs_union_find(spark):
     rng = np.random.default_rng(7)
     n_nodes, n_edges = 200, 150  # sparse → many components, some big
