@@ -1,0 +1,148 @@
+"""Golden executed-plan pins for the most expensive contract queries.
+
+The r6 cosine regression (a CASE guard double-evaluating the fixed-point
+denominator folds) shipped invisibly and was only caught days later by
+bench forensics — but it CHANGED the executed plan (the duplicated
+subtree is right there in the projection).  This test freezes a
+normalized executed-plan text for the ~20 most expensive driver-bench
+queries; any structural plan change — an extra Exchange, a window
+losing its partition spec, a duplicated expression tree, a broadcast
+degrading to sort-merge — fails at commit time instead of surfacing as
+a bench mover.
+
+Intentional plan changes update the golden IN THE SAME COMMIT:
+
+    SPARK_GRAFT_REGEN_GOLDEN=1 python -m pytest tests/test_plan_golden.py
+
+Normalization strips run-varying ids (expression #ids, plan ids,
+codegen span numbers, cached-relation serializer noise) but keeps the
+operator tree and expression structure verbatim — the parts that
+encode shuffles, joins strategies, and evaluation counts.
+"""
+
+from __future__ import annotations
+
+import difflib
+import os
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF0001
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_plans")
+REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1"
+
+# the ~20 most expensive BENCH_r06 queries (plus the sliced gates and
+# the r7 sharded tier, whose plans are new this round)
+PINNED = [
+    "dedup_recall_report",
+    "sq8_topk",
+    "column_summary_approx",
+    "ann_recall_report",
+    "label_cohesion",
+    "dedup_keep_best",
+    "incremental_minhash_det",
+    "ivfpq_topk",
+    "leakage_safe_split",
+    "attribute_spans",
+    "winnow_overlap_pairs",
+    "decontam_window_sweep",
+    "ivf_topk_det",
+    "dedup_impact_sweep",
+    "source_overlap",
+    "minhash_dedup_det",
+    "prefix_jaccard_pairs",
+    "sole_blame_suppliers",
+    "embedding_outliers",
+    "semantic_dedup_det",
+    "interleave_order_sharded",
+    "pack_sequences_sharded",
+]
+
+
+def normalize_plan(plan: str) -> str:
+    # final (post-AQE) plan only
+    plan = plan.split("== Initial Plan ==")[0]
+    out = []
+    for line in plan.splitlines():
+        line = line.rstrip()
+        line = re.sub(r"#\d+", "#N", line)                  # expr ids
+        line = re.sub(r"plan_id=\d+", "plan_id=N", line)
+        # lambda variables are numbered by a session-global counter, so
+        # their names depend on what ran before in the same session
+        line = re.sub(r"\blambda (\w+?)_\d+", r"lambda \1_N", line)
+        # AQE materializes shuffle stages in a nondeterministic order, so
+        # stage numbers and whole-stage-codegen span ids vary run to run
+        line = re.sub(r"QueryStage \d+", "QueryStage N", line)
+        line = re.sub(r"\*\(\d+\)", "*(N)", line)
+        line = re.sub(r"\[id=#N\]", "[id=#N]", line)
+        line = re.sub(r"WholeStageCodegen \(\d+\)", "WholeStageCodegen (N)", line)
+        line = re.sub(r"Subquery:?\s*subquery#N", "Subquery subquery#N", line)
+        line = re.sub(r"isFinalPlan=(true|false)", "isFinalPlan=X", line)
+        line = re.sub(r"cachedrelation=\S+", "cachedrelation=X", line)
+        line = re.sub(r"memorysize=\S+,?", "memorysize=X,", line)
+        line = re.sub(r"diskSize=\S+", "diskSize=X", line)
+        line = re.sub(r"StorageLevel\([^)]*\)", "StorageLevel(X)", line)
+        line = re.sub(r"Statistics\([^)]*\)", "Statistics(X)", line)
+        line = re.sub(r"\(\d+ paths?\)", "(N paths)", line)
+        # DataFilters renders width-truncated ("...") so its cut point
+        # shifts with pre-normalization id lengths; it duplicates the
+        # Filter node above the scan — PushedFilters (the pushdown
+        # evidence) stays verbatim
+        line = re.sub(r"DataFilters: \[.*?, Format:",
+                      "DataFilters: [X], Format:", line)
+        # RewriteDistinctAggregates assigns gid numbers and orders the
+        # expanded grouping keys nondeterministically run to run; for
+        # lines carrying the rewrite, pin the TOKEN MULTISET instead of
+        # the permutation (a duplicated subtree or a new operator still
+        # changes the multiset, so detection power is kept)
+        if "gid#N" in line:
+            indent = line[:len(line) - len(line.lstrip())]
+            line = indent + " ".join(sorted(re.findall(r"[\w#']+", line)))
+        out.append(line)
+    return "\n".join(out).strip() + "\n"
+
+
+@pytest.fixture(autouse=True)
+def _cold_cache(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def _current_plan(spark, name: str) -> str:
+    # Snapshot the plan BEFORE executing the final query: static planning
+    # is deterministic (file-size stats at a fixed SF), while the
+    # post-execution adaptive plan flips build sides and restructures
+    # stages on runtime size ties — noise, not regression.  Everything
+    # the pin exists to catch (duplicated expression trees, extra
+    # Exchanges, windows losing their partition spec, broadcast
+    # degrading to sort-merge) is visible in the initial physical plan.
+    # Operators with internal fixed-point jobs (CC, quantizer training)
+    # still run those — only the final query stays unexecuted.
+    df = entrymod.queries()[name](spark, SF0001)
+    return normalize_plan(df._jdf.queryExecution().executedPlan().toString())
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_golden_plan(spark, name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.txt")
+    got = _current_plan(spark, name)
+    if REGEN or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            f.write(got)
+        if not REGEN:
+            pytest.skip(f"golden for {name} created; commit it")
+        return
+    with open(path) as f:
+        want = f.read()
+    if got != want:
+        diff = "\n".join(difflib.unified_diff(
+            want.splitlines(), got.splitlines(),
+            fromfile=f"golden/{name}", tofile="current", lineterm=""))
+        raise AssertionError(
+            f"executed plan changed for {name} — if intentional, "
+            f"regenerate with SPARK_GRAFT_REGEN_GOLDEN=1 and commit the "
+            f"golden in the same commit\n{diff}")
