@@ -6484,6 +6484,54 @@ FROM r
 """
 
 
+def q_interleave_order_distributed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Distributed-total-order interleave (NEW r7,
+    selection.interleave_order_distributed): the EXACT single-stream
+    contract — one global serve order, same weights, same oracle as
+    ``interleave_order`` — but the global rank comes from
+    ordering.total_order_pos (range shuffle + map-side local ids +
+    broadcast per-partition offsets), so no data-sized relation moves
+    through one task."""
+    from basic_data_fusion_spark.operators.selection import (
+        interleave_order_distributed,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return interleave_order_distributed(docs, {"src0": 3.0, "src1": 2.0})
+
+
+def q_curriculum_order_distributed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Distributed-total-order curriculum (NEW r7,
+    selection.curriculum_order_distributed): same contract and oracle
+    as ``curriculum_order`` (NTILE stages easy→hard + global serve
+    position) with both global windows replaced by total_order_pos
+    ranks and the NTILE bucket recomputed integer-exactly from the
+    global rank."""
+    from basic_data_fusion_spark.operators.selection import (
+        curriculum_order_distributed,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return curriculum_order_distributed(docs, "n_chars", n_stages=4)
+
+
+def q_pack_sequences_distributed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Distributed contiguous-fill packing (NEW r7,
+    packing.pack_sequences_distributed): same contract and oracle as
+    ``pack_sequences`` — one global running token offset in id order —
+    with the prefix sum computed by ordering.global_running_sum
+    instead of a partition-less window."""
+    from basic_data_fusion_spark.operators.packing import (
+        pack_sequences_distributed,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return pack_sequences_distributed(docs, budget=256)
+
+
 def _shard_sql(n_shards: int) -> str:
     """selection.serve_shard replayed in DuckDB: first 32 md5 bits of
     the id (no seed prefix) mod ``n_shards``."""
@@ -7254,14 +7302,16 @@ WHERE rn <= 20
 #     touching ivf_topk_det / label_cohesion, plus the two unexplained
 #     r6 bench movers (sq8_topk, label_cohesion) so their re-measure
 #     rides on fresh hashes,
-# (b) the four NEW r7 contract rows (sharded serve-order tier),
+# (b) the seven NEW r7 contract rows (sharded serve-order tier +
+#     the distributed-total-order twins),
 # (c) reworked in r7 — sliced gate contracts (gate_slice frac=0.3,
 #     oracles re-derived), ann_recall orphan-row left join, and the
 #     CC lazy-checkpoint rework underneath dedup_clusters /
 #     dedup_keep_best / leakage_safe_split,
 # (d) the 16 r3-era greens the r6 window comment promised next,
-# (e) the next 21 r3-era greens in registration order (the remaining
-#     5 — filter_impact_individual / profiling_stats / line_dedup /
+# (e) the next 18 r3-era greens in registration order (the remaining
+#     8 — zscore_by_segment / mad_outliers_by_segment / segment_sample /
+#     filter_impact_individual / profiling_stats / line_dedup /
 #     dsir_weights / embedding_near_dups — rotate in r8 with the
 #     oldest r4 greens).  Everything checked in r5/r6 sits past the
 # window; every query, windowed or not, stays pinned each pytest run
@@ -7269,9 +7319,13 @@ WHERE rn <= 20
 DRIVER_WINDOW = [
     # (a) post-freeze plan changes — fresh hashes for current contracts
     "semantic_dedup_det", "ivf_topk_det", "label_cohesion", "sq8_topk",
-    # (b) new r7 contract rows: the sharded serve-order tier
+    # (b) new r7 contract rows: sharded serve-order tier + the
+    # distributed-total-order twins (single-stream contract, no
+    # partition-less window)
     "interleave_order_sharded", "interleave_gate_sharded",
     "curriculum_order_sharded", "pack_sequences_sharded",
+    "interleave_order_distributed", "curriculum_order_distributed",
+    "pack_sequences_distributed",
     # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint CC
     "dedup_recall_report", "leakage_safe_split", "ann_recall_report",
     "dedup_clusters", "dedup_keep_best",
@@ -7290,7 +7344,6 @@ DRIVER_WINDOW = [
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier", "disjunctive_parts_revenue",
     "part_supplier_variety", "nation_pair_trade", "melt_measures",
-    "zscore_by_segment", "mad_outliers_by_segment", "segment_sample",
 ]
 
 
@@ -7404,6 +7457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_gate_sharded": q_interleave_gate_sharded,
         "curriculum_order_sharded": q_curriculum_order_sharded,
         "pack_sequences_sharded": q_pack_sequences_sharded,
+        "interleave_order_distributed": q_interleave_order_distributed,
+        "curriculum_order_distributed": q_curriculum_order_distributed,
+        "pack_sequences_distributed": q_pack_sequences_distributed,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7548,6 +7604,12 @@ def oracle_sql() -> dict[str, str]:
         "interleave_gate_sharded": _interleave_gate_sharded_oracle(),
         "curriculum_order_sharded": _curriculum_sharded_oracle(),
         "pack_sequences_sharded": _pack_sharded_oracle(),
+        # the distributed twins keep the single-stream contract EXACTLY,
+        # so they verify against the same oracle SQL — that identity is
+        # the point (same total order, no partition-less window)
+        "interleave_order_distributed": _INTERLEAVE_ORDER_ORACLE,
+        "curriculum_order_distributed": _CURRICULUM_ORACLE,
+        "pack_sequences_distributed": _PACK_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

@@ -1,0 +1,123 @@
+"""Distributed total order: exact global ranks and running sums with no
+data-sized relation through a single task.
+
+The single-stream serve-order operators (``selection.interleave_order``,
+``selection.curriculum_order``, ``packing.pack_sequences``) materialize a
+total order with a partition-less window — correct, engine-portable, and
+a single-partition sort at the extreme.  The sharded tier changes the
+contract (per-shard positions).  This module keeps the EXACT
+single-stream contract and distributes it: the classic two-pass
+zipWithIndex/prefix-sum decomposition, expressed entirely in DataFrame
+operators.
+
+``total_order_pos`` (global rank):
+
+1. ``repartitionByRange(n, *keys)`` — Spark's distributed sort shuffle:
+   partition p holds keys strictly below partition p+1 (the same
+   machinery ``orderBy`` uses).  The EXPLICIT partition count pins the
+   shuffle as REPARTITION_BY_NUM, which AQE never coalesces, so the two
+   reads below see identical partition indices.
+2. ``sortWithinPartitions(*keys)`` + ``monotonically_increasing_id()``
+   — map-side local ranks: the id is (partition_index << 33) + local
+   row number, computed with no further shuffle.
+3. Per-partition row counts (one tiny aggregation, ≤ n rows) →
+   cumulative offsets.  The offsets window IS partition-less, but over
+   the per-partition COUNT relation — bounded by the cluster's
+   partition count, never by the data.
+4. ``global rank = offset(partition) + local rank`` via a broadcast
+   join on the partition index.
+
+Partition boundaries come from range sampling and may vary run to run;
+the computed rank is invariant to them (offset + local position under a
+total sort order does not depend on where the cuts fall), so outputs are
+deterministic and oracle-hashable as long as the key tuple is a total
+order (callers append the unique id as the last key).
+
+``global_running_sum`` (exact prefix sums) is the same decomposition
+with per-partition SUMS as the offsets and a partition-keyed running-sum
+window for the local pass (one extra narrow shuffle of (keys, value)
+rows, hash-clustered on the partition index).
+
+Reference analogue: none (the reference computes global orders
+single-node; this is the Spark-native scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LOCAL_MASK = (1 << 33) - 1
+
+
+def _n_partitions(df: DataFrame, n_partitions: int | None) -> int:
+    if n_partitions is not None:
+        if n_partitions < 1:
+            raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+        return int(n_partitions)
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def total_order_pos(df: DataFrame, order_keys: list[str],
+                    out_col: str = "pos",
+                    n_partitions: int | None = None) -> DataFrame:
+    """Exact 1-based global rank over ``order_keys`` (which must be a
+    total order — append the unique id as the final key) appended as
+    ``out_col``; every other column passes through.  No partition-less
+    window touches the data: the only global window runs over the
+    per-partition count relation (≤ ``n_partitions`` rows)."""
+    n = _n_partitions(df, n_partitions)
+    keys = [F.col(k) for k in order_keys]
+    # Lazy localCheckpoint: the count branch and the data branch both
+    # consume the range shuffle, but column pruning gives them different
+    # projections, so exchange reuse does NOT kick in and the dominant
+    # shuffle would execute twice.  Materializing the ranked relation
+    # once (first action runs it) also freezes the assigned ids — no
+    # reliance on two executions sampling identical range boundaries.
+    d = (df.repartitionByRange(n, *keys)
+           .sortWithinPartitions(*keys)
+           .withColumn("__mid", F.monotonically_increasing_id())
+           .withColumn("__pid", F.shiftrightunsigned(F.col("__mid"), 33))
+           .localCheckpoint(eager=False))
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"))
+    local = F.col("__mid").bitwiseAND(F.lit(_LOCAL_MASK))
+    return (d.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col,
+                        (F.col("__off") + local + F.lit(1)).cast("long"))
+            .drop("__mid", "__pid", "__off"))
+
+
+def global_running_sum(df: DataFrame, order_keys: list[str], val_col: str,
+                       out_col: str = "running_sum",
+                       n_partitions: int | None = None) -> DataFrame:
+    """Exact inclusive prefix sum of ``val_col`` over the total order
+    ``order_keys``, appended as ``out_col``.  Range shuffle + local
+    running-sum window keyed by the partition index + broadcast
+    per-partition offsets — the distributed prefix-sum decomposition;
+    the only partition-less window runs over the per-partition totals
+    (≤ ``n_partitions`` rows)."""
+    n = _n_partitions(df, n_partitions)
+    keys = [F.col(k) for k in order_keys]
+    # same single-execution rationale as total_order_pos: freeze the
+    # range shuffle (and the partition ids derived from it) so the
+    # local-cumsum branch and the totals branch read one materialization
+    d = (df.repartitionByRange(n, *keys)
+           .withColumn("__pid", F.spark_partition_id().cast("long"))
+           .localCheckpoint(eager=False))
+    w_local = (Window.partitionBy("__pid").orderBy(*keys)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("__local_cum", F.sum(val_col).over(w_local))
+    totals = d.groupBy("__pid").agg(F.sum(val_col).alias("__tot"))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
+    return (d.join(F.broadcast(offsets), "__pid")
+            .withColumn(out_col, F.col("__off") + F.col("__local_cum"))
+            .drop("__pid", "__local_cum", "__off"))

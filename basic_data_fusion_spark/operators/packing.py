@@ -126,6 +126,30 @@ def packing_efficiency_sweep(df: DataFrame, context_lengths: list[int],
         .orderBy("ctx"))
 
 
+def pack_sequences_distributed(df: DataFrame, budget: int = 256,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               n_partitions: int | None = None) -> DataFrame:
+    """``pack_sequences`` with the EXACT same contract — one global
+    contiguous fill in ``id`` order, bit-identical (id, n_tokens,
+    pack_id) — but the running token offset comes from
+    ``ordering.global_running_sum`` (range shuffle + per-partition
+    prefix sums + broadcast offsets) instead of a partition-less
+    window, so no data-sized relation moves through one task.  Same
+    oracle SQL as the single-stream tier (equivalence-tested).  The
+    offset and pack arithmetic stays in longs (token counts), so the
+    distributed sum is bit-deterministic."""
+    from .ordering import global_running_sum
+
+    toks = F.coalesce(F.size(_clean_tokens(text_col)), F.lit(0)).cast("long")
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    cum = global_running_sum(base, [id_col], "n_tokens", "__cum",
+                             n_partitions)
+    offset = F.col("__cum") - F.col("n_tokens")
+    pack = F.floor(offset / F.lit(float(budget))).cast("long")
+    return cum.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
+
+
 def pack_sequences_sharded(df: DataFrame, budget: int = 256,
                            n_shards: int = 16,
                            text_col: str = "text",

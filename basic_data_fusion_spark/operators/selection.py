@@ -670,6 +670,82 @@ def interleave_mixture_gate_sharded(df: DataFrame,
         .orderBy("shard", source_col))
 
 
+def interleave_order_distributed(df: DataFrame, weights: dict[str, float],
+                                 source_col: str = "source",
+                                 id_col: str = "doc_id",
+                                 default_weight: float = 1.0,
+                                 n_partitions: int | None = None
+                                 ) -> DataFrame:
+    """``interleave_order`` with the EXACT same contract — one total
+    serve order, bit-identical output — but distributed: the global
+    serve rank comes from ``ordering.total_order_pos`` (range shuffle +
+    map-side local ranks + broadcast per-partition offsets) instead of
+    a partition-less window, so no data-sized relation moves through
+    one task.  Where the sharded tier changes the contract (per-shard
+    positions), this tier keeps it: same oracle SQL, same hashes as
+    ``interleave_order`` (equivalence-tested).  Returns (id, source,
+    rank_in_source, serve_pos)."""
+    from .ordering import total_order_pos
+
+    w_expr = _source_weight(weights, source_col, default_weight)
+    h = F.md5(F.col(id_col).cast("string"))
+    w_src = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col), F.col(source_col), w_expr.alias("__w"),
+        F.row_number().over(w_src).cast("long").alias("rank_in_source"))
+    ranked = ranked.withColumn(
+        "__stride", F.col("rank_in_source").cast("double") / F.col("__w"))
+    return (total_order_pos(ranked,
+                            ["__stride", source_col, "rank_in_source"],
+                            "serve_pos", n_partitions)
+            .select(id_col, source_col, "rank_in_source", "serve_pos"))
+
+
+def curriculum_order_distributed(df: DataFrame, score_col: str,
+                                 id_col: str = "doc_id",
+                                 n_stages: int = 4,
+                                 n_partitions: int | None = None
+                                 ) -> DataFrame:
+    """``curriculum_order`` with the EXACT same contract, distributed:
+    both global windows (the NTILE stage assignment and the serve
+    order) are replaced by ``ordering.total_order_pos`` ranks.  NTILE
+    is recomputed from the global rank with ANSI
+    remainder-to-early-buckets semantics: with n rows and k stages the
+    first ``n mod k`` stages hold ``floor(n/k)+1`` rows, the rest
+    ``floor(n/k)`` (equivalence-tested against NTILE across n < k,
+    n % k != 0, and exact-multiple shapes).  Returns
+    (id, score, stage, serve_pos), bit-identical to the single-stream
+    tier — same oracle SQL."""
+    from .ordering import total_order_pos
+
+    k = int(n_stages)
+    ranked = total_order_pos(
+        df.select(F.col(id_col), F.col(score_col)),
+        [score_col, id_col], "__r", n_partitions)
+    n_total = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    d = ranked.join(F.broadcast(n_total))
+    # integer-exact floor division: a - a%b is an exact multiple, and
+    # dividing exact-multiple longs is exact in double up to 2^53
+    idiv = lambda a, b: ((a - F.pmod(a, b)) / b).cast("long")
+    big = F.col("__n") % k                      # stages holding one extra
+    size_small = idiv(F.col("__n"), F.lit(k))
+    size_big = size_small + 1
+    in_big = F.col("__r") <= big * size_big
+    stage = (F.when(
+        in_big, idiv(F.col("__r") - 1, size_big)
+    ).otherwise(
+        big + idiv(F.col("__r") - big * size_big - 1,
+                   F.greatest(size_small, F.lit(1)))
+    ).cast("int") + F.lit(1))
+    staged = d.select(
+        F.col(id_col), F.col(score_col), stage.alias("stage"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"))
+    return (total_order_pos(staged, ["stage", "__h", id_col],
+                            "serve_pos", n_partitions)
+            .select(id_col, score_col, "stage", "serve_pos"))
+
+
 def curriculum_order_sharded(df: DataFrame, score_col: str,
                              n_shards: int = 16,
                              id_col: str = "doc_id",

@@ -2843,6 +2843,69 @@ def test_sharded_serve_path_equivalence(spark):
         assert got_pk == exp_pk, f"pack shard {s}"
 
 
+def test_total_order_primitives(spark):
+    """ordering.total_order_pos == global row_number and
+    ordering.global_running_sum == global windowed sum, on an input
+    deliberately scattered across more partitions than the range
+    shuffle's target (exercises offsets across non-uniform fills)."""
+    from basic_data_fusion_spark.operators.ordering import (
+        global_running_sum,
+        total_order_pos,
+    )
+
+    rows = [(i * 7919 % 601, i) for i in range(601)]  # shuffled keys
+    df = spark.createDataFrame(rows, "k long, v long").repartition(11)
+    got = {r["k"]: r["pos"]
+           for r in total_order_pos(df, ["k"], "pos", 5).collect()}
+    assert got == {k: k + 1 for k, _ in rows}
+    runs = {r["k"]: r["rs"]
+            for r in global_running_sum(df, ["k"], "v", "rs", 5).collect()}
+    acc, expect = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        expect[k] = acc
+    assert runs == expect
+
+
+def test_distributed_serve_twins_match_single_stream(spark):
+    """The distributed-total-order twins are bit-identical to their
+    single-stream tiers — same contract, no partition-less window over
+    the data.  Covers NTILE remainder shapes (n % k != 0, n < k) and
+    the pack running-sum boundary."""
+    from basic_data_fusion_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_distributed,
+    )
+    from basic_data_fusion_spark.operators.selection import (
+        curriculum_order,
+        curriculum_order_distributed,
+        interleave_order,
+        interleave_order_distributed,
+    )
+
+    rows = [(i, f"src{i % 3}", "word " * (5 + i % 7)) for i in range(123)]
+    df = (spark.createDataFrame(rows,
+                                "doc_id long, source string, text string")
+          .withColumn("n_chars", F.length("text")))
+    w = {"src0": 3.0, "src1": 2.0}
+    assert (sorted(map(tuple, interleave_order(df, w).collect()))
+            == sorted(map(tuple,
+                          interleave_order_distributed(df, w).collect())))
+    for n, k in [(123, 4), (3, 5), (8, 4), (10, 4), (1, 4)]:
+        sub = df.limit(n)
+        assert (sorted(map(tuple,
+                           curriculum_order(sub, "n_chars",
+                                            n_stages=k).collect()))
+                == sorted(map(tuple,
+                              curriculum_order_distributed(
+                                  sub, "n_chars", n_stages=k).collect()))), \
+            f"curriculum n={n} k={k}"
+    assert (sorted(map(tuple, pack_sequences(df, budget=32).collect()))
+            == sorted(map(tuple,
+                          pack_sequences_distributed(df,
+                                                     budget=32).collect())))
+
+
 def test_interleave_gate_sharded_mirror(spark):
     """The per-shard mixture gate rows mirror an independent Python
     recomputation from the sharded serve stream: per-shard prefix

@@ -466,6 +466,32 @@ def test_interleave_gate_broadcast_totals(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_distributed_serve_no_data_sized_global_window(spark):
+    """The distributed-total-order twins keep the single-stream
+    contract but must never move a data-sized relation through one
+    task: any partition-less Window in their executed plans is allowed
+    ONLY over the per-partition offsets relation (it mentions the
+    __pid/__cnt/__tot bookkeeping columns and sits above a ≤
+    n_partitions-row aggregate).  Also: no Python/Arrow operators, and
+    the offsets side must broadcast."""
+    for name in ("interleave_order_distributed",
+                 "curriculum_order_distributed",
+                 "pack_sequences_distributed"):
+        df = entrymod.queries()[name](spark, SF0001)
+        df.collect()  # materialize the checkpointed range shuffle
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+        assert windows, f"{name}: expected window nodes"
+        for ln in windows:
+            global_w = not re.search(r"\], \[[^\]]+\], \[", ln)
+            if global_w:
+                assert "__pid" in ln, \
+                    f"{name}: data-sized global window: {ln.strip()}"
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_sharded_serve_no_global_window(spark):
     """The r7 sharded serve tier's whole point: NO partition-less
     window anywhere in the executed plans — every Window node must
