@@ -642,3 +642,34 @@ def test_attribute_spans_matches_python(spark, docs, w):
         for rank, (shared, cid) in enumerate(scored[:2], start=1):
             expect[(qid, cid)] = (shared, len(qw), rank)
     assert got == expect
+
+
+@FAST
+@given(vals=st.lists(st.tuples(st.integers(0, 10_000),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=60,
+                     unique_by=lambda t: t[0]),
+       n_parts=st.integers(1, 7))
+def test_total_order_pos_matches_sorted_enumerate(spark, vals, n_parts):
+    """ordering.total_order_pos == enumerate(sorted(keys)) and
+    global_running_sum == itertools.accumulate over the sorted order,
+    for any partition count — the rank/prefix-sum must be invariant to
+    where the range boundaries fall."""
+    from basic_data_fusion_spark.operators.ordering import (
+        global_running_sum,
+        total_order_pos,
+    )
+
+    df = spark.createDataFrame(vals, "k long, v long").repartition(3)
+    got = {r["k"]: r["pos"]
+           for r in total_order_pos(df, ["k"], "pos", n_parts).collect()}
+    assert got == {k: i + 1
+                   for i, (k, _) in enumerate(sorted(vals))}
+    runs = {r["k"]: r["rs"]
+            for r in global_running_sum(df, ["k"], "v", "rs",
+                                        n_parts).collect()}
+    acc, expect = 0, {}
+    for k, v in sorted(vals):
+        acc += v
+        expect[k] = acc
+    assert runs == expect
