@@ -163,6 +163,15 @@ HEADLINE += [
     "shard_manifest",        # per-shard integrity counts + checksum
     "attribute_spans",       # training-data span attribution top-k
     "interleave_gate",       # serve-stream prefix mixture acceptance gate
+
+    # new in round 7 (absent from BENCH_r06 and earlier)
+    "interleave_order_sharded",      # per-shard serve order, no global sort
+    "interleave_gate_sharded",       # per-shard prefix mixture gate
+    "curriculum_order_sharded",      # per-shard curriculum stages + order
+    "pack_sequences_sharded",        # per-shard contiguous-fill packing
+    "interleave_order_distributed",  # exact global order, prefix-sum ranks
+    "curriculum_order_distributed",  # exact NTILE curriculum, no global window
+    "pack_sequences_distributed",    # exact global fill, distributed prefix sum
 ]
 
 

@@ -59,6 +59,9 @@ PINNED = [
     "semantic_dedup_det",
     "interleave_order_sharded",
     "pack_sequences_sharded",
+    "interleave_order_distributed",
+    "curriculum_order_distributed",
+    "pack_sequences_distributed",
 ]
 
 
