@@ -3407,14 +3407,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 def q_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE ranking family: global account-balance deciles (deterministic
     tie-break on custkey), reduced to per-decile bounds + counts.
-    Note the single-partition global sort — NTILE over an unpartitioned
-    window is inherently a gather; acceptable because the downstream
-    aggregate is tiny, and the partitioned form (per-segment) shards it."""
-    from pyspark.sql import Window
+    r7: the bucket comes from ordering.global_ntile (distributed global
+    rank + integer-exact remainder-to-early-buckets recomputation) —
+    ANSI NTILE semantics with no single-partition gather, same oracle."""
+    from basic_data_fusion_spark.operators.ordering import global_ntile
 
     cust = _catalog(spark, sf_dir).load("customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+    return (global_ntile(cust.select("c_acctbal", "c_custkey"),
+                         ["c_acctbal", "c_custkey"], 10, "decile")
             .groupBy("decile")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("c_acctbal").alias("lo"),
@@ -7309,8 +7309,9 @@ WHERE rn <= 20
 #     CC lazy-checkpoint rework underneath dedup_clusters /
 #     dedup_keep_best / leakage_safe_split,
 # (d) the 16 r3-era greens the r6 window comment promised next,
-# (e) the next 18 r3-era greens in registration order (the remaining
-#     8 — zscore_by_segment / mad_outliers_by_segment / segment_sample /
+# (e) the next 15 r3-era greens in registration order (the remaining
+#     11 — part_supplier_variety / nation_pair_trade / melt_measures /
+#     zscore_by_segment / mad_outliers_by_segment / segment_sample /
 #     filter_impact_individual / profiling_stats / line_dedup /
 #     dsir_weights / embedding_near_dups — rotate in r8 with the
 #     oldest r4 greens).  Everything checked in r5/r6 sits past the
@@ -7326,9 +7327,12 @@ DRIVER_WINDOW = [
     "curriculum_order_sharded", "pack_sequences_sharded",
     "interleave_order_distributed", "curriculum_order_distributed",
     "pack_sequences_distributed",
-    # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint CC
+    # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint
+    # CC, and the rank-statistics rewrites (distributed prefix-sum
+    # ranks replacing data-sized global windows — same oracles)
     "dedup_recall_report", "leakage_safe_split", "ann_recall_report",
     "dedup_clusters", "dedup_keep_best",
+    "ks_acctbal_segments", "mannwhitney_acctbal", "quality_classifier",
     # (d) r3-era greens promised by the r6 window comment
     "funnel_steps", "retention_weekly", "customers_no_orders",
     "pricing_rollup", "orders_cube", "median_by_segment",
@@ -7343,7 +7347,6 @@ DRIVER_WINDOW = [
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier", "disjunctive_parts_revenue",
-    "part_supplier_variety", "nation_pair_trade", "melt_measures",
 ]
 
 

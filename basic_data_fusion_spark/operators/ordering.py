@@ -92,15 +92,21 @@ def total_order_pos(df: DataFrame, order_keys: list[str],
             .drop("__mid", "__pid", "__off"))
 
 
-def global_running_sum(df: DataFrame, order_keys: list[str], val_col: str,
-                       out_col: str = "running_sum",
+def global_running_sum(df: DataFrame, order_keys: list[str],
+                       val_col: str | list[str],
+                       out_col: str | list[str] = "running_sum",
                        n_partitions: int | None = None) -> DataFrame:
-    """Exact inclusive prefix sum of ``val_col`` over the total order
-    ``order_keys``, appended as ``out_col``.  Range shuffle + local
-    running-sum window keyed by the partition index + broadcast
-    per-partition offsets — the distributed prefix-sum decomposition;
-    the only partition-less window runs over the per-partition totals
-    (≤ ``n_partitions`` rows)."""
+    """Exact inclusive prefix sum(s) of ``val_col`` over the total order
+    ``order_keys``, appended as ``out_col``.  Accepts a single column or
+    a list (all prefix sums share ONE range shuffle / window / offsets
+    pass).  Range shuffle + local running-sum window keyed by the
+    partition index + broadcast per-partition offsets — the distributed
+    prefix-sum decomposition; the only partition-less window runs over
+    the per-partition totals (≤ ``n_partitions`` rows)."""
+    vals = [val_col] if isinstance(val_col, str) else list(val_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vals) != len(outs):
+        raise ValueError("val_col and out_col lengths differ")
     n = _n_partitions(df, n_partitions)
     keys = [F.col(k) for k in order_keys]
     # same single-execution rationale as total_order_pos: freeze the
@@ -111,13 +117,64 @@ def global_running_sum(df: DataFrame, order_keys: list[str], val_col: str,
            .localCheckpoint(eager=False))
     w_local = (Window.partitionBy("__pid").orderBy(*keys)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    d = d.withColumn("__local_cum", F.sum(val_col).over(w_local))
-    totals = d.groupBy("__pid").agg(F.sum(val_col).alias("__tot"))
+    for i, v in enumerate(vals):
+        d = d.withColumn(f"__local_cum_{i}", F.sum(v).over(w_local))
+    totals = d.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot_{i}") for i, v in enumerate(vals)])
     w_off = (Window.orderBy("__pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     offsets = totals.select(
         "__pid",
-        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"))
-    return (d.join(F.broadcast(offsets), "__pid")
-            .withColumn(out_col, F.col("__off") + F.col("__local_cum"))
-            .drop("__pid", "__local_cum", "__off"))
+        *[F.coalesce(F.sum(f"__tot_{i}").over(w_off), F.lit(0))
+          .alias(f"__off_{i}") for i in range(len(vals))])
+    d = d.join(F.broadcast(offsets), "__pid")
+    for i, out in enumerate(outs):
+        d = d.withColumn(out,
+                         F.col(f"__off_{i}") + F.col(f"__local_cum_{i}"))
+    return d.drop("__pid", *[f"__local_cum_{i}" for i in range(len(vals))],
+                  *[f"__off_{i}" for i in range(len(vals))])
+
+
+def avg_ranks(df: DataFrame, value_col: str,
+              out_col: str = "avg_rank",
+              n_partitions: int | None = None) -> DataFrame:
+    """Per-DISTINCT-value midrank table ``(__v, __cnt, out_col)`` over
+    the whole relation: ``avg_rank(v) = #(x < v) + (cnt(v)+1)/2``, with
+    a null group ordered first — exactly the window formulation
+    ``rank() OVER (ORDER BY v) + (count() OVER (PARTITION BY v) − 1)/2``
+    (min-rank + half the tie run), but with no data-sized global window:
+    one value-keyed aggregation + one distributed prefix sum.  Ranks are
+    integers and halves, exact in doubles to 2^53 — callers joining back
+    (null-safe on the value) reproduce the window ranks bitwise."""
+    g = (df.groupBy(F.col(value_col).alias("__v"))
+         .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    g = global_running_sum(g, ["__v"], "__cnt", "__cum", n_partitions)
+    return g.select(
+        "__v", "__cnt",
+        ((F.col("__cum") - F.col("__cnt")).cast("double")
+         + (F.col("__cnt") + 1).cast("double") / F.lit(2.0)).alias(out_col))
+
+
+def global_ntile(df: DataFrame, order_keys: list[str], k: int,
+                 out_col: str = "bucket",
+                 n_partitions: int | None = None) -> DataFrame:
+    """ANSI ``NTILE(k)`` over a total order with no data-sized global
+    window: bucket recomputed from the ``total_order_pos`` global rank
+    with remainder-to-early-buckets semantics (the first ``n mod k``
+    buckets hold ``floor(n/k)+1`` rows).  Floor divisions run
+    integer-exactly (``(a − a%b)/b`` — an exact multiple divides exactly
+    in doubles to 2^53).  Appends ``out_col``; all input columns pass
+    through."""
+    d = total_order_pos(df, order_keys, "__r", n_partitions)
+    n_total = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    d = d.join(F.broadcast(n_total))
+    idiv = lambda a, b: ((a - F.pmod(a, b)) / b).cast("long")
+    big = F.col("__n") % k
+    size_small = idiv(F.col("__n"), F.lit(k))
+    size_big = size_small + 1
+    in_big = F.col("__r") <= big * size_big
+    bucket = (F.when(in_big, idiv(F.col("__r") - 1, size_big))
+              .otherwise(big + idiv(F.col("__r") - big * size_big - 1,
+                                    F.greatest(size_small, F.lit(1))))
+              .cast("int") + F.lit(1))
+    return d.withColumn(out_col, bucket).drop("__r", "__n")

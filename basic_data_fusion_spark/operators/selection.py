@@ -228,24 +228,26 @@ def binary_auc(scored: DataFrame, label: Column,
     invariant to partitioning (ranks are doubled into integers before
     summation: avg-rank is always a multiple of ½).
 
-    Scale note: the global rank is a single-partition window sort — the
-    gate tier's deliberate trade (run it on the training corpus or an
-    eval sample, not the full 100 TB serve path).  The production path
-    applies the trained model with ``quality_classifier_scores`` and
-    never ranks globally."""
+    Scale note (r7): ranks reduce to per-distinct-score aggregates +
+    ONE distributed prefix sum (ordering.global_running_sum), so the
+    gate no longer single-partition-sorts even on a full corpus — the
+    rank-sum accumulates the same exact integers as the former
+    rank()/count() window formulation."""
+    from .ordering import global_running_sum
+
     base = scored.select(F.col(score_col).alias("__s"),
                          label.cast("int").alias("__y"))
-    w = Window.orderBy(F.col("__s"))
-    wg = Window.partitionBy(F.col("__s"))
-    ranked = base.select(
-        "__y",
-        # 2·avg_rank = 2·min_rank + (tie_count − 1): exact integers
-        (F.lit(2) * F.rank().over(w) + F.count(F.lit(1)).over(wg)
-         - F.lit(1)).cast("long").alias("__r2"))
-    agg = ranked.agg(
-        F.sum("__y").cast("long").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("n_neg"),
-        F.sum(F.col("__r2") * F.col("__y")).cast("long").alias("__rp2"))
+    g = (base.groupBy("__s")
+         .agg(F.count(F.lit(1)).cast("long").alias("__t"),
+              F.sum("__y").cast("long").alias("__pos")))
+    runs = global_running_sum(g, ["__s"], "__t", "__cum")
+    # 2·avg_rank of a tie run = 2·min_rank + (t − 1)
+    #                        = 2·(cum − t) + t + 1: exact integers
+    r2 = 2 * (F.col("__cum") - F.col("__t")) + F.col("__t") + 1
+    agg = runs.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum(F.col("__t") - F.col("__pos")).cast("long").alias("n_neg"),
+        F.sum(r2 * F.col("__pos")).cast("long").alias("__rp2"))
     # one-class input → AUC undefined: NULL, not a crash (ANSI mode
     # makes a bare 0-divisor throw) and not a fabricated 0.5
     defined = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)

@@ -97,14 +97,22 @@ def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson
     spark = df.sparkSession
     work = df
     if method == "spearman":
-        # average-rank transform per column, then Pearson on the ranks
-        from pyspark.sql import Window
+        # average-rank transform per column, then Pearson on the ranks.
+        # Ranks come from the distributed midrank table (ordering.
+        # avg_ranks: value-keyed aggregation + distributed prefix sum)
+        # instead of a data-sized global rank window — bitwise the same
+        # integers-and-halves (the null group orders first exactly as
+        # the window's NULLS FIRST rank did), attached by a null-safe
+        # value join; null inputs still rank NULL.
+        from .ordering import avg_ranks
         for c in columns:
-            w = Window.orderBy(F.col(c))
-            work = work.withColumn(
-                f"__rk_{c}",
-                F.when(F.col(c).isNotNull(),
-                       F.rank().over(w) + (F.count(F.lit(1)).over(Window.partitionBy(c)) - 1) / 2.0))
+            rk = avg_ranks(work, c, f"__rk_{c}")
+            work = (work.join(rk.drop("__cnt"),
+                              work[c].eqNullSafe(rk["__v"]), "left")
+                    .drop("__v")
+                    .withColumn(f"__rk_{c}",
+                                F.when(F.col(c).isNotNull(),
+                                       F.col(f"__rk_{c}"))))
         cols = [f"__rk_{c}" for c in columns]
     else:
         cols = columns
@@ -610,21 +618,25 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
     engine/partitioning. Ties are handled by evaluating the ECDFs only
     at complete value groups (max over per-value last positions).
 
-    Returns one row: (n_a, n_b, ks_d). Plan: one shuffle for the global
-    sort window (the price of an exact sup over the merged ECDF — the
-    same cost profile as the exact-percentile tier; at 100 TB use
-    binned/approx ECDFs the way column_summary_approx swaps percentile).
+    Returns one row: (n_a, n_b, ks_d). Plan: the merged ECDF reduces to
+    per-distinct-value counts (one value-keyed aggregation — map-side
+    combine absorbs heavy ties) + ONE distributed prefix-sum pass over
+    the value order (ordering.global_running_sum, both group counters
+    in the same pass), so no data-sized relation crosses a single task
+    — the 100 TB shape; values identical to the former global-window
+    formulation.
     """
+    from .ordering import global_running_sum
+
     vals = (df.filter(F.col(group_col).isin([group_a, group_b])
                       & F.col(value_col).isNotNull())
             .select((F.col(group_col) == group_a).cast("int").alias("__is_a"),
                     F.col(value_col).alias("__v")))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    per_val = (vals
-               .withColumn("__ca", F.sum("__is_a").over(w))
-               .withColumn("__cb", F.sum(1 - F.col("__is_a")).over(w))
-               .groupBy("__v")
-               .agg(F.max("__ca").alias("ca"), F.max("__cb").alias("cb")))
+    g = (vals.groupBy("__v")
+         .agg(F.sum("__is_a").alias("__ga"),
+              F.sum(1 - F.col("__is_a")).alias("__gb")))
+    per_val = global_running_sum(g, ["__v"], ["__ga", "__gb"],
+                                 ["ca", "cb"])
     totals = vals.agg(F.sum("__is_a").alias("na"),
                       F.sum(1 - F.col("__is_a")).alias("nb"))
     return (per_val.crossJoin(F.broadcast(totals))
@@ -655,21 +667,22 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
     bit-identical on any engine. No continuity correction (documented
     contract; oracles replay the same formula).
 
-    Returns one row: (n_a, n_b, u_a, u_b, z). Plan cost: one global
-    sort window over the two groups' values (same exact-ECDF tier as
-    ks_two_sample; swap in binned ranks at the 100 TB interactive tier).
+    Returns one row: (n_a, n_b, u_a, u_b, z). Plan cost: tie runs are
+    per-distinct-value aggregates and the run END positions come from
+    ONE distributed prefix sum over the value order
+    (ordering.global_running_sum) — no data-sized global window, same
+    exact integers as the former window formulation.
     """
+    from .ordering import global_running_sum
+
     vals = (df.filter(F.col(group_col).isin([group_a, group_b])
                       & F.col(value_col).isNotNull())
             .select((F.col(group_col) == group_a).cast("int").alias("__is_a"),
                     F.col(value_col).alias("__v")))
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    runs = (vals
-            .withColumn("__pos", F.sum(F.lit(1)).over(w))
-            .groupBy("__v")
-            .agg(F.count(F.lit(1)).alias("t"),
-                 F.sum("__is_a").alias("t_a"),
-                 F.max("__pos").alias("end")))
+    g = (vals.groupBy("__v")
+         .agg(F.count(F.lit(1)).alias("t"),
+              F.sum("__is_a").alias("t_a")))
+    runs = global_running_sum(g, ["__v"], "t", "end")
     # 2·midrank of a tie run = start + end = 2·end − t + 1
     two_r_a = F.sum(F.col("t_a") * (2 * F.col("end") - F.col("t") + 1))
     agg = runs.agg(two_r_a.alias("__2ra"),

@@ -510,3 +510,71 @@ def test_sharded_serve_no_global_window(spark):
             assert re.search(r"\], \[[^\]]+\], \[", ln), \
                 f"{name}: partition-less Window: {ln.strip()}"
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# Queries whose data-sized global window is the CONTRACT, not an
+# accident: the single-stream serve tiers (sharded + distributed twins
+# exist for all of them) and the det-SQL verification tier whose rank
+# windows are shared-dialect SQL by design.
+_GLOBAL_WINDOW_WHITELIST = {
+    "interleave_order", "interleave_gate", "curriculum_order",
+    "pack_sequences",          # serve-order contracts; tiers ship beside
+    "spearman_corr",           # det-SQL verification tier (rank windows)
+}
+
+
+def _global_windows(df):
+    """(n_global, n_unbounded) over the OPTIMIZED logical plan: a
+    partition-less Window is 'bounded' if an Aggregate or a Limit sits
+    strictly below it (per-group/бounded relations: sketch rollups,
+    per-partition offsets, top-k arms)."""
+    root = df._jdf.queryExecution().optimizedPlan()
+
+    def bounded_below(node):
+        stack = []
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+        while stack:
+            n = stack.pop()
+            if n.nodeName() in ("Aggregate", "GlobalLimit", "LocalLimit"):
+                return True
+            i2 = n.children().iterator()
+            while i2.hasNext():
+                stack.append(i2.next())
+        return False
+
+    n_glob = n_unbounded = 0
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            n_glob += 1
+            if not bounded_below(node):
+                n_unbounded += 1
+        it = node.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+    return n_glob, n_unbounded
+
+
+def test_no_accidental_data_sized_global_window(spark):
+    """Package-wide structural net (r7): every contract query's
+    optimized plan is walked; a partition-less Window over a relation
+    that is neither aggregated nor limited below is a one-task gather
+    of data-sized input — allowed only for the whitelisted queries
+    whose contract IS a total order (their 100 TB tiers ship beside
+    them).  Catches the next accidental global rank/cumsum at commit
+    time; the r7 rank-statistics rewrites (KS, Mann-Whitney, AUC,
+    NTILE deciles, spearman engine tier) were driven by exactly this
+    audit."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF0001)
+        _, unbounded = _global_windows(df)
+        if unbounded and name not in _GLOBAL_WINDOW_WHITELIST:
+            offenders[name] = unbounded
+    assert not offenders, (
+        f"data-sized global windows outside the whitelist: {offenders} — "
+        f"use ordering.total_order_pos / global_running_sum / avg_ranks / "
+        f"global_ntile, or whitelist with justification")
