@@ -44,7 +44,7 @@ single-node; this is the Spark-native scale path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _LOCAL_MASK = (1 << 33) - 1

@@ -2950,3 +2950,32 @@ def test_interleave_gate_sharded_mirror(spark):
             assert row["within_band"] == (
                 abs(row["prefix_share"] - row["target_share"]) <= 0.1)
     assert n_rows == len(got)
+
+
+def test_ordering_tier_degenerate_inputs(spark):
+    """Empty and single-row relations through the distributed
+    total-order machinery: offsets over an empty count relation must
+    not throw, ntile of one row is bucket 1, and the serve twins of an
+    empty corpus are empty with the contract schema."""
+    from basic_data_fusion_spark.operators.ordering import (
+        global_ntile,
+        global_running_sum,
+        total_order_pos,
+    )
+    from basic_data_fusion_spark.operators.packing import (
+        pack_sequences_distributed,
+    )
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert total_order_pos(empty, ["k"], "pos").count() == 0
+    assert global_running_sum(empty, ["k"], "v", "rs").count() == 0
+    assert global_ntile(empty, ["k"], 4, "b").count() == 0
+    one = spark.createDataFrame([(7, 3)], "k long, v long")
+    r = total_order_pos(one, ["k"], "pos").first()
+    assert r["pos"] == 1
+    assert global_ntile(one, ["k"], 4, "b").first()["b"] == 1
+    assert global_running_sum(one, ["k"], "v", "rs").first()["rs"] == 3
+    edocs = spark.createDataFrame([], "doc_id long, text string")
+    out = pack_sequences_distributed(edocs, budget=16)
+    assert out.columns == ["doc_id", "n_tokens", "pack_id"]
+    assert out.count() == 0
