@@ -195,6 +195,33 @@ PICK_NOTES = {
     "shard_manifest": "Map-only (shard, tok, term) projection + one "
                       "16-group hash aggregation; commutative checksum "
                       "means no sort anywhere.",
+    "interleave_order_sharded": "Every Window carries a partition "
+                                "spec ((shard, source) rank, per-shard "
+                                "serve order) — no relation through "
+                                "one task; shard id is a map-side md5 "
+                                "projection.",
+    "pack_sequences_sharded": "Per-shard running token offsets: the "
+                              "fill window partitions by the md5 "
+                              "shard, pack ids compose as "
+                              "shard_localpack.",
+    "interleave_order_distributed": "EXACT single-stream contract: "
+                                    "range shuffle + monotonic local "
+                                    "ids + broadcast per-partition "
+                                    "offsets; the only global window "
+                                    "rides the <=n_partitions count "
+                                    "relation.",
+    "pack_sequences_distributed": "Distributed prefix sum: per-"
+                                  "partition totals as broadcast "
+                                  "offsets + a partition-keyed local "
+                                  "running-sum window — bit-identical "
+                                  "to the single-stream fill.",
+    "ks_acctbal_segments": "Merged ECDF as per-distinct-value counts "
+                           "+ ONE distributed prefix-sum pass (both "
+                           "group counters share the range shuffle); "
+                           "no data-sized global window.",
+    "acctbal_deciles": "NTILE from the distributed global rank "
+                       "(integer-exact remainder-to-early-buckets); "
+                       "no single-partition gather.",
 }
 MAX_LINES = 40
 
