@@ -1231,6 +1231,87 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster maintenance (NEW r7, dedup.incremental_clusters): the
+    corpus split 90/10 into a standing corpus (doc_id % 10 != 0,
+    clustered by the exact-jaccard tier) and an arriving batch; the
+    batch's pairs (every jaccard pair touching a batch doc — what the
+    incremental candidate tiers emit) merge into the standing labels
+    WITHOUT re-pairing the old corpus.  Output equals the full
+    recompute by the star-contraction argument (equivalence-tested);
+    the oracle replays the two-stage composition with nested recursive
+    CTEs."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_clusters,
+        incremental_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    labels_old = (dedup_clusters(old, ngram_jaccard_pairs(old, n=3,
+                                                          threshold=0.8))
+                  .select("doc_id", "cluster_id"))
+    all_pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    new_pairs = all_pairs.filter((F.col("id_a") % 10 == 0)
+                                 | (F.col("id_b") % 10 == 0))
+    new_ids = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return incremental_clusters(labels_old, new_pairs, new_ids)
+
+
+def _incremental_clusters_oracle() -> str:
+    jac = _ngram_jaccard_oracle(0.8)
+    # the jaccard template opens with its own WITH; for the old-corpus
+    # replay, splice its CTE list after the shadowing documents CTE
+    jac_body = jac.strip()
+    assert jac_body.startswith("WITH ")
+    jac_ctes = jac_body[len("WITH "):]
+    return f"""
+WITH RECURSIVE
+p_old AS (
+  SELECT id_a, id_b FROM (
+    WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 10 <> 0),
+    {jac_ctes}
+  ) t
+),
+e1 AS (SELECT id_a AS u, id_b AS v FROM p_old
+       UNION SELECT id_b, id_a FROM p_old),
+walk1(n, r) AS (
+  SELECT DISTINCT u, u FROM e1
+  UNION
+  SELECT w.n, e.v FROM walk1 w JOIN e1 e ON e.u = w.r
+),
+lbl1 AS (SELECT n, MIN(r) AS c FROM walk1 GROUP BY n),
+labels_old AS (
+  SELECT d.doc_id, COALESCE(l.c, d.doc_id) AS cluster_id
+  FROM main.documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
+  WHERE d.doc_id % 10 <> 0
+),
+p_new AS (
+  SELECT id_a, id_b FROM ({jac}) t
+  WHERE id_a % 10 = 0 OR id_b % 10 = 0
+),
+star AS (SELECT doc_id AS id_a, cluster_id AS id_b
+         FROM labels_old WHERE doc_id <> cluster_id),
+eu AS (SELECT id_a, id_b FROM p_new UNION SELECT id_a, id_b FROM star),
+e2 AS (SELECT id_a AS u, id_b AS v FROM eu UNION SELECT id_b, id_a FROM eu),
+walk2(n, r) AS (
+  SELECT DISTINCT u, u FROM e2
+  UNION
+  SELECT w.n, e.v FROM walk2 w JOIN e2 e ON e.u = w.r
+),
+lbl2 AS (SELECT n, MIN(r) AS cluster_id FROM walk2 GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl2
+       GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size
+FROM main.documents d
+LEFT JOIN lbl2 l ON l.n = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+"""
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher quality-rule flags (Rae et al. 2021 §A1.1) per document —
     word-count / mean-word-length bounds, symbol and bullet/ellipsis
@@ -7309,8 +7390,9 @@ WHERE rn <= 20
 #     CC lazy-checkpoint rework underneath dedup_clusters /
 #     dedup_keep_best / leakage_safe_split,
 # (d) the 16 r3-era greens the r6 window comment promised next,
-# (e) the next 15 r3-era greens in registration order (the remaining
-#     11 — part_supplier_variety / nation_pair_trade / melt_measures /
+# (e) the next 14 r3-era greens in registration order (the remaining
+#     12 — disjunctive_parts_revenue /
+#     part_supplier_variety / nation_pair_trade / melt_measures /
 #     zscore_by_segment / mad_outliers_by_segment / segment_sample /
 #     filter_impact_individual / profiling_stats / line_dedup /
 #     dsir_weights / embedding_near_dups — rotate in r8 with the
@@ -7326,7 +7408,7 @@ DRIVER_WINDOW = [
     "interleave_order_sharded", "interleave_gate_sharded",
     "curriculum_order_sharded", "pack_sequences_sharded",
     "interleave_order_distributed", "curriculum_order_distributed",
-    "pack_sequences_distributed",
+    "pack_sequences_distributed", "incremental_clusters",
     # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint
     # CC, and the rank-statistics rewrites (distributed prefix-sum
     # ranks replacing data-sized global windows — same oracles)
@@ -7346,7 +7428,7 @@ DRIVER_WINDOW = [
     "fuzzy_part_pairs", "latest_event_state", "daily_value_gapfill",
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
-    "top_revenue_supplier", "disjunctive_parts_revenue",
+    "top_revenue_supplier",
 ]
 
 
@@ -7463,6 +7545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_order_distributed": q_interleave_order_distributed,
         "curriculum_order_distributed": q_curriculum_order_distributed,
         "pack_sequences_distributed": q_pack_sequences_distributed,
+        "incremental_clusters": q_incremental_clusters,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7613,6 +7696,7 @@ def oracle_sql() -> dict[str, str]:
         "interleave_order_distributed": _INTERLEAVE_ORDER_ORACLE,
         "curriculum_order_distributed": _CURRICULUM_ORACLE,
         "pack_sequences_distributed": _PACK_ORACLE,
+        "incremental_clusters": _incremental_clusters_oracle(),
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

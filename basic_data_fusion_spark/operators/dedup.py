@@ -1169,6 +1169,42 @@ def source_overlap(df: DataFrame, source_col: str = "source",
 
 # ---------------- cluster representative selection ----------------
 
+def incremental_clusters(labels: DataFrame, new_pairs: DataFrame,
+                         new_ids: DataFrame, id_col: str = "doc_id",
+                         cluster_col: str = "cluster_id",
+                         src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Near-dup cluster MAINTENANCE: merge a new batch into an existing
+    labeling without re-pairing the old corpus.  ``labels`` is the
+    standing (id, cluster_id) map (cluster_id = min member id, the
+    ``dedup_clusters`` contract); ``new_pairs`` is the batch's pair
+    output — every near-dup pair touching a new document, e.g. from
+    ``incremental_minhash_dedup``'s candidate tier (new↔corpus AND
+    new↔new); ``new_ids`` is the batch id relation (for singletons).
+
+    The standing labels ARE the old graph, contracted: each non-trivial
+    label is a star edge (id → cluster_id) preserving exactly the old
+    connectivity, so components of (star ∪ new_pairs) equal components
+    of (old_pairs ∪ new_pairs) — the full recompute — and the CC labels
+    (min member id) coincide (the old cluster min IS the min of its
+    members).  Equivalence is pinned by
+    ``test_incremental_clusters_equals_recompute``.
+
+    Scale shape: the expensive step of a dedup refresh is PAIR
+    GENERATION over the corpus; this never re-pairs old↔old.  CC runs
+    over |non-singleton old docs| star edges + |batch pairs|, and star
+    graphs converge in 1-2 alternating rounds.  Returns
+    (id, cluster_id, cluster_size) over old ∪ new documents —
+    the same contract as ``dedup_clusters``."""
+    star = (labels.filter(F.col(id_col) != F.col(cluster_col))
+            .select(F.col(id_col).alias(src),
+                    F.col(cluster_col).alias(dst)))
+    edges = star.unionByName(
+        new_pairs.select(F.col(src), F.col(dst)))
+    all_ids = (labels.select(id_col)
+               .unionByName(new_ids.select(id_col)).distinct())
+    return dedup_clusters(all_ids, edges, id_col=id_col, src=src, dst=dst)
+
+
 def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
                           scored: DataFrame, id_col: str = "doc_id",
                           score_col: str = "quality_score") -> DataFrame:

@@ -172,6 +172,7 @@ HEADLINE += [
     "interleave_order_distributed",  # exact global order, prefix-sum ranks
     "curriculum_order_distributed",  # exact NTILE curriculum, no global window
     "pack_sequences_distributed",    # exact global fill, distributed prefix sum
+    "incremental_clusters",          # batch merge into standing labels, no re-pair
 ]
 
 

@@ -2979,3 +2979,40 @@ def test_ordering_tier_degenerate_inputs(spark):
     out = pack_sequences_distributed(edocs, budget=16)
     assert out.columns == ["doc_id", "n_tokens", "pack_id"]
     assert out.count() == 0
+
+
+def test_incremental_clusters_equals_recompute(spark):
+    """Star contraction preserves connectivity: merging a batch's pairs
+    into standing labels (never re-pairing the old corpus) must equal
+    the full recompute over ALL pairs — including batch pairs that
+    BRIDGE two previously-separate old clusters, batch singletons, and
+    untouched old singletons."""
+    rows = []
+    # old corpus: two 3-cliques (0-1-2, 10-11-12) + singletons 20, 21
+    # batch: 30 bridges the two cliques; 31 pairs with 20; 32 alone
+    texts = {0: "a a a", 1: "a a a", 2: "a a a",
+             10: "b b b", 11: "b b b", 12: "b b b",
+             20: "c c c", 21: "d d d",
+             30: "bridge", 31: "c c c", 32: "e e e"}
+    pairs_all = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12),
+                 (2, 30), (10, 30), (20, 31)]
+    ids = sorted(texts)
+    docs = spark.createDataFrame([(i, texts[i]) for i in ids],
+                                 "doc_id long, text string")
+    ap = spark.createDataFrame(pairs_all, "id_a long, id_b long")
+    old_ids = {i for i in ids if i < 30}
+    old_pairs = ap.filter((F.col("id_a") < 30) & (F.col("id_b") < 30))
+    labels_old = dedup.dedup_clusters(
+        docs.filter(F.col("doc_id") < 30), old_pairs).select(
+        "doc_id", "cluster_id")
+    new_pairs = ap.filter((F.col("id_a") >= 30) | (F.col("id_b") >= 30))
+    new_ids = docs.filter(F.col("doc_id") >= 30).select("doc_id")
+    incr = {tuple(r) for r in dedup.incremental_clusters(
+        labels_old, new_pairs, new_ids).collect()}
+    full = {tuple(r) for r in dedup.dedup_clusters(docs, ap).collect()}
+    assert incr == full
+    got = {r[0]: (r[1], r[2]) for r in incr}
+    assert got[30] == (0, 7)      # bridged mega-cluster: 0,1,2,10,11,12,30
+    assert got[31] == (20, 2)
+    assert got[32] == (32, 1)
+    assert got[21] == (21, 1)
