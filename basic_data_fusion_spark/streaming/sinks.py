@@ -17,6 +17,7 @@ progress, so AvailableNow restarts resume, not reprocess.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -258,6 +259,128 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
          .write.mode("overwrite")
          .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
         survivors.unpersist()
+        sig.unpersist()
+
+    writer = (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
+    """Current (doc_id, cluster_id) map from a ``cluster_label_sink``
+    delta store: per document, the row from the LATEST batch wins
+    (merges re-emit the affected old docs with their new label, so the
+    newest delta row is always the current label)."""
+    d = spark.read.parquet(labels_path)
+    return (d.groupBy("doc_id")
+            .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id")))
+
+
+def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
+                       checkpoint: str, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64, bands: int = 16,
+                       threshold: float = 0.8, seed: int = 42,
+                       available_now: bool = True,
+                       run_id: str | None = None) -> StreamingQuery:
+    """Streaming near-dup CLUSTER MAINTENANCE with an unbounded
+    horizon — the labeling capstone of the streaming dedup ladder:
+    where ``minhash_index_sink`` drops fuzzy duplicates, this sink
+    KEEPS every document and maintains the (doc_id, cluster_id) map
+    incrementally.  Each micro-batch signs its documents, finds its
+    pair set against the persisted banded index (batch↔history) and
+    within itself (batch↔batch), both verified by signature-estimated
+    Jaccard, then merges those pairs into the standing labels via
+    ``dedup.incremental_clusters`` — star contraction means the result
+    equals relabeling the full corpus, while per-batch cost stays
+    O(batch pairs + changed labels), never a corpus re-pair.
+
+    Storage is a DELTA log: each batch writes only its own documents
+    plus the old documents whose label CHANGED (a merge re-roots a
+    clique), into replay-idempotent ``run_id=R/batch_id=N``
+    directories; ``read_cluster_labels`` folds the log latest-wins.
+    ALL batch documents index (clustering keeps everything — unlike
+    the dedup sink, where only survivors index).
+    """
+    import hashlib
+
+    from basic_data_fusion_spark.operators.dedup import (
+        incremental_clusters,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    band_dir = f"{index_path}/bands"
+    sig_dir = f"{index_path}/sigs"
+
+    def est_sim(sa, sb):
+        eq = F.zip_with(sa, sb, lambda a, b: (a == b).cast("int"))
+        return (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+                .cast("double") / F.lit(int(num_hashes)))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, text_col, id_col, n,
+                                 num_hashes, seed).persist()
+        bkeys = minhash_band_keys(sig, id_col, id_col, bands, num_hashes)
+        not_this = lambda rel: rel.filter(
+            ~((F.col("run_id") == run) & (F.col("batch_id") == batch_id)))
+        thr = F.lit(float(threshold))
+        pair_schema = "id_a long, id_b long"
+        pairs = spark.createDataFrame([], pair_schema)
+        if _index_exists(spark, band_dir):
+            idx_b = not_this(spark.read.parquet(band_dir)).select(
+                "band", "bucket", F.col(id_col).alias("__ex_id"))
+            idx_s = not_this(spark.read.parquet(sig_dir)).select(
+                F.col(id_col).alias("__ex_id"),
+                F.col("signature").alias("__ex_sig"))
+            cand = (bkeys.join(idx_b, ["band", "bucket"])
+                    .select(id_col, "__ex_id").distinct())
+            hist = (cand.join(sig, id_col).join(idx_s, "__ex_id")
+                    .filter(est_sim(F.col("signature"),
+                                    F.col("__ex_sig")) >= thr)
+                    .select(F.col(id_col).alias("id_a"),
+                            F.col("__ex_id").alias("id_b")).distinct())
+            pairs = pairs.unionByName(hist)
+        a = bkeys.select(F.col(id_col).alias("__ia"), "band", "bucket")
+        b = bkeys.select(F.col(id_col).alias("__ib"), "band", "bucket")
+        in_cand = (a.join(b, ["band", "bucket"])
+                   .filter(F.col("__ia") < F.col("__ib"))
+                   .select("__ia", "__ib").distinct())
+        sa = sig.select(F.col(id_col).alias("__ia"),
+                        F.col("signature").alias("__sa"))
+        sb = sig.select(F.col(id_col).alias("__ib"),
+                        F.col("signature").alias("__sb"))
+        within = (in_cand.join(sa, "__ia").join(sb, "__ib")
+                  .filter(est_sim(F.col("__sa"), F.col("__sb")) >= thr)
+                  .select(F.col("__ia").alias("id_a"),
+                          F.col("__ib").alias("id_b")).distinct())
+        pairs = pairs.unionByName(within)
+        if _index_exists(spark, labels_path):
+            labeled = not_this(spark.read.parquet(labels_path))
+            standing = (labeled.groupBy(id_col)
+                        .agg(F.expr("max_by(cluster_id, batch_id)")
+                             .alias("cluster_id")))
+        else:
+            standing = spark.createDataFrame(
+                [], f"{id_col} long, cluster_id long")
+        updated = incremental_clusters(
+            standing, pairs, batch_df.select(id_col), id_col=id_col)
+        old = standing.select(F.col(id_col),
+                              F.col("cluster_id").alias("__old"))
+        delta = (updated.join(old, id_col, "left")
+                 .filter(F.col("__old").isNull()
+                         | (F.col("__old") != F.col("cluster_id")))
+                 .select(id_col, "cluster_id"))
+        (delta.write.mode("overwrite")
+         .parquet(f"{labels_path}/run_id={run}/batch_id={batch_id}"))
+        (sig.write.mode("overwrite")
+         .parquet(f"{sig_dir}/run_id={run}/batch_id={batch_id}"))
+        (bkeys.write.mode("overwrite")
+         .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
         sig.unpersist()
 
     writer = (df.writeStream.foreachBatch(write_batch)

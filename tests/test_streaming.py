@@ -732,3 +732,85 @@ def test_index_exists_probe(spark, tmp_path):
     spark.range(3).write.parquet(d)
     assert _index_exists(spark, d) is True
     assert _index_exists(spark, "file://" + d) is True
+
+
+def test_cluster_label_sink_incremental_merges(spark, tmp_path):
+    """Streaming cluster maintenance: labels accumulate across
+    micro-batches with an unbounded horizon, a batch-2 bridge document
+    MERGES two previously-separate batch-1 clusters (the affected old
+    doc is re-emitted in the delta with its new label), later copies
+    join standing clusters, and the folded label map equals a one-shot
+    clustering of the full corpus under the SAME signature-estimated
+    pair definition."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        read_cluster_labels,
+    )
+
+    base = [f"w{i}" for i in range(32)]
+    tail = [f"t{i}" for i in range(8)]
+    A = " ".join(base)                 # sim(A,B)=0.78 < 0.8 (det, seed 42)
+    B = " ".join(base + tail)          # sim(A,M)=0.84, sim(B,M)=0.91
+    M = " ".join(base + tail[:4])      # -> M bridges the A and B clusters
+    uniq1 = "entirely different words about streaming label stores"
+    uniq2 = "another disjoint document concerning checkpoint replays"
+    batches = [
+        [(1, A), (2, B), (11, A)],      # clusters {1,11} and {2}
+        [(3, M), (12, uniq1)],          # 3 bridges -> {1,2,3,11}
+        [(13, A), (14, uniq2)],         # 13 joins the merged cluster
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    import glob
+    import shutil
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+         .write.parquet(str(d / f"f{i}")))
+        f = glob.glob(str(d / f"f{i}" / "*.parquet"))[0]
+        shutil.copy(f, d / f"in{i}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    labels_dir = str(tmp_path / "labels")
+    q = cluster_label_sink(stream, labels_dir, str(tmp_path / "idx"),
+                           str(tmp_path / "ckpt"), threshold=0.8)
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, labels_dir).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 11: 1, 13: 1, 12: 12, 14: 14}
+
+    # the batch-2 delta must re-emit doc 2 (its label changed 2 -> 1)
+    b2 = {r["doc_id"]: r["cluster_id"] for r in spark.read.parquet(
+        labels_dir).filter(F.col("batch_id") == 1).collect()}
+    assert b2[2] == 1 and b2[3] == 1
+
+    # parity: one-shot clustering of the full corpus under the SAME
+    # banded-candidate + signature-estimated pair definition
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string")
+    sig = minhash_signatures(all_docs, "text", "doc_id", 3, 64, 42)
+    bk = minhash_band_keys(sig, "doc_id", "doc_id", 16, 64)
+    cand = (bk.alias("x").join(bk.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("id_a"),
+                    F.col("y.doc_id").alias("id_b")).distinct())
+    sa = sig.select(F.col("doc_id").alias("id_a"),
+                    F.col("signature").alias("__sa"))
+    sb = sig.select(F.col("doc_id").alias("id_b"),
+                    F.col("signature").alias("__sb"))
+    eq = F.zip_with("__sa", "__sb", lambda a, b: (a == b).cast("int"))
+    est = (F.aggregate(eq, F.lit(0), lambda acc, x: acc + x)
+           .cast("double") / F.lit(64))
+    pairs = (cand.join(sa, "id_a").join(sb, "id_b")
+             .filter(est >= F.lit(0.8)).select("id_a", "id_b"))
+    oneshot = {r["doc_id"]: r["cluster_id"]
+               for r in dedup_clusters(all_docs, pairs).collect()}
+    assert got == oneshot
