@@ -62,6 +62,7 @@ PINNED = [
     "interleave_order_distributed",
     "curriculum_order_distributed",
     "pack_sequences_distributed",
+    "incremental_clusters",
 ]
 
 
