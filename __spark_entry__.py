@@ -1249,10 +1249,16 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _catalog(spark, sf_dir).load("documents")
     old = docs.filter(F.col("doc_id") % 10 != 0)
-    labels_old = (dedup_clusters(old, ngram_jaccard_pairs(old, n=3,
-                                                          threshold=0.8))
+    # jaccard is pairwise, so the old-corpus pair relation is the full
+    # relation filtered to old endpoints — ONE pair tier feeds both the
+    # standing labels and the batch merge (checkpointed: the shingle
+    # self-join runs once for its two consumers)
+    all_pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8) \
+        .localCheckpoint(eager=False)
+    old_pairs = all_pairs.filter((F.col("id_a") % 10 != 0)
+                                 & (F.col("id_b") % 10 != 0))
+    labels_old = (dedup_clusters(old, old_pairs)
                   .select("doc_id", "cluster_id"))
-    all_pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     new_pairs = all_pairs.filter((F.col("id_a") % 10 == 0)
                                  | (F.col("id_b") % 10 == 0))
     new_ids = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
@@ -1261,18 +1267,15 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _incremental_clusters_oracle() -> str:
     jac = _ngram_jaccard_oracle(0.8)
-    # the jaccard template opens with its own WITH; for the old-corpus
-    # replay, splice its CTE list after the shadowing documents CTE
-    jac_body = jac.strip()
-    assert jac_body.startswith("WITH ")
-    jac_ctes = jac_body[len("WITH "):]
+    # jaccard is pairwise, so the old-corpus pair relation is the full
+    # relation filtered to old endpoints — mirrors the Spark side's
+    # single shared pair tier
     return f"""
 WITH RECURSIVE
+p_all AS (SELECT id_a, id_b FROM ({jac}) t),
 p_old AS (
-  SELECT id_a, id_b FROM (
-    WITH documents AS (SELECT * FROM main.documents WHERE doc_id % 10 <> 0),
-    {jac_ctes}
-  ) t
+  SELECT id_a, id_b FROM p_all
+  WHERE id_a % 10 <> 0 AND id_b % 10 <> 0
 ),
 e1 AS (SELECT id_a AS u, id_b AS v FROM p_old
        UNION SELECT id_b, id_a FROM p_old),
@@ -1288,7 +1291,7 @@ labels_old AS (
   WHERE d.doc_id % 10 <> 0
 ),
 p_new AS (
-  SELECT id_a, id_b FROM ({jac}) t
+  SELECT id_a, id_b FROM p_all
   WHERE id_a % 10 = 0 OR id_b % 10 = 0
 ),
 star AS (SELECT doc_id AS id_a, cluster_id AS id_b
