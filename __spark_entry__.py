@@ -364,6 +364,22 @@ def _make_det_query(sql: str):
     return run
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/T7 Spearman — the ENGINE path (stats.correlation_matrix
+    method='spearman'): distributed midranks via ordering.avg_ranks
+    (value-keyed aggregation + prefix sums, no data-sized global rank
+    window), then Pearson on the ranks.  The oracle stays the det-SQL
+    verification tier (deterministic_sql.spearman_corr_sql) wrapped to
+    this schema — the midrank identity makes the two bitwise equal at
+    driver scale (rank sums are exact half/quarter-integer doubles), so
+    a hash mismatch here would be a real bug in the distributed path."""
+    from basic_data_fusion_spark.operators.stats import correlation_matrix
+
+    li = _catalog(spark, sf_dir).load("lineitem")
+    return correlation_matrix(li, ["l_quantity", "l_discount"],
+                              method="spearman")
+
+
 def q_dist_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 distribution statistics — deterministic tier; the only
     engine-specific token is the exact-quantile function name."""
@@ -569,8 +585,8 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-                   - n_tokens) / 256.0) AS BIGINT) AS pack_id
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // 256 AS BIGINT) AS pack_id
 FROM t
 """
 
@@ -1273,6 +1289,99 @@ def _incremental_clusters_oracle() -> str:
     return f"""
 WITH RECURSIVE
 p_all AS (SELECT id_a, id_b FROM ({jac}) t),
+p_old AS (
+  SELECT id_a, id_b FROM p_all
+  WHERE id_a % 10 <> 0 AND id_b % 10 <> 0
+),
+e1 AS (SELECT id_a AS u, id_b AS v FROM p_old
+       UNION SELECT id_b, id_a FROM p_old),
+walk1(n, r) AS (
+  SELECT DISTINCT u, u FROM e1
+  UNION
+  SELECT w.n, e.v FROM walk1 w JOIN e1 e ON e.u = w.r
+),
+lbl1 AS (SELECT n, MIN(r) AS c FROM walk1 GROUP BY n),
+labels_old AS (
+  SELECT d.doc_id, COALESCE(l.c, d.doc_id) AS cluster_id
+  FROM main.documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
+  WHERE d.doc_id % 10 <> 0
+),
+p_new AS (
+  SELECT id_a, id_b FROM p_all
+  WHERE id_a % 10 = 0 OR id_b % 10 = 0
+),
+star AS (SELECT doc_id AS id_a, cluster_id AS id_b
+         FROM labels_old WHERE doc_id <> cluster_id),
+eu AS (SELECT id_a, id_b FROM p_new UNION SELECT id_a, id_b FROM star),
+e2 AS (SELECT id_a AS u, id_b AS v FROM eu UNION SELECT id_b, id_a FROM eu),
+walk2(n, r) AS (
+  SELECT DISTINCT u, u FROM e2
+  UNION
+  SELECT w.n, e.v FROM walk2 w JOIN e2 e ON e.u = w.r
+),
+lbl2 AS (SELECT n, MIN(r) AS cluster_id FROM walk2 GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl2
+       GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size
+FROM main.documents d
+LEFT JOIN lbl2 l ON l.n = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+"""
+
+
+def q_incremental_clusters_banded(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Cluster maintenance fed by the BANDED candidate tier (NEW r8 —
+    closes SCALE.md's reservation that the r7 contract still paid a
+    full-corpus pair scan to derive the batch pairs): same 90/10 split
+    as ``incremental_clusters``, but every pair relation comes from the
+    deterministic MinHash index — the standing corpus clusters over its
+    own banded pairs, and the batch's merge pairs are the index PROBE
+    (``incremental_minhash_dedup``: batch↔corpus, cost O(batch +
+    candidates)) plus the batch's self-pairs (batch↔batch, batch-sized).
+    Nothing touches an old↔old pair at merge time, so the refresh cost
+    tracks the batch, not the corpus.  Because band keys are per-doc,
+    the three relations partition the full banded pair relation by
+    endpoint class — the oracle computes that one relation and splits
+    it, then replays the two-stage star-contraction CC."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_clusters,
+        incremental_clusters,
+        incremental_minhash_dedup,
+        minhash_dedup_pairs,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    old_pairs = (minhash_dedup_pairs(old, threshold=0.8,
+                                     deterministic=True)
+                 .select("id_a", "id_b"))
+    labels_old = (dedup_clusters(old, old_pairs)
+                  .select("doc_id", "cluster_id"))
+    cross = (incremental_minhash_dedup(old, batch, threshold=0.8,
+                                       deterministic=True)
+             .select(F.col("new_id").alias("id_a"),
+                     F.col("existing_id").alias("id_b")))
+    within = (minhash_dedup_pairs(batch, threshold=0.8,
+                                  deterministic=True)
+              .select("id_a", "id_b"))
+    return incremental_clusters(labels_old, cross.unionByName(within),
+                                batch.select("doc_id"))
+
+
+def _incremental_clusters_banded_oracle() -> str:
+    # the three Spark-side pair relations (old self-join, batch→corpus
+    # probe, batch self-join) partition the FULL det-banded pair
+    # relation by endpoint class (band keys are per-doc), so the oracle
+    # derives them by filtering one relation — then replays the same
+    # two-stage CC as _incremental_clusters_oracle
+    pairs = _minhash_det_oracle(threshold=0.8)
+    return f"""
+WITH RECURSIVE
+p_all AS (SELECT id_a, id_b FROM ({pairs}) t),
 p_old AS (
   SELECT id_a, id_b FROM p_all
   WHERE id_a % 10 <> 0 AND id_b % 10 <> 0
@@ -6773,9 +6882,9 @@ WITH t AS (
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
        CAST(shard AS VARCHAR) || '_' ||
-       CAST(CAST(floor((SUM(n_tokens) OVER (
+       CAST(CAST((SUM(n_tokens) OVER (
               PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-              - n_tokens) / 256.0) AS BIGINT) AS VARCHAR) AS pack_id
+              - n_tokens) // 256 AS BIGINT) AS VARCHAR) AS pack_id
 FROM t
 """
 
@@ -7380,58 +7489,52 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed after the r6 window froze, driver rows predate the
-#     contracts: semantic_dedup_det (bounded-slice gate + lockstep
-#     oracle, 2d6e31a) and the try_divide cosine rework (cfb3365)
-#     touching ivf_topk_det / label_cohesion, plus the two unexplained
-#     r6 bench movers (sq8_topk, label_cohesion) so their re-measure
-#     rides on fresh hashes,
-# (b) the seven NEW r7 contract rows (sharded serve-order tier +
-#     the distributed-total-order twins),
-# (c) reworked in r7 — sliced gate contracts (gate_slice frac=0.3,
-#     oracles re-derived), ann_recall orphan-row left join, and the
-#     CC lazy-checkpoint rework underneath dedup_clusters /
-#     dedup_keep_best / leakage_safe_split,
-# (d) the 16 r3-era greens the r6 window comment promised next,
-# (e) the next 14 r3-era greens in registration order (the remaining
-#     12 — disjunctive_parts_revenue /
-#     part_supplier_variety / nation_pair_trade / melt_measures /
-#     zscore_by_segment / mad_outliers_by_segment / segment_sample /
-#     filter_impact_individual / profiling_stats / line_dedup /
-#     dsir_weights / embedding_near_dups — rotate in r8 with the
-#     oldest r4 greens).  Everything checked in r5/r6 sits past the
-# window; every query, windowed or not, stays pinned each pytest run
-# by tests/test_oracle_parity.py.
+# (a) changed in r8: spearman_corr re-pointed at the engine path
+#     (correlation_matrix distributed midranks — the det-SQL rank
+#     window survives as the ORACLE only, closing the r7 verification
+#     gap); the pack_sequences family moved to exact long `div` pack
+#     arithmetic (oracle moved to `//` in lockstep); and the NEW
+#     incremental_clusters_banded row, whose batch pairs come from the
+#     banded candidate tier instead of a full-corpus pair scan,
+# (b) the two unexplained r6→r7 bench movers (column_summary_approx,
+#     simhash_det) so their isolated re-measure rides on fresh hashes
+#     (same protocol as r7's sq8_topk/label_cohesion),
+# (c) the 12 r3-era stale rows the r7 window comment promised for r8,
+# (d) the oldest r4-era greens in registration order, oracle-backed
+#     only (the pin test keeps the window fully hash-checked; the
+#     rows-only r4 rows — minhash_dedup, semantic_dedup, ivf_topk,
+#     pq_topk, bpe_encode_docs, compression_ratio, simhash_near_dups —
+#     stay r4-era by design: re-greening them records only the weaker
+#     rows-only check, and each has a hash-green det twin already).
+# After this rotation no query's latest driver row predates r4.
+# Everything checked in r5-r7 sits past the window; every query,
+# windowed or not, stays pinned each pytest run by
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) post-freeze plan changes — fresh hashes for current contracts
-    "semantic_dedup_det", "ivf_topk_det", "label_cohesion", "sq8_topk",
-    # (b) new r7 contract rows: sharded serve-order tier + the
-    # distributed-total-order twins (single-stream contract, no
-    # partition-less window)
-    "interleave_order_sharded", "interleave_gate_sharded",
-    "curriculum_order_sharded", "pack_sequences_sharded",
-    "interleave_order_distributed", "curriculum_order_distributed",
-    "pack_sequences_distributed", "incremental_clusters",
-    # (c) r7 reworks: sliced gates, ann_recall orphans, lazy-checkpoint
-    # CC, and the rank-statistics rewrites (distributed prefix-sum
-    # ranks replacing data-sized global windows — same oracles)
-    "dedup_recall_report", "leakage_safe_split", "ann_recall_report",
-    "dedup_clusters", "dedup_keep_best",
-    "ks_acctbal_segments", "mannwhitney_acctbal", "quality_classifier",
-    # (d) r3-era greens promised by the r6 window comment
-    "funnel_steps", "retention_weekly", "customers_no_orders",
-    "pricing_rollup", "orders_cube", "median_by_segment",
-    "hash_sample_orders", "stratified_sample_docs", "events_interarrival",
-    "running_spend", "trailing_7d_value", "acctbal_deciles",
-    "cohort_setops", "vocab_top_tokens", "tfidf_top_terms",
-    "token_diversity",
-    # (e) next r3-era greens in registration order
-    "top_orders_per_segment", "late_shipment_priority",
-    "small_lot_revenue", "big_order_customers", "wealthy_idle_customers",
-    "fuzzy_part_pairs", "latest_event_state", "daily_value_gapfill",
-    "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
-    "customer_order_distribution", "promo_revenue_ratio",
-    "top_revenue_supplier",
+    # (a) r8 plan/oracle changes — fresh hashes for current contracts
+    "spearman_corr", "pack_sequences", "pack_sequences_sharded",
+    "pack_sequences_distributed", "incremental_clusters_banded",
+    # (b) re-measure riders
+    "column_summary_approx", "simhash_det",
+    # (c) the 12 r3-era stale rows
+    "disjunctive_parts_revenue", "part_supplier_variety",
+    "nation_pair_trade", "melt_measures", "zscore_by_segment",
+    "mad_outliers_by_segment", "segment_sample",
+    "filter_impact_individual", "profiling_stats", "line_dedup",
+    "dsir_weights", "embedding_near_dups",
+    # (d) oldest r4-era greens, registration order, oracle-backed only
+    "forecast_revenue", "market_share", "returned_item_losses",
+    "temperature_mix", "dsir_top_docs", "exactsubstr_dedup",
+    "url_dedup", "dsir_gumbel_sample", "pareto_quality_sample",
+    "stupid_backoff_lm", "perplexity_buckets", "bm25_search",
+    "cheapest_supplier_per_part", "product_type_profit",
+    "priority_shipping_bands", "bulk_suppliers_for_parts",
+    "sole_blame_suppliers", "important_stock", "chi2_priority_status",
+    "hybrid_rrf_search", "benford_extendedprice", "curriculum_order",
+    "corpus_composition", "rolling_zscore_purchases",
+    "mutual_info_priority_status", "winnow_fingerprints",
+    "winsorized_acctbal", "distinctive_terms_en",
+    "toml_pipeline_curation", "source_overlap", "grouped_ols_events",
 ]
 
 
@@ -7443,6 +7546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registration groups below are historical (which round added what),
     # not the window.
     det = {name: _make_det_query(sql) for name, sql in _det_sql().items()}
+    det.pop("spearman_corr")  # engine path serves; det-SQL is oracle-only
     base = {
         # ---- round-4/5 additions ----
         "ivf_topk_det": q_ivf_topk_det,
@@ -7490,7 +7594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_capped": q_distinct_capped,
         "categorical_summary": q_categorical_summary,
         "pearson_corr": det.pop("pearson_corr"),
-        "spearman_corr": det.pop("spearman_corr"),
+        # engine path (distributed midranks); det-SQL is oracle-only
+        "spearman_corr": q_spearman_corr,
         "ols_regression": det.pop("ols_regression"),
         "anova_acctbal_by_segment": det.pop("anova_acctbal_by_segment"),
         "histogram_acctbal": det.pop("histogram_acctbal"),
@@ -7549,6 +7654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order_distributed": q_curriculum_order_distributed,
         "pack_sequences_distributed": q_pack_sequences_distributed,
         "incremental_clusters": q_incremental_clusters,
+        # ---- round-8 additions ----
+        "incremental_clusters_banded": q_incremental_clusters_banded,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7659,6 +7766,12 @@ def oracle_sql() -> dict[str, str]:
     from basic_data_fusion_spark.operators.deterministic_sql import mad_outliers_sql
 
     det = dict(_det_sql())  # shared text: the oracle runs the same SQL
+    # spearman: the SERVED query is the engine path (correlation_matrix
+    # distributed midranks); the det-SQL verification tier stays the
+    # oracle, wrapped to the engine's (col_a, col_b, corr) schema
+    det["spearman_corr"] = (
+        "SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, "
+        "spearman_rho AS corr FROM (" + det["spearman_corr"] + ")")
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
     det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
     det["mad_outliers_by_segment"] = mad_outliers_sql(
@@ -7700,6 +7813,7 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order_distributed": _CURRICULUM_ORACLE,
         "pack_sequences_distributed": _PACK_ORACLE,
         "incremental_clusters": _incremental_clusters_oracle(),
+        "incremental_clusters_banded": _incremental_clusters_banded_oracle(),
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

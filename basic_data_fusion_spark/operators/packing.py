@@ -73,13 +73,17 @@ def pack_sequences(df: DataFrame, budget: int = 256,
         w = Window.orderBy(id_col) \
                   .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    local_pack = F.floor(offset / F.lit(float(budget))).cast("long")
+    # long `div` long — exact integer division with no 2^53 double
+    # bound; offsets are total token counts, which exceed 2^53 well
+    # before a window would anyway
+    staged = base.withColumn("__off", offset)
+    local_pack = F.expr(f"__off div {int(budget)}").cast("long")
     if bucket_col:
         pack = F.concat_ws("_", F.col(bucket_col).cast("string"),
                            local_pack.cast("string"))
     else:
         pack = local_pack
-    return base.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
+    return staged.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
 
 
 def packing_efficiency_sweep(df: DataFrame, context_lengths: list[int],
@@ -137,17 +141,18 @@ def pack_sequences_distributed(df: DataFrame, budget: int = 256,
     prefix sums + broadcast offsets) instead of a partition-less
     window, so no data-sized relation moves through one task.  Same
     oracle SQL as the single-stream tier (equivalence-tested).  The
-    offset and pack arithmetic stays in longs (token counts), so the
-    distributed sum is bit-deterministic."""
+    offset and pack arithmetic stays in longs end to end (long sums,
+    long `div`), so the distributed path is bit-deterministic with no
+    2^53 double-exactness bound."""
     from .ordering import global_running_sum
 
     toks = F.coalesce(F.size(_clean_tokens(text_col)), F.lit(0)).cast("long")
     base = df.select(F.col(id_col), toks.alias("n_tokens"))
     cum = global_running_sum(base, [id_col], "n_tokens", "__cum",
                              n_partitions)
-    offset = F.col("__cum") - F.col("n_tokens")
-    pack = F.floor(offset / F.lit(float(budget))).cast("long")
-    return cum.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
+    staged = cum.withColumn("__off", F.col("__cum") - F.col("n_tokens"))
+    pack = F.expr(f"__off div {int(budget)}").cast("long")
+    return staged.select(F.col(id_col), "n_tokens", pack.alias("pack_id"))
 
 
 def pack_sequences_sharded(df: DataFrame, budget: int = 256,

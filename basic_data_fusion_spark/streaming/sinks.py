@@ -31,18 +31,36 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
     the production layout these sinks describe).  Falls back to an
     attempted read when the JVM gateway isn't reachable (e.g. Spark
     Connect), where a missing path raises AnalysisException.
+
+    Only *path genuinely absent* maps to False.  A transient store
+    error (S3/HDFS connectivity, permissions) PROPAGATES so the batch
+    fails loudly and Structured Streaming retries it — collapsing every
+    exception to False would silently disable history dedup / cluster
+    merging for that batch while still committing it as successful.
     """
     try:
         jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+        hconf = spark._jsc.hadoopConfiguration()
     except Exception:
+        # No Py4J gateway (Spark Connect): probe by read.  Classify the
+        # error — only the documented missing-path AnalysisException is
+        # "absent"; anything else is a real failure and re-raises.
+        from pyspark.errors import AnalysisException
         try:
             spark.read.parquet(path).schema
             return True
-        except Exception:
-            return False
+        except AnalysisException as exc:
+            msg = str(exc)
+            cls = getattr(exc, "getErrorClass", lambda: None)() or ""
+            if "PATH_NOT_FOUND" in cls or "Path does not exist" in msg \
+                    or "PATH_NOT_FOUND" in msg:
+                return False
+            raise
+    # fs.exists returns False for a missing path without raising;
+    # exceptions from here (connectivity, auth) propagate deliberately.
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    return bool(fs.exists(jpath))
 
 
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
@@ -270,12 +288,21 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
 
 def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     """Current (doc_id, cluster_id) map from a ``cluster_label_sink``
-    delta store: per document, the row from the LATEST batch wins
+    delta store: per document, the row from the LATEST write wins
     (merges re-emit the affected old docs with their new label, so the
-    newest delta row is always the current label)."""
+    newest delta row is always the current label).
+
+    "Latest" is the cross-run key ``(epoch, batch_id)``: ``batch_id``
+    restarts at 0 per run (new checkpoint → new run_id), so a bare
+    max_by over batch_id would let a long-dead run's high batch ids
+    beat a fresh run's labels.  The sink stamps every delta row with a
+    monotone run ``epoch`` (max standing epoch + 1, claimed at the
+    run's first batch; a checkpoint-restart of the same run reuses its
+    epoch), making the fold total across runs."""
     d = spark.read.parquet(labels_path)
     return (d.groupBy("doc_id")
-            .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id")))
+            .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
+                 .alias("cluster_id")))
 
 
 def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
@@ -300,11 +327,15 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     Storage is a DELTA log: each batch writes only its own documents
     plus the old documents whose label CHANGED (a merge re-roots a
     clique), into replay-idempotent ``run_id=R/batch_id=N``
-    directories; ``read_cluster_labels`` folds the log latest-wins.
-    ALL batch documents index (clustering keeps everything — unlike
-    the dedup sink, where only survivors index).
+    directories; every delta row carries the run's monotone ``epoch``
+    so ``read_cluster_labels`` can fold the log latest-wins ACROSS
+    runs (batch_id alone restarts at 0 per run).  ALL batch documents
+    index (clustering keeps everything — unlike the dedup sink, where
+    only survivors index).
     """
     import hashlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
 
     from basic_data_fusion_spark.operators.dedup import (
         incremental_clusters,
@@ -315,6 +346,8 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
     band_dir = f"{index_path}/bands"
     sig_dir = f"{index_path}/sigs"
+    # Claimed once at this run's first batch; cached for the run's life.
+    epoch_cell: list[int | None] = [None]
 
     def est_sim(sa, sb):
         eq = F.zip_with(sa, sb, lambda a, b: (a == b).cast("int"))
@@ -323,13 +356,19 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Cluster ids are min member ids (the dedup_clusters contract),
+        # so both empty-frame schemas take the id column's ACTUAL type —
+        # hardcoding `long` breaks string/int doc ids at the very first
+        # unionByName/join of a fresh store.
+        id_type = batch_df.schema[id_col].dataType
         sig = minhash_signatures(batch_df, text_col, id_col, n,
                                  num_hashes, seed).persist()
         bkeys = minhash_band_keys(sig, id_col, id_col, bands, num_hashes)
         not_this = lambda rel: rel.filter(
             ~((F.col("run_id") == run) & (F.col("batch_id") == batch_id)))
         thr = F.lit(float(threshold))
-        pair_schema = "id_a long, id_b long"
+        pair_schema = StructType([StructField("id_a", id_type),
+                                  StructField("id_b", id_type)])
         pairs = spark.createDataFrame([], pair_schema)
         if _index_exists(spark, band_dir):
             idx_b = not_this(spark.read.parquet(band_dir)).select(
@@ -360,13 +399,28 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                           F.col("__ib").alias("id_b")).distinct())
         pairs = pairs.unionByName(within)
         if _index_exists(spark, labels_path):
-            labeled = not_this(spark.read.parquet(labels_path))
+            store = spark.read.parquet(labels_path)
+            if epoch_cell[0] is None:
+                # Reuse this run's epoch on checkpoint restart; a fresh
+                # run claims max standing epoch + 1 so its rows outrank
+                # every earlier run in the latest-wins fold.
+                mine, top = (store.agg(
+                    F.max(F.when(F.col("run_id") == run,
+                                 F.col("epoch"))).alias("mine"),
+                    F.max("epoch").alias("top")).collect()[0])
+                epoch_cell[0] = int(mine) if mine is not None \
+                    else int(top or 0) + 1
+            labeled = not_this(store)
             standing = (labeled.groupBy(id_col)
-                        .agg(F.expr("max_by(cluster_id, batch_id)")
+                        .agg(F.expr(
+                            "max_by(cluster_id, struct(epoch, batch_id))")
                              .alias("cluster_id")))
         else:
+            if epoch_cell[0] is None:
+                epoch_cell[0] = 1
             standing = spark.createDataFrame(
-                [], f"{id_col} long, cluster_id long")
+                [], StructType([StructField(id_col, id_type),
+                                StructField("cluster_id", id_type)]))
         updated = incremental_clusters(
             standing, pairs, batch_df.select(id_col), id_col=id_col)
         old = standing.select(F.col(id_col),
@@ -374,7 +428,9 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
         delta = (updated.join(old, id_col, "left")
                  .filter(F.col("__old").isNull()
                          | (F.col("__old") != F.col("cluster_id")))
-                 .select(id_col, "cluster_id"))
+                 .select(id_col, "cluster_id",
+                         F.lit(int(epoch_cell[0])).cast(LongType())
+                         .alias("epoch")))
         (delta.write.mode("overwrite")
          .parquet(f"{labels_path}/run_id={run}/batch_id={batch_id}"))
         (sig.write.mode("overwrite")

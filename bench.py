@@ -173,6 +173,10 @@ HEADLINE += [
     "curriculum_order_distributed",  # exact NTILE curriculum, no global window
     "pack_sequences_distributed",    # exact global fill, distributed prefix sum
     "incremental_clusters",          # batch merge into standing labels, no re-pair
+
+    # new in round 8 (absent from BENCH_r07 and earlier)
+    "incremental_clusters_banded",   # merge fed by the banded candidate tier
+    "spearman_corr",                 # engine path: distributed midranks
 ]
 
 

@@ -34,9 +34,14 @@ from tests.conftest import SF0001
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_plans")
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1"
 
-# the ~20 most expensive BENCH_r06 queries (plus the sliced gates and
-# the r7 sharded tier, whose plans are new this round)
+# the most expensive BENCH_r07 queries (the set is re-reconciled against
+# each round's bench: r8 added quality_classifier, cms_token_freq,
+# ivfpq_topk_det and the banded incremental-clusters row)
 PINNED = [
+    "quality_classifier",
+    "cms_token_freq",
+    "ivfpq_topk_det",
+    "incremental_clusters_banded",
     "dedup_recall_report",
     "sq8_topk",
     "column_summary_approx",

@@ -519,7 +519,9 @@ def test_sharded_serve_no_global_window(spark):
 _GLOBAL_WINDOW_WHITELIST = {
     "interleave_order", "interleave_gate", "curriculum_order",
     "pack_sequences",          # serve-order contracts; tiers ship beside
-    "spearman_corr",           # det-SQL verification tier (rank windows)
+    # spearman_corr left the whitelist in r8: the contract now runs the
+    # engine path (correlation_matrix distributed midranks); the det-SQL
+    # rank-window text survives as the ORACLE side only.
 }
 
 

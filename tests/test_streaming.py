@@ -814,3 +814,56 @@ def test_cluster_label_sink_incremental_merges(spark, tmp_path):
     oneshot = {r["doc_id"]: r["cluster_id"]
                for r in dedup_clusters(all_docs, pairs).collect()}
     assert got == oneshot
+
+
+def test_cluster_label_sink_second_run_outranks_first(spark, tmp_path):
+    """Cross-run latest-wins: batch_id restarts at 0 per run, so a
+    SECOND run (new checkpoint → new run_id) writing the same labels
+    store must beat the first run's labels even though the first run
+    reached higher batch ids.  The run epoch (max standing epoch + 1,
+    stamped on every delta row) is what makes the fold total — a bare
+    max_by over batch_id would resurrect run 1's stale labels here."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        read_cluster_labels,
+    )
+
+    text_b = "alpha beta gamma delta epsilon zeta eta theta"
+    text_c = "one two three four five six seven eight nine ten"
+
+    def run(sub: str, rows_per_batch: list[list[tuple[int, str]]]) -> None:
+        d = tmp_path / sub
+        d.mkdir()
+        import glob
+        import shutil
+        for i, rows in enumerate(rows_per_batch):
+            (spark.createDataFrame(rows, "doc_id long, text string")
+             .coalesce(1).write.parquet(str(d / f"f{i}")))
+            f = glob.glob(str(d / f"f{i}" / "*.parquet"))[0]
+            shutil.copy(f, d / f"in{i}.parquet")
+            shutil.rmtree(d / f"f{i}")
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        q = cluster_label_sink(stream, str(tmp_path / "labels"),
+                               str(tmp_path / "idx"),
+                               str(tmp_path / f"ckpt_{sub}"),
+                               threshold=0.8)
+        q.awaitTermination()
+
+    # run 1: three micro-batches; doc 13's label row (cluster 12) is
+    # written at batch_id=2 — the HIGHEST batch id in the store
+    run("one", [[(11, text_b)], [(12, text_c)], [(13, text_c)]])
+    # run 2: ONE micro-batch (batch_id=0): doc 2 joins the {12,13}
+    # cluster and re-roots it to min id 2, so run 2's delta re-emits
+    # 12 and 13 with label 2 at batch_id=0.  Without the run epoch,
+    # max_by(batch_id) resurrects doc 13's stale batch_id=2 label.
+    run("two", [[(2, text_c)]])
+
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(
+               spark, str(tmp_path / "labels")).collect()}
+    assert got == {2: 2, 11: 11, 12: 2, 13: 2}, got
+    # epochs are monotone across runs in the store
+    eps = {r["epoch"] for r in spark.read.parquet(
+        str(tmp_path / "labels")).select("epoch").collect()}
+    assert eps == {1, 2}
