@@ -1345,15 +1345,21 @@ def q_incremental_clusters_banded(spark: SparkSession,
     tracks the batch, not the corpus.  Because band keys are per-doc,
     the three relations partition the full banded pair relation by
     endpoint class — the oracle computes that one relation and splits
-    it, then replays the two-stage star-contraction CC."""
+    it, then replays the two-stage star-contraction CC.  Like the
+    other acceptance composites (dedup_recall_report precedent) the
+    contract prices a bounded md5 slice (gate_slice frac=0.3, replayed
+    by a shadowing documents CTE in the oracle): the composite signs
+    the corpus three times by construction — production persists the
+    index and pays only the batch probe."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_clusters,
+        gate_slice,
         incremental_clusters,
         incremental_minhash_dedup,
         minhash_dedup_pairs,
     )
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
     old = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     old_pairs = (minhash_dedup_pairs(old, threshold=0.8,
@@ -1372,15 +1378,19 @@ def q_incremental_clusters_banded(spark: SparkSession,
                                 batch.select("doc_id"))
 
 
-def _incremental_clusters_banded_oracle() -> str:
+def _incremental_clusters_banded_oracle(slice_frac: float = 0.3) -> str:
     # the three Spark-side pair relations (old self-join, batch→corpus
     # probe, batch self-join) partition the FULL det-banded pair
     # relation by endpoint class (band keys are per-doc), so the oracle
     # derives them by filtering one relation — then replays the same
-    # two-stage CC as _incremental_clusters_oracle
+    # two-stage CC as _incremental_clusters_oracle.  The md5 gate slice
+    # replays as a shadowing ``documents`` CTE (dedup_recall precedent).
     pairs = _minhash_det_oracle(threshold=0.8)
+    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
     return f"""
 WITH RECURSIVE
+documents AS (SELECT * FROM main.documents WHERE {pred}),
 p_all AS (SELECT id_a, id_b FROM ({pairs}) t),
 p_old AS (
   SELECT id_a, id_b FROM p_all
@@ -1396,7 +1406,7 @@ walk1(n, r) AS (
 lbl1 AS (SELECT n, MIN(r) AS c FROM walk1 GROUP BY n),
 labels_old AS (
   SELECT d.doc_id, COALESCE(l.c, d.doc_id) AS cluster_id
-  FROM main.documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
+  FROM documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
   WHERE d.doc_id % 10 <> 0
 ),
 p_new AS (
@@ -1418,7 +1428,7 @@ sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl2
 SELECT d.doc_id,
        COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(s.cluster_size, 1) AS cluster_size
-FROM main.documents d
+FROM documents d
 LEFT JOIN lbl2 l ON l.n = d.doc_id
 LEFT JOIN sz s ON s.cluster_id = l.cluster_id
 """
