@@ -625,7 +625,10 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                               num_hashes: int = 64, bands: int = 16,
                               threshold: float = 0.5,
                               seed: int = 42,
-                              deterministic: bool = False) -> DataFrame:
+                              deterministic: bool = False,
+                              existing_sig: DataFrame | None = None,
+                              existing_shingles: DataFrame | None = None,
+                              ) -> DataFrame:
     """Fuzzy tier of incremental ingestion dedup (pairs with
     ``incremental_exact_dedup``): NEW docs that are near-duplicates of
     the STANDING corpus, found via the banded MinHash index and verified
@@ -646,11 +649,23 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
     band buckets (the same det tier as ``minhash_dedup_pairs``) so the
     incremental pipeline — index, probe, verification — replays in
     plain SQL and value-hashes against a generated oracle.
+
+    ``existing_sig`` / ``existing_shingles`` are the PERSISTED-index
+    hooks: pass the standing corpus's ``minhash_signatures`` output
+    (id, signature) and its shingle relation (id, shingles) — both
+    plain relations this operator would otherwise recompute — and the
+    per-increment cost drops to signing the BATCH plus the candidate
+    joins; the standing corpus is never re-read as text.  This is the
+    steady-state shape the docstring above describes and the streaming
+    ``minhash_index_sink`` implements; with the hooks the operator
+    itself runs it in batch mode.  The relations must have been built
+    with the same (n, num_hashes, seed, hash_fn) parameters.
     """
     hash_fn = "md5" if deterministic else "xxhash64"
     hb = not deterministic
-    sig_ex = minhash_signatures(existing, text_col, id_col, n, num_hashes,
-                                seed, hash_fn=hash_fn)
+    sig_ex = existing_sig if existing_sig is not None else \
+        minhash_signatures(existing, text_col, id_col, n, num_hashes,
+                           seed, hash_fn=hash_fn)
     sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes,
                                  seed, hash_fn=hash_fn)
     cands = (minhash_band_keys(sig_new, id_col, "new_id", bands,
@@ -662,9 +677,14 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
     sh_new = (spread_narrow(new)
               .select(F.col(id_col).alias("new_id"),
                       word_shingles(F.col(text_col), n).alias("sh_n")))
-    sh_ex = (spread_narrow(existing)
-             .select(F.col(id_col).alias("existing_id"),
-                     word_shingles(F.col(text_col), n).alias("sh_e")))
+    if existing_shingles is not None:
+        sh_ex = existing_shingles.select(
+            F.col(id_col).alias("existing_id"),
+            F.col("shingles").alias("sh_e"))
+    else:
+        sh_ex = (spread_narrow(existing)
+                 .select(F.col(id_col).alias("existing_id"),
+                         word_shingles(F.col(text_col), n).alias("sh_e")))
     n_common = F.size(F.array_intersect("sh_n", "sh_e"))
     return (cands.join(sh_new, "new_id").join(sh_ex, "existing_id")
             .withColumn("jaccard",

@@ -305,6 +305,49 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
                  .alias("cluster_id")))
 
 
+def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
+    """Compact a ``cluster_label_sink`` delta log into one snapshot.
+
+    The log grows one small delta per micro-batch and the latest-wins
+    fold reads ALL of it — the 12-batch scale run measured ~15% fold
+    drift per 12× history (SCALE.md r8).  Compaction folds the log
+    once (the same ``max_by(cluster_id, struct(epoch, batch_id))``
+    expression ``read_cluster_labels`` uses), writes the result as a
+    single ``run_id=__compact__/batch_id=0`` snapshot carrying the
+    CURRENT max epoch, then deletes every other run directory — so the
+    fold before and after compaction is identical, and the next writer
+    run claims ``max epoch + 1`` and still outranks the snapshot.
+
+    Run it between writer runs (the standard contract for
+    log-structured stores without a lock service — same as any
+    small-files compactor).  Deletion goes through the Hadoop
+    FileSystem API resolved from the path, so hdfs:// and s3a:// stores
+    compact the same way.  Returns the number of run directories
+    removed."""
+    d = spark.read.parquet(labels_path)
+    top = d.agg(F.max("epoch")).collect()[0][0] or 0
+    snap = (d.groupBy("doc_id")
+            .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
+                 .alias("cluster_id"))
+            .withColumn("epoch", F.lit(int(top)).cast("long")))
+    # stage the snapshot BEFORE deleting anything: a crash mid-compact
+    # leaves either the old log plus an equivalent snapshot (harmless —
+    # the fold is idempotent over duplicates) or the old log untouched
+    snap.write.mode("overwrite").parquet(
+        f"{labels_path}/run_id=__compact__/batch_id=0")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(labels_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    removed = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("run_id=") \
+                and name != "run_id=__compact__":
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed
+
+
 def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                        checkpoint: str, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,

@@ -1370,6 +1370,37 @@ def test_incremental_minhash_dedup_planted(spark):
     assert got_pairs == batch
 
 
+def test_incremental_minhash_persisted_index_parity(spark):
+    """The persisted-index hooks (existing_sig / existing_shingles —
+    the steady-state shape where the standing corpus is never re-read
+    as text) produce the identical link set to the recompute path, and
+    the hooked plan does not rescan the existing side's text."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    existing = spark.createDataFrame(
+        [(100, base), (101, "standing corpus completely different text here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base.replace("delta", "DELTA2")),
+         (2, "brand new unrelated content entirely fresh words")],
+        "doc_id long, text string")
+    recompute = {(r["new_id"], r["existing_id"]): r["jaccard"] for r in
+                 dedup.incremental_minhash_dedup(
+                     existing, new, threshold=0.5).collect()}
+    # "persisted" index: the same relations the operator would build,
+    # materialized once (as a store would hold them)
+    sig = dedup.minhash_signatures(existing, "text", "doc_id", 3, 64, 42)
+    sh = existing.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("shingles"))
+    hooked_df = dedup.incremental_minhash_dedup(
+        existing, new, threshold=0.5,
+        existing_sig=sig.localCheckpoint(),
+        existing_shingles=sh.localCheckpoint())
+    hooked = {(r["new_id"], r["existing_id"]): r["jaccard"]
+              for r in hooked_df.collect()}
+    assert hooked == recompute and (1, 100) in hooked
+
+
 def test_minhash_det_tier_equals_exact(docs):
     """The md5-based deterministic MinHash tier recalls the same verified
     pair set as the exact jaccard pass (and therefore as the xxhash64

@@ -867,3 +867,69 @@ def test_cluster_label_sink_second_run_outranks_first(spark, tmp_path):
     eps = {r["epoch"] for r in spark.read.parquet(
         str(tmp_path / "labels")).select("epoch").collect()}
     assert eps == {1, 2}
+
+
+def test_compact_cluster_labels_preserves_fold_and_epoch_order(spark, tmp_path):
+    """Compaction folds the delta log into one snapshot with an
+    identical latest-wins result, removes every other run directory,
+    and keeps the epoch frontier so a post-compaction writer run still
+    outranks the snapshot."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_cluster_labels,
+        read_cluster_labels,
+    )
+
+    store = str(tmp_path / "labels")
+    # hand-built delta log: run a (epoch 1, batches 0-1) then run b
+    # (epoch 2, batch 0) re-rooting doc 13's cluster
+    deltas = [
+        ("a", 0, [(11, 11), (12, 12)], 1),
+        ("a", 1, [(13, 12)], 1),
+        ("b", 0, [(2, 2), (12, 2), (13, 2)], 2),
+    ]
+    for run, b, rows, ep in deltas:
+        (spark.createDataFrame([(d, c, ep) for d, c in rows],
+                               "doc_id long, cluster_id long, epoch long")
+         .write.mode("overwrite")
+         .parquet(f"{store}/run_id={run}/batch_id={b}"))
+
+    before = {r["doc_id"]: r["cluster_id"]
+              for r in read_cluster_labels(spark, store).collect()}
+    assert before == {2: 2, 11: 11, 12: 2, 13: 2}
+
+    removed = compact_cluster_labels(spark, store)
+    assert removed == 2  # run_id=a and run_id=b
+    import os
+    assert os.listdir(store) == ["run_id=__compact__"]
+    after = {r["doc_id"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, store).collect()}
+    assert after == before
+    # snapshot carries the current epoch frontier
+    eps = {r["epoch"] for r in
+           spark.read.parquet(store).select("epoch").collect()}
+    assert eps == {2}
+
+    # a post-compaction writer run claims epoch 3 and outranks: doc 2
+    # joins cluster with doc 1 via a fresh sink run over the same store
+    from basic_data_fusion_spark.streaming.sinks import cluster_label_sink
+    import glob
+    import shutil
+    d = tmp_path / "in"
+    d.mkdir()
+    (spark.createDataFrame([(1, "post compact writer run")],
+                           "doc_id long, text string").coalesce(1)
+     .write.parquet(str(d / "f0")))
+    f = glob.glob(str(d / "f0" / "*.parquet"))[0]
+    shutil.copy(f, d / "in0.parquet")
+    shutil.rmtree(d / "f0")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    q = cluster_label_sink(stream, store, str(tmp_path / "idx"),
+                           str(tmp_path / "ckpt"), threshold=0.8)
+    q.awaitTermination()
+    final = {r["doc_id"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, store).collect()}
+    assert final == {**before, 1: 1}
+    eps = {r["epoch"] for r in
+           spark.read.parquet(store).select("epoch").collect()}
+    assert eps == {2, 3}
