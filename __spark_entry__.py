@@ -1344,37 +1344,53 @@ def q_incremental_clusters_banded(spark: SparkSession,
     Nothing touches an old↔old pair at merge time, so the refresh cost
     tracks the batch, not the corpus.  Because band keys are per-doc,
     the three relations partition the full banded pair relation by
-    endpoint class — the oracle computes that one relation and splits
-    it, then replays the two-stage star-contraction CC.  Like the
-    other acceptance composites (dedup_recall_report precedent) the
-    contract prices a bounded md5 slice (gate_slice frac=0.3, replayed
-    by a shadowing documents CTE in the oracle): the composite signs
-    the corpus three times by construction — production persists the
-    index and pays only the batch probe."""
+    endpoint class — so the composite composes the PRIMITIVES the way
+    the streaming sink does: sign and shingle the sliced corpus ONCE,
+    one banded candidate join, one exact-jaccard verification, then the
+    endpoint split (the split equality to the three operator calls —
+    minhash_dedup_pairs(old/batch) and incremental_minhash_dedup — is
+    pinned by test_banded_composite_split_equals_operator_calls).  The
+    oracle computes the identical single relation and splits it, then
+    replays the two-stage star-contraction CC.  Like the other
+    acceptance composites (dedup_recall_report precedent) the contract
+    prices a bounded md5 slice (gate_slice frac=0.3, replayed by a
+    shadowing documents CTE in the oracle)."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_clusters,
         gate_slice,
         incremental_clusters,
-        incremental_minhash_dedup,
-        minhash_dedup_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
     )
 
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    sets = docs.select("doc_id",
+                       word_shingles(F.col("text"), 3).alias("shingles")) \
+        .localCheckpoint(eager=False)
+    sig = minhash_signatures(docs, "text", "doc_id", 3, 64, 42,
+                             hash_fn="md5")
+    cands = lsh_candidate_pairs(sig, "doc_id", bands=16, num_hashes=64,
+                                hash_buckets=False)
+    a = sets.select(F.col("doc_id").alias("id_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"),
+                    F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (n_common.cast("double")
+           / (F.size("sh_a") + F.size("sh_b") - n_common))
+    pairs = (cands.join(a, "id_a").join(b, "id_b")
+             .filter(jac >= F.lit(0.8))
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=False))
+    is_new = lambda c: F.col(c) % 10 == 0
+    old_pairs = pairs.filter(~is_new("id_a") & ~is_new("id_b"))
+    new_pairs = pairs.filter(is_new("id_a") | is_new("id_b"))
     old = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    old_pairs = (minhash_dedup_pairs(old, threshold=0.8,
-                                     deterministic=True)
-                 .select("id_a", "id_b"))
     labels_old = (dedup_clusters(old, old_pairs)
                   .select("doc_id", "cluster_id"))
-    cross = (incremental_minhash_dedup(old, batch, threshold=0.8,
-                                       deterministic=True)
-             .select(F.col("new_id").alias("id_a"),
-                     F.col("existing_id").alias("id_b")))
-    within = (minhash_dedup_pairs(batch, threshold=0.8,
-                                  deterministic=True)
-              .select("id_a", "id_b"))
-    return incremental_clusters(labels_old, cross.unionByName(within),
+    return incremental_clusters(labels_old, new_pairs,
                                 batch.select("doc_id"))
 
 

@@ -1401,6 +1401,54 @@ def test_incremental_minhash_persisted_index_parity(spark):
     assert hooked == recompute and (1, 100) in hooked
 
 
+def test_banded_composite_split_equals_operator_calls(docs):
+    """The banded cluster-maintenance contract builds ONE det-banded
+    verified pair relation and splits it by endpoint class (band keys
+    are per-doc).  Pin that the split equals the three operator calls
+    it stands in for: minhash_dedup_pairs(old), the
+    incremental_minhash_dedup(old, batch) index probe, and
+    minhash_dedup_pairs(batch)."""
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # the composite's single-relation form
+    sets = docs.select("doc_id",
+                       dedup.word_shingles(F.col("text"), 3)
+                       .alias("shingles"))
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", 3, 64, 42,
+                                   hash_fn="md5")
+    cands = dedup.lsh_candidate_pairs(sig, "doc_id", bands=16,
+                                      num_hashes=64, hash_buckets=False)
+    a = sets.select(F.col("doc_id").alias("id_a"),
+                    F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"),
+                    F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (n_common.cast("double")
+           / (F.size("sh_a") + F.size("sh_b") - n_common))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             (cands.join(a, "id_a").join(b, "id_b")
+              .filter(jac >= F.lit(0.8)).select("id_a", "id_b")
+              .collect())}
+    new = lambda i: i % 10 == 0
+    split_old = {(x, y) for x, y in pairs if not new(x) and not new(y)}
+    split_new = {(x, y) for x, y in pairs if new(x) or new(y)}
+    # the three operator calls, normalized to (min,max) pairs
+    op_old = {(r["id_a"], r["id_b"]) for r in
+              dedup.minhash_dedup_pairs(old, threshold=0.8,
+                                        deterministic=True).collect()}
+    op_cross = {(min(r["new_id"], r["existing_id"]),
+                 max(r["new_id"], r["existing_id"])) for r in
+                dedup.incremental_minhash_dedup(
+                    old, batch, threshold=0.8,
+                    deterministic=True).collect()}
+    op_within = {(r["id_a"], r["id_b"]) for r in
+                 dedup.minhash_dedup_pairs(batch, threshold=0.8,
+                                           deterministic=True).collect()}
+    assert split_old == op_old
+    assert split_new == op_cross | op_within
+    assert split_new, "fixture must exercise the merge path"
+
+
 def test_minhash_det_tier_equals_exact(docs):
     """The md5-based deterministic MinHash tier recalls the same verified
     pair set as the exact jaccard pass (and therefore as the xxhash64
