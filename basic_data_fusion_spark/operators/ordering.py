@@ -155,6 +155,53 @@ def avg_ranks(df: DataFrame, value_col: str,
          + (F.col("__cnt") + 1).cast("double") / F.lit(2.0)).alias(out_col))
 
 
+def avg_ranks_multi(df: DataFrame, value_cols: list[str],
+                    out_col: str = "avg_rank",
+                    n_partitions: int | None = None) -> DataFrame:
+    """Midrank tables for SEVERAL columns in ONE prefix-sum pass:
+    ``(__cid, __v, __cnt, out_col)`` where ``__cid`` indexes
+    ``value_cols``.  Restricted to one column this is bitwise
+    ``avg_ranks`` (property-pinned): the per-column distinct tables
+    union with a column id, ONE ``global_running_sum`` orders the union
+    by ``(__cid, __v)``, and the per-column prefix is recovered by
+    subtracting the broadcast total of all earlier columns — integer
+    arithmetic, so the midranks are identical to the per-column pass.
+
+    Why it exists: N ``avg_ranks`` calls cost N scans of the data plus
+    N prefix machines (each with its flat range-shuffle/offsets floor).
+    This runs ONE scan (the columns explode to ``(column id, value)``
+    rows, hash-aggregated with map-side combine before the single
+    shuffle) and ONE machine for all N — the shape an N-column spearman
+    matrix over a wide table needs.
+
+    Values are compared AS DOUBLES (the explode array needs one
+    element type): distinct raw values must stay distinct under the
+    cast — exact for integers below 2^53, the same bound the rank
+    arithmetic already documents — so the midranks are bitwise the
+    per-column ``avg_ranks`` tables (property-pinned).  Numeric columns
+    only; nulls rank first within their column, as in ``avg_ranks``."""
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("__cid"),
+                 F.col(c).cast("double").alias("__v"))
+        for i, c in enumerate(value_cols)])).alias("__s")) \
+        .select("__s.__cid", "__s.__v")
+    u = (stacked.groupBy("__cid", "__v")
+         .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    u = global_running_sum(u, ["__cid", "__v"], "__cnt", "__cum",
+                           n_partitions)
+    tot = u.groupBy("__cid").agg(F.sum("__cnt").alias("__ct"))
+    w_prev = (Window.orderBy("__cid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev = tot.select(
+        "__cid",
+        F.coalesce(F.sum("__ct").over(w_prev), F.lit(0)).alias("__prev"))
+    u = u.join(F.broadcast(prev), "__cid")
+    return u.select(
+        "__cid", "__v", "__cnt",
+        ((F.col("__cum") - F.col("__prev") - F.col("__cnt")).cast("double")
+         + (F.col("__cnt") + 1).cast("double") / F.lit(2.0)).alias(out_col))
+
+
 def global_ntile(df: DataFrame, order_keys: list[str], k: int,
                  out_col: str = "bucket",
                  n_partitions: int | None = None) -> DataFrame:

@@ -99,15 +99,19 @@ def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson
     if method == "spearman":
         # average-rank transform per column, then Pearson on the ranks.
         # Ranks come from the distributed midrank table (ordering.
-        # avg_ranks: value-keyed aggregation + distributed prefix sum)
-        # instead of a data-sized global rank window — bitwise the same
+        # avg_ranks_multi: value-keyed aggregations + ONE shared
+        # distributed prefix sum for every column, so the machinery's
+        # flat floor is paid once, not per column) instead of a
+        # data-sized global rank window — bitwise the same
         # integers-and-halves (the null group orders first exactly as
         # the window's NULLS FIRST rank did), attached by a null-safe
         # value join; null inputs still rank NULL.
-        from .ordering import avg_ranks
-        for c in columns:
-            rk = avg_ranks(work, c, f"__rk_{c}")
-            work = (work.join(rk.drop("__cnt"),
+        from .ordering import avg_ranks_multi
+        multi = avg_ranks_multi(work, columns)
+        for i, c in enumerate(columns):
+            rk = (multi.filter(F.col("__cid") == i)
+                  .select("__v", F.col("avg_rank").alias(f"__rk_{c}")))
+            work = (work.join(rk,
                               work[c].eqNullSafe(rk["__v"]), "left")
                     .drop("__v")
                     .withColumn(f"__rk_{c}",

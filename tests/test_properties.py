@@ -673,3 +673,30 @@ def test_total_order_pos_matches_sorted_enumerate(spark, vals, n_parts):
         acc += v
         expect[k] = acc
     assert runs == expect
+
+
+@FAST
+@given(vals=st.lists(st.tuples(st.integers(-20, 20),
+                               st.one_of(st.none(),
+                                         st.integers(-5, 5))),
+                     min_size=1, max_size=50),
+       n_parts=st.integers(1, 5))
+def test_avg_ranks_multi_bitwise_equals_per_column(spark, vals, n_parts):
+    """ordering.avg_ranks_multi over two columns (duplicates and nulls
+    included) is BITWISE the per-column avg_ranks tables — the shared
+    prefix machine with the broadcast earlier-column offset must not
+    change a single midrank."""
+    from basic_data_fusion_spark.operators.ordering import (
+        avg_ranks,
+        avg_ranks_multi,
+    )
+
+    df = spark.createDataFrame(vals, "a long, b long").repartition(3)
+    multi = avg_ranks_multi(df, ["a", "b"], n_partitions=n_parts)
+    got = {(r["__cid"], r["__v"]): (r["__cnt"], r["avg_rank"])
+           for r in multi.collect()}
+    for i, c in enumerate(["a", "b"]):
+        single = {(i, r["__v"]): (r["__cnt"], r["avg_rank"])
+                  for r in avg_ranks(df, c, n_partitions=n_parts)
+                  .collect()}
+        assert {k: v for k, v in got.items() if k[0] == i} == single
