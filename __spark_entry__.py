@@ -380,6 +380,35 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                               method="spearman")
 
 
+def q_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column spearman matrix (NEW r8) — exercises
+    ``ordering.avg_ranks_multi`` at N=3: ONE stacked scan + ONE prefix
+    machine rank all three lineitem measures, including
+    l_extendedprice whose distinct-value table is data-sized (the case
+    the shared machine exists for).  Oracle: the det-SQL pair formula
+    per pair, UNION ALL, wrapped to this schema — no nulls in lineitem,
+    so per-pair and per-column ranks coincide and the rank sums stay in
+    exact-double range at driver scale."""
+    from basic_data_fusion_spark.operators.stats import correlation_matrix
+
+    li = _catalog(spark, sf_dir).load("lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        method="spearman")
+
+
+def _spearman_matrix_oracle() -> str:
+    from basic_data_fusion_spark.operators import deterministic_sql as ds
+    pairs = [("l_quantity", "l_extendedprice"),
+             ("l_quantity", "l_discount"),
+             ("l_extendedprice", "l_discount")]
+    arms = [
+        f"SELECT '{x}' AS col_a, '{y}' AS col_b, spearman_rho AS corr "
+        f"FROM ({ds.spearman_corr_sql('lineitem', x, y)})"
+        for x, y in pairs]
+    return " UNION ALL ".join(arms)
+
+
 def q_dist_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 distribution statistics — deterministic tier; the only
     engine-specific token is the exact-quantile function name."""
@@ -7538,7 +7567,8 @@ WHERE rn <= 20
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # (a) r8 plan/oracle changes — fresh hashes for current contracts
-    "spearman_corr", "pack_sequences", "pack_sequences_sharded",
+    "spearman_corr", "spearman_matrix", "pack_sequences",
+    "pack_sequences_sharded",
     "pack_sequences_distributed", "incremental_clusters_banded",
     # (b) re-measure riders
     "column_summary_approx", "simhash_det",
@@ -7560,7 +7590,7 @@ DRIVER_WINDOW = [
     "corpus_composition", "rolling_zscore_purchases",
     "mutual_info_priority_status", "winnow_fingerprints",
     "winsorized_acctbal", "distinctive_terms_en",
-    "toml_pipeline_curation", "source_overlap", "grouped_ols_events",
+    "toml_pipeline_curation", "source_overlap",
 ]
 
 
@@ -7622,6 +7652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pearson_corr": det.pop("pearson_corr"),
         # engine path (distributed midranks); det-SQL is oracle-only
         "spearman_corr": q_spearman_corr,
+        "spearman_matrix": q_spearman_matrix,
         "ols_regression": det.pop("ols_regression"),
         "anova_acctbal_by_segment": det.pop("anova_acctbal_by_segment"),
         "histogram_acctbal": det.pop("histogram_acctbal"),
@@ -7798,6 +7829,7 @@ def oracle_sql() -> dict[str, str]:
     det["spearman_corr"] = (
         "SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, "
         "spearman_rho AS corr FROM (" + det["spearman_corr"] + ")")
+    det["spearman_matrix"] = _spearman_matrix_oracle()
     det["dist_stats_acctbal"] = dist_stats_sql("customer", "c_acctbal", "quantile_cont")
     det["iqr_outliers_acctbal"] = iqr_outliers_sql("customer", "c_acctbal", "quantile_cont")
     det["mad_outliers_by_segment"] = mad_outliers_sql(

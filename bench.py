@@ -177,6 +177,7 @@ HEADLINE += [
     # new in round 8 (absent from BENCH_r07 and earlier)
     "incremental_clusters_banded",   # merge fed by the banded candidate tier
     "spearman_corr",                 # engine path: distributed midranks
+    "spearman_matrix",               # 3-column spearman, one stacked rank pass
 ]
 
 
