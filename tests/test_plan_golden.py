@@ -38,6 +38,7 @@ REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1"
 # each round's bench: r8 added quality_classifier, cms_token_freq,
 # ivfpq_topk_det and the banded incremental-clusters row)
 PINNED = [
+    "spearman_matrix",
     "quality_classifier",
     "cms_token_freq",
     "ivfpq_topk_det",
