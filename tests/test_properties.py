@@ -700,3 +700,50 @@ def test_avg_ranks_multi_bitwise_equals_per_column(spark, vals, n_parts):
                   for r in avg_ranks(df, c, n_partitions=n_parts)
                   .collect()}
         assert {k: v for k, v in got.items() if k[0] == i} == single
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_compact_cluster_labels_fold_invariant(spark, tmp_path_factory, data):
+    """Compacting a RANDOM cluster-label delta log (random run count,
+    batches per run, doc/label assignments; monotone epochs per run)
+    leaves the latest-wins fold bitwise unchanged and the store with
+    only the snapshot directory."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_cluster_labels,
+        read_cluster_labels,
+    )
+
+    store = str(tmp_path_factory.mktemp("labels"))
+    n_runs = data.draw(st.integers(1, 3), label="n_runs")
+    doc_ids = list(range(1, 9))
+    wrote = False
+    for run in range(n_runs):
+        n_batches = data.draw(st.integers(1, 3), label=f"batches_{run}")
+        for b in range(n_batches):
+            rows = data.draw(
+                st.lists(st.tuples(st.sampled_from(doc_ids),
+                                   st.sampled_from(doc_ids)),
+                         min_size=0, max_size=5,
+                         unique_by=lambda t: t[0]),
+                label=f"rows_{run}_{b}")
+            if not rows:
+                continue
+            wrote = True
+            (spark.createDataFrame(
+                [(d, c, run + 1) for d, c in rows],
+                "doc_id long, cluster_id long, epoch long")
+             .write.mode("overwrite")
+             .parquet(f"{store}/run_id=r{run}/batch_id={b}"))
+    if not wrote:
+        return
+    before = {r["doc_id"]: r["cluster_id"]
+              for r in read_cluster_labels(spark, store).collect()}
+    compact_cluster_labels(spark, store)
+    after = {r["doc_id"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, store).collect()}
+    assert after == before
+    assert os.listdir(store) == ["run_id=__compact__"]
