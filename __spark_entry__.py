@@ -6780,6 +6780,44 @@ def q_pack_sequences_distributed(spark: SparkSession,
     return pack_sequences_distributed(docs, budget=256)
 
 
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-batching report (NEW r8,
+    packing.length_bucketed_batches): docs sort by (token count, id),
+    fill 16-doc batches, one row per batch with the dense-tensor
+    padding cost — the no-concat middle ground between naive batching
+    and pack_sequences.  Global rank from ordering.total_order_pos
+    (no data-sized relation through one task); oracle is the
+    ROW_NUMBER formulation."""
+    from basic_data_fusion_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    return length_bucketed_batches(docs, batch_size=16)
+
+
+_LENGTH_BUCKETED_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT n_tokens,
+         (ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 16
+           AS batch_id
+  FROM t
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS batch_max,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+FROM r GROUP BY batch_id
+"""
+
+
 def _shard_sql(n_shards: int) -> str:
     """selection.serve_shard replayed in DuckDB: first 32 md5 bits of
     the id (no seed prefix) mod ``n_shards``."""
@@ -7570,6 +7608,7 @@ DRIVER_WINDOW = [
     "spearman_corr", "spearman_matrix", "pack_sequences",
     "pack_sequences_sharded",
     "pack_sequences_distributed", "incremental_clusters_banded",
+    "length_bucketed_batches",
     # (b) re-measure riders
     "column_summary_approx", "simhash_det",
     # (c) the 12 r3-era stale rows
@@ -7590,7 +7629,7 @@ DRIVER_WINDOW = [
     "corpus_composition", "rolling_zscore_purchases",
     "mutual_info_priority_status", "winnow_fingerprints",
     "winsorized_acctbal", "distinctive_terms_en",
-    "toml_pipeline_curation", "source_overlap",
+    "toml_pipeline_curation",
 ]
 
 
@@ -7713,6 +7752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_clusters": q_incremental_clusters,
         # ---- round-8 additions ----
         "incremental_clusters_banded": q_incremental_clusters_banded,
+        "length_bucketed_batches": q_length_bucketed_batches,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7872,6 +7912,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_distributed": _PACK_ORACLE,
         "incremental_clusters": _incremental_clusters_oracle(),
         "incremental_clusters_banded": _incremental_clusters_banded_oracle(),
+        "length_bucketed_batches": _LENGTH_BUCKETED_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

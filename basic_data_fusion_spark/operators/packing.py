@@ -179,3 +179,47 @@ def pack_sequences_sharded(df: DataFrame, budget: int = 256,
     return packed.select(
         F.col(id_col), "n_tokens",
         serve_shard(F.col(id_col), n_shards).alias("shard"), "pack_id")
+
+
+def length_bucketed_batches(df: DataFrame, batch_size: int = 16,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_partitions: int | None = None) -> DataFrame:
+    """Sorted (length-bucketed) batching report — the no-concat middle
+    ground between naive arrival-order batching and ``pack_sequences``:
+    documents sort by token count (id tie-break) and fill fixed-size
+    batches of ``batch_size`` docs, so each batch pads only to its own
+    max length instead of the corpus tail's.  The standard seq2seq
+    padding-efficiency technique for pipelines that cannot concatenate
+    across document boundaries (masking constraints, doc-level labels).
+
+    Returns one row per batch: ``(batch_id, n_docs, batch_tokens,
+    batch_max, padding)`` with ``padding = n_docs·batch_max −
+    batch_tokens`` (the pad tokens a dense [n_docs × batch_max] tensor
+    spends); the last batch is ragged.  Deterministic: the order is the
+    total order (n_tokens, id), the batch id is integer arithmetic on
+    the exact global rank — any engine reproduces it.
+
+    Scale shape: the global rank comes from ``ordering.total_order_pos``
+    (range shuffle + per-partition local ranks + broadcast offsets — no
+    data-sized relation through one task; only (id, n_tokens) pairs
+    move), and the report aggregation groups by batch id with map-side
+    combine.  Reference analogue: none (training-serve extension;
+    complements ``packing_efficiency_sweep``'s naive-vs-concat bounds).
+    """
+    from .ordering import total_order_pos
+
+    toks = F.coalesce(F.size(_clean_tokens(text_col)), F.lit(0)).cast("long")
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    ranked = total_order_pos(base, ["n_tokens", id_col], "__r",
+                             n_partitions)
+    ranked = ranked.withColumn(
+        "batch_id", F.expr(f"(__r - 1) div {int(batch_size)}").cast("long"))
+    return (ranked.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("batch_tokens"),
+        F.max("n_tokens").cast("long").alias("batch_max"))
+        .withColumn("padding",
+                    (F.col("n_docs") * F.col("batch_max")
+                     - F.col("batch_tokens")).cast("long"))
+        .orderBy("batch_id"))

@@ -178,6 +178,7 @@ HEADLINE += [
     "incremental_clusters_banded",   # merge fed by the banded candidate tier
     "spearman_corr",                 # engine path: distributed midranks
     "spearman_matrix",               # 3-column spearman, one stacked rank pass
+    "length_bucketed_batches",       # sorted batching, distributed total order
 ]
 
 

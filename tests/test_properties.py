@@ -747,3 +747,29 @@ def test_compact_cluster_labels_fold_invariant(spark, tmp_path_factory, data):
              for r in read_cluster_labels(spark, store).collect()}
     assert after == before
     assert os.listdir(store) == ["run_id=__compact__"]
+
+
+@FAST
+@given(toks=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+       bs=st.integers(1, 7))
+def test_length_bucketed_batches_matches_python(spark, toks, bs):
+    """packing.length_bucketed_batches vs a direct Python replay:
+    sort docs by (n_tokens, id), chunk into fixed-size batches, pad
+    each to its own max."""
+    from basic_data_fusion_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["batch_id"]: (r["n_docs"], r["batch_tokens"],
+                           r["batch_max"], r["padding"])
+           for r in length_bucketed_batches(df, batch_size=bs).collect()}
+    order = sorted(range(len(toks)), key=lambda i: (toks[i], i))
+    expect = {}
+    for b in range(0, len(order), bs):
+        chunk = [toks[i] for i in order[b:b + bs]]
+        mx = max(chunk)
+        expect[b // bs] = (len(chunk), sum(chunk), mx,
+                           len(chunk) * mx - sum(chunk))
+    assert got == expect
