@@ -7633,6 +7633,37 @@ DRIVER_WINDOW = [
 ]
 
 
+def internal_plan_frames() -> dict[str, Callable[[SparkSession, str],
+                                                 DataFrame]]:
+    """Lazy INTERNAL DataFrames whose plans the golden-plan pins freeze
+    when the contract query itself executes eagerly (r8 advisory: the
+    spearman queries run ``correlation_matrix``, which calls ``.first()``
+    + ``createDataFrame``, so their own executed plan is just a Scan
+    ExistingRDD — a vacuous pin).  Each entry returns the pre-execution
+    rank/aggregate frame (``stats.correlation_aggregate``) whose plan
+    contains the distributed midrank pipeline the pin exists to protect
+    (e.g. a data-sized global window reappearing)."""
+    from basic_data_fusion_spark.operators.stats import (
+        correlation_aggregate,
+    )
+
+    def spearman_corr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _catalog(spark, sf_dir).load("lineitem")
+        return correlation_aggregate(li, ["l_quantity", "l_discount"],
+                                     method="spearman")
+
+    def spearman_matrix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _catalog(spark, sf_dir).load("lineitem")
+        return correlation_aggregate(
+            li, ["l_quantity", "l_extendedprice", "l_discount"],
+            method="spearman")
+
+    return {
+        "spearman_corr__rank_aggregate": spearman_corr_agg,
+        "spearman_matrix__rank_aggregate": spearman_matrix_agg,
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS check covers the first
     # 50 keys.  Since round 6 the order is DERIVED from DRIVER_WINDOW

@@ -46,8 +46,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _LOCAL_MASK = (1 << 33) - 1
+
+
+def is_double_exact(dt: T.DataType) -> bool:
+    """Is every value of ``dt`` exactly representable as a double (so a
+    cast preserves distinctness)?  True for <=32-bit integers and binary
+    floats; False for long/decimal, whose distinct values can collide
+    past 2^53 — the precondition ``avg_ranks_multi``'s stacked-double
+    explode requires (a collision silently MERGES rank groups)."""
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.FloatType, T.DoubleType))
 
 
 def _n_partitions(df: DataFrame, n_partitions: int | None) -> int:
@@ -178,8 +189,22 @@ def avg_ranks_multi(df: DataFrame, value_cols: list[str],
     element type): distinct raw values must stay distinct under the
     cast — exact for integers below 2^53, the same bound the rank
     arithmetic already documents — so the midranks are bitwise the
-    per-column ``avg_ranks`` tables (property-pinned).  Numeric columns
-    only; nulls rank first within their column, as in ``avg_ranks``."""
+    per-column ``avg_ranks`` tables (property-pinned).  The precondition
+    is GUARDED: long/decimal columns raise TypeError (distinct values
+    past 2^53 would silently merge rank groups — and the caller's
+    join-back would attach the collapsed midrank); route such columns
+    through per-column :func:`avg_ranks`, whose rank-table key keeps
+    the original exact type (``stats.correlation_matrix`` does this
+    split automatically).  Numeric columns only; nulls rank first
+    within their column, as in ``avg_ranks``."""
+    for c in value_cols:
+        dt = df.schema[c].dataType
+        if not is_double_exact(dt):
+            raise TypeError(
+                f"avg_ranks_multi: column {c!r} has type "
+                f"{dt.simpleString()}, whose distinct values may collide "
+                f"under the stacked double cast (exact only to 2^53); "
+                f"use avg_ranks per column for long/decimal inputs")
     stacked = df.select(F.explode(F.array(*[
         F.struct(F.lit(i).alias("__cid"),
                  F.col(c).cast("double").alias("__v"))

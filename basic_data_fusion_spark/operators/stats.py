@@ -86,15 +86,20 @@ def column_statistics(df: DataFrame, column: str) -> dict:
 
 # ---------------- A9/T7: correlation matrix ----------------
 
-def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson") -> DataFrame:
-    """Pairwise correlation (reference: analysis/statistics.py:190-260).
-    pearson/spearman run distributed; kendall needs a bounded sample via
-    ``kendall_tau_sample``. Output: one row per (col_i, col_j) pair with
-    i < j. Pairwise-complete semantics (each pair drops its own nulls),
-    matching pandas ``df.corr(min_periods=...)``."""
+def correlation_aggregate(df: DataFrame, columns: list[str],
+                          method: str = "pearson") -> DataFrame:
+    """The distributed heart of :func:`correlation_matrix`: a ONE-ROW
+    DataFrame holding every pair's correlation as a ``a||b`` column,
+    built lazily — rank transforms, join-backs, and the sufficient-
+    statistics aggregation are all in THIS frame's plan.  Exposed
+    separately because ``correlation_matrix`` executes it eagerly
+    (``.first()`` + ``createDataFrame``), so pinning the matrix's plan
+    pins only a Scan ExistingRDD; structural regressions in the
+    distributed midrank pipeline (e.g. a data-sized global window
+    reappearing) are only visible in THIS plan — the golden-plan
+    fixtures pin it directly."""
     if method not in ("pearson", "spearman"):
         raise ValueError("use kendall_tau_sample for kendall")
-    spark = df.sparkSession
     work = df
     if method == "spearman":
         # average-rank transform per column, then Pearson on the ranks.
@@ -105,12 +110,30 @@ def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson
         # data-sized global rank window — bitwise the same
         # integers-and-halves (the null group orders first exactly as
         # the window's NULLS FIRST rank did), attached by a null-safe
-        # value join; null inputs still rank NULL.
-        from .ordering import avg_ranks_multi
-        multi = avg_ranks_multi(work, columns)
-        for i, c in enumerate(columns):
-            rk = (multi.filter(F.col("__cid") == i)
-                  .select("__v", F.col("avg_rank").alias(f"__rk_{c}")))
+        # value join; null inputs still rank NULL.  The shared machine
+        # stacks values as doubles, exact only for <=32-bit ints and
+        # floats: long/decimal columns (distinct values can collide
+        # past 2^53, silently merging rank groups) route through
+        # per-column avg_ranks instead, whose rank-table key keeps the
+        # original exact type — same midranks, one extra prefix pass
+        # per unsafe column.
+        from .ordering import avg_ranks, avg_ranks_multi, is_double_exact
+        safe = [c for c in columns
+                if is_double_exact(work.schema[c].dataType)]
+        rank_tables = {}
+        if len(safe) > 1:
+            multi = avg_ranks_multi(work, safe)
+            for i, c in enumerate(safe):
+                rank_tables[c] = (
+                    multi.filter(F.col("__cid") == i)
+                    .select("__v", F.col("avg_rank").alias(f"__rk_{c}")))
+        for c in columns:
+            if c not in rank_tables:
+                rank_tables[c] = (
+                    avg_ranks(work.select(c), c)
+                    .select("__v", F.col("avg_rank").alias(f"__rk_{c}")))
+        for c in columns:
+            rk = rank_tables[c]
             work = (work.join(rk,
                               work[c].eqNullSafe(rk["__v"]), "left")
                     .drop("__v")
@@ -143,12 +166,24 @@ def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson
             aggs.append(F.try_divide(n * sxy - sx * sy,
                                      F.sqrt(vx) * F.sqrt(vy))
                         .alias(f"{a}||{b}"))
-    row = work.agg(*aggs).first()
+    return work.agg(*aggs)
+
+
+def correlation_matrix(df: DataFrame, columns: list[str], method: str = "pearson") -> DataFrame:
+    """Pairwise correlation (reference: analysis/statistics.py:190-260).
+    pearson/spearman run distributed (:func:`correlation_aggregate`);
+    kendall needs a bounded sample via ``kendall_tau_sample``. Output:
+    one row per (col_i, col_j) pair with i < j. Pairwise-complete
+    semantics (each pair drops its own nulls), matching pandas
+    ``df.corr(min_periods=...)``."""
+    spark = df.sparkSession
+    row = correlation_aggregate(df, columns, method).first()
+    prefix = "__rk_" if method == "spearman" else ""
     data = []
     for i, a in enumerate(columns):
         for j, b in enumerate(columns):
             if i < j:
-                key = f"{cols[i]}||{cols[j]}"
+                key = f"{prefix}{a}||{prefix}{b}"
                 data.append((a, b, float(row[key]) if row[key] is not None else None))
     return spark.createDataFrame(data, "col_a string, col_b string, corr double")
 

@@ -286,6 +286,23 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     return writer.start()
 
 
+def _with_epoch(d: DataFrame) -> DataFrame:
+    """Tolerate labels stores written by the pre-epoch sink format.
+
+    The r8 sink stamps every delta row with a monotone run ``epoch``;
+    a store written by an earlier sink has no such column, so reading,
+    claiming, or compacting it would fail on UNRESOLVED_COLUMN at the
+    very first touch.  Legacy rows default to epoch 0: any post-upgrade
+    writer run claims ``max(0, …) + 1 >= 1`` and outranks them, and
+    within the legacy rows ``batch_id`` alone stays the tiebreak —
+    exactly the pre-epoch single-run fold those stores were written
+    under.  No rewrite/backfill needed; the first compaction after the
+    upgrade materializes the column into the snapshot."""
+    if "epoch" not in d.columns:
+        d = d.withColumn("epoch", F.lit(0).cast("long"))
+    return d
+
+
 def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     """Current (doc_id, cluster_id) map from a ``cluster_label_sink``
     delta store: per document, the row from the LATEST write wins
@@ -298,8 +315,9 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     beat a fresh run's labels.  The sink stamps every delta row with a
     monotone run ``epoch`` (max standing epoch + 1, claimed at the
     run's first batch; a checkpoint-restart of the same run reuses its
-    epoch), making the fold total across runs."""
-    d = spark.read.parquet(labels_path)
+    epoch), making the fold total across runs.  Pre-epoch legacy rows
+    read as epoch 0 (:func:`_with_epoch`)."""
+    d = _with_epoch(spark.read.parquet(labels_path))
     return (d.groupBy("doc_id")
             .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
                  .alias("cluster_id")))
@@ -312,39 +330,76 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
     fold reads ALL of it — the 12-batch scale run measured ~15% fold
     drift per 12× history (SCALE.md r8).  Compaction folds the log
     once (the same ``max_by(cluster_id, struct(epoch, batch_id))``
-    expression ``read_cluster_labels`` uses), writes the result as a
-    single ``run_id=__compact__/batch_id=0`` snapshot carrying the
-    CURRENT max epoch, then deletes every other run directory — so the
-    fold before and after compaction is identical, and the next writer
-    run claims ``max epoch + 1`` and still outranks the snapshot.
+    expression ``read_cluster_labels`` uses) and replaces every run
+    directory with a single ``run_id=__compact__`` snapshot stamped
+    ``(max epoch, max batch_id at that epoch)`` — the exact rank of the
+    newest standing delta — so the fold before and after compaction is
+    identical, the next writer run (``max epoch + 1``) outranks the
+    snapshot, and a RUNNING writer's later batches (same epoch, higher
+    batch_id) outrank it too, which is what lets the sink invoke this
+    mid-run (``compact_every``).
 
-    Run it between writer runs (the standard contract for
-    log-structured stores without a lock service — same as any
-    small-files compactor).  Deletion goes through the Hadoop
-    FileSystem API resolved from the path, so hdfs:// and s3a:// stores
-    compact the same way.  Returns the number of run directories
-    removed."""
-    d = spark.read.parquet(labels_path)
-    top = d.agg(F.max("epoch")).collect()[0][0] or 0
+    Crash-safe by construction — the snapshot job must never delete
+    files it is about to read (a ``mode=overwrite`` straight into a
+    live ``run_id=`` directory deletes the prior snapshot BEFORE the
+    fold executes: FileNotFoundException, or silent row loss under
+    ``spark.sql.files.ignoreMissingFiles``).  Sequence:
+
+    1. Stage the fold into ``_compact_staging/`` INSIDE the store —
+       the leading underscore hides it from Spark's file listing, so
+       the write overlaps nothing the fold reads, and a crash here
+       leaves the log untouched plus an invisible orphan (overwritten
+       by the next compaction).
+    2. Promote: rename the staging dir to ``run_id=__compact_new__``.
+       From this instant the complete fold is PART of the log at the
+       top rank — every later crash point folds to the same result.
+    3. Delete every other ``run_id=`` directory (all folded into the
+       snapshot; deletes run only after the staging job completed).
+    4. Rename ``__compact_new__`` → ``__compact__``.
+
+    All moves stay inside ``labels_path`` (one FileSystem, rename not
+    copy); deletion/rename go through the Hadoop FileSystem API
+    resolved from the path, so hdfs:// and s3a:// stores compact the
+    same way.  Returns the number of run directories removed."""
+    d = _with_epoch(spark.read.parquet(labels_path))
+    frontier = d.agg(
+        F.max("epoch").alias("e"),
+        F.expr("max(struct(epoch, batch_id)).batch_id").alias("b")).first()
+    top = int(frontier["e"] or 0)
+    topb = int(frontier["b"] or 0)
     snap = (d.groupBy("doc_id")
             .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
                  .alias("cluster_id"))
-            .withColumn("epoch", F.lit(int(top)).cast("long")))
-    # stage the snapshot BEFORE deleting anything: a crash mid-compact
-    # leaves either the old log plus an equivalent snapshot (harmless —
-    # the fold is idempotent over duplicates) or the old log untouched
-    snap.write.mode("overwrite").parquet(
-        f"{labels_path}/run_id=__compact__/batch_id=0")
+            .withColumn("epoch", F.lit(top).cast("long")))
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(labels_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging = jvm.org.apache.hadoop.fs.Path(
+        f"{labels_path}/_compact_staging")
+    promoted = jvm.org.apache.hadoop.fs.Path(
+        f"{labels_path}/run_id=__compact_new__")
+    # an orphan staging dir from a crashed step 1 is invisible to the
+    # log (never listed), so deleting it cannot touch files the fold
+    # below reads
+    fs.delete(staging, True)
+    snap.write.parquet(f"{labels_path}/_compact_staging/batch_id={topb}")
+    # a crashed step-2..4 relic IS part of the log (the fold above read
+    # it and the fresh staging supersedes it); the staging job has
+    # completed, so removing it now deletes nothing a running job reads
+    fs.delete(promoted, True)
+    if not fs.rename(staging, promoted):
+        raise IOError(f"compact: rename to {promoted} failed")
     removed = 0
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("run_id=") \
-                and name != "run_id=__compact__":
+                and name != "run_id=__compact_new__":
             fs.delete(st.getPath(), True)
             removed += 1
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{labels_path}/run_id=__compact__")
+    if not fs.rename(promoted, final):
+        raise IOError(f"compact: rename to {final} failed")
     return removed
 
 
@@ -354,7 +409,8 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                        num_hashes: int = 64, bands: int = 16,
                        threshold: float = 0.8, seed: int = 42,
                        available_now: bool = True,
-                       run_id: str | None = None) -> StreamingQuery:
+                       run_id: str | None = None,
+                       compact_every: int | None = None) -> StreamingQuery:
     """Streaming near-dup CLUSTER MAINTENANCE with an unbounded
     horizon — the labeling capstone of the streaming dedup ladder:
     where ``minhash_index_sink`` drops fuzzy duplicates, this sink
@@ -375,6 +431,19 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     runs (batch_id alone restarts at 0 per run).  ALL batch documents
     index (clustering keeps everything — unlike the dedup sink, where
     only survivors index).
+
+    ``compact_every=N`` folds the delta log with
+    :func:`compact_cluster_labels` after every Nth batch, INSIDE the
+    foreachBatch function — the label fold is the one store read whose
+    cost grows with history length (~15% per 12× log growth measured in
+    SCALE.md r8), and periodic compaction pins it at one snapshot plus
+    N deltas.  Safe mid-run because the snapshot is stamped with the
+    newest standing ``(epoch, batch_id)``: this run's LATER batches
+    outrank it, and a checkpoint replay of the just-compacted batch
+    recomputes an empty delta against the already-folded standing
+    labels (idempotent).  Pre-epoch legacy stores read as epoch 0
+    (:func:`_with_epoch`) — the first post-upgrade run claims epoch 1
+    and outranks every legacy row.
     """
     import hashlib
 
@@ -442,7 +511,7 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                           F.col("__ib").alias("id_b")).distinct())
         pairs = pairs.unionByName(within)
         if _index_exists(spark, labels_path):
-            store = spark.read.parquet(labels_path)
+            store = _with_epoch(spark.read.parquet(labels_path))
             if epoch_cell[0] is None:
                 # Reuse this run's epoch on checkpoint restart; a fresh
                 # run claims max standing epoch + 1 so its rows outrank
@@ -481,6 +550,8 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
         (bkeys.write.mode("overwrite")
          .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
         sig.unpersist()
+        if compact_every and (batch_id + 1) % int(compact_every) == 0:
+            compact_cluster_labels(spark, labels_path)
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))

@@ -34,11 +34,17 @@ from tests.conftest import SF0001
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden_plans")
 REGEN = os.environ.get("SPARK_GRAFT_REGEN_GOLDEN") == "1"
 
-# the most expensive BENCH_r07 queries (the set is re-reconciled against
-# each round's bench: r8 added quality_classifier, cms_token_freq,
-# ivfpq_topk_det and the banded incremental-clusters row)
+# the most expensive BENCH queries (the set is re-reconciled against
+# each round's bench: r9 added the four BENCH_r08 top-20 rows that
+# lacked pins — column_summary, dedup_clusters, incremental_minhash,
+# corpus_curation — and replaced the vacuous spearman_matrix pin, whose
+# query executes eagerly, with INTERNAL rank-aggregate pins for both
+# spearman contracts via __spark_entry__.internal_plan_frames)
 PINNED = [
-    "spearman_matrix",
+    "column_summary",
+    "dedup_clusters",
+    "incremental_minhash",
+    "corpus_curation",
     "quality_classifier",
     "cms_token_freq",
     "ivfpq_topk_det",
@@ -69,6 +75,14 @@ PINNED = [
     "curriculum_order_distributed",
     "pack_sequences_distributed",
     "incremental_clusters",
+]
+
+# Internal pre-execution frames for contracts that execute eagerly
+# (their own plan is a vacuous Scan ExistingRDD) — resolved through
+# __spark_entry__.internal_plan_frames()
+PINNED_INTERNAL = [
+    "spearman_corr__rank_aggregate",
+    "spearman_matrix__rank_aggregate",
 ]
 
 
@@ -131,11 +145,15 @@ def _current_plan(spark, name: str) -> str:
     # degrading to sort-merge) is visible in the initial physical plan.
     # Operators with internal fixed-point jobs (CC, quantizer training)
     # still run those — only the final query stays unexecuted.
-    df = entrymod.queries()[name](spark, SF0001)
+    if name in PINNED_INTERNAL:
+        fn = entrymod.internal_plan_frames()[name]
+    else:
+        fn = entrymod.queries()[name]
+    df = fn(spark, SF0001)
     return normalize_plan(df._jdf.queryExecution().executedPlan().toString())
 
 
-@pytest.mark.parametrize("name", PINNED)
+@pytest.mark.parametrize("name", PINNED + PINNED_INTERNAL)
 def test_golden_plan(spark, name):
     path = os.path.join(GOLDEN_DIR, f"{name}.txt")
     got = _current_plan(spark, name)

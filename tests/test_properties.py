@@ -685,13 +685,15 @@ def test_avg_ranks_multi_bitwise_equals_per_column(spark, vals, n_parts):
     """ordering.avg_ranks_multi over two columns (duplicates and nulls
     included) is BITWISE the per-column avg_ranks tables — the shared
     prefix machine with the broadcast earlier-column offset must not
-    change a single midrank."""
+    change a single midrank.  Columns are INT: the r9 precondition
+    guard rejects long/decimal inputs (distinct values past 2^53 merge
+    under the stacked double cast — covered by its own test below)."""
     from basic_data_fusion_spark.operators.ordering import (
         avg_ranks,
         avg_ranks_multi,
     )
 
-    df = spark.createDataFrame(vals, "a long, b long").repartition(3)
+    df = spark.createDataFrame(vals, "a int, b int").repartition(3)
     multi = avg_ranks_multi(df, ["a", "b"], n_partitions=n_parts)
     got = {(r["__cid"], r["__v"]): (r["__cnt"], r["avg_rank"])
            for r in multi.collect()}
@@ -700,6 +702,37 @@ def test_avg_ranks_multi_bitwise_equals_per_column(spark, vals, n_parts):
                   for r in avg_ranks(df, c, n_partitions=n_parts)
                   .collect()}
         assert {k: v for k, v in got.items() if k[0] == i} == single
+
+
+def test_avg_ranks_multi_rejects_double_unsafe_types(spark):
+    """r8 advisory: the stacked explode casts every column to double,
+    so long/decimal columns whose distinct values collide past 2^53
+    would silently MERGE rank groups.  The precondition is now guarded
+    (TypeError), and correlation_matrix routes such columns through
+    per-column avg_ranks — spearman over post-2^53 longs must come out
+    exact, not collapsed."""
+    import pytest as _pytest
+
+    from basic_data_fusion_spark.operators.ordering import avg_ranks_multi
+    from basic_data_fusion_spark.operators.stats import correlation_matrix
+
+    big = 2 ** 53
+    # big and big+1 collide as doubles; +2 is representable; +3 rounds
+    # up — under the old cast two rank groups merged and spearman < 1
+    rows = [(big, 1.0), (big + 1, 2.0), (big + 2, 3.0), (big + 3, 4.0)]
+    df = spark.createDataFrame(rows, "a long, b double")
+    with _pytest.raises(TypeError, match="avg_ranks_multi.*long"):
+        avg_ranks_multi(df, ["a", "b"])
+    got = correlation_matrix(df, ["a", "b"], method="spearman").collect()
+    # collapsed ranks (the old bug) give ~0.97; exact ranks give 1
+    # up to IEEE epsilon in the Pearson-on-ranks fold
+    assert len(got) == 1 and abs(got[0]["corr"] - 1.0) < 1e-9
+    # per-column route keeps exact DISTINCT ranks: anti-monotone pair
+    df2 = spark.createDataFrame(
+        [(big, 4.0), (big + 1, 3.0), (big + 2, 2.0), (big + 3, 1.0)],
+        "a long, b double")
+    got2 = correlation_matrix(df2, ["a", "b"], method="spearman").collect()
+    assert abs(got2[0]["corr"] + 1.0) < 1e-9
 
 
 @settings(max_examples=5, deadline=None,

@@ -933,3 +933,166 @@ def test_compact_cluster_labels_preserves_fold_and_epoch_order(spark, tmp_path):
     eps = {r["epoch"] for r in
            spark.read.parquet(store).select("epoch").collect()}
     assert eps == {2, 3}
+
+
+def _write_delta(spark, store, run, b, rows, ep=None):
+    schema = "doc_id long, cluster_id long" + \
+        (", epoch long" if ep is not None else "")
+    data = [(d, c, ep) for d, c in rows] if ep is not None else rows
+    (spark.createDataFrame(data, schema).write.mode("overwrite")
+     .parquet(f"{store}/run_id={run}/batch_id={b}"))
+
+
+def _feed_files(spark, d, batches):
+    import glob
+    import shutil
+    d.mkdir(exist_ok=True)
+    existing = len(glob.glob(str(d / "in*.parquet")))
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(str(d / f"f{i}")))
+        f = glob.glob(str(d / f"f{i}" / "*.parquet"))[0]
+        shutil.copy(f, d / f"in{existing + i}.parquet")
+        shutil.rmtree(d / f"f{i}")
+
+
+def test_compact_cluster_labels_twice_keeps_snapshot_rows(spark, tmp_path):
+    """Second compaction regression (r8 advisory): the old implementation
+    wrote the new snapshot with mode=overwrite INTO the live
+    run_id=__compact__ directory while the fold job still lazily read
+    it — Spark deletes the target before executing, so every compaction
+    after the first crashed on the vanished inputs (or silently dropped
+    the labels living only in the snapshot under ignoreMissingFiles).
+    Back-to-back compactions and compaction of a snapshot-plus-new-run
+    log must both preserve the fold."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_cluster_labels,
+        read_cluster_labels,
+    )
+
+    store = str(tmp_path / "labels")
+    # doc 99's label lives ONLY in run a — after the first compaction,
+    # only in the snapshot; losing the snapshot loses it silently
+    _write_delta(spark, store, "a", 0, [(99, 99), (11, 11)], ep=1)
+    _write_delta(spark, store, "b", 0, [(12, 12)], ep=2)
+    want = {99: 99, 11: 11, 12: 12}
+    assert compact_cluster_labels(spark, store) == 2
+    # back-to-back second compaction: the fold's only source is the
+    # snapshot itself
+    assert compact_cluster_labels(spark, store) == 1
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, store).collect()}
+    assert got == want
+    # a new run lands after compaction, then a third compaction folds
+    # snapshot + run; doc 99 must still survive
+    _write_delta(spark, store, "c", 0, [(12, 11), (13, 11)], ep=3)
+    assert compact_cluster_labels(spark, store) == 2
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, store).collect()}
+    assert got == {99: 99, 11: 11, 12: 11, 13: 11}
+    import os
+    assert sorted(os.listdir(store)) == ["run_id=__compact__"]
+
+
+def test_cluster_labels_legacy_store_without_epoch(spark, tmp_path):
+    """Pre-r8 stores have no epoch column; reading, compacting, and
+    writing over one must not fail (r8 advisory: UNRESOLVED_COLUMN on
+    the first touch) — legacy rows read as epoch 0, the first
+    post-upgrade run claims epoch 1 and outranks them."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        compact_cluster_labels,
+        read_cluster_labels,
+    )
+
+    store = str(tmp_path / "labels")
+    # legacy layout: run/batch dirs, NO epoch column in the data
+    _write_delta(spark, store, "old", 0, [(11, 11), (12, 12)])
+    _write_delta(spark, store, "old", 1, [(13, 12)])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, store).collect()}
+    assert got == {11: 11, 12: 12, 13: 12}
+
+    # a post-upgrade writer run over the legacy store: doc 2 joins the
+    # {12,13} cluster and re-roots it; the new run's epoch-1 deltas must
+    # outrank the epoch-0 legacy rows
+    text_c = "one two three four five six seven eight nine ten"
+    d = tmp_path / "in"
+    _feed_files(spark, d, [[(2, text_c)], [(22, text_c)]])
+    # seed the minhash index with the legacy docs' signatures so the
+    # new batch can pair against them
+    _feed_files(spark, tmp_path / "seed", [[(12, text_c), (13, text_c)]])
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "seed")))
+    # bootstrap run writes epoch>=1 rows for 12/13 into the store too;
+    # that's fine — it exercises the mixed legacy+epoch read path
+    q = cluster_label_sink(stream, store, str(tmp_path / "idx"),
+                           str(tmp_path / "ckpt_seed"), threshold=0.8)
+    q.awaitTermination()
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    q = cluster_label_sink(stream, store, str(tmp_path / "idx"),
+                           str(tmp_path / "ckpt"), threshold=0.8)
+    q.awaitTermination()
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, store).collect()}
+    assert got == {11: 11, 12: 2, 13: 2, 2: 2, 22: 2}
+    # compacting the mixed store materializes the epoch column
+    compact_cluster_labels(spark, store)
+    after = {r["doc_id"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, store).collect()}
+    assert after == got
+
+
+def test_cluster_label_sink_auto_compaction_parity(spark, tmp_path):
+    """compact_every=2 folds the log mid-run after batches 2 and 4; the
+    final label map must equal the uncompacted run's, later batches
+    must outrank the mid-run snapshot (a merge AFTER a compaction still
+    re-roots), and the store must end smaller than the delta log."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        read_cluster_labels,
+    )
+
+    base = [f"w{i}" for i in range(32)]
+    tail = [f"t{i}" for i in range(8)]
+    A = " ".join(base)
+    B = " ".join(base + tail)
+    M = " ".join(base + tail[:4])   # bridges A's and B's clusters
+    uniq = "entirely different words about compaction timing"
+    # batch 2 triggers a compaction (compact_every=2); the bridge doc
+    # arrives in batch 3 — AFTER the snapshot — so the merge's re-rooted
+    # labels must beat the snapshot rows in the fold
+    batches = [[(1, A), (2, B)], [(11, A), (12, uniq)],
+               [(13, B)], [(3, M)]]
+
+    def run(sub, compact_every):
+        _feed_files(spark, tmp_path / f"in_{sub}", batches)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / f"in_{sub}")))
+        q = cluster_label_sink(stream, str(tmp_path / f"labels_{sub}"),
+                               str(tmp_path / f"idx_{sub}"),
+                               str(tmp_path / f"ckpt_{sub}"),
+                               threshold=0.8,
+                               compact_every=compact_every)
+        q.awaitTermination()
+        return {r["doc_id"]: r["cluster_id"]
+                for r in read_cluster_labels(
+                    spark, str(tmp_path / f"labels_{sub}")).collect()}
+
+    plain = run("plain", None)
+    compacted = run("auto", 2)
+    assert compacted == plain
+    assert plain[3] == plain[1] == plain[2]  # the post-snapshot merge
+    import os
+    runs_plain = os.listdir(str(tmp_path / "labels_plain"))
+    runs_auto = os.listdir(str(tmp_path / "labels_auto"))
+    # 4 batches, compactions after batch ids 1 and 3: the store holds
+    # one snapshot run (+ nothing else — the last batch compacted too)
+    assert "run_id=__compact__" in runs_auto
+    assert len(runs_auto) < len(
+        spark.read.parquet(str(tmp_path / "labels_plain"))
+        .select("batch_id").distinct().collect()) or len(runs_auto) == 1
+    assert len(runs_plain) == 1  # single run dir, 4 batch dirs inside
