@@ -1285,14 +1285,25 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT re-pairing the old corpus.  Output equals the full
     recompute by the star-contraction argument (equivalence-tested);
     the oracle replays the two-stage composition with nested recursive
-    CTEs."""
+    CTEs.
+
+    RE-PRICED r9: now that ``incremental_clusters_banded`` carries the
+    scale story (the sf1 A/B and the O(batch+candidates) sweep), this
+    row's remaining job is oracle-parity of the EXHAUSTIVE-fed merge —
+    so like the other acceptance composites it prices a bounded md5
+    slice (gate_slice frac=0.3, the banded row's slice, replayed by a
+    shadowing ``documents`` CTE in the oracle).  The exhaustive
+    shingle self-join is quadratic in documents, so the slice cuts the
+    pair tier ~11x while the sliced corpus keeps hundreds of verified
+    pairs through both CC stages at driver scale."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_clusters,
+        gate_slice,
         incremental_clusters,
         ngram_jaccard_pairs,
     )
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
     old = docs.filter(F.col("doc_id") % 10 != 0)
     # jaccard is pairwise, so the old-corpus pair relation is the full
     # relation filtered to old endpoints — ONE pair tier feeds both the
@@ -1310,13 +1321,18 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_clusters(labels_old, new_pairs, new_ids)
 
 
-def _incremental_clusters_oracle() -> str:
+def _incremental_clusters_oracle(slice_frac: float = 0.3) -> str:
     jac = _ngram_jaccard_oracle(0.8)
     # jaccard is pairwise, so the old-corpus pair relation is the full
     # relation filtered to old endpoints — mirrors the Spark side's
-    # single shared pair tier
+    # single shared pair tier.  The r9 gate slice replays as a
+    # shadowing ``documents`` CTE (dedup_recall precedent), which the
+    # nested jaccard oracle's bare ``documents`` references resolve to.
+    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
     return f"""
 WITH RECURSIVE
+documents AS (SELECT * FROM main.documents WHERE {pred}),
 p_all AS (SELECT id_a, id_b FROM ({jac}) t),
 p_old AS (
   SELECT id_a, id_b FROM p_all
@@ -1332,7 +1348,7 @@ walk1(n, r) AS (
 lbl1 AS (SELECT n, MIN(r) AS c FROM walk1 GROUP BY n),
 labels_old AS (
   SELECT d.doc_id, COALESCE(l.c, d.doc_id) AS cluster_id
-  FROM main.documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
+  FROM documents d LEFT JOIN lbl1 l ON l.n = d.doc_id
   WHERE d.doc_id % 10 <> 0
 ),
 p_new AS (
@@ -1354,7 +1370,7 @@ sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl2
 SELECT d.doc_id,
        COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
        COALESCE(s.cluster_size, 1) AS cluster_size
-FROM main.documents d
+FROM documents d
 LEFT JOIN lbl2 l ON l.n = d.doc_id
 LEFT JOIN sz s ON s.cluster_id = l.cluster_id
 """
@@ -5591,6 +5607,84 @@ FROM agg
 """
 
 
+def q_dist_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + Mann–Whitney between the BUILDING and MACHINERY segments
+    from ONE shared machine (NEW r9, stats.dist_shift_report): the two
+    standalone tests pay the same value-keyed aggregation + prefix-sum
+    floor separately; the combined report pays it once and its columns
+    are BIT-EQUAL to the standalone outputs — the oracle is literally
+    the two standalone oracles cross-joined."""
+    from basic_data_fusion_spark.operators.stats import dist_shift_report
+
+    cust = _catalog(spark, sf_dir).load("customer")
+    return dist_shift_report(cust, "c_mktsegment", "c_acctbal",
+                             "BUILDING", "MACHINERY")
+
+
+_DIST_SHIFT_ORACLE = f"""
+SELECT k.n_a, k.n_b, k.ks_d, m.u_a, m.u_b, m.z
+FROM ({_KS_ORACLE}) k CROSS JOIN ({_MANNWHITNEY_ORACLE}) m
+"""
+
+
+def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Kendall tau-b per return flag over a deterministic
+    lineitem slice (NEW r9, stats.kendall_tau_grouped) — closes T7's
+    last pytest-only statistic with a driver hash row.  The group-keyed
+    pair self-join is quadratic PER COHORT, so the contract bounds the
+    cohorts with an exact modulus slice (l_orderkey % 200 = 0 — the
+    oracle replays the predicate, gate_slice precedent), same as the
+    reference bounds kendall with its ≤5000-row collected sample.  The
+    pair id is l_orderkey*8 + l_linenumber (linenumber ≤ 7, so the key
+    is unique and integer-exact on both engines); every count is an
+    exact BIGINT and tau exits through one fixed IEEE tree."""
+    from basic_data_fusion_spark.operators.stats import kendall_tau_grouped
+
+    li = (_catalog(spark, sf_dir).load("lineitem")
+          .filter(F.col("l_orderkey") % 200 == 0)
+          .withColumn("__pid", F.col("l_orderkey") * 8
+                      + F.col("l_linenumber")))
+    return kendall_tau_grouped(li, "l_returnflag", "l_quantity",
+                               "l_extendedprice", "__pid")
+
+
+_KENDALL_TAU_ORACLE = """
+WITH d AS (
+  SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
+         l_orderkey * 8 + l_linenumber AS i
+  FROM lineitem
+  WHERE l_orderkey % 200 = 0
+    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+p AS (
+  SELECT a.g,
+         CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+              THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+              THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS t1,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS t2
+  FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+),
+agg AS (
+  SELECT g, COUNT(*) AS n_pairs, SUM(conc) AS concordant,
+         SUM(disc) AS discordant, SUM(t1) AS n1, SUM(t2) AS n2
+  FROM p GROUP BY g
+)
+SELECT g AS l_returnflag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       CASE WHEN n_pairs > n1 AND n_pairs > n2 THEN
+         CAST(concordant - discordant AS DOUBLE)
+         / (SQRT(CAST(n_pairs - n1 AS DOUBLE))
+            * SQRT(CAST(n_pairs - n2 AS DOUBLE)))
+       END AS tau_b
+FROM agg
+ORDER BY g
+"""
+
+
 def q_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-squared independence test between order priority and
     order status, with Cramér's V effect size (stats.chi2_independence):
@@ -7582,54 +7676,50 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed in r8: spearman_corr re-pointed at the engine path
-#     (correlation_matrix distributed midranks — the det-SQL rank
-#     window survives as the ORACLE only, closing the r7 verification
-#     gap); the pack_sequences family moved to exact long `div` pack
-#     arithmetic (oracle moved to `//` in lockstep); and the NEW
-#     incremental_clusters_banded row, whose batch pairs come from the
-#     banded candidate tier instead of a full-corpus pair scan,
-# (b) the two unexplained r6→r7 bench movers (column_summary_approx,
-#     simhash_det) so their isolated re-measure rides on fresh hashes
-#     (same protocol as r7's sq8_topk/label_cohesion),
-# (c) the 12 r3-era stale rows the r7 window comment promised for r8,
-# (d) the oldest r4-era greens in registration order, oracle-backed
-#     only (the pin test keeps the window fully hash-checked; the
-#     rows-only r4 rows — minhash_dedup, semantic_dedup, ivf_topk,
-#     pq_topk, bpe_encode_docs, compression_ratio, simhash_near_dups —
-#     stay r4-era by design: re-greening them records only the weaker
-#     rows-only check, and each has a hash-green det twin already).
-# After this rotation no query's latest driver row predates r4.
-# Everything checked in r5-r7 sits past the window; every query,
-# windowed or not, stays pinned each pytest run by
-# tests/test_oracle_parity.py.
+# (a) changed/new in r9: incremental_clusters RE-PRICED onto the
+#     gate_slice contract (frac 0.3, oracle shadows `documents` — its
+#     role is oracle-parity of the exhaustive graph now that the banded
+#     row carries the scale story); the NEW dist_shift_report row
+#     (KS + Mann-Whitney from ONE shared prefix machine, bit-equal to
+#     the standalone outputs) and kendall_tau_grouped row (exact
+#     distributed tau-b pair count — T7's last pytest-only statistic
+#     gets a driver hash); and the two spearman rows re-hashed after
+#     the correlation_aggregate refactor (plan-neutral by construction
+#     — the internal rank-aggregate golden pins froze with it — but
+#     re-hashing removes the assumption),
+# (b) the 7 remaining r4-era oracle-backed rows (the other 7 r4 rows —
+#     minhash_dedup, semantic_dedup, ivf_topk, pq_topk, bpe_encode_docs,
+#     compression_ratio, simhash_near_dups — stay r4-era BY DESIGN:
+#     rows-only checks, each with a hash-green det twin),
+# (c) the oldest r5-era greens in registration order, oracle-backed
+#     only (42 sat at r5; 38 fit — token_counts, last in registration
+#     order, rotates in r10 with the r6-era rows).
+# After this rotation no oracle-backed query's latest driver row
+# predates r5 (the r7 criterion extended one round).  Everything
+# checked in r6-r8 sits past the window; every query, windowed or not,
+# stays pinned each pytest run by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r8 plan/oracle changes — fresh hashes for current contracts
-    "spearman_corr", "spearman_matrix", "pack_sequences",
-    "pack_sequences_sharded",
-    "pack_sequences_distributed", "incremental_clusters_banded",
-    "length_bucketed_batches",
-    # (b) re-measure riders
-    "column_summary_approx", "simhash_det",
-    # (c) the 12 r3-era stale rows
-    "disjunctive_parts_revenue", "part_supplier_variety",
-    "nation_pair_trade", "melt_measures", "zscore_by_segment",
-    "mad_outliers_by_segment", "segment_sample",
-    "filter_impact_individual", "profiling_stats", "line_dedup",
-    "dsir_weights", "embedding_near_dups",
-    # (d) oldest r4-era greens, registration order, oracle-backed only
-    "forecast_revenue", "market_share", "returned_item_losses",
-    "temperature_mix", "dsir_top_docs", "exactsubstr_dedup",
-    "url_dedup", "dsir_gumbel_sample", "pareto_quality_sample",
-    "stupid_backoff_lm", "perplexity_buckets", "bm25_search",
-    "cheapest_supplier_per_part", "product_type_profit",
-    "priority_shipping_bands", "bulk_suppliers_for_parts",
-    "sole_blame_suppliers", "important_stock", "chi2_priority_status",
-    "hybrid_rrf_search", "benford_extendedprice", "curriculum_order",
-    "corpus_composition", "rolling_zscore_purchases",
-    "mutual_info_priority_status", "winnow_fingerprints",
-    "winsorized_acctbal", "distinctive_terms_en",
-    "toml_pipeline_curation",
+    # (a) r9 plan/oracle changes — fresh hashes for current contracts
+    "incremental_clusters", "dist_shift_report", "kendall_tau_grouped",
+    "spearman_corr", "spearman_matrix",
+    # (b) the 7 remaining r4-era oracle-backed rows
+    "grouped_normality_k2", "source_overlap", "grouped_ols_events",
+    "js_divergence_en", "approx_top_flags", "incremental_dedup",
+    "minhash_dedup_det",
+    # (c) oldest r5-era greens, registration order, oracle-backed only
+    "token_budget_mix", "trigram_lm", "corpus_curation_v2",
+    "part_heavy_hitters", "bloom_decontam_det", "corpus_diff",
+    "domain_quality_report", "incremental_minhash_det", "pq_topk_det",
+    "ivfpq_topk_det", "cms_token_freq", "flagship_merge",
+    "participant_count", "segment_breakdown", "acctbal_minmax",
+    "distinct_segments", "top_segments", "numeric_ranges_lineitem",
+    "filter_impact", "enwiden_events", "baseline_consolidation",
+    "column_summary", "dist_stats_acctbal", "iqr_outliers_acctbal",
+    "substudy_filter", "longitudinal_merge", "distinct_capped",
+    "categorical_summary", "pearson_corr", "ols_regression",
+    "anova_acctbal_by_segment", "histogram_acctbal",
+    "quality_audit_orders", "density_2d_lineitem", "pricing_summary",
+    "shipping_priority", "regional_volume", "dedup_exact",
 ]
 
 
@@ -7784,6 +7874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-8 additions ----
         "incremental_clusters_banded": q_incremental_clusters_banded,
         "length_bucketed_batches": q_length_bucketed_batches,
+        # ---- round-9 additions ----
+        "dist_shift_report": q_dist_shift_report,
+        "kendall_tau_grouped": q_kendall_tau_grouped,
         "url_dedup": q_url_dedup,
         "dsir_gumbel_sample": q_dsir_gumbel_sample,
         "pareto_quality_sample": q_pareto_quality_sample,
@@ -7944,6 +8037,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_clusters": _incremental_clusters_oracle(),
         "incremental_clusters_banded": _incremental_clusters_banded_oracle(),
         "length_bucketed_batches": _LENGTH_BUCKETED_ORACLE,
+        "dist_shift_report": _DIST_SHIFT_ORACLE,
+        "kendall_tau_grouped": _KENDALL_TAU_ORACLE,
         "url_dedup": _URL_DEDUP_ORACLE,
         "stupid_backoff_lm": _STUPID_BACKOFF_ORACLE,
         "perplexity_buckets": _perplexity_buckets_oracle(),

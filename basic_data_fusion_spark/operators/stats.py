@@ -193,6 +193,135 @@ def high_correlation_pairs(corr_df: DataFrame, threshold: float = 0.7) -> DataFr
     return corr_df.filter(F.abs(F.col("corr")) > threshold)
 
 
+def dist_shift_report(df: DataFrame, group_col: str, value_col: str,
+                      group_a, group_b) -> DataFrame:
+    """KS distance AND Mann–Whitney U between two groups from ONE
+    machine — the combined two-sample distribution-shift report.
+    :func:`ks_two_sample` and :func:`mann_whitney_u` each pay the same
+    floor separately (one value-keyed aggregation + one distributed
+    prefix pass over the value order); their inputs are literally the
+    same per-distinct-value counters, so the report shares ONE scan,
+    ONE aggregation, and ONE ``ordering.global_running_sum`` machine
+    between both statistics (the r8 ``avg_ranks_multi`` argument
+    applied to the two-sample tests).
+
+    Same exact-integer contracts as the standalone operators: the KS
+    supremum compares integer cross-products; MW midranks are carried
+    doubled; both exit to double through the identical fixed IEEE
+    expression trees — so the columns are BIT-EQUAL to the standalone
+    outputs and the standalone oracles verify them unchanged.
+
+    Returns one row: (n_a, n_b, ks_d, u_a, u_b, z)."""
+    from .ordering import global_running_sum
+
+    vals = (df.filter(F.col(group_col).isin([group_a, group_b])
+                      & F.col(value_col).isNotNull())
+            .select((F.col(group_col) == group_a).cast("int").alias("__is_a"),
+                    F.col(value_col).alias("__v")))
+    g = (vals.groupBy("__v")
+         .agg(F.sum("__is_a").alias("__ga"),
+              F.count(F.lit(1)).alias("t")))
+    # ONE prefix machine, two counters: ca = running group-a count (the
+    # KS ECDF numerator), end = running total count (the MW tie-run end
+    # position); cb = end − ca
+    runs = global_running_sum(g, ["__v"], ["__ga", "t"], ["ca", "end"])
+    totals = g.agg(F.sum("__ga").alias("na"),
+                   F.sum(F.col("t") - F.col("__ga")).alias("nb"))
+    cb = F.col("end") - F.col("ca")
+    agg = (runs.crossJoin(F.broadcast(totals))
+           .agg(F.max(F.abs(F.col("ca") * F.col("nb")
+                            - cb * F.col("na"))).alias("__ksnum"),
+                F.sum(F.col("__ga")
+                      * (2 * F.col("end") - F.col("t") + 1)).alias("__2ra"),
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                .alias("__ties"),
+                F.first("na").alias("__na"), F.first("nb").alias("__nb")))
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    n = F.col("__na") + F.col("__nb")
+    ks_d = (F.col("__ksnum").cast("double")
+            / (F.col("__na") * F.col("__nb")))
+    u_a = (F.col("__2ra").cast("double")
+           - F.col("__na").cast("double") * (F.col("__na") + 1).cast("double")
+           ) / F.lit(2.0)
+    u_b = na * nb - F.col("__u_a")
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)
+           * ((n + 1).cast("double")
+              - F.col("__ties").cast("double")
+              / (n.cast("double") * (n - 1).cast("double"))))
+    z = F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+               F.when(var > F.lit(0.0), (F.col("__u_a") - mu) / F.sqrt(var)))
+    return (agg.withColumn("__u_a", u_a)
+            .select(F.col("__na").cast("long").alias("n_a"),
+                    F.col("__nb").cast("long").alias("n_b"),
+                    ks_d.alias("ks_d"),
+                    F.col("__u_a").alias("u_a"),
+                    u_b.alias("u_b"),
+                    z.alias("z")))
+
+
+def kendall_tau_grouped(df: DataFrame, group_col: str, col_a: str,
+                        col_b: str, id_col: str) -> DataFrame:
+    """EXACT Kendall tau-b per group, computed distributed as a pair
+    count — the hash-checkable tier of T7's kendall surface (reference:
+    analysis/statistics.py runs scipy on collected frames; this keeps
+    the same statistic in-engine).  Per group g:
+
+        tau_b = (C − D) / (sqrt(n0 − n1) · sqrt(n0 − n2))
+
+    over the group's unordered row pairs (``id_col`` must be a unique
+    numeric id; the ``<`` on it counts each pair once): C/D = pairs
+    strictly concordant/discordant in (col_a, col_b); n0 = all pairs;
+    n1/n2 = pairs tied in col_a / col_b.  The pairwise tie counts equal
+    the classic Σt(t−1)/2 run form.  Every count accumulates as an
+    exact BIGINT (the pair classifier is pure comparisons — no float
+    arithmetic enters before the single final fixed expression tree),
+    so the statistic is bit-identical on any engine/partitioning and a
+    DuckDB oracle replays it verbatim.  Zero denominators (a group
+    where one variable is constant, or <2 rows) yield NULL through
+    nested lazy guards (ANSI mode).
+
+    Scale shape: the self-join is GROUP-KEYED — only (group, a, b, id)
+    tuples shuffle, partitioned by group, so the quadratic blowup is
+    per-cohort, never corpus-wide.  This is the exact tier for bounded
+    cohorts (|g| ≲ 10⁵ → ≤5·10⁹ comparisons spread over the cluster);
+    corpus-scale columns use ``kendall_tau_sample`` (the reference's
+    own bounded-sample semantics, ≤5000 rows).  Callers bound |g| the
+    same way the acceptance gates do (a deterministic slice the oracle
+    replays).  Returns one row per group:
+    (group_col, n_pairs, concordant, discordant, tau_b)."""
+    a, b = F.col("__xa"), F.col("__ya")
+    a2, b2 = F.col("__xb"), F.col("__yb")
+    d = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+         .select(group_col, F.col(col_a).alias("__x"),
+                 F.col(col_b).alias("__y"), F.col(id_col).alias("__i")))
+    lhs = d.select(group_col, F.col("__x").alias("__xa"),
+                   F.col("__y").alias("__ya"), F.col("__i").alias("__ia"))
+    rhs = d.select(group_col, F.col("__x").alias("__xb"),
+                   F.col("__y").alias("__yb"), F.col("__i").alias("__ib"))
+    pairs = (lhs.join(rhs, group_col)
+             .filter(F.col("__ia") < F.col("__ib")))
+    conc = (((a < a2) & (b < b2)) | ((a > a2) & (b > b2))).cast("long")
+    disc = (((a < a2) & (b > b2)) | ((a > a2) & (b < b2))).cast("long")
+    tie_a = (a == a2).cast("long")
+    tie_b = (b == b2).cast("long")
+    agg = (pairs.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(conc).alias("concordant"),
+                F.sum(disc).alias("discordant"),
+                F.sum(tie_a).alias("__n1"),
+                F.sum(tie_b).alias("__n2")))
+    da = (F.col("n_pairs") - F.col("__n1")).cast("double")
+    db = (F.col("n_pairs") - F.col("__n2")).cast("double")
+    tau = F.when((F.col("n_pairs") > F.col("__n1"))
+                 & (F.col("n_pairs") > F.col("__n2")),
+                 (F.col("concordant") - F.col("discordant")).cast("double")
+                 / (F.sqrt(da) * F.sqrt(db)))
+    return (agg.select(group_col, "n_pairs", "concordant", "discordant",
+                       tau.alias("tau_b"))
+            .orderBy(group_col))
+
+
 def kendall_tau_sample(df: DataFrame, col_a: str, col_b: str, max_n: int = 5000,
                        seed: int = 42) -> float:
     """Kendall's tau-b on a bounded sample (no distributed built-in; the

@@ -179,6 +179,10 @@ HEADLINE += [
     "spearman_corr",                 # engine path: distributed midranks
     "spearman_matrix",               # 3-column spearman, one stacked rank pass
     "length_bucketed_batches",       # sorted batching, distributed total order
+
+    # new in round 9 (absent from BENCH_r08 and earlier)
+    "dist_shift_report",             # KS + Mann-Whitney from ONE prefix machine
+    "kendall_tau_grouped",           # exact tau-b pair count, group-keyed join
 ]
 
 
@@ -245,6 +249,38 @@ def main() -> None:
             cal_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         calibration = round(best, 4)
+
+    # Shuffle-class calibration (round-9 addition): the broadcast-join
+    # probe above tracks the scan/broadcast classes but NOT the
+    # shuffle-heavy pair tier (banded dedup joins, CC, recall reports),
+    # which drifts cross-session on its own axis (SCALE.md r8 recorded
+    # the class ~1.2-1.3x above its r7 numbers at a FASTER broadcast
+    # calibration, reverting hours later).  This probe is a fixed,
+    # data-independent, seeded hash-relation self-join shaped like that
+    # class — md5 bucket keys, sort-merge pair join pinned by hint,
+    # distinct pair output — so pair-tier queries are read against THIS
+    # anchor, not re-litigated per round.  Reported as
+    # ``calibration_shuffle`` beside the broadcast anchor.
+    from pyspark.sql import functions as F
+    rel = (spark.range(400_000)
+           .select(F.col("id"),
+                   F.substring(F.md5(F.col("id").cast("string")), 1, 4)
+                   .alias("bucket")))
+    probe = (rel.alias("a")
+             .join(rel.alias("b").hint("merge"), "bucket")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+             .distinct()
+             .groupBy().agg(F.count(F.lit(1)).alias("n_pairs")))
+    for _ in range(warmup):
+        probe.write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        probe.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    calibration_shuffle = round(best, 4)
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -287,6 +323,9 @@ def main() -> None:
         # fixed-control best-of-3 measured before the sweep; divide two
         # rounds' calibrations to get the box-drift factor between them
         "calibration": calibration,
+        # fixed shuffle-class control (seeded md5 self-join): normalize
+        # the pair-tier/dedup class by THIS anchor's cross-round ratio
+        "calibration_shuffle": calibration_shuffle,
         # round-over-round comparability: the pre-round-3 / pre-round-4
         # / pre-round-5 headline subsets
         "subtotal_r02_comparable": round(

@@ -663,3 +663,63 @@ def test_histogram_empty_input_returns_empty(spark):
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == \
         ["bin", "bin_start", "bin_end", "n"]
+
+
+def test_dist_shift_report_bitwise_equals_standalone(spark):
+    """The combined KS+MW report (ONE value aggregation + ONE prefix
+    machine) must be BIT-EQUAL to the standalone ks_two_sample and
+    mann_whitney_u outputs — the shared-machine rewrite may not move a
+    single ulp (the standalone oracles verify the combined row
+    unchanged)."""
+    from basic_data_fusion_spark.operators.stats import (
+        dist_shift_report,
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    rows = [("a", float(v)) for v in [1, 2, 2, 3, 5, 8, 8, 8, 13]] + \
+           [("b", float(v)) for v in [2, 3, 3, 4, 8, 9, 21]] + \
+           [("c", 99.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(5)
+    got = dist_shift_report(df, "g", "v", "a", "b").collect()[0]
+    ks = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    mw = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (ks["n_a"], ks["n_b"]) == (9, 7)
+    assert got["ks_d"] == ks["ks_d"]
+    assert (got["u_a"], got["u_b"], got["z"]) == (mw["u_a"], mw["u_b"], mw["z"])
+
+
+def test_kendall_tau_grouped_matches_sample_tau(spark):
+    """The distributed exact pair-count tau-b equals the bounded-sample
+    implementation (scipy when present, else the Fenwick O(n log n)
+    numpy path) per group, ties included; degenerate groups (constant
+    column, single row) yield NULL."""
+    import math
+
+    from basic_data_fusion_spark.operators.stats import (
+        kendall_tau_grouped,
+        kendall_tau_sample,
+    )
+
+    rows = []
+    vals = [(1.0, 2.0), (2.0, 1.0), (2.0, 3.0), (3.0, 3.0), (4.0, 5.0),
+            (4.0, 5.0), (5.0, 4.0), (6.0, 8.0)]
+    for i, (x, y) in enumerate(vals):
+        rows.append(("g1", x, y, i))
+    for i, (x, y) in enumerate([(1.0, 9.0), (2.0, 7.0), (3.0, 4.0),
+                                (4.0, 4.0), (5.0, 1.0)]):
+        rows.append(("g2", x, y, 100 + i))
+    rows.append(("const", 1.0, 5.0, 200))
+    rows.append(("const", 1.0, 7.0, 201))
+    rows.append(("single", 3.0, 3.0, 300))
+    df = spark.createDataFrame(rows, "g string, x double, y double, i long") \
+        .repartition(4)
+    got = {r["g"]: r for r in kendall_tau_grouped(
+        df, "g", "x", "y", "i").collect()}
+    for g in ["g1", "g2"]:
+        want = kendall_tau_sample(df.filter(df["g"] == g), "x", "y")
+        assert math.isclose(got[g]["tau_b"], want, rel_tol=1e-12), (g, got[g], want)
+    assert got["g2"]["tau_b"] < 0 < got["g1"]["tau_b"]
+    # constant x: n_pairs == n1 -> NULL; single row: zero pairs -> no row
+    assert got["const"]["tau_b"] is None
+    assert "single" not in got
