@@ -93,7 +93,7 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     anti-joins against a PERSISTED content-hash index, dedups within
     itself (min-id wins), then appends its survivors to ``out_path`` and
     their hashes to ``index_path`` — both into replay-idempotent
-    ``batch_id=N`` directories.
+    ``run_id=R/batch_id=N`` directories.
 
     This is the tier above ``streaming_exact_dedup``: watermark-bounded
     state drops re-deliveries within the horizon and then FORGETS — a
@@ -102,16 +102,21 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     plain partitioned parquet here) remembers forever, at the cost of
     one index scan per batch. Scale shape per batch: index side reduces
     to DISTINCT 32-char hashes, batch shuffles once on the hash;
-    document bodies never shuffle. The index grows one small hash file
-    per batch — run the layout compactor (sources/partitioning) on it
-    like any other small-files table.
+    document bodies never shuffle. The index grows one small hash
+    directory per batch — fold it with ``compact_index_store`` between
+    runs (r9; the generic layout compactor works too but is not
+    in-place/crash-safe).
 
-    ``run_id`` namespaces this query's index partitions (default:
-    derived from the checkpoint path — stable across retries of the
-    same query, distinct across fresh runs). Replay safety excludes only
-    THIS run's current batch partition from the anti-join; a bare
-    ``batch_id`` filter would collide with a previous run's partition 0
-    and silently un-index it.
+    ``run_id`` namespaces this query's index AND output partitions
+    (default: derived from the checkpoint path — stable across retries
+    of the same query, distinct across fresh runs). Replay safety
+    excludes only THIS run's current batch partition from the
+    anti-join; a bare ``batch_id`` filter would collide with a previous
+    run's partition 0 and silently un-index it.  The output dirs are
+    run-namespaced for the same reason (r9 fix): batch ids restart at 0
+    per run, so a second run over the same ``out_path`` would OVERWRITE
+    the first run's batch-0 survivors — silent output loss on exactly
+    the unbounded-horizon reuse this sink exists for.
     """
     import hashlib
 
@@ -135,7 +140,7 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
                 .select(id_col))
         survivors = hashed.join(keep, id_col, "left_semi").persist()
         (survivors.drop("__h").write.mode("overwrite")
-         .parquet(f"{out_path}/batch_id={batch_id}"))
+         .parquet(f"{out_path}/run_id={run}/batch_id={batch_id}"))
         (survivors.select("__h").distinct().write.mode("overwrite")
          .parquet(f"{index_path}/run_id={run}/batch_id={batch_id}"))
         survivors.unpersist()
@@ -202,7 +207,9 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     docs near-duplicate to the indexed history OR to a smaller-id batch
     sibling, then appends its survivors to ``out_path`` and their
     signatures + band keys to the two index stores — everything into
-    replay-idempotent ``batch_id=N`` directories.
+    replay-idempotent ``run_id=R/batch_id=N`` directories (outputs
+    run-namespaced since r9: batch ids restart per run, so a second
+    run would otherwise overwrite the first run's batch-0 survivors).
 
     Layout mirrors a production deployment: ``index_path/bands`` holds
     the compact (band, bucket, id) probe relation, ``index_path/sigs``
@@ -269,7 +276,7 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
         drops = in_drop if drops is None else drops.unionByName(in_drop).distinct()
         survivors = batch_df.join(drops, id_col, "left_anti").persist()
         (survivors.write.mode("overwrite")
-         .parquet(f"{out_path}/batch_id={batch_id}"))
+         .parquet(f"{out_path}/run_id={run}/batch_id={batch_id}"))
         surv_sig = sig.join(survivors.select(id_col), id_col, "left_semi")
         (surv_sig.write.mode("overwrite")
          .parquet(f"{sig_dir}/run_id={run}/batch_id={batch_id}"))
@@ -371,18 +378,31 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
             .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
                  .alias("cluster_id"))
             .withColumn("epoch", F.lit(top).cast("long")))
+    return _replace_runs_with_snapshot(spark, labels_path, snap, topb)
+
+
+def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
+                                snap: DataFrame, batch_id: int) -> int:
+    """The crash-safe replace-log-with-snapshot sequence shared by the
+    store compactors (steps documented in
+    :func:`compact_cluster_labels`): stage ``snap`` (whose plan may
+    lazily read ``store_path``) into the listing-invisible
+    ``_compact_staging/batch_id=<batch_id>``, promote it into the log
+    by rename, delete the old ``run_id=`` directories only after the
+    staging job completed, and rename to ``run_id=__compact__``.
+    Returns the number of run directories removed."""
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(labels_path)
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     staging = jvm.org.apache.hadoop.fs.Path(
-        f"{labels_path}/_compact_staging")
+        f"{store_path}/_compact_staging")
     promoted = jvm.org.apache.hadoop.fs.Path(
-        f"{labels_path}/run_id=__compact_new__")
+        f"{store_path}/run_id=__compact_new__")
     # an orphan staging dir from a crashed step 1 is invisible to the
     # log (never listed), so deleting it cannot touch files the fold
     # below reads
     fs.delete(staging, True)
-    snap.write.parquet(f"{labels_path}/_compact_staging/batch_id={topb}")
+    snap.write.parquet(f"{store_path}/_compact_staging/batch_id={batch_id}")
     # a crashed step-2..4 relic IS part of the log (the fold above read
     # it and the fresh staging supersedes it); the staging job has
     # completed, so removing it now deletes nothing a running job reads
@@ -397,10 +417,53 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
             fs.delete(st.getPath(), True)
             removed += 1
     final = jvm.org.apache.hadoop.fs.Path(
-        f"{labels_path}/run_id=__compact__")
+        f"{store_path}/run_id=__compact__")
     if not fs.rename(promoted, final):
         raise IOError(f"compact: rename to {final} failed")
     return removed
+
+
+def compact_index_store(spark: SparkSession, store_path: str) -> int:
+    """Compact an APPEND-ONLY ``run_id=R/batch_id=N`` index store (the
+    content-hash index of ``index_backed_dedup_sink``, or one of the
+    ``sigs``/``bands`` relations under ``minhash_index_sink`` /
+    ``cluster_label_sink``'s index path) into a single snapshot run.
+
+    These stores grow one small parquet directory per micro-batch
+    forever; the r9 24-batch scale run showed the per-batch cost drift
+    is the INDEX side, and at production history lengths the
+    file-listing and open cost of thousands of batch directories
+    dominates the probe long before row count does.  Rows are plain
+    facts (no latest-wins semantics), so compaction is an identity
+    rewrite deduplicated-by-nothing: read, drop the run/batch partition
+    values, rewrite as ``run_id=__compact__/batch_id=0`` via the same
+    crash-safe staging sequence the labels compactor uses (every crash
+    point leaves a store whose READ content is unchanged).
+
+    Contract: run BETWEEN writer runs only (stream stopped).  Unlike
+    ``compact_cluster_labels`` — whose epoch stamping makes mid-run
+    compaction rank-correct — the dedup sinks' replay safety depends on
+    excluding THIS run's current batch partition from the probe
+    (``not_this``), and a compacted index folds those rows into the
+    snapshot where the exclusion can no longer see them: a mid-run
+    crash replay would then probe against the batch's own pre-crash
+    writes.  Between runs there is no uncommitted batch to replay, so
+    the snapshot is safe.  (``cluster_label_sink``'s history probes
+    additionally guard ``__ex_id != id`` so a self-row in the index is
+    inert either way.)  Returns the number of run directories
+    removed."""
+    snap = spark.read.parquet(store_path).drop("run_id", "batch_id")
+    return _replace_runs_with_snapshot(spark, store_path, snap, 0)
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
+    """Compact both relations of a banded MinHash index store (the
+    ``bands`` and ``sigs`` subdirectories ``minhash_index_sink`` and
+    ``cluster_label_sink`` maintain) — see :func:`compact_index_store`
+    for semantics and the between-runs contract.  Returns the total
+    run directories removed."""
+    return (compact_index_store(spark, f"{index_path}/bands")
+            + compact_index_store(spark, f"{index_path}/sigs"))
 
 
 def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
@@ -488,7 +551,12 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
             idx_s = not_this(spark.read.parquet(sig_dir)).select(
                 F.col(id_col).alias("__ex_id"),
                 F.col("signature").alias("__ex_sig"))
+            # a self-row (this doc's own index entry from an earlier
+            # run, or from a compacted index where not_this can't see
+            # run/batch provenance) would only produce an inert CC
+            # self-loop — prune it before the signature join
             cand = (bkeys.join(idx_b, ["band", "bucket"])
+                    .filter(F.col("__ex_id") != F.col(id_col))
                     .select(id_col, "__ex_id").distinct())
             hist = (cand.join(sig, id_col).join(idx_s, "__ex_id")
                     .filter(est_sim(F.col("signature"),

@@ -1096,3 +1096,90 @@ def test_cluster_label_sink_auto_compaction_parity(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "labels_plain"))
         .select("batch_id").distinct().collect()) or len(runs_auto) == 1
     assert len(runs_plain) == 1  # single run dir, 4 batch dirs inside
+
+
+def test_compact_minhash_index_between_runs_preserves_results(spark, tmp_path):
+    """Compacting the banded index stores (bands/sigs) between writer
+    runs must not change anything downstream: a second
+    cluster_label_sink run over the compacted index produces the same
+    final label map as the never-compacted twin, and the index stores
+    collapse to one snapshot run each."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        compact_cluster_labels,
+        compact_minhash_index,
+        read_cluster_labels,
+    )
+
+    base = [f"w{i}" for i in range(32)]
+    A = " ".join(base)
+    B = " ".join(base + ["t0", "t1", "t2", "t3"])   # near-dup of A's tail
+    uniq = "a wholly different document about index compaction"
+    run1 = [[(1, A)], [(12, uniq)]]
+    run2 = [[(3, A)], [(13, B)]]    # 3 joins {1}; 13 bridges via sim
+
+    def pipeline(sub, compact_between):
+        for i, batches in enumerate([run1, run2]):
+            _feed_files(spark, tmp_path / f"in_{sub}_{i}", batches)
+            stream = (spark.readStream.schema("doc_id long, text string")
+                      .option("maxFilesPerTrigger", "1")
+                      .parquet(str(tmp_path / f"in_{sub}_{i}")))
+            q = cluster_label_sink(stream, str(tmp_path / f"labels_{sub}"),
+                                   str(tmp_path / f"idx_{sub}"),
+                                   str(tmp_path / f"ckpt_{sub}_{i}"),
+                                   threshold=0.8)
+            q.awaitTermination()
+            if compact_between and i == 0:
+                removed = compact_minhash_index(
+                    spark, str(tmp_path / f"idx_{sub}"))
+                assert removed == 2  # one run dir in each of bands/sigs
+                compact_cluster_labels(spark, str(tmp_path / f"labels_{sub}"))
+        return {r["doc_id"]: r["cluster_id"]
+                for r in read_cluster_labels(
+                    spark, str(tmp_path / f"labels_{sub}")).collect()}
+
+    plain = pipeline("plain", False)
+    compacted = pipeline("comp", True)
+    assert compacted == plain
+    assert plain[3] == plain[1]  # the cross-run near-dup joined
+    for rel in ["bands", "sigs"]:
+        runs = [d for d in os.listdir(str(tmp_path / "idx_comp" / rel))
+                if d.startswith("run_id=")]
+        # snapshot run + run 2's new directory
+        assert "run_id=__compact__" in runs and len(runs) == 2
+
+
+def test_compact_index_store_exact_dedup_between_runs(spark, tmp_path):
+    """The exact-hash index of index_backed_dedup_sink survives
+    compaction: a later run still drops a re-delivered duplicate (the
+    snapshot keeps remembering forever) and passes fresh content."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_index_store,
+        index_backed_dedup_sink,
+        read_sink,
+    )
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+
+    def run(sub, batches):
+        _feed_files(spark, tmp_path / f"in_{sub}", batches)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / f"in_{sub}")))
+        q = index_backed_dedup_sink(stream, out, idx,
+                                    str(tmp_path / f"ckpt_{sub}"))
+        q.awaitTermination()
+
+    run("one", [[(1, "alpha beta gamma")], [(2, "delta epsilon zeta")]])
+    assert compact_index_store(spark, idx) == 1
+    runs = [d for d in os.listdir(idx) if d.startswith("run_id=")]
+    assert runs == ["run_id=__compact__"]
+    # run 2: doc 11 re-delivers doc 1's content (must drop against the
+    # compacted snapshot), doc 12 is fresh (must survive)
+    run("two", [[(11, "alpha beta gamma"), (12, "brand new words here")]])
+    got = {r["doc_id"] for r in read_sink(spark, out).collect()}
+    assert got == {1, 2, 12}
