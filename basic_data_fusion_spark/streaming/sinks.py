@@ -88,7 +88,8 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
                             checkpoint: str, text_col: str = "text",
                             id_col: str = "doc_id",
                             available_now: bool = True,
-                            run_id: str | None = None) -> StreamingQuery:
+                            run_id: str | None = None,
+                            compact_every: int | None = None) -> StreamingQuery:
     """Streaming exact dedup with an UNBOUNDED horizon: each micro-batch
     anti-joins against a PERSISTED content-hash index, dedups within
     itself (min-id wins), then appends its survivors to ``out_path`` and
@@ -103,9 +104,12 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     one index scan per batch. Scale shape per batch: index side reduces
     to DISTINCT 32-char hashes, batch shuffles once on the hash;
     document bodies never shuffle. The index grows one small hash
-    directory per batch — fold it with ``compact_index_store`` between
-    runs (r9; the generic layout compactor works too but is not
-    in-place/crash-safe).
+    directory per batch — ``compact_every=N`` folds it mid-run after
+    every Nth batch (``compact_index_store`` with the current batch's
+    partition excluded and preserved, so the replay exclusion keeps
+    working — see that docstring for the crash analysis), or fold it
+    between runs without the hook (r9; the generic layout compactor
+    works too but is not in-place/crash-safe).
 
     ``run_id`` namespaces this query's index AND output partitions
     (default: derived from the checkpoint path — stable across retries
@@ -144,6 +148,9 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
         (survivors.select("__h").distinct().write.mode("overwrite")
          .parquet(f"{index_path}/run_id={run}/batch_id={batch_id}"))
         survivors.unpersist()
+        if compact_every and (batch_id + 1) % int(compact_every) == 0:
+            compact_index_store(spark, index_path,
+                                keep_current=(run, batch_id))
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))
@@ -196,7 +203,8 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
                        num_hashes: int = 64, bands: int = 16,
                        threshold: float = 0.8, seed: int = 42,
                        available_now: bool = True,
-                       run_id: str | None = None) -> StreamingQuery:
+                       run_id: str | None = None,
+                       compact_every: int | None = None) -> StreamingQuery:
     """Streaming FUZZY dedup with an unbounded horizon — the MinHash
     tier above ``index_backed_dedup_sink``'s exact tier, completing the
     streaming dedup ladder: each micro-batch signs its documents,
@@ -220,7 +228,10 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     duplicate's canonical is already there).
 
     ``run_id`` namespaces this query's index partitions (same replay
-    rationale as ``index_backed_dedup_sink``).
+    rationale as ``index_backed_dedup_sink``).  ``compact_every=N``
+    folds both index relations mid-run after every Nth batch
+    (:func:`compact_minhash_index` with the current batch preserved —
+    see :func:`compact_index_store` for the replay/crash analysis).
     """
     import hashlib
 
@@ -285,6 +296,9 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
          .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
         survivors.unpersist()
         sig.unpersist()
+        if compact_every and (batch_id + 1) % int(compact_every) == 0:
+            compact_minhash_index(spark, index_path,
+                                  keep_current=(run, batch_id))
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))
@@ -382,7 +396,8 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
 
 
 def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
-                                snap: DataFrame, batch_id: int) -> int:
+                                snap: DataFrame, batch_id: int,
+                                keep: tuple[str, int] | None = None) -> int:
     """The crash-safe replace-log-with-snapshot sequence shared by the
     store compactors (steps documented in
     :func:`compact_cluster_labels`): stage ``snap`` (whose plan may
@@ -390,7 +405,14 @@ def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
     ``_compact_staging/batch_id=<batch_id>``, promote it into the log
     by rename, delete the old ``run_id=`` directories only after the
     staging job completed, and rename to ``run_id=__compact__``.
-    Returns the number of run directories removed."""
+
+    ``keep=(run, batch)`` preserves that one partition directory
+    through the deletion phase (and within its run directory deletes
+    only the OTHER batch directories) — the mid-run compaction hook
+    (:func:`compact_index_store` with ``keep_current``) folds history
+    while the current batch's own writes stay addressable by the
+    sinks' ``(run_id, batch_id)`` replay exclusion.  Returns the number
+    of run directories fully removed."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -410,12 +432,21 @@ def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
     if not fs.rename(staging, promoted):
         raise IOError(f"compact: rename to {promoted} failed")
     removed = 0
+    keep_run = f"run_id={keep[0]}" if keep else None
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("run_id=") \
-                and name != "run_id=__compact_new__":
-            fs.delete(st.getPath(), True)
-            removed += 1
+        if not (st.isDirectory() and name.startswith("run_id=")
+                and name != "run_id=__compact_new__"):
+            continue
+        if keep_run and name == keep_run:
+            for child in fs.listStatus(st.getPath()):
+                cname = child.getPath().getName()
+                if child.isDirectory() and cname.startswith("batch_id=") \
+                        and cname != f"batch_id={keep[1]}":
+                    fs.delete(child.getPath(), True)
+            continue
+        fs.delete(st.getPath(), True)
+        removed += 1
     final = jvm.org.apache.hadoop.fs.Path(
         f"{store_path}/run_id=__compact__")
     if not fs.rename(promoted, final):
@@ -423,7 +454,8 @@ def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
     return removed
 
 
-def compact_index_store(spark: SparkSession, store_path: str) -> int:
+def compact_index_store(spark: SparkSession, store_path: str,
+                        keep_current: tuple[str, int] | None = None) -> int:
     """Compact an APPEND-ONLY ``run_id=R/batch_id=N`` index store (the
     content-hash index of ``index_backed_dedup_sink``, or one of the
     ``sigs``/``bands`` relations under ``minhash_index_sink`` /
@@ -435,35 +467,58 @@ def compact_index_store(spark: SparkSession, store_path: str) -> int:
     file-listing and open cost of thousands of batch directories
     dominates the probe long before row count does.  Rows are plain
     facts (no latest-wins semantics), so compaction is an identity
-    rewrite deduplicated-by-nothing: read, drop the run/batch partition
-    values, rewrite as ``run_id=__compact__/batch_id=0`` via the same
-    crash-safe staging sequence the labels compactor uses (every crash
-    point leaves a store whose READ content is unchanged).
+    rewrite up to row multiplicity (``distinct`` — every probe is
+    set-semantic, and dedup here is what keeps a crash between the
+    promote and delete steps, which briefly duplicates history, from
+    compounding into the next snapshot): read, drop the run/batch
+    partition values, rewrite as ``run_id=__compact__/batch_id=0`` via
+    the same crash-safe staging sequence the labels compactor uses
+    (every crash point leaves a store whose probed content is
+    unchanged).
 
-    Contract: run BETWEEN writer runs only (stream stopped).  Unlike
-    ``compact_cluster_labels`` — whose epoch stamping makes mid-run
-    compaction rank-correct — the dedup sinks' replay safety depends on
-    excluding THIS run's current batch partition from the probe
-    (``not_this``), and a compacted index folds those rows into the
-    snapshot where the exclusion can no longer see them: a mid-run
-    crash replay would then probe against the batch's own pre-crash
-    writes.  Between runs there is no uncommitted batch to replay, so
-    the snapshot is safe.  (``cluster_label_sink``'s history probes
-    additionally guard ``__ex_id != id`` so a self-row in the index is
-    inert either way.)  Returns the number of run directories
-    removed."""
-    snap = spark.read.parquet(store_path).drop("run_id", "batch_id")
-    return _replace_runs_with_snapshot(spark, store_path, snap, 0)
+    Without ``keep_current``, run BETWEEN writer runs only (stream
+    stopped): the dedup sinks' replay safety depends on excluding THIS
+    run's current batch partition from the probe (``not_this``), and a
+    full fold moves those rows into the snapshot where the exclusion
+    can no longer see them — a mid-run crash replay would then probe
+    against the batch's own pre-crash writes (for the dedup sinks that
+    anti-joins the whole replayed batch away: silent output loss).
+
+    ``keep_current=(run_id, batch_id)`` is the MID-RUN form the sinks'
+    ``compact_every`` hook uses from inside ``foreachBatch``, after the
+    batch's own index write: the fold EXCLUDES the current batch's rows
+    and the deletion phase PRESERVES its partition directory, so the
+    store becomes ``snapshot(history) + run/batch=current`` and the
+    replay exclusion keeps working — a checkpoint replay of the
+    just-compacted batch probes exactly the history it probed the
+    first time, rewrites the same partitions, and re-folds to the same
+    snapshot.  Crash points during compaction leave either the
+    untouched log (before promote) or snapshot+leftover-duplicates
+    (between promote and delete) — duplicates are inert to the
+    set-semantic probes and removed by the next fold's ``distinct``.
+    Returns the number of run directories fully removed."""
+    snap = spark.read.parquet(store_path)
+    if keep_current is not None:
+        run, batch = keep_current
+        snap = snap.filter(~((F.col("run_id") == run)
+                             & (F.col("batch_id") == int(batch))))
+    snap = snap.drop("run_id", "batch_id").distinct()
+    return _replace_runs_with_snapshot(spark, store_path, snap, 0,
+                                       keep=keep_current)
 
 
-def compact_minhash_index(spark: SparkSession, index_path: str) -> int:
+def compact_minhash_index(spark: SparkSession, index_path: str,
+                          keep_current: tuple[str, int] | None = None) -> int:
     """Compact both relations of a banded MinHash index store (the
     ``bands`` and ``sigs`` subdirectories ``minhash_index_sink`` and
     ``cluster_label_sink`` maintain) — see :func:`compact_index_store`
-    for semantics and the between-runs contract.  Returns the total
-    run directories removed."""
-    return (compact_index_store(spark, f"{index_path}/bands")
-            + compact_index_store(spark, f"{index_path}/sigs"))
+    for semantics, the between-runs contract, and the mid-run
+    ``keep_current`` form.  The two relations fold as two independent
+    crash-safe sequences; a crash between them leaves one compacted and
+    one not, which no probe can distinguish from content.  Returns the
+    total run directories removed."""
+    return (compact_index_store(spark, f"{index_path}/bands", keep_current)
+            + compact_index_store(spark, f"{index_path}/sigs", keep_current))
 
 
 def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
@@ -504,9 +559,13 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     newest standing ``(epoch, batch_id)``: this run's LATER batches
     outrank it, and a checkpoint replay of the just-compacted batch
     recomputes an empty delta against the already-folded standing
-    labels (idempotent).  Pre-epoch legacy stores read as epoch 0
-    (:func:`_with_epoch`) — the first post-upgrade run claims epoch 1
-    and outranks every legacy row.
+    labels (idempotent).  The hook also folds the banded index's two
+    relations (:func:`compact_minhash_index` with the current batch
+    preserved — the index is the store whose directory count, not row
+    count, drives per-batch probe cost at production history lengths).
+    Pre-epoch legacy stores read as epoch 0 (:func:`_with_epoch`) —
+    the first post-upgrade run claims epoch 1 and outranks every
+    legacy row.
     """
     import hashlib
 
@@ -620,6 +679,15 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
         sig.unpersist()
         if compact_every and (batch_id + 1) % int(compact_every) == 0:
             compact_cluster_labels(spark, labels_path)
+            # The banded index folds under the same keep-current
+            # discipline as the dedup sinks; this sink's probes would
+            # tolerate even a folded current batch (self-rows are
+            # pruned, and a rediscovered sibling pair merges into the
+            # same clusters on replay), but one uniform invariant —
+            # the current batch partition is never folded mid-run —
+            # is the property the tests pin.
+            compact_minhash_index(spark, index_path,
+                                  keep_current=(run, batch_id))
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Time named contract queries at sf0.1 and sf1 (best-of-N each) and
+print the 10x-data runtime ratio — the SCALE.md spot-check harness.
+
+Usage: python scripts/measure_sf_ratio.py q1 q2 ...   [N via BEST_OF]
+sf1 tier comes from scripts/make_sf1.py (default /root/repo/.scaledata/sf1).
+Run on a quiet box; per-query ratios are the signal, not absolutes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+SF01 = os.environ.get("SF01", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SF1", "/root/repo/.scaledata/sf1")
+BEST_OF = int(os.environ.get("BEST_OF", "3"))
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    if not names:
+        raise SystemExit("usage: measure_sf_ratio.py <query> [query ...]")
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"| query | sf0.1 s | sf1 s | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name in names:
+        times = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            best = float("inf")
+            for _ in range(BEST_OF):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        r = times["sf1"] / times["sf0.1"]
+        print(f"| `{name}` | {times['sf0.1']:.2f} | {times['sf1']:.2f} "
+              f"| {r:.1f}x |", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1183,3 +1183,156 @@ def test_compact_index_store_exact_dedup_between_runs(spark, tmp_path):
     run("two", [[(11, "alpha beta gamma"), (12, "brand new words here")]])
     got = {r["doc_id"] for r in read_sink(spark, out).collect()}
     assert got == {1, 2, 12}
+
+
+def test_exact_dedup_mid_run_auto_compaction_parity(spark, tmp_path):
+    """compact_every on the exact-hash dedup sink: mid-run index folds
+    must not change which documents survive (the fold excludes and
+    preserves the current batch, so every later probe sees exactly the
+    history it would have seen against the delta log), and the index
+    ends as one snapshot plus at most compact_every-1 fresh batch dirs."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        index_backed_dedup_sink,
+        read_sink,
+    )
+
+    batches = [[(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+               [(3, "alpha beta gamma"), (4, "fresh words here")],
+               [(5, "fresh words here"), (6, "delta epsilon zeta"),
+                (7, "entirely new final content")]]
+
+    def run(sub, compact_every):
+        _feed_files(spark, tmp_path / f"in_{sub}", batches)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / f"in_{sub}")))
+        q = index_backed_dedup_sink(stream, str(tmp_path / f"out_{sub}"),
+                                    str(tmp_path / f"idx_{sub}"),
+                                    str(tmp_path / f"ckpt_{sub}"),
+                                    compact_every=compact_every)
+        q.awaitTermination()
+        return {r["doc_id"] for r in
+                read_sink(spark, str(tmp_path / f"out_{sub}")).collect()}
+
+    assert run("plain", None) == {1, 2, 4, 7}
+    assert run("auto", 1) == {1, 2, 4, 7}
+    # the probed hash set is identical either way
+    plain_h = {r["__h"] for r in
+               spark.read.parquet(str(tmp_path / "idx_plain")).collect()}
+    auto_h = {r["__h"] for r in
+              spark.read.parquet(str(tmp_path / "idx_auto")).collect()}
+    assert auto_h == plain_h
+    # store shape: one snapshot + the preserved current (last) batch
+    runs = sorted(d for d in os.listdir(str(tmp_path / "idx_auto"))
+                  if d.startswith("run_id="))
+    assert "run_id=__compact__" in runs and len(runs) == 2
+    kept = [d for d in runs if d != "run_id=__compact__"][0]
+    assert os.listdir(str(tmp_path / "idx_auto" / kept)) == ["batch_id=2"]
+
+
+def test_minhash_sink_mid_run_auto_compaction_parity(spark, tmp_path):
+    """compact_every on the fuzzy dedup sink: survivors match the
+    uncompacted twin across history near-dups, in-batch siblings, and
+    post-compaction arrivals; both index relations end at one snapshot
+    plus the preserved newest batch."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        minhash_index_sink,
+        read_sink,
+    )
+
+    base = [f"w{i}" for i in range(32)]
+    A = " ".join(base)
+    B = " ".join(base + ["t0", "t1"])        # near-dup of A
+    uniq = "completely different text about mid run compaction hooks"
+    batches = [[(1, A), (2, uniq)],
+               [(3, B), (4, "novel content in the second batch ok")],
+               [(5, A)]]                      # post-compaction re-arrival
+
+    def run(sub, compact_every):
+        _feed_files(spark, tmp_path / f"in_{sub}", batches)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / f"in_{sub}")))
+        q = minhash_index_sink(stream, str(tmp_path / f"out_{sub}"),
+                               str(tmp_path / f"idx_{sub}"),
+                               str(tmp_path / f"ckpt_{sub}"),
+                               threshold=0.8,
+                               compact_every=compact_every)
+        q.awaitTermination()
+        return {r["doc_id"] for r in
+                read_sink(spark, str(tmp_path / f"out_{sub}")).collect()}
+
+    plain = run("plain", None)
+    auto = run("auto", 2)
+    assert auto == plain == {1, 2, 4}
+    for rel in ["bands", "sigs"]:
+        runs = sorted(d for d in
+                      os.listdir(str(tmp_path / "idx_auto" / rel))
+                      if d.startswith("run_id="))
+        assert "run_id=__compact__" in runs and len(runs) == 2
+
+
+def test_compact_index_store_keep_current_replay_exclusion(spark, tmp_path):
+    """The mid-run fold's safety property, pinned directly: after
+    compact_index_store(keep_current=(run, batch)), the sink's replay
+    exclusion filter still sees exactly the pre-compaction history —
+    the kept partition stays addressable by (run_id, batch_id) and its
+    rows are NOT in the snapshot (a fold that swallowed them would make
+    a crash-replayed dedup batch anti-join itself away: output loss)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.streaming.sinks import compact_index_store
+
+    store = str(tmp_path / "idx")
+    rows = {("a", 0): ["h1", "h2"], ("a", 1): ["h3"],
+            ("b", 0): ["h4"], ("b", 1): ["h5", "h6"]}
+    for (run, batch), hs in rows.items():
+        (spark.createDataFrame([(h,) for h in hs], "__h string")
+         .write.parquet(f"{store}/run_id={run}/batch_id={batch}"))
+
+    def probe_excluding(run, batch):
+        return {r["__h"] for r in
+                (spark.read.parquet(store)
+                 .filter(~((F.col("run_id") == run)
+                           & (F.col("batch_id") == batch)))
+                 .select("__h").collect())}
+
+    before = probe_excluding("b", 1)
+    assert before == {"h1", "h2", "h3", "h4"}
+    removed = compact_index_store(spark, store, keep_current=("b", 1))
+    assert removed == 1  # run a fully removed; run b kept (batch 1)
+    assert probe_excluding("b", 1) == before
+    # full content unchanged; kept partition intact on disk
+    assert probe_excluding("none", -1) == {f"h{i}" for i in range(1, 7)}
+    assert sorted(d for d in os.listdir(store) if d.startswith("run_id=")) \
+        == ["run_id=__compact__", "run_id=b"]
+    assert os.listdir(f"{store}/run_id=b") == ["batch_id=1"]
+
+
+def test_compact_index_store_dedups_crash_leftover_duplicates(spark, tmp_path):
+    """A crash between the promote and delete steps leaves the snapshot
+    AND the original run dirs in the store — duplicated history. The
+    set-semantic probes are unaffected, and the NEXT fold's distinct
+    collapses the duplicates instead of compounding them into the new
+    snapshot."""
+    from basic_data_fusion_spark.streaming.sinks import compact_index_store
+
+    store = str(tmp_path / "idx")
+    (spark.createDataFrame([("h1",), ("h2",)], "__h string")
+     .write.parquet(f"{store}/run_id=a/batch_id=0"))
+    assert compact_index_store(spark, store) == 1
+    # simulate the crash leftover: a run dir whose rows duplicate the
+    # snapshot's
+    (spark.createDataFrame([("h1",), ("h2",)], "__h string")
+     .write.parquet(f"{store}/run_id=a/batch_id=0"))
+    assert spark.read.parquet(store).count() == 4
+    # folds old snapshot + leftover run dir (2 removed) into a fresh one
+    assert compact_index_store(spark, store) == 2
+    got = spark.read.parquet(store).select("__h").collect()
+    assert sorted(r["__h"] for r in got) == ["h1", "h2"]
