@@ -5629,29 +5629,39 @@ FROM ({_KS_ORACLE}) k CROSS JOIN ({_MANNWHITNEY_ORACLE}) m
 
 def q_kendall_tau_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Kendall tau-b per return flag over a deterministic
-    lineitem slice (NEW r9, stats.kendall_tau_grouped) — closes T7's
-    last pytest-only statistic with a driver hash row.  The group-keyed
-    pair self-join is quadratic PER COHORT, so the contract bounds the
-    cohorts with an exact modulus slice (l_orderkey % 200 = 0 — the
-    oracle replays the predicate, gate_slice precedent), same as the
-    reference bounds kendall with its ≤5000-row collected sample.  The
-    pair id is l_orderkey*8 + l_linenumber (linenumber ≤ 7, so the key
-    is unique and integer-exact on both engines); every count is an
-    exact BIGINT and tau exits through one fixed IEEE tree."""
-    from basic_data_fusion_spark.operators.stats import kendall_tau_grouped
+    lineitem slice (NEW r9; re-pointed mid-r9 to the O(m·n)
+    stats.kendall_tau_grouped_lowcard engine path after the sf1
+    spot-check read the pair tier at 13.4× per 10× data — quadratic
+    per cohort by design, SCALE.md r9) — closes T7's last pytest-only
+    statistic with a driver hash row.  l_quantity is the bounded side
+    (m≈50 distinct), so the grid/prefix tier is linear per cohort; the
+    slice (l_orderkey % 200 = 0, oracle replays the predicate —
+    gate_slice precedent) now bounds only the ORACLE's quadratic pair
+    count, same as the reference bounds kendall with its ≤5000-row
+    collected sample.  Every count is an exact BIGINT on both paths
+    and tau exits through the same fixed IEEE tree, so the lowcard
+    path hashes identically against the pair-count oracle
+    (bitwise-parity pinned in tests/test_stats.py)."""
+    from basic_data_fusion_spark.operators.stats import (
+        kendall_tau_grouped_lowcard,
+    )
 
     li = (_catalog(spark, sf_dir).load("lineitem")
-          .filter(F.col("l_orderkey") % 200 == 0)
-          .withColumn("__pid", F.col("l_orderkey") * 8
-                      + F.col("l_linenumber")))
-    return kendall_tau_grouped(li, "l_returnflag", "l_quantity",
-                               "l_extendedprice", "__pid")
+          .filter(F.col("l_orderkey") % 200 == 0))
+    return kendall_tau_grouped_lowcard(li, "l_returnflag", "l_quantity",
+                                       "l_extendedprice")
 
 
 _KENDALL_TAU_ORACLE = """
 WITH d AS (
+  -- ROW_NUMBER gives each ROW a unique pair id: the driver's synthetic
+  -- lineitem contains duplicate (l_orderkey, l_linenumber) rows, so a
+  -- packed key would merge them and silently skip their mutual pairs
+  -- (tau over the multiset must count them; pair counts are invariant
+  -- to WHICH unique ids rows get, so the undefined numbering order is
+  -- harmless)
   SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y,
-         l_orderkey * 8 + l_linenumber AS i
+         ROW_NUMBER() OVER () AS i
   FROM lineitem
   WHERE l_orderkey % 200 = 0
     AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL

@@ -322,6 +322,90 @@ def kendall_tau_grouped(df: DataFrame, group_col: str, col_a: str,
             .orderBy(group_col))
 
 
+def kendall_tau_grouped_lowcard(df: DataFrame, group_col: str, col_a: str,
+                                col_b: str) -> DataFrame:
+    """EXACT Kendall tau-b per group in O(m·n) instead of the pair
+    tier's O(n²), when ``col_a`` has BOUNDED distinct values m (a grade,
+    a bucket id, a rating — the contract's l_quantity has ~50): the
+    scale tier of T7's kendall surface, bit-identical to
+    :func:`kendall_tau_grouped` (same reference semantics:
+    analysis/statistics.py's scipy kendalltau, kept in-engine).
+
+    Instead of enumerating pairs, evaluate each a-value's b-CDF at
+    every distinct b in the group (fill the m × |distinct b| grid, one
+    running sum per (group, a) — a PARTITION-KEYED window, never
+    data-sized), then read concordant/discordant counts per cell from
+    the strictly-smaller-a prefix vector:
+
+        C = Σ_cells c(a₀,b₀) · Σ_{v<a₀} #{a=v, b<b₀}
+        D = Σ_cells c(a₀,b₀) · Σ_{v<a₀} #{a=v, b>b₀}
+
+    (each cross-a pair counted once from its larger-a side; same-a and
+    same-b pairs land in the tie terms n1/n2, computed from the
+    marginal counts as Σt(t−1)/2 with exact integer DIV).  Every count
+    is BIGINT and tau-b exits through the SAME final IEEE expression
+    tree as the pair tier, so the two agree bitwise on any engine or
+    partitioning — the property the parity test pins.  No unique id
+    column is needed (the pair tier needs one only to enumerate).
+
+    Scale shape: grid and prefix work are O(m·n) shuffled on
+    (group, a) / (group, b) keys; the per-cell prefix sum is an
+    m-element JVM array fold (no Python).  At 10× data the sf1
+    spot-check reads flat where the pair tier read ~13×
+    (SCALE.md r9).  Returns one row per group with ≥1 pair:
+    (group_col, n_pairs, concordant, discordant, tau_b)."""
+    d = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+         .select(group_col, F.col(col_a).alias("__a"),
+                 F.col(col_b).alias("__b")))
+    cells = (d.groupBy(group_col, "__a", "__b")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    avals = cells.select(group_col, "__a").distinct()
+    bvals = cells.select(group_col, "__b").distinct()
+    grid = (bvals.join(avals, group_col)
+            .join(cells, [group_col, "__a", "__b"], "left")
+            .withColumn("__c", F.coalesce(F.col("__c"),
+                                          F.lit(0).cast("long"))))
+    w = Window.partitionBy(group_col, "__a").orderBy("__b")
+    grid = (grid.withColumn("__le", F.sum("__c").over(w))
+            .withColumn("__lt", F.col("__le") - F.col("__c"))
+            .withColumn("__gt", F.sum("__c").over(
+                Window.partitionBy(group_col, "__a")) - F.col("__le")))
+    vecs = (grid.groupBy(group_col, "__b")
+            .agg(F.collect_list(
+                F.struct("__a", "__lt", "__gt")).alias("__vec")))
+    zero = F.lit(0).cast("long")
+    pre = F.filter("__vec", lambda x: x["__a"] < F.col("__a"))
+    cd = (cells.join(vecs, [group_col, "__b"])
+          .withColumn("__pre", pre)
+          .select(group_col, "__c",
+                  F.aggregate("__pre", zero,
+                              lambda acc, x: acc + x["__lt"]).alias("__Cc"),
+                  F.aggregate("__pre", zero,
+                              lambda acc, x: acc + x["__gt"]).alias("__Dc")))
+    counts = (cd.groupBy(group_col)
+              .agg(F.sum(F.col("__c") * F.col("__Cc")).alias("concordant"),
+                   F.sum(F.col("__c") * F.col("__Dc")).alias("discordant")))
+    tie = lambda t: F.sum(F.expr(f"{t} * ({t} - 1) DIV 2"))
+    marg_a = (cells.groupBy(group_col, "__a").agg(F.sum("__c").alias("__t"))
+              .groupBy(group_col).agg(tie("__t").alias("__n1")))
+    marg_b = (cells.groupBy(group_col, "__b").agg(F.sum("__c").alias("__t"))
+              .groupBy(group_col).agg(tie("__t").alias("__n2")))
+    tot = (cells.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+           .select(group_col, F.expr("__n * (__n - 1) DIV 2")
+                   .alias("n_pairs")))
+    agg = (tot.join(counts, group_col).join(marg_a, group_col)
+           .join(marg_b, group_col).filter(F.col("n_pairs") >= 1))
+    da = (F.col("n_pairs") - F.col("__n1")).cast("double")
+    db = (F.col("n_pairs") - F.col("__n2")).cast("double")
+    tau = F.when((F.col("n_pairs") > F.col("__n1"))
+                 & (F.col("n_pairs") > F.col("__n2")),
+                 (F.col("concordant") - F.col("discordant")).cast("double")
+                 / (F.sqrt(da) * F.sqrt(db)))
+    return (agg.select(group_col, "n_pairs", "concordant", "discordant",
+                       tau.alias("tau_b"))
+            .orderBy(group_col))
+
+
 def kendall_tau_sample(df: DataFrame, col_a: str, col_b: str, max_n: int = 5000,
                        seed: int = 42) -> float:
     """Kendall's tau-b on a bounded sample (no distributed built-in; the

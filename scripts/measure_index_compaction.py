@@ -21,7 +21,10 @@ Run on a quiet box; prints one table row per (dirs, probe_s) pair.
 from __future__ import annotations
 
 import shutil
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F

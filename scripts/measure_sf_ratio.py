@@ -33,6 +33,11 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {unknown}")
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
+             # sf1 sessions need a real heap: operators that persist
+             # corpus-sized relations thrash the default 1g into false
+             # multi-minute "regressions" (SCALE.md r5 note)
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.showConsoleProgress", "false")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     print(f"| query | sf0.1 s | sf1 s | ratio (10x data) |")

@@ -723,3 +723,44 @@ def test_kendall_tau_grouped_matches_sample_tau(spark):
     # constant x: n_pairs == n1 -> NULL; single row: zero pairs -> no row
     assert got["const"]["tau_b"] is None
     assert "single" not in got
+
+
+def test_kendall_tau_grouped_lowcard_bitwise_parity(spark):
+    """The O(m·n) grid/prefix tau-b (kendall_tau_grouped_lowcard) is
+    BITWISE equal to the O(n²) pair tier on every output column —
+    both accumulate the identical BIGINT counts (C, D, n_pairs, tie
+    terms) and exit through the same final IEEE tree, so even the
+    double tau must match to the last bit.  Randomized frame with
+    heavy ties plus the degenerate groups (constant column -> NULL
+    tau, single row -> no output row, nulls dropped)."""
+    import random
+    import struct
+
+    from basic_data_fusion_spark.operators.stats import (
+        kendall_tau_grouped,
+        kendall_tau_grouped_lowcard,
+    )
+
+    random.seed(7)
+    rows = [(i, f"g{random.randint(0, 3)}", float(random.randint(0, 5)),
+             float(random.randint(0, 8))) for i in range(400)]
+    rows += [(1000, "solo", 1.0, 2.0)]
+    rows += [(2000 + i, "consta", 3.0, float(i % 4)) for i in range(10)]
+    rows += [(3000 + i, "constb", float(i % 4), 7.0) for i in range(10)]
+    rows += [(4000, "g0", None, 1.0), (4001, "g0", 1.0, None)]
+    df = spark.createDataFrame(
+        rows, "id long, g string, a double, b double").repartition(8)
+
+    def canon(rs):
+        return sorted(
+            (r["g"], r["n_pairs"], r["concordant"], r["discordant"],
+             None if r["tau_b"] is None else struct.pack("d", r["tau_b"]))
+            for r in rs)
+
+    pair = kendall_tau_grouped(df, "g", "a", "b", "id").collect()
+    low = kendall_tau_grouped_lowcard(df, "g", "a", "b").collect()
+    assert canon(pair) == canon(low)
+    got = {r["g"]: r for r in low}
+    assert got["consta"]["tau_b"] is None
+    assert got["constb"]["tau_b"] is None
+    assert "solo" not in got
