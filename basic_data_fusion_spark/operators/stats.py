@@ -354,11 +354,20 @@ def kendall_tau_grouped_lowcard(df: DataFrame, group_col: str, col_a: str,
     spot-check reads flat where the pair tier read ~13×
     (SCALE.md r9).  Returns one row per group with ≥1 pair:
     (group_col, n_pairs, concordant, discordant, tau_b)."""
+    from ..caching import cache_pinned
+
     d = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
          .select(group_col, F.col(col_a).alias("__a"),
                  F.col(col_b).alias("__b")))
-    cells = (d.groupBy(group_col, "__a", "__b")
-             .agg(F.count(F.lit(1)).alias("__c")))
+    # cells feeds seven consumers (grid fill, the C/D join, three
+    # marginal tie terms, and both value-domain projections); physical
+    # planning does NOT reuse the identical subtree (verified: 7
+    # FileScans, 0 ReusedExchange in the final AQE plan), so unpinned
+    # the SOURCE would scan seven times — the pin trades ~0.1-0.5 s of
+    # cache materialization at local scales for one fact-table read at
+    # any scale (cells itself is distinct-pairs-sized, MEMORY_AND_DISK)
+    cells = cache_pinned(d.groupBy(group_col, "__a", "__b")
+                         .agg(F.count(F.lit(1)).alias("__c")))
     avals = cells.select(group_col, "__a").distinct()
     bvals = cells.select(group_col, "__b").distinct()
     grid = (bvals.join(avals, group_col)
