@@ -182,7 +182,7 @@ HEADLINE += [
 
     # new in round 9 (absent from BENCH_r08 and earlier)
     "dist_shift_report",             # KS + Mann-Whitney from ONE prefix machine
-    "kendall_tau_grouped",           # exact tau-b pair count, group-keyed join
+    "kendall_tau_grouped",           # exact tau-b, O(m*n) grid/prefix tier
 ]
 
 

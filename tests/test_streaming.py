@@ -1336,3 +1336,46 @@ def test_compact_index_store_dedups_crash_leftover_duplicates(spark, tmp_path):
     assert compact_index_store(spark, store) == 2
     got = spark.read.parquet(store).select("__h").collect()
     assert sorted(r["__h"] for r in got) == ["h1", "h2"]
+
+
+def test_dedup_sink_checkpoint_resume_over_compacted_index(spark, tmp_path):
+    """Resuming the SAME checkpoint (same run_id, batch ids continue)
+    over an index that was mid-run-compacted in the first run: the
+    snapshot plus the preserved last batch must keep dropping all
+    previously-seen content, and the resumed batches fold into the
+    store on their own later compactions."""
+    import glob
+    import shutil
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        index_backed_dedup_sink,
+        read_sink,
+    )
+
+    d = tmp_path / "in"
+    out, idx, ck = (str(tmp_path / "out"), str(tmp_path / "idx"),
+                    str(tmp_path / "ck"))
+
+    def feed(rows_batches):
+        _feed_files(spark, d, rows_batches)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        q = index_backed_dedup_sink(stream, out, idx, ck, compact_every=1)
+        q.awaitTermination()
+
+    # run 1: batches 0 and 1, each followed by a compaction
+    feed([[(1, "alpha content"), (2, "beta content")],
+          [(3, "alpha content"), (4, "gamma content")]])
+    assert sorted(r["doc_id"] for r in read_sink(spark, out).collect()) \
+        == [1, 2, 4]
+    # resume the SAME checkpoint: batch ids continue at 2; duplicates of
+    # content living ONLY in the snapshot (batch 0's hashes were folded)
+    # and in the preserved batch-1 dir must both drop
+    feed([[(10, "alpha content"), (11, "gamma content"),
+           (12, "fresh resumed content")]])
+    got = sorted(r["doc_id"] for r in read_sink(spark, out).collect())
+    assert got == [1, 2, 4, 12]
+    import os
+    runs = sorted(x for x in os.listdir(idx) if x.startswith("run_id="))
+    # last batch (2) compacted too: snapshot + its preserved directory
+    assert "run_id=__compact__" in runs and len(runs) == 2
