@@ -162,15 +162,17 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
 def quantile_sketch_sink(df: DataFrame, sketch_path: str, checkpoint: str,
                          part_col: str, value_col: str,
                          lo: float, hi: float, bins: int = 1024,
-                         available_now: bool = True) -> StreamingQuery:
+                         available_now: bool = True,
+                         run_id: str | None = None,
+                         compact_every: int | None = None) -> StreamingQuery:
     """Streaming side of the mergeable quantile tier
     (operators/aggregations.quantile_hist_sketch): each micro-batch
     reduces to its ``(partition, bin, n)`` histogram rows and writes
-    them to a replay-idempotent ``batch_id=N`` directory.  Because the
-    sketch is mergeable by construction (bins sum), the standing
-    sketch store answers any later quantile question — per partition,
-    per batch range, or global — via ``quantile_rollup`` over a plain
-    parquet read, WITHOUT reprocessing the stream.
+    them to a replay-idempotent ``run_id=R/batch_id=N`` directory.
+    Because the sketch is mergeable by construction (bins sum), the
+    standing sketch store answers any later quantile question — per
+    partition, per batch range, or global — via ``quantile_rollup``
+    over :func:`read_sketch_store`, WITHOUT reprocessing the stream.
 
     This is the ingest-time shape the batch tier documents: at 100 TB
     the stream is the only pass that ever sees the raw values; every
@@ -179,22 +181,113 @@ def quantile_sketch_sink(df: DataFrame, sketch_path: str, checkpoint: str,
     needed — the sink is a pure per-batch aggregation, not stateful
     across batches); a failure-retried batch overwrites its own
     directory, so the store never double-counts.
+
+    Output directories are run-namespaced (r9, same fix as the dedup
+    sinks): batch ids restart at 0 per run, so a second accumulation
+    run over the same standing store would otherwise OVERWRITE the
+    first run's batch-0 histogram — silent count loss in a store whose
+    whole point is remembering every batch.  Every row also carries
+    its provenance as REGULAR columns (``src_run``, ``src_batch``):
+    sketch rows are SUMS, so unlike the set-semantic index stores a
+    duplicated row is NOT inert — provenance is what lets
+    :func:`read_sketch_store` and :func:`compact_sketch_store` fold
+    the store exactly at every crash point.  ``compact_every=N`` folds
+    the store after every Nth batch (current batch excluded and
+    preserved — the keep-current discipline of
+    :func:`compact_index_store`).
+
+    Stores written by the pre-r9 sink (bare ``batch_id=N`` at the top
+    level) keep reading via :func:`read_sketch_store`, but CANNOT be
+    appended to by this sink (Spark cannot list mixed partition
+    depths): run :func:`compact_sketch_store` once first — it migrates
+    the legacy layout into a snapshot run.
     """
+    import hashlib
+
     from basic_data_fusion_spark.operators.aggregations import (
         quantile_hist_sketch,
     )
 
+    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sk = quantile_hist_sketch(batch_df, part_col, value_col,
-                                  lo, hi, bins)
+        sk = (quantile_hist_sketch(batch_df, part_col, value_col,
+                                   lo, hi, bins)
+              .withColumn("src_run", F.lit(run))
+              .withColumn("src_batch", F.lit(int(batch_id)).cast("long")))
         sk.write.mode("overwrite").parquet(
-            f"{sketch_path}/batch_id={batch_id}")
+            f"{sketch_path}/run_id={run}/batch_id={batch_id}")
+        if compact_every and (batch_id + 1) % int(compact_every) == 0:
+            compact_sketch_store(batch_df.sparkSession, sketch_path,
+                                 keep_current=(run, batch_id))
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _sketch_with_provenance(d: DataFrame) -> DataFrame:
+    """Normalize a sketch store to provenance-keyed rows: legacy stores
+    (pre-r9 bare ``batch_id=N`` layout, no ``src_*`` columns) read as
+    ``src_run="__legacy__"``/``src_batch=batch_id``."""
+    if "src_run" not in d.columns:
+        d = (d.withColumn("src_run", F.lit("__legacy__"))
+             .withColumn("src_batch", F.col("batch_id").cast("long")))
+    return d
+
+
+def read_sketch_store(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Current ``(partition, bin, n)`` rows of a ``quantile_sketch_sink``
+    store, exact at every compaction crash point: a crash between the
+    compactor's promote and delete steps briefly leaves a row both in
+    the snapshot and in its original directory, and because sketch
+    rows are SUMS that duplication would double-count — so the fold
+    keys on provenance ``(src_run, src_batch, partition, bin)`` and
+    takes ``max(n)`` (duplicates are bit-identical copies of the same
+    batch write).  Feed the result to ``quantile_rollup``."""
+    d = _sketch_with_provenance(spark.read.parquet(sketch_path))
+    return (d.groupBy("src_run", "src_batch", "partition", "bin")
+            .agg(F.max("n").alias("n"))
+            .select("partition", "bin", "n"))
+
+
+def compact_sketch_store(spark: SparkSession, sketch_path: str,
+                         keep_current: tuple[str, int] | None = None) -> int:
+    """Fold a ``quantile_sketch_sink`` store into one snapshot run —
+    directory-count control, same motive as :func:`compact_index_store`
+    (the probe-vs-history table in SCALE.md).  The fold preserves each
+    row's PROVENANCE columns instead of sum-merging: merging would
+    destroy the key that keeps crash-leftover duplicates exact (see
+    :func:`read_sketch_store`), and the store's cost driver is
+    directory count, not its ≤ bins×partitions rows per batch.
+    Duplicates from an earlier crash collapse here via the same
+    provenance-keyed ``max``.
+
+    ``keep_current=(run, batch)`` is the mid-run form (see
+    :func:`compact_index_store`).  A legacy bare-``batch_id=N`` store
+    migrates to the run-namespaced layout (its rows keyed
+    ``src_run="__legacy__"``); the legacy directories are removed in
+    the same deletion phase as the folded runs.  The migration's
+    promote-to-delete window is the ONE step in the compactor family
+    without full crash-safety: a crash there leaves a mixed-depth
+    layout Spark cannot list (run_id=…/batch_id=… beside bare
+    batch_id=…) — no rows are lost (the promoted snapshot holds them
+    all), but recovery is manual: delete the leftover top-level
+    ``batch_id=`` directories.  Run the one-time migration with the
+    stream stopped.  Returns the number of directories fully
+    removed."""
+    d = _sketch_with_provenance(spark.read.parquet(sketch_path))
+    if keep_current is not None:
+        run, batch = keep_current
+        d = d.filter(~((F.col("run_id") == run)
+                       & (F.col("batch_id") == int(batch))))
+    snap = (d.groupBy("src_run", "src_batch", "partition", "bin")
+            .agg(F.max("n").alias("n")))
+    return _replace_runs_with_snapshot(spark, sketch_path, snap, 0,
+                                       keep=keep_current,
+                                       also_legacy_batch_dirs=True)
 
 
 def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
@@ -397,7 +490,8 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
 
 def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
                                 snap: DataFrame, batch_id: int,
-                                keep: tuple[str, int] | None = None) -> int:
+                                keep: tuple[str, int] | None = None,
+                                also_legacy_batch_dirs: bool = False) -> int:
     """The crash-safe replace-log-with-snapshot sequence shared by the
     store compactors (steps documented in
     :func:`compact_cluster_labels`): stage ``snap`` (whose plan may
@@ -411,8 +505,12 @@ def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
     only the OTHER batch directories) — the mid-run compaction hook
     (:func:`compact_index_store` with ``keep_current``) folds history
     while the current batch's own writes stay addressable by the
-    sinks' ``(run_id, batch_id)`` replay exclusion.  Returns the number
-    of run directories fully removed."""
+    sinks' ``(run_id, batch_id)`` replay exclusion.
+    ``also_legacy_batch_dirs`` extends the deletion phase to top-level
+    ``batch_id=`` directories (a pre-run-namespacing store layout the
+    sketch compactor migrates — their rows are in the staged fold, and
+    leaving them would make the store an unreadable mixed-depth
+    layout).  Returns the number of directories fully removed."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -435,6 +533,11 @@ def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
     keep_run = f"run_id={keep[0]}" if keep else None
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()
+        if also_legacy_batch_dirs and st.isDirectory() \
+                and name.startswith("batch_id="):
+            fs.delete(st.getPath(), True)
+            removed += 1
+            continue
         if not (st.isDirectory() and name.startswith("run_id=")
                 and name != "run_id=__compact_new__"):
             continue

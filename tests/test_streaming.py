@@ -946,13 +946,21 @@ def _write_delta(spark, store, run, b, rows, ep=None):
 def _feed_files(spark, d, batches):
     import glob
     import shutil
+    import time
     d.mkdir(exist_ok=True)
     existing = len(glob.glob(str(d / "in*.parquet")))
+    # FileStreamSource orders files by modification time with unstable
+    # ties — pin strictly increasing mtimes so batch assignment is
+    # deterministic across runs (A/B twins must see identical batches)
+    t0 = time.time() - 10_000
     for i, rows in enumerate(batches):
         (spark.createDataFrame(rows, "doc_id long, text string")
          .coalesce(1).write.parquet(str(d / f"f{i}")))
         f = glob.glob(str(d / f"f{i}" / "*.parquet"))[0]
-        shutil.copy(f, d / f"in{existing + i}.parquet")
+        dst = d / f"in{existing + i}.parquet"
+        shutil.copy(f, dst)
+        import os
+        os.utime(dst, (t0 + existing + i, t0 + existing + i))
         shutil.rmtree(d / f"f{i}")
 
 
@@ -1379,3 +1387,183 @@ def test_dedup_sink_checkpoint_resume_over_compacted_index(spark, tmp_path):
     runs = sorted(x for x in os.listdir(idx) if x.startswith("run_id="))
     # last batch (2) compacted too: snapshot + its preserved directory
     assert "run_id=__compact__" in runs and len(runs) == 2
+
+
+def test_quantile_sketch_two_runs_accumulate(spark, tmp_path):
+    """Second-run overwrite regression (the dedup-sink bug class, r9):
+    a fresh accumulation run restarts batch ids at 0, so a
+    non-namespaced store would overwrite the first run's batch-0
+    histogram.  With run-namespaced dirs both runs' counts survive and
+    the rollup sees every value ever streamed."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_rollup,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        quantile_sketch_sink,
+        read_sketch_store,
+    )
+
+    sk = str(tmp_path / "sk")
+    lo, hi, bins = 0.0, 100.0, 32
+
+    def run(sub, values):
+        rows = [(i, float(v)) for i, v in enumerate(values)]
+        d = tmp_path / f"in_{sub}"
+        d.mkdir()
+        (spark.createDataFrame(rows, "event_id long, value double")
+         .coalesce(1).write.parquet(str(d / "f0")))
+        import glob
+        import shutil
+        f = glob.glob(str(d / "f0" / "*.parquet"))[0]
+        shutil.copy(f, d / "in0.parquet")
+        shutil.rmtree(d / "f0")
+        stream = (spark.readStream.schema("event_id long, value double")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        q = quantile_sketch_sink(stream, sk, str(tmp_path / f"ck_{sub}"),
+                                 part_col="event_id", value_col="value",
+                                 lo=lo, hi=hi, bins=bins)
+        q.awaitTermination()
+
+    run("one", [10, 20, 30])
+    run("two", [40, 50])          # fresh checkpoint -> new run, batch 0 again
+    rolled = quantile_rollup(read_sketch_store(spark, sk),
+                             lo, hi, bins, [0.5]).collect()
+    assert rolled[0]["n_total"] == 5  # a bare batch_id store would show 2
+
+
+def test_quantile_sketch_mid_run_compaction_parity(spark, tmp_path):
+    """compact_every folds the sketch store mid-run without changing
+    any rollup answer; the store ends at one snapshot plus the
+    preserved newest batch."""
+    import os
+
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_rollup,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        quantile_sketch_sink,
+        read_sketch_store,
+    )
+
+    lo, hi, bins, qs = 0.0, 100.0, 64, [0.25, 0.5, 0.9]
+    batches = [[(i, float(3 * i % 97)) for i in range(50)],
+               [(100 + i, float(7 * i % 89)) for i in range(50)],
+               [(200 + i, float(11 * i % 83)) for i in range(50)]]
+
+    def run(sub, compact_every):
+        d = tmp_path / f"in_{sub}"
+        d.mkdir()
+        import glob
+        import shutil
+        for bi, b in enumerate(batches):
+            (spark.createDataFrame(b, "event_id long, value double")
+             .coalesce(1).write.parquet(str(d / f"f{bi}")))
+            f = glob.glob(str(d / f"f{bi}" / "*.parquet"))[0]
+            shutil.copy(f, d / f"in{bi}.parquet")
+            shutil.rmtree(d / f"f{bi}")
+        stream = (spark.readStream.schema("event_id long, value double")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        sk = str(tmp_path / f"sk_{sub}")
+        q = quantile_sketch_sink(stream, sk, str(tmp_path / f"ck_{sub}"),
+                                 part_col="event_id", value_col="value",
+                                 lo=lo, hi=hi, bins=bins,
+                                 compact_every=compact_every)
+        q.awaitTermination()
+        rolled = {r["quantile"]: (r["n_total"], r["estimate"]) for r in
+                  quantile_rollup(read_sketch_store(spark, sk),
+                                  lo, hi, bins, qs).collect()}
+        return sk, rolled
+
+    _, plain = run("plain", None)
+    sk_auto, auto = run("auto", 1)
+    assert auto == plain
+    runs = sorted(x for x in os.listdir(sk_auto)
+                  if x.startswith("run_id="))
+    assert "run_id=__compact__" in runs and len(runs) == 2
+
+
+def test_read_sketch_store_exact_across_crash_leftover(spark, tmp_path):
+    """Sketch rows are sums, so a compaction crash between promote and
+    delete (row present in BOTH snapshot and its original directory)
+    would double-count under a naive read — the provenance-keyed fold
+    must return identical rollups before, during, and after that
+    state, and the next compaction must collapse it."""
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_sketch_store,
+        read_sketch_store,
+    )
+
+    sk = str(tmp_path / "sk")
+    rows = [("p1", 0, 3), ("p1", 1, 2), ("p2", 0, 5)]
+    (spark.createDataFrame(rows, "partition string, bin int, n long")
+     .withColumn("src_run", F.lit("r1"))
+     .withColumn("src_batch", F.lit(0).cast("long"))
+     .write.parquet(f"{sk}/run_id=r1/batch_id=0"))
+    before = {(r["partition"], r["bin"]): r["n"]
+              for r in read_sketch_store(spark, sk).collect()}
+    assert compact_sketch_store(spark, sk) == 1
+    # simulate the crash leftover: the original dir reappears beside
+    # the snapshot
+    (spark.createDataFrame(rows, "partition string, bin int, n long")
+     .withColumn("src_run", F.lit("r1"))
+     .withColumn("src_batch", F.lit(0).cast("long"))
+     .write.parquet(f"{sk}/run_id=r1/batch_id=0"))
+    during = {(r["partition"], r["bin"]): r["n"]
+              for r in read_sketch_store(spark, sk).collect()}
+    assert during == before  # no double counting
+    assert compact_sketch_store(spark, sk) == 2
+    after = {(r["partition"], r["bin"]): r["n"]
+             for r in read_sketch_store(spark, sk).collect()}
+    assert after == before
+
+
+def test_compact_sketch_store_migrates_legacy_layout(spark, tmp_path):
+    """A pre-r9 store (bare batch_id=N dirs, no provenance columns)
+    reads via read_sketch_store and migrates to the run-namespaced
+    layout on its first compaction, after which a new-format sink run
+    accumulates on top of it."""
+    import os
+
+    from basic_data_fusion_spark.operators.aggregations import (
+        quantile_rollup,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_sketch_store,
+        quantile_sketch_sink,
+        read_sketch_store,
+    )
+
+    sk = str(tmp_path / "sk")
+    lo, hi, bins = 0.0, 100.0, 32
+    for b, rows in enumerate([[(5, 0, 2)], [(5, 1, 4)]]):
+        (spark.createDataFrame(rows, "partition long, bin int, n long")
+         .write.parquet(f"{sk}/batch_id={b}"))
+    legacy = {(r["partition"], r["bin"]): r["n"]
+              for r in read_sketch_store(spark, sk).collect()}
+    assert legacy == {(5, 0): 2, (5, 1): 4}
+    assert compact_sketch_store(spark, sk) == 2  # both legacy dirs
+    assert sorted(os.listdir(sk)) == ["run_id=__compact__"]
+    assert {(r["partition"], r["bin"]): r["n"]
+            for r in read_sketch_store(spark, sk).collect()} == legacy
+
+    # a new-format run appends on top of the migrated store
+    d = tmp_path / "in"
+    d.mkdir()
+    import glob
+    import shutil
+    (spark.createDataFrame([(5, 10.0)], "event_id long, value double")
+     .coalesce(1).write.parquet(str(d / "f0")))
+    shutil.copy(glob.glob(str(d / "f0" / "*.parquet"))[0],
+                d / "in0.parquet")
+    shutil.rmtree(d / "f0")
+    stream = (spark.readStream.schema("event_id long, value double")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    q = quantile_sketch_sink(stream, sk, str(tmp_path / "ck"),
+                             part_col="event_id", value_col="value",
+                             lo=lo, hi=hi, bins=bins)
+    q.awaitTermination()
+    rolled = quantile_rollup(read_sketch_store(spark, sk),
+                             lo, hi, bins, [0.5]).collect()
+    assert rolled[0]["n_total"] == 7  # 6 legacy counts + 1 new value
