@@ -66,7 +66,13 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                               available_now: bool = True) -> StreamingQuery:
     """Write a streaming DataFrame to ``path`` with replay-idempotent
-    batches (`batch_id=N` partition directories, overwrite-per-batch)."""
+    batches (`batch_id=N` partition directories, overwrite-per-batch).
+
+    Single-run contract: batch ids restart at 0 per checkpoint, so
+    pointing a SECOND run at the same ``path`` overwrites the first
+    run's batches.  Stores that accumulate across runs need the
+    run-namespaced layout the index/sketch sinks use (``run_id=R/
+    batch_id=N``)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
