@@ -806,3 +806,35 @@ def test_length_bucketed_batches_matches_python(spark, toks, bs):
         expect[b // bs] = (len(chunk), sum(chunk), mx,
                            len(chunk) * mx - sum(chunk))
     assert got == expect
+
+
+@FAST
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+              st.integers(-3, 3), st.integers(-4, 4)),
+    min_size=2, max_size=60))
+def test_kendall_lowcard_bitwise_equals_pair_tier(spark, rows):
+    """stats.kendall_tau_grouped_lowcard (O(m·n) grid/prefix) vs the
+    O(n²) pair tier on generated tie-heavy frames: every output column
+    including the double tau must match BITWISE — both paths accumulate
+    identical BIGINT counts and exit the same final IEEE tree."""
+    import struct
+
+    from basic_data_fusion_spark.operators.stats import (
+        kendall_tau_grouped,
+        kendall_tau_grouped_lowcard,
+    )
+
+    data = [(i, g, float(a), float(b)) for i, (g, a, b) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "id long, g string, a double, b double").repartition(4)
+
+    def canon(rs):
+        return sorted(
+            (r["g"], r["n_pairs"], r["concordant"], r["discordant"],
+             None if r["tau_b"] is None else struct.pack("d", r["tau_b"]))
+            for r in rs)
+
+    pair = canon(kendall_tau_grouped(df, "g", "a", "b", "id").collect())
+    low = canon(kendall_tau_grouped_lowcard(df, "g", "a", "b").collect())
+    assert pair == low
