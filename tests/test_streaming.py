@@ -1567,3 +1567,80 @@ def test_compact_sketch_store_migrates_legacy_layout(spark, tmp_path):
     rolled = quantile_rollup(read_sketch_store(spark, sk),
                              lo, hi, bins, [0.5]).collect()
     assert rolled[0]["n_total"] == 7  # 6 legacy counts + 1 new value
+
+
+def test_compactor_injected_crash_states_fold_identically(spark, tmp_path):
+    """Each intermediate directory state the staged compaction sequence
+    can crash in — orphan _compact_staging, promoted-but-undeleted
+    (__compact_new__ beside the original runs), and final-renamed
+    beside a leftover run — must (a) read/probe identically to the
+    clean store and (b) converge to the clean snapshot on the next
+    compaction.  Covers BOTH families: the set-semantic index store and
+    the rank-semantic labels store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        compact_cluster_labels,
+        compact_index_store,
+        read_cluster_labels,
+    )
+
+    # ---- index store (distinct-probe semantics) ----
+    idx = str(tmp_path / "idx")
+    (spark.createDataFrame([("h1",), ("h2",)], "__h string")
+     .write.parquet(f"{idx}/run_id=a/batch_id=0"))
+    (spark.createDataFrame([("h3",)], "__h string")
+     .write.parquet(f"{idx}/run_id=a/batch_id=1"))
+    probe = lambda: sorted(
+        r["__h"] for r in
+        spark.read.parquet(idx).select("__h").distinct().collect())
+    clean = probe()
+
+    # state 1: orphan staging (crash before promote) — hidden from reads
+    (spark.createDataFrame([("junk",)], "__h string")
+     .write.parquet(f"{idx}/_compact_staging/batch_id=0"))
+    assert probe() == clean
+    # state 2: promoted beside originals (crash before deletion) —
+    # duplicated history, inert to the distinct probe
+    (spark.createDataFrame([("h1",), ("h2",), ("h3",)], "__h string")
+     .write.parquet(f"{idx}/run_id=__compact_new__/batch_id=0"))
+    assert probe() == clean
+    # next compaction converges from this state (the __compact_new__
+    # relic is cleared by the promote step itself, outside the counted
+    # deletion loop)
+    removed = compact_index_store(spark, idx)
+    assert removed == 1 and probe() == clean
+    assert sorted(d for d in os.listdir(idx)
+                  if d.startswith("run_id=")) == ["run_id=__compact__"]
+    # state 3: final snapshot beside a leftover original run
+    (spark.createDataFrame([("h3",)], "__h string")
+     .write.parquet(f"{idx}/run_id=a/batch_id=1"))
+    assert probe() == clean
+    assert compact_index_store(spark, idx) == 2
+    assert probe() == clean
+
+    # ---- labels store (latest-wins fold semantics) ----
+    lab = str(tmp_path / "lab")
+    rows1 = [(1, 1), (2, 2)]
+    rows2 = [(2, 1)]                         # batch 1 re-roots doc 2
+    for b, rows in ((0, rows1), (1, rows2)):
+        (spark.createDataFrame(rows, "doc_id long, cluster_id long")
+         .withColumn("epoch", F.lit(1).cast("long"))
+         .write.parquet(f"{lab}/run_id=r/batch_id={b}"))
+    fold = lambda: {r["doc_id"]: r["cluster_id"] for r in
+                    read_cluster_labels(spark, lab).collect()}
+    clean_fold = fold()
+    assert clean_fold == {1: 1, 2: 1}
+    # promoted-but-undeleted: the full fold sits at the frontier rank
+    # (epoch 1, batch 1) beside the original deltas — rank-equal rows
+    # carry the SAME label, so max_by cannot observe the crash
+    (spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+     .withColumn("epoch", F.lit(1).cast("long"))
+     .write.parquet(f"{lab}/run_id=__compact_new__/batch_id=1"))
+    assert fold() == clean_fold
+    compact_cluster_labels(spark, lab)
+    assert fold() == clean_fold
+    assert sorted(d for d in os.listdir(lab)
+                  if d.startswith("run_id=")) == ["run_id=__compact__"]
