@@ -7692,8 +7692,10 @@ WHERE rn <= 20
 #     row carries the scale story); the NEW dist_shift_report row
 #     (KS + Mann-Whitney from ONE shared prefix machine, bit-equal to
 #     the standalone outputs) and kendall_tau_grouped row (exact
-#     distributed tau-b pair count — T7's last pytest-only statistic
-#     gets a driver hash); and the two spearman rows re-hashed after
+#     distributed tau-b — T7's last pytest-only statistic gets a
+#     driver hash; re-pointed LATE r9 from the pair-count tier to the
+#     O(m·n) grid/prefix lowcard tier after the sf1 spot-check, same
+#     oracle, bitwise-equal counts); and the two spearman rows re-hashed after
 #     the correlation_aggregate refactor (plan-neutral by construction
 #     — the internal rank-aggregate golden pins froze with it — but
 #     re-hashing removes the assumption),
