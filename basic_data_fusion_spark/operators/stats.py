@@ -374,11 +374,16 @@ def kendall_tau_grouped_lowcard(df: DataFrame, group_col: str, col_a: str,
             .join(cells, [group_col, "__a", "__b"], "left")
             .withColumn("__c", F.coalesce(F.col("__c"),
                                           F.lit(0).cast("long"))))
+    # per-(group, a) totals: groups×m rows — broadcast-joined into the
+    # grid rather than paying a second full-partition window pass over
+    # the m·n grid (the same relation also feeds the n1 tie term below)
+    per_a = (cells.groupBy(group_col, "__a")
+             .agg(F.sum("__c").alias("__ta")))
     w = Window.partitionBy(group_col, "__a").orderBy("__b")
-    grid = (grid.withColumn("__le", F.sum("__c").over(w))
+    grid = (grid.join(F.broadcast(per_a), [group_col, "__a"])
+            .withColumn("__le", F.sum("__c").over(w))
             .withColumn("__lt", F.col("__le") - F.col("__c"))
-            .withColumn("__gt", F.sum("__c").over(
-                Window.partitionBy(group_col, "__a")) - F.col("__le")))
+            .withColumn("__gt", F.col("__ta") - F.col("__le")))
     vecs = (grid.groupBy(group_col, "__b")
             .agg(F.collect_list(
                 F.struct("__a", "__lt", "__gt")).alias("__vec")))
@@ -395,8 +400,7 @@ def kendall_tau_grouped_lowcard(df: DataFrame, group_col: str, col_a: str,
               .agg(F.sum(F.col("__c") * F.col("__Cc")).alias("concordant"),
                    F.sum(F.col("__c") * F.col("__Dc")).alias("discordant")))
     tie = lambda t: F.sum(F.expr(f"{t} * ({t} - 1) DIV 2"))
-    marg_a = (cells.groupBy(group_col, "__a").agg(F.sum("__c").alias("__t"))
-              .groupBy(group_col).agg(tie("__t").alias("__n1")))
+    marg_a = per_a.groupBy(group_col).agg(tie("__ta").alias("__n1"))
     marg_b = (cells.groupBy(group_col, "__b").agg(F.sum("__c").alias("__t"))
               .groupBy(group_col).agg(tie("__t").alias("__n2")))
     tot = (cells.groupBy(group_col).agg(F.sum("__c").alias("__n"))
