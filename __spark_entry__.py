@@ -5479,7 +5479,7 @@ per_val AS (SELECT v, MAX(ca) AS ca, MAX(cb) AS cb FROM cum GROUP BY v),
 totals AS (SELECT SUM(is_a) AS na, SUM(1 - is_a) AS nb FROM vals)
 SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
        CAST(MAX(ABS(p.ca * t.nb - p.cb * t.na)) AS DOUBLE)
-         / (t.na * t.nb) AS ks_d
+         / NULLIF(t.na * t.nb, 0) AS ks_d
 FROM per_val p CROSS JOIN totals t
 GROUP BY t.na, t.nb
 """

@@ -238,8 +238,12 @@ def dist_shift_report(df: DataFrame, group_col: str, value_col: str,
                 F.first("na").alias("__na"), F.first("nb").alias("__nb")))
     na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
     n = F.col("__na") + F.col("__nb")
-    ks_d = (F.col("__ksnum").cast("double")
-            / (F.col("__na") * F.col("__nb")))
+    # try_divide, not `/`: with one group empty na*nb = 0 and ANSI
+    # division throws; NULL-on-zero matches the z guard below and the
+    # oracle's NULLIF (r9 advisory — kept in lockstep with
+    # ks_two_sample so bit-parity between the two holds)
+    ks_d = F.try_divide(F.col("__ksnum").cast("double"),
+                        F.col("__na") * F.col("__nb"))
     u_a = (F.col("__2ra").cast("double")
            - F.col("__na").cast("double") * (F.col("__na") + 1).cast("double")
            ) / F.lit(2.0)
@@ -909,8 +913,12 @@ def ks_two_sample(df: DataFrame, group_col: str, value_col: str,
                              - F.col("cb") * F.col("na"))).alias("__num"),
                  F.first("na").alias("n_a"), F.first("nb").alias("n_b"))
             .select(F.col("n_a").cast("long"), F.col("n_b").cast("long"),
-                    (F.col("__num").cast("double")
-                     / (F.col("n_a") * F.col("n_b"))).alias("ks_d")))
+                    # try_divide: one empty group → n_a*n_b = 0 → NULL
+                    # instead of an ANSI divide error (lockstep with
+                    # dist_shift_report's ks_d; oracle uses NULLIF)
+                    F.try_divide(F.col("__num").cast("double"),
+                                 F.col("n_a") * F.col("n_b"))
+                    .alias("ks_d")))
 
 
 def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,

@@ -689,6 +689,25 @@ def test_dist_shift_report_bitwise_equals_standalone(spark):
     assert (got["u_a"], got["u_b"], got["z"]) == (mw["u_a"], mw["u_b"], mw["z"])
 
 
+def test_ks_empty_group_yields_null_not_divide_error(spark):
+    """One group absent is a LEGAL input: ks_d must come back NULL (the
+    z guard's semantics) instead of throwing DIVIDE_BY_ZERO under ANSI
+    — r9 advisory; dist_shift_report and ks_two_sample in lockstep."""
+    from basic_data_fusion_spark.operators.stats import (
+        dist_shift_report,
+        ks_two_sample,
+    )
+
+    rows = [("b", 1.0), ("b", 2.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ks = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert (ks["n_a"], ks["n_b"]) == (0, 3)
+    assert ks["ks_d"] is None
+    rep = dist_shift_report(df, "g", "v", "a", "b").collect()[0]
+    assert (rep["n_a"], rep["n_b"]) == (0, 3)
+    assert rep["ks_d"] is None and rep["z"] is None
+
+
 def test_kendall_tau_grouped_matches_sample_tau(spark):
     """The distributed exact pair-count tau-b equals the bounded-sample
     implementation (scipy when present, else the Fenwick O(n log n)
