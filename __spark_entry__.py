@@ -3062,27 +3062,64 @@ _URL_CANON_CHAIN = _URL_DEDUP_ORACLE.split("),\nparts AS", 1)[1].rsplit(
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware representative selection (dedup.keep_best_per_
-    cluster): exact-jaccard near-dup pairs → connected-component
-    clusters → each cluster keeps its highest-quality member (Gopher
-    quality score, min id on ties) instead of the arbitrary min-id doc —
-    the FineWeb-style 'retain the cleanest copy' decision. Every stage
-    (pairs, CC labels, scores, the ranking) replays in SQL, so the
-    keep/drop column itself is hash-checked."""
+    cluster): near-dup pairs → connected-component clusters → each
+    cluster keeps its highest-quality member (Gopher quality score, min
+    id on ties) instead of the arbitrary min-id doc — the FineWeb-style
+    'retain the cleanest copy' decision. Every stage (pairs, CC labels,
+    scores, the ranking) replays in SQL, so the keep/drop column itself
+    is hash-checked.
+
+    RE-PRICED r10 (r9 verdict #4): the pair tier is now the
+    deterministic MinHash BANDED candidate join + exact-jaccard
+    verification (``minhash_dedup_pairs(deterministic=True)``, the
+    hash-green ``minhash_dedup_det`` relation) instead of the
+    exhaustive shingle self-join — the last acceptance-path composite
+    fed by an all-pairs scan at full corpus.  Cost is O(candidates),
+    not O(corpus²) (``incremental_clusters_banded`` precedent), and the
+    oracle replays the identical banded pipeline via
+    ``_minhash_det_oracle``; the exhaustive-jaccard CC parity stays
+    covered by ``dedup_clusters``/``incremental_clusters``."""
     from basic_data_fusion_spark.operators.dedup import (
         keep_best_per_cluster,
-        ngram_jaccard_pairs,
+        minhash_dedup_pairs,
     )
     from basic_data_fusion_spark.operators.text import quality_score
 
     docs = _catalog(spark, sf_dir).load("documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pairs = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
+                                threshold=0.8, deterministic=True)
     scored = quality_score(docs)
     return keep_best_per_cluster(docs, pairs, scored)
 
 
 def _dedup_keep_best_oracle() -> str:
+    # CC over the det-banded pair relation (the minhash_dedup_det
+    # oracle), then the same quality ranking as the Spark side
+    pairs = _minhash_det_oracle(threshold=0.8)
     return f"""
-WITH cl AS (SELECT * FROM ({_DEDUP_CLUSTERS_ORACLE}) t),
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({pairs}) t),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+walk(n, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT w.n, e.v FROM walk w JOIN edges e ON e.u = w.r
+),
+lbl AS (SELECT n, MIN(r) AS cluster_id FROM walk GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl
+       GROUP BY cluster_id),
+cl AS (
+  SELECT d.doc_id,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         COALESCE(s.cluster_size, 1) AS cluster_size
+  FROM documents d
+  LEFT JOIN lbl l ON l.n = d.doc_id
+  LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+),
 q AS (SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE}) t)
 SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
        ROW_NUMBER() OVER (PARTITION BY c.cluster_id
