@@ -115,6 +115,11 @@ PICK_NOTES = {
     "dedup_keep_best": "CC labels + broadcast sizes join the score "
                        "relation; ranking is one cluster-keyed window "
                        "whose partitions are bounded by clique size.",
+    "kendall_tau_grouped": "Lowcard grid tier: one cache-pinned "
+                           "(group, x, y) cells relation feeds seven "
+                           "consumers; concordance prefix counts come "
+                           "from ONE partition-keyed Window plus a "
+                           "broadcast totals join (no second pass).",
     "corpus_diff": "Both snapshots reduce to (id, md5) before the "
                    "single full-outer hash join — bodies never "
                    "shuffle.",

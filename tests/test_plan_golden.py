@@ -75,6 +75,10 @@ PINNED = [
     "curriculum_order_distributed",
     "pack_sequences_distributed",
     "incremental_clusters",
+    # r10: the only bench-top-20 row without a pin (r9 verdict #2) —
+    # exactly the pin's target shape: a cache-pinned 7-consumer cells
+    # relation and ONE partition-keyed Window (was two until late r9)
+    "kendall_tau_grouped",
 ]
 
 # Internal pre-execution frames for contracts that execute eagerly
