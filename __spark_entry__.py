@@ -7723,52 +7723,51 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed/new in r9: incremental_clusters RE-PRICED onto the
-#     gate_slice contract (frac 0.3, oracle shadows `documents` — its
-#     role is oracle-parity of the exhaustive graph now that the banded
-#     row carries the scale story); the NEW dist_shift_report row
-#     (KS + Mann-Whitney from ONE shared prefix machine, bit-equal to
-#     the standalone outputs) and kendall_tau_grouped row (exact
-#     distributed tau-b — T7's last pytest-only statistic gets a
-#     driver hash; re-pointed LATE r9 from the pair-count tier to the
-#     O(m·n) grid/prefix lowcard tier after the sf1 spot-check, same
-#     oracle, bitwise-equal counts); and the two spearman rows re-hashed after
-#     the correlation_aggregate refactor (plan-neutral by construction
-#     — the internal rank-aggregate golden pins froze with it — but
-#     re-hashing removes the assumption),
-# (b) the 7 remaining r4-era oracle-backed rows (the other 7 r4 rows —
-#     minhash_dedup, semantic_dedup, ivf_topk, pq_topk, bpe_encode_docs,
-#     compression_ratio, simhash_near_dups — stay r4-era BY DESIGN:
-#     rows-only checks, each with a hash-green det twin),
-# (c) the oldest r5-era greens in registration order, oracle-backed
-#     only (42 sat at r5; 38 fit — token_counts, last in registration
-#     order, rotates in r10 with the r6-era rows).
+# (a) changed in r10: dedup_keep_best RE-PRICED onto the det MinHash
+#     banded candidate tier (the r9 verdict's last acceptance-path
+#     exhaustive pair scan; oracle replays the banded pipeline; sf1
+#     30.8 s → 7.4 s, ratio 10.0× → 2.4×), and the two KS consumers
+#     (dist_shift_report, ks_acctbal_segments) whose ks_d division now
+#     goes through try_divide (the r9 advisory — NULL instead of
+#     DIVIDE_BY_ZERO on an empty group; oracles mirror with NULLIF),
+# (b) token_counts — the last r5-era oracle-backed row (queued for
+#     r10 by the r9 window comment),
+# (c) the 42 r6-era greens in registration order (ALL oracle-backed;
+#     the 10 rows-only-by-design canaries — 7 r4-era + 3 r5-era, each
+#     with a hash-green det twin — stay outside the window BY DESIGN),
+# (d) 4 slots left: the oldest r7-era oracle-backed rows in
+#     registration order — ivf_topk_det, semantic_dedup_det, and the
+#     two recall gates (which are ALSO the r9 drift-class rows, so
+#     their hashes re-freeze alongside the bench adjudication).
 # After this rotation no oracle-backed query's latest driver row
-# predates r5 (the r7 criterion extended one round).  Everything
-# checked in r6-r8 sits past the window; every query, windowed or not,
-# stays pinned each pytest run by tests/test_oracle_parity.py.
+# predates r7 except the r9-checked remainder — i.e. the oldest
+# oracle-backed row is r7-era, two rounds fresher than the r8
+# criterion required.  Everything checked in r7-r9 sits past the
+# window; every query, windowed or not, stays pinned each pytest run
+# by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r9 plan/oracle changes — fresh hashes for current contracts
-    "incremental_clusters", "dist_shift_report", "kendall_tau_grouped",
-    "spearman_corr", "spearman_matrix",
-    # (b) the 7 remaining r4-era oracle-backed rows
-    "grouped_normality_k2", "source_overlap", "grouped_ols_events",
-    "js_divergence_en", "approx_top_flags", "incremental_dedup",
-    "minhash_dedup_det",
-    # (c) oldest r5-era greens, registration order, oracle-backed only
-    "token_budget_mix", "trigram_lm", "corpus_curation_v2",
-    "part_heavy_hitters", "bloom_decontam_det", "corpus_diff",
-    "domain_quality_report", "incremental_minhash_det", "pq_topk_det",
-    "ivfpq_topk_det", "cms_token_freq", "flagship_merge",
-    "participant_count", "segment_breakdown", "acctbal_minmax",
-    "distinct_segments", "top_segments", "numeric_ranges_lineitem",
-    "filter_impact", "enwiden_events", "baseline_consolidation",
-    "column_summary", "dist_stats_acctbal", "iqr_outliers_acctbal",
-    "substudy_filter", "longitudinal_merge", "distinct_capped",
-    "categorical_summary", "pearson_corr", "ols_regression",
-    "anova_acctbal_by_segment", "histogram_acctbal",
-    "quality_audit_orders", "density_2d_lineitem", "pricing_summary",
-    "shipping_priority", "regional_volume", "dedup_exact",
+    # (a) r10 plan/oracle changes — fresh hashes for current contracts
+    "dedup_keep_best", "dist_shift_report", "ks_acctbal_segments",
+    # (b) the last r5-era oracle-backed row
+    "token_counts",
+    # (c) the 42 r6-era greens, registration order, all oracle-backed
+    "hll_distinct_orders", "prefix_jaccard_pairs",
+    "quantile_rollup_totalprice", "lang_id", "quality_scores",
+    "pii_scrub", "corpus_curation", "repetition_scores", "token_rarity",
+    "boilerplate_strip", "quality_percentile", "memorization_risk",
+    "decontam_spans", "decontam_fraction", "gopher_rules",
+    "dedup_impact_sweep", "embedding_outliers", "interleave_order",
+    "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
+    "decontam_window_sweep", "c4_rules", "shard_manifest",
+    "attribute_spans", "interleave_gate", "winnow_overlap_pairs",
+    "lm_surprisal", "shard_plan", "chunk_documents", "decontam_overlap",
+    "ngram_jaccard", "embedding_topk", "hard_negatives",
+    "media_features", "events_tumbling_daily", "events_sliding",
+    "events_sessions", "events_props", "top_event_per_day",
+    "asof_latest_order", "event_funnel_5m",
+    # (d) oldest r7-era rows, registration order
+    "ivf_topk_det", "semantic_dedup_det", "ann_recall_report",
+    "dedup_recall_report",
 ]
 
 
