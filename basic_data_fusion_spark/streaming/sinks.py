@@ -127,6 +127,13 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     per run, so a second run over the same ``out_path`` would OVERWRITE
     the first run's batch-0 survivors — silent output loss on exactly
     the unbounded-horizon reuse this sink exists for.
+
+    LEGACY-LAYOUT HAZARD: the run-namespacing is a breaking layout
+    change — resuming over a pre-r9 store (bare ``batch_id=N``
+    directories, output OR index) produces a mixed-depth partition
+    tree Spark cannot list.  Run :func:`migrate_legacy_store` once on
+    ``out_path`` and ``index_path`` (stream stopped) before the first
+    namespaced run touches an old store.
     """
     import hashlib
 
@@ -331,6 +338,12 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     folds both index relations mid-run after every Nth batch
     (:func:`compact_minhash_index` with the current batch preserved —
     see :func:`compact_index_store` for the replay/crash analysis).
+
+    LEGACY-LAYOUT HAZARD: resuming over a pre-r9 store (bare
+    ``batch_id=N`` directories — ``out_path`` or either index
+    relation) produces a mixed-depth layout Spark cannot list; run
+    :func:`migrate_legacy_store` on each such path first (stream
+    stopped — see ``index_backed_dedup_sink``).
     """
     import hashlib
 
@@ -443,7 +456,93 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
                  .alias("cluster_id")))
 
 
-def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
+def suggest_compact_every(max_store_dirs: int = 16) -> int:
+    """Pick a ``compact_every`` for the index/label sinks that bounds
+    the store at ``max_store_dirs`` top-level partition directories.
+
+    The sizing rule comes from the store's shape under mid-run
+    compaction: a fold at batch ``k*N-1`` leaves 1 snapshot directory
+    plus the kept current-batch directory; the next ``N-1`` batches
+    each add one delta; the fold batch itself writes its directory
+    BEFORE folding.  Peak directory count at batch boundaries is
+    therefore ``N + 2`` (snapshot + kept + N-1 deltas + the fold
+    batch's own write), so ``N = max_store_dirs - 2`` keeps the store
+    at or under the bound throughout the run — except the fold's own
+    promote-to-delete window, where the new snapshot briefly coexists
+    with the directories it replaces (+1; see
+    :func:`_replace_runs_with_snapshot`).
+
+    Crossover guidance (the SCALE.md r9 probe-vs-history table): probe
+    cost on this store family is driven by DIRECTORY COUNT (file
+    listing + footer opens), measured 0.74→1.97 s over 16× history
+    growth vs flat 0.41 s compacted, while one fold costs a read of
+    snapshot + N deltas — amortized per batch it shrinks as N grows.
+    On filesystems with cheap listing (HDFS, local) a looser bound
+    (32-64 dirs) trades fewer folds for slightly slower probes; on
+    object stores (s3a://), where LIST is the expensive operation,
+    keep the default 16 or tighter — i.e. "compact roughly daily" for
+    a daily-batch pipeline.  The floor of 8 keeps a tiny bound from
+    folding every 1-2 batches, where the fold's own job overhead
+    dominates the listing it saves — so for ``max_store_dirs < 10``
+    the floor wins and the store may briefly hold up to 10
+    directories; the bound is honored exactly for every
+    ``max_store_dirs >= 10``."""
+    return max(8, int(max_store_dirs) - 2)
+
+
+def migrate_legacy_store(spark: SparkSession, store_path: str,
+                         legacy_run: str = "__legacy__") -> int:
+    """One-time migration of a pre-r9 bare ``batch_id=N`` store layout
+    into the run-namespaced ``run_id=R/batch_id=N`` layout, by renaming
+    each top-level ``batch_id=`` directory under ``run_id=<legacy_run>``.
+
+    Why it exists: the r9 run-namespacing of the dedup/minhash sinks'
+    OUTPUT directories is a breaking layout change — the first batch a
+    new run writes to a legacy ``out_path`` turns it into a mixed-depth
+    partition tree Spark cannot list.  The sketch store migrates inside
+    :func:`compact_sketch_store`; outputs have no compactor (they are
+    data, not an index), so this helper is their migration path.  It
+    also works on a legacy index relation: the migrated rows read as
+    ``run_id=<legacy_run>`` — a value no live run's replay exclusion
+    matches, so legacy history stays probed, which is the correct
+    semantics for an unbounded-horizon index.
+
+    Pure metadata: Hadoop FileSystem renames only (no read, no rewrite),
+    so it is cheap on any store size and works on hdfs:// and s3a://
+    paths the same way (on object stores a "rename" is a copy+delete
+    per object — still bounded by the store's file count, not bytes,
+    for parquet dirs of bounded file count).  Run it with the stream
+    STOPPED.  A crash mid-way leaves the store mixed-depth (still
+    unreadable) but RE-RUNNING the helper completes the migration —
+    each remaining bare directory is moved independently; already-moved
+    directories are not touched.  Refuses (raises) if the target
+    ``run_id=<legacy_run>/batch_id=N`` already exists, which only
+    happens if two different legacy stores are migrated into the same
+    path.  Returns the number of directories moved."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0
+    moved = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(
+            f"{store_path}/run_id={legacy_run}/{name}")
+        if fs.exists(dest):
+            raise IOError(f"migrate: {dest} already exists")
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(st.getPath(), dest):
+            raise IOError(f"migrate: rename {name} -> {dest} failed")
+        moved += 1
+    return moved
+
+
+def compact_cluster_labels(spark: SparkSession, labels_path: str,
+                           keep_current: tuple[str, int] | None = None,
+                           ) -> int:
     """Compact a ``cluster_label_sink`` delta log into one snapshot.
 
     The log grows one small delta per micro-batch and the latest-wins
@@ -480,7 +579,30 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
     All moves stay inside ``labels_path`` (one FileSystem, rename not
     copy); deletion/rename go through the Hadoop FileSystem API
     resolved from the path, so hdfs:// and s3a:// stores compact the
-    same way.  Returns the number of run directories removed."""
+    same way.
+
+    ``keep_current=(run_id, batch_id)`` — the mid-run form the sink's
+    ``compact_every`` hook uses — preserves that one delta directory
+    through the deletion phase so the run's epoch probe (the
+    ``max(when(run_id == run, epoch))`` read at a checkpoint restart's
+    first batch) still finds the run's own rows and REUSES its epoch,
+    as the sink documents.  Without it a mid-run fold deletes every
+    ``run_id=R`` delta, and a restart of the same run claims a fresh
+    epoch — fold-order still correct (the new epoch outranks the
+    snapshot) but the documented epoch-reuse invariant silently breaks
+    (r9 advisory).  UNLIKE the index compactors, the kept partition's
+    rows are NOT excluded from the fold: the snapshot must stay the
+    complete latest-wins fold, and the resulting duplication is
+    rank-equal AND value-equal (the snapshot is stamped with the
+    newest standing rank, which mid-run IS the kept batch's rank), so
+    ``max_by`` resolves it to the same label either way.  Residual
+    edge: a checkpoint REPLAY of the just-compacted batch recomputes
+    an empty delta (standing labels already hold its results) and
+    overwrites the kept directory with it — a SECOND restart after
+    that finds no rows for the run and falls back to claiming a fresh
+    epoch.  Correctness-neutral in both cases.
+
+    Returns the number of run directories removed."""
     d = _with_epoch(spark.read.parquet(labels_path))
     frontier = d.agg(
         F.max("epoch").alias("e"),
@@ -491,7 +613,8 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str) -> int:
             .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
                  .alias("cluster_id"))
             .withColumn("epoch", F.lit(top).cast("long")))
-    return _replace_runs_with_snapshot(spark, labels_path, snap, topb)
+    return _replace_runs_with_snapshot(spark, labels_path, snap, topb,
+                                       keep=keep_current)
 
 
 def _replace_runs_with_snapshot(spark: SparkSession, store_path: str,
@@ -668,7 +791,11 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     newest standing ``(epoch, batch_id)``: this run's LATER batches
     outrank it, and a checkpoint replay of the just-compacted batch
     recomputes an empty delta against the already-folded standing
-    labels (idempotent).  The hook also folds the banded index's two
+    labels (idempotent).  The fold preserves this run's newest delta
+    directory (``keep_current``) so a checkpoint restart's epoch probe
+    still finds ``run_id=R`` rows and REUSES the run's epoch (r9
+    advisory; see :func:`compact_cluster_labels` for the one residual
+    replay edge).  The hook also folds the banded index's two
     relations (:func:`compact_minhash_index` with the current batch
     preserved — the index is the store whose directory count, not row
     count, drives per-batch probe cost at production history lengths).
@@ -787,7 +914,12 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
          .parquet(f"{band_dir}/run_id={run}/batch_id={batch_id}"))
         sig.unpersist()
         if compact_every and (batch_id + 1) % int(compact_every) == 0:
-            compact_cluster_labels(spark, labels_path)
+            # keep_current preserves this run's newest delta dir so a
+            # checkpoint restart's epoch probe still finds run_id=R
+            # rows and reuses the epoch (r9 advisory; fold-neutral —
+            # see compact_cluster_labels).
+            compact_cluster_labels(spark, labels_path,
+                                   keep_current=(run, batch_id))
             # The banded index folds under the same keep-current
             # discipline as the dedup sinks; this sink's probes would
             # tolerate even a folded current batch (self-rows are

@@ -1644,3 +1644,163 @@ def test_compactor_injected_crash_states_fold_identically(spark, tmp_path):
     assert fold() == clean_fold
     assert sorted(d for d in os.listdir(lab)
                   if d.startswith("run_id=")) == ["run_id=__compact__"]
+
+
+def test_suggest_compact_every_bounds_store_dirs(spark, tmp_path):
+    """suggest_compact_every sizing (r9 verdict #7): the helper's choice
+    keeps the index store's leaf-directory count at or under the bound
+    across a 24-batch run (transiently +1 during a fold's
+    promote-to-delete window), and the store ends at one snapshot plus
+    the preserved current batch.  Dedup results stay exact (expected
+    set computed analytically, not vs a twin — the full A/B lives in
+    test_exact_dedup_mid_run_auto_compaction_parity)."""
+    import os
+    import threading
+    import time
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        index_backed_dedup_sink,
+        read_sink,
+        suggest_compact_every,
+    )
+
+    # sizing formula: bound-2 folds, floor 8 for tiny bounds
+    assert suggest_compact_every(10) == 8
+    assert suggest_compact_every(16) == 14
+    assert suggest_compact_every(64) == 62
+    assert suggest_compact_every(4) == 8   # fold-overhead floor wins
+
+    bound = 10
+    n = suggest_compact_every(bound)       # 8 -> folds at b=7,15,23
+    # every third doc shares one body: only the first (doc 0) survives
+    batches = [[(i, "dup body" if i % 3 == 0 else f"doc body {i}")]
+               for i in range(24)]
+    _feed_files(spark, tmp_path / "in24", batches)
+    idx = tmp_path / "idx24"
+
+    peak = [0]
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            if idx.exists():
+                c = 0
+                for d in os.listdir(idx):
+                    if d.startswith("_"):
+                        continue   # staging is listing-invisible
+                    sub = idx / d
+                    if sub.is_dir():
+                        c += len(os.listdir(sub))
+                peak[0] = max(peak[0], c)
+            time.sleep(0.02)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(tmp_path / "in24")))
+        q = index_backed_dedup_sink(stream, str(tmp_path / "out24"),
+                                    str(idx), str(tmp_path / "ckpt24"),
+                                    compact_every=n)
+        q.awaitTermination()
+    finally:
+        stop.set()
+        t.join(timeout=5)
+
+    got = {r["doc_id"] for r in
+           read_sink(spark, str(tmp_path / "out24")).collect()}
+    assert got == {0} | {i for i in range(24) if i % 3 != 0}
+    # bound held throughout (+1 = documented promote-to-delete window)
+    assert 0 < peak[0] <= bound + 1, peak[0]
+    # final shape: snapshot + preserved last batch, nothing else
+    runs = sorted(d for d in os.listdir(idx) if d.startswith("run_id="))
+    assert "run_id=__compact__" in runs and len(runs) == 2
+    kept = [d for d in runs if d != "run_id=__compact__"][0]
+    assert os.listdir(idx / kept) == ["batch_id=23"]
+
+
+def test_migrate_legacy_store_unblocks_namespaced_runs(spark, tmp_path):
+    """migrate_legacy_store (r9 advisory): a pre-r9 output/index store
+    (bare batch_id=N directories) becomes an unreadable mixed-depth
+    layout the moment a run-namespaced run writes beside it.  Migrating
+    both paths first keeps the store readable AND keeps legacy history
+    probed — a re-delivery of a legacy document is still dropped."""
+    import os
+
+    from basic_data_fusion_spark.operators.text import fingerprint
+    from basic_data_fusion_spark.streaming.sinks import (
+        index_backed_dedup_sink,
+        migrate_legacy_store,
+        read_sink,
+    )
+
+    out, idx = str(tmp_path / "out"), str(tmp_path / "idx")
+    # fabricate the pre-r9 layout: survivors + their hashes under bare
+    # batch_id=N (exactly what the r8-era sink wrote)
+    legacy = spark.createDataFrame(
+        [(1, "legacy doc one"), (2, "legacy doc two")],
+        "doc_id long, text string")
+    legacy.write.parquet(f"{out}/batch_id=0")
+    (legacy.select(fingerprint(F.col("text")).alias("__h")).distinct()
+     .write.parquet(f"{idx}/batch_id=0"))
+
+    assert migrate_legacy_store(spark, out) == 1
+    assert migrate_legacy_store(spark, idx) == 1
+    assert migrate_legacy_store(spark, idx) == 0   # idempotent re-run
+    assert os.listdir(out) == ["run_id=__legacy__"]
+
+    # a namespaced run over the migrated store: doc 3 duplicates legacy
+    # doc 1 (must be dropped by the index probe), doc 4 is new
+    _feed_files(spark, tmp_path / "in",
+                [[(3, "legacy doc one"), (4, "brand new doc")]])
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "in")))
+    q = index_backed_dedup_sink(stream, out, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in read_sink(spark, out).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_labels_mid_run_compaction_reuses_epoch_on_restart(spark, tmp_path):
+    """compact_cluster_labels keep_current (r9 advisory): a mid-run fold
+    used to delete every run_id=R delta, so a checkpoint restart of the
+    SAME run found no own-epoch rows and claimed a fresh epoch —
+    fold-order correct but against the sink's documented epoch-reuse
+    invariant.  With the preserved newest delta the restart's probe
+    finds the run's rows and every post-restart batch stamps the SAME
+    epoch."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import cluster_label_sink
+
+    lab, idx = str(tmp_path / "lab"), str(tmp_path / "idx")
+    d = tmp_path / "in"
+
+    def start():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        return cluster_label_sink(stream, lab, idx,
+                                  str(tmp_path / "ckpt"),
+                                  compact_every=2)
+
+    # first run: batches 0,1 -> fold fires at batch 1 with keep_current
+    _feed_files(spark, d, [[(1, "first unique body")],
+                           [(2, "second unique body")]])
+    start().awaitTermination()
+    runs = sorted(x for x in os.listdir(lab) if x.startswith("run_id="))
+    assert "run_id=__compact__" in runs and len(runs) == 2
+    run_dir = [x for x in runs if x != "run_id=__compact__"][0]
+    assert os.listdir(os.path.join(lab, run_dir)) == ["batch_id=1"]
+
+    # restart the SAME checkpoint with two more batches: the epoch
+    # probe must find the preserved delta and REUSE epoch 1
+    _feed_files(spark, d, [[(3, "third unique body")],
+                           [(4, "fourth unique body")]])
+    start().awaitTermination()
+    store = spark.read.parquet(lab)
+    own = (store.filter(F.col("run_id") != "__compact__")
+           .select("epoch").distinct().collect())
+    assert {int(r["epoch"]) for r in own} == {1}
