@@ -5436,6 +5436,121 @@ WHERE CAST(v.n_common AS DOUBLE) / (x.set_size + y.set_size - v.n_common)
 """
 
 
+# Fuzzy decontam held-out split: ~5% of documents by md5 prefix (the
+# engine-portable slice idiom — both engines compute md5 of the same
+# decimal doc_id string).
+_FUZZY_DECONTAM_HELD_PREFIX = "0d"
+_FUZZY_DECONTAM_THRESHOLD = 0.7
+
+
+def q_fuzzy_decontam_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination (dedup.fuzzy_decontaminate),
+    deterministic tier: the exact decontam family (n-gram join, Bloom
+    probe, span surgery) misses paraphrase-grade leaks; this tier flags
+    every train doc whose best held-out match reaches shingle Jaccard >=
+    0.7 via the md5 banded MinHash probe — eval side BROADCAST so the
+    corpus never shuffles (the 100 TB shape; see the operator
+    docstring).  Per train doc: (doc_id, contaminated, matched_id,
+    jaccard); the whole pipeline (banding, candidate probe, exact
+    verification, best-match ranking) replays in SQL and value-hashes.
+
+    Reference parity: extends the decontamination surface beyond the
+    reference's exact-match semantics (SURVEY §2 decontam rows); no
+    reference operator corresponds — this is a training-pipeline
+    extension like the dedup ladder's banded tiers."""
+    from basic_data_fusion_spark.operators.dedup import fuzzy_decontaminate
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < _FUZZY_DECONTAM_HELD_PREFIX)
+    return fuzzy_decontaminate(
+        docs.filter(~held), docs.filter(held),
+        threshold=_FUZZY_DECONTAM_THRESHOLD, deterministic=True)
+
+
+def _fuzzy_decontam_det_oracle(n: int = 3, num_hashes: int = 64,
+                               bands: int = 16,
+                               threshold: float = _FUZZY_DECONTAM_THRESHOLD,
+                               seed: int = 42) -> str:
+    """DuckDB replay of the det fuzzy-decontam tier: the incremental
+    det-minhash construction with the candidate join crossing the
+    train/held-out md5 split, then best-match ranking (jaccard DESC,
+    eval id ASC) and a left join back to every train doc."""
+    from basic_data_fusion_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+    )
+
+    params = _affine_params(num_hashes, seed)
+    values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(params))
+    hex15 = _hex15_sql("shingle")
+    rpb = num_hashes // bands
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           < '{_FUZZY_DECONTAM_HELD_PREFIX}' AS is_held,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, is_held,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, is_held, {hex15} % {MERSENNE31} AS h0 FROM s),
+params(i, a, b) AS (VALUES {values}),
+mins AS (
+  SELECT h.doc_id, h.is_held, p.i,
+         MIN((p.a * h.h0 + p.b) % {MERSENNE31}) AS mn
+  FROM h CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+bnd AS (
+  SELECT doc_id, is_held, i // {rpb} AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM mins GROUP BY doc_id, is_held, i // {rpb}
+),
+cands AS (
+  SELECT DISTINCT tb.doc_id AS train_id, eb.doc_id AS eval_id
+  FROM bnd tb JOIN bnd eb
+    ON tb.band = eb.band AND tb.bucket = eb.bucket
+  WHERE NOT tb.is_held AND eb.is_held
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT c.train_id, c.eval_id, COUNT(*) AS n_common
+  FROM cands c
+  JOIN s sa ON sa.doc_id = c.train_id
+  JOIN s sb ON sb.doc_id = c.eval_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT v.train_id, v.eval_id,
+         CAST(v.n_common AS DOUBLE)
+           / (x.set_size + y.set_size - v.n_common) AS jaccard
+  FROM ver v
+  JOIN sz x ON x.doc_id = v.train_id
+  JOIN sz y ON y.doc_id = v.eval_id
+),
+best AS (
+  SELECT train_id, eval_id, jaccard,
+         ROW_NUMBER() OVER (PARTITION BY train_id
+                            ORDER BY jaccard DESC, eval_id) AS rn
+  FROM jac WHERE jaccard >= CAST({threshold} AS DOUBLE)
+)
+SELECT t.doc_id,
+       b.eval_id AS matched_id,
+       b.jaccard,
+       b.eval_id IS NOT NULL AS contaminated
+FROM (SELECT doc_id FROM d WHERE NOT is_held) t
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.train_id = t.doc_id
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -8021,6 +8136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dsir_weights": q_dsir_weights,
         "embedding_near_dups": q_embedding_near_dups,
+        # ---- round-10 additions ----
+        "fuzzy_decontam_det": q_fuzzy_decontam_det,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8129,6 +8246,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _CORPUS_DIFF_ORACLE,
         "domain_quality_report": _domain_report_oracle(),
         "incremental_minhash_det": _incremental_minhash_det_oracle(),
+        "fuzzy_decontam_det": _fuzzy_decontam_det_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),

@@ -628,6 +628,7 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                               deterministic: bool = False,
                               existing_sig: DataFrame | None = None,
                               existing_shingles: DataFrame | None = None,
+                              broadcast_existing: bool = False,
                               ) -> DataFrame:
     """Fuzzy tier of incremental ingestion dedup (pairs with
     ``incremental_exact_dedup``): NEW docs that are near-duplicates of
@@ -660,6 +661,14 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
     ``minhash_index_sink`` implements; with the hooks the operator
     itself runs it in batch mode.  The relations must have been built
     with the same (n, num_hashes, seed, hash_fn) parameters.
+
+    ``broadcast_existing=True`` hints BOTH existing-side relations
+    (band keys into the candidate join, shingles into verification)
+    for broadcast — the right shape when the standing side is SMALL
+    relative to the batch (benchmark decontamination, where "existing"
+    is an eval set): the batch/corpus side then never shuffles at all;
+    candidates fall out of a broadcast probe and verification
+    broadcasts the eval shingles into the candidate rows.
     """
     hash_fn = "md5" if deterministic else "xxhash64"
     hb = not deterministic
@@ -668,11 +677,13 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                            seed, hash_fn=hash_fn)
     sig_new = minhash_signatures(new, text_col, id_col, n, num_hashes,
                                  seed, hash_fn=hash_fn)
+    bk_ex = minhash_band_keys(sig_ex, id_col, "existing_id", bands,
+                              num_hashes, hash_buckets=hb)
+    if broadcast_existing:
+        bk_ex = F.broadcast(bk_ex)
     cands = (minhash_band_keys(sig_new, id_col, "new_id", bands,
                                num_hashes, hash_buckets=hb)
-             .join(minhash_band_keys(sig_ex, id_col, "existing_id",
-                                     bands, num_hashes, hash_buckets=hb),
-                   ["band", "bucket"])
+             .join(bk_ex, ["band", "bucket"])
              .select("new_id", "existing_id").distinct())
     sh_new = (spread_narrow(new)
               .select(F.col(id_col).alias("new_id"),
@@ -685,6 +696,8 @@ def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
         sh_ex = (spread_narrow(existing)
                  .select(F.col(id_col).alias("existing_id"),
                          word_shingles(F.col(text_col), n).alias("sh_e")))
+    if broadcast_existing:
+        sh_ex = F.broadcast(sh_ex)
     n_common = F.size(F.array_intersect("sh_n", "sh_e"))
     return (cands.join(sh_new, "new_id").join(sh_ex, "existing_id")
             .withColumn("jaccard",
@@ -714,6 +727,53 @@ def cross_corpus_overlap(train: DataFrame, held_out: DataFrame,
             .groupBy("train_id", "eval_id")
             .agg(F.count(F.lit(1)).alias("n_common"))
             .filter(F.col("n_common") >= min_common))
+
+
+def fuzzy_decontaminate(train: DataFrame, held_out: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42,
+                        deterministic: bool = False) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy tier the
+    exact family lacks (``cross_corpus_overlap`` catches verbatim
+    n-gram leaks, ``bloom_decontaminate`` the same at map-side cost;
+    neither catches an eval answer leaked with light paraphrase or
+    formatting drift, which is what fuzzy decontam exists for in
+    production pipelines).  Per TRAIN doc: ``(id, contaminated,
+    matched_id, jaccard)`` — the best-matching held-out doc at exact
+    shingle Jaccard ≥ ``threshold`` (ties: highest jaccard, then
+    smallest eval id), NULL/false when clean.
+
+    Scale shape — the eval set is benchmark-sized, the corpus is the
+    100 TB side, so the plan must never shuffle the corpus: the eval
+    side's band keys and shingle sets are BROADCAST
+    (``incremental_minhash_dedup(broadcast_existing=True)``), making
+    candidate discovery a broadcast probe over the corpus's own band
+    keys and verification a broadcast join onto candidate rows only.
+    The final best-match window partitions by train doc id (bounded by
+    per-doc candidate fan-out, never data-sized), and the left join
+    back to `train` is id-projection-sized — deliberately UNhinted:
+    the match relation's cardinality is data-dependent (usually tiny,
+    pathologically large on a poisoned corpus), so AQE's runtime
+    conversion to broadcast is the right mechanism, not a static hint.
+
+    ``deterministic=True`` switches the whole pipeline to the md5 /
+    raw-bucket tier so it value-hashes against a SQL oracle (same
+    trade as ``minhash_dedup_pairs``)."""
+    links = incremental_minhash_dedup(
+        held_out, train, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        seed=seed, deterministic=deterministic, broadcast_existing=True)
+    w = Window.partitionBy("new_id").orderBy(F.col("jaccard").desc(),
+                                             F.col("existing_id"))
+    best = (links.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("new_id").alias(id_col),
+                    F.col("existing_id").alias("matched_id"),
+                    F.col("jaccard")))
+    return (train.select(id_col)
+            .join(best, id_col, "left")
+            .withColumn("contaminated", F.col("matched_id").isNotNull()))
 
 
 # ---------------- cluster assembly: connected components ----------------

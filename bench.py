@@ -183,6 +183,9 @@ HEADLINE += [
     # new in round 9 (absent from BENCH_r08 and earlier)
     "dist_shift_report",             # KS + Mann-Whitney from ONE prefix machine
     "kendall_tau_grouped",           # exact tau-b, O(m*n) grid/prefix tier
+
+    # new in round 10 (absent from BENCH_r09 and earlier)
+    "fuzzy_decontam_det",            # near-dup decontam, eval side broadcast
 ]
 
 

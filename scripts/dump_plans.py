@@ -114,7 +114,13 @@ PICK_NOTES = {
                          "counting is one (arm, query) aggregation.",
     "dedup_keep_best": "CC labels + broadcast sizes join the score "
                        "relation; ranking is one cluster-keyed window "
-                       "whose partitions are bounded by clique size.",
+                       "whose partitions are bounded by clique size. "
+                       "NOTE: this pin starts at the CC loop's "
+                       "materialized edge set (Scan ExistingRDD) — "
+                       "the r10 banded pair-tier FEED is upstream of "
+                       "the driver-side fixed point and is pinned "
+                       "separately as minhash_dedup_det (the same "
+                       "relation).",
     "kendall_tau_grouped": "Lowcard grid tier: one cache-pinned "
                            "(group, x, y) cells relation feeds seven "
                            "consumers; concordance prefix counts come "

@@ -79,6 +79,10 @@ PINNED = [
     # exactly the pin's target shape: a cache-pinned 7-consumer cells
     # relation and ONE partition-keyed Window (was two until late r9)
     "kendall_tau_grouped",
+    # r10: fuzzy decontam — the pin freezes the broadcast shape (eval
+    # band keys + shingles BuildRight at both joins; the corpus side
+    # never exchanges before the final AQE-managed left join)
+    "fuzzy_decontam_det",
 ]
 
 # Internal pre-execution frames for contracts that execute eagerly
