@@ -508,8 +508,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
         df = df.repartition(parallelism)
     else:
         df = spread_narrow(df)
+    sig = minhash_signature_column(F.col(text_col), n, num_hashes, seed,
+                                   hash_fn)
+    return df.select(F.col(id_col), sig.alias("signature"))
 
-    grams = word_shingles(F.col(text_col), n)
+
+def minhash_signature_column(text: Column, n: int = 3,
+                             num_hashes: int = 64, seed: int = 42,
+                             hash_fn: str = "xxhash64") -> Column:
+    """The signature EXPRESSION behind :func:`minhash_signatures` — a
+    pure Column so single-projection consumers (the stateless streaming
+    gate, which must compute shingles AND the signature of the same row
+    in ONE select — a second frame would be a stream-stream join) share
+    the exact fold the frame API uses."""
+    grams = word_shingles(text, n)
     p = F.lit(MERSENNE31).cast("long")
     if hash_fn == "md5":
         base = F.transform(
@@ -526,38 +538,58 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ab = F.array(*[F.struct(F.lit(a).cast("long").alias("a"),
                             F.lit(b).cast("long").alias("b")) for a, b in params])
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
-    sig = F.aggregate(
+    return F.aggregate(
         base, init,
         lambda acc, h: F.zip_with(
             acc, ab,
             lambda m, pr: F.least(m, F.pmod(pr["a"] * h + pr["b"], p))))
-    return df.select(F.col(id_col), sig.alias("signature"))
 
 
-def minhash_band_keys(sig: DataFrame, id_col: str, out_id: str,
-                      bands: int, num_hashes: int,
-                      hash_buckets: bool = True) -> DataFrame:
-    """(id, band, bucket) relation from a signature table — the ONE
-    band/bucket-hash construction shared by the batch self-join tier and
-    the incremental batch-vs-index tier. A persisted standing-corpus
-    index and any later batch must hash buckets bit-identically, so the
-    expression is defined exactly once."""
+def _band_bucket_cols(bands: int, num_hashes: int,
+                      hash_buckets: bool = True,
+                      signature_col: str = "signature") -> list[Column]:
+    """The ``bands`` band-bucket key expressions of a signature column —
+    the ONE bucket-hash construction shared by :func:`minhash_band_keys`
+    (which explodes them into the join relation) and
+    :func:`minhash_bucket_array` (which keeps them as an array on the
+    row for the stateless streaming gate's first-matching-band dedup).
+    A persisted standing-corpus index and any later batch must hash
+    buckets bit-identically, so the expression is defined exactly
+    once."""
     rows_per_band = num_hashes // bands
 
     def bucket(bi: int):
         joined = F.concat_ws(
-            ",", *[F.element_at("signature", bi * rows_per_band + r + 1)
+            ",", *[F.element_at(signature_col, bi * rows_per_band + r + 1)
                    .cast("string") for r in range(rows_per_band)])
         # hashed buckets shuffle 8-byte keys (default); raw-string
         # buckets are engine-portable — the oracle-checkable tier
         return (F.xxhash64(joined).cast("string") if hash_buckets
                 else joined)
 
+    return [bucket(bi) for bi in range(bands)]
+
+
+def minhash_bucket_array(bands: int, num_hashes: int,
+                         hash_buckets: bool = True,
+                         signature_col: str = "signature") -> Column:
+    """``array<string>`` of a signature's band-bucket keys (see
+    :func:`_band_bucket_cols` for the shared-expression contract)."""
+    return F.array(*_band_bucket_cols(bands, num_hashes, hash_buckets,
+                                      signature_col))
+
+
+def minhash_band_keys(sig: DataFrame, id_col: str, out_id: str,
+                      bands: int, num_hashes: int,
+                      hash_buckets: bool = True) -> DataFrame:
+    """(id, band, bucket) relation from a signature table — the banded
+    join form of the shared bucket expressions."""
+    buckets = _band_bucket_cols(bands, num_hashes, hash_buckets)
     b = sig.select(
         F.col(id_col).alias(out_id),
         F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
-            for bi in range(bands)
+            F.struct(F.lit(bi).alias("band"), bk.alias("bucket"))
+            for bi, bk in enumerate(buckets)
         ])).alias("bb"))
     return b.select(out_id, "bb.band", "bb.bucket")
 

@@ -194,6 +194,14 @@ def spread_narrow(df: DataFrame) -> DataFrame:
     (round-6 fix; the private-API surface is pinned by
     tests/test_sources.py::test_spread_narrow_plan_probe so a Spark
     upgrade that changes it fails loudly instead of silently)."""
+    # Streaming frames pass through untouched: their per-micro-batch
+    # partitioning is set by the source (maxFilesPerTrigger & co.), a
+    # pre-execution spread is meaningless, and the `.rdd` probe below
+    # is illegal on a streaming plan — this guard is what lets the
+    # dedup/minhash expression operators run unchanged inside a
+    # streaming query (the stateless fuzzy-decontam gate).
+    if df.isStreaming:
+        return df
     if _plan_has_shuffle_node(df):
         return df
     npart = df.sparkSession.sparkContext.defaultParallelism

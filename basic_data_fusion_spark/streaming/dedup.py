@@ -167,3 +167,90 @@ def streaming_simhash_candidates(df: DataFrame, text_col: str = "text",
     return (banded.groupBy("band", "bits")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_fuzzy_decontaminate(df: DataFrame, held_out: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", n: int = 3,
+                                  num_hashes: int = 64, bands: int = 16,
+                                  threshold: float = 0.8, seed: int = 42,
+                                  deterministic: bool = False) -> DataFrame:
+    """Streaming NEAR-dup decontamination — the fuzzy tier of the
+    ingestion gate (``streaming_decontaminate`` catches verbatim
+    window leaks; this catches paraphrase-grade ones): each incoming
+    document is MinHash-banded against the STATIC held-out corpus and
+    every verified leak is emitted as a link row ``(id, matched_id,
+    jaccard)`` with exact shingle Jaccard ≥ ``threshold``.  A document
+    absent from the output is clean; link rows are exactly the batch
+    tier's ``incremental_minhash_dedup(held_out, batch)`` rows, so
+    backfill and live ingestion share semantics (and the parity test
+    pins it).
+
+    ZERO STATE, APPEND MODE, NO WATERMARK — the property that makes it
+    a gate rather than a job.  Two things make that possible:
+
+    1. Stream-static broadcast joins only: the eval side's exploded
+       (band, bucket) keys and its (shingles, bucket-array) relation
+       are batch-built and broadcast; the stream side is one
+       projection (shingles + signature + bucket array in a single
+       select — a second frame over the source would be a
+       stream-stream join) followed by a 16-way posexplode.
+    2. The batch tier dedups multi-band candidate collisions with
+       ``distinct()`` — a stateful operator on a stream.  Here the
+       dedup is STATELESS: both rows of a candidate carry their full
+       bucket arrays, so each joined row can compute the pair's FIRST
+       matching band and survive only if it IS that band — exactly one
+       emitted row per (doc, eval doc) pair, no state, no shuffle.
+
+    Per-doc cost is O(tokens + bands + candidates); the 16× band
+    fan-out carries the shingle/bucket arrays through a map-only
+    stage (broadcast join, no exchange).  At 100 TB/day this is the
+    same shape as the exact gate: per-row work, zero state, restart
+    from any checkpoint, eval refresh = query restart.  Works
+    identically on a batch ``df`` (all plain projections/joins).
+
+    ``deterministic=True`` selects the md5/raw-bucket tier (same
+    trade as ``minhash_dedup_pairs``)."""
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.operators.dedup import (
+        minhash_bucket_array,
+        minhash_signature_column,
+        word_shingles,
+    )
+
+    hash_fn = "md5" if deterministic else "xxhash64"
+    hb = not deterministic
+    sig = minhash_signature_column(F.col(text_col), n, num_hashes, seed,
+                                   hash_fn)
+
+    def prepared(rel: DataFrame, out_id: str, sh: str, bk: str) -> DataFrame:
+        return (rel.select(F.col(id_col).alias(out_id),
+                           word_shingles(F.col(text_col), n).alias(sh),
+                           sig.alias("signature"))
+                .withColumn(bk, minhash_bucket_array(bands, num_hashes, hb))
+                .drop("signature"))
+
+    ev = prepared(held_out, "matched_id", "__sh_e", "__bk_e")
+    ev_x = F.broadcast(ev.select(
+        "matched_id", "__sh_e", "__bk_e",
+        F.posexplode("__bk_e").alias("__band", "__bucket")))
+
+    s_x = (prepared(df, id_col, "__sh_s", "__bk_s")
+           .select(id_col, "__sh_s", "__bk_s",
+                   F.posexplode("__bk_s").alias("__band", "__bucket")))
+
+    # stateless candidate dedup: keep only the FIRST matching band of
+    # each (doc, eval) pair — computable per row from the two arrays
+    first_band = F.element_at(
+        F.filter(F.sequence(F.lit(0), F.lit(int(bands) - 1)),
+                 lambda i: F.element_at("__bk_s", i + F.lit(1))
+                 == F.element_at("__bk_e", i + F.lit(1))), 1)
+    n_common = F.size(F.array_intersect("__sh_s", "__sh_e"))
+    jac = (n_common.cast("double")
+           / (F.size("__sh_s") + F.size("__sh_e") - n_common))
+    return (s_x.join(ev_x, ["__band", "__bucket"])
+            .filter(F.col("__band") == first_band)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= F.lit(float(threshold)))
+            .select(id_col, "matched_id", "jaccard"))

@@ -1804,3 +1804,68 @@ def test_labels_mid_run_compaction_reuses_epoch_on_restart(spark, tmp_path):
     own = (store.filter(F.col("run_id") != "__compact__")
            .select("epoch").distinct().collect())
     assert {int(r["epoch"]) for r in own} == {1}
+
+
+def test_streaming_fuzzy_decontaminate_matches_batch_links(spark, tmp_path):
+    """Stateless fuzzy ingestion gate: paraphrase-grade leaks the exact
+    window gate misses are flagged across micro-batches in APPEND mode
+    with zero state; link rows equal the batch tier's
+    incremental_minhash_dedup(held_out, batch) rows exactly (including
+    jaccard values and multi-band candidates deduped STATELESSLY via
+    the first-matching-band rule); clean docs emit nothing."""
+    from basic_data_fusion_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from basic_data_fusion_spark.streaming.dedup import (
+        streaming_fuzzy_decontaminate,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    held = spark.createDataFrame(
+        [(900, base), (901, base + " tail900 extra")],
+        "doc_id long, text string")
+    rows1 = [(1, "totally clean streaming text with no overlap at all"),
+             (2, base)]                                  # exact copy
+    rows2 = [(3, base + " lightly edited ending here"),  # paraphrase
+             (4, "another clean document entirely different words")]
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    for i, rows in enumerate([rows1, rows2]):
+        (spark.createDataFrame(rows, schema)
+         .coalesce(1).write.mode("overwrite").parquet(str(d / f"f{i}")))
+
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(str(d))
+    stream = (spark.readStream.schema(batch.schema)
+              .option("recursiveFileLookup", "true")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    gate = streaming_fuzzy_decontaminate(stream, held, n=3, threshold=0.7)
+    assert gate.isStreaming
+    out = W.run_available_now(gate, "t_fuzzy_gate", output_mode="append")
+    got = {(r["doc_id"], r["matched_id"]): r["jaccard"]
+           for r in out.collect()}
+    # doc 2 is an exact copy of 900 AND within threshold of 901; doc 3
+    # near-dups both; clean docs 1/4 emit nothing
+    assert got[(2, 900)] == 1.0
+    assert all(0.7 <= j <= 1.0 for j in got.values())
+    assert {k[0] for k in got} == {2, 3}
+    # exactly one row per (doc, eval) pair — the stateless first-band
+    # dedup did the distinct()'s job
+    assert len(got) == len(set(got))
+
+    links = {(r["new_id"], r["existing_id"]): r["jaccard"]
+             for r in incremental_minhash_dedup(
+                 held, batch, threshold=0.7).collect()}
+    assert got == links
+    # the same call site runs in batch (backfill path), same rows
+    bgot = {(r["doc_id"], r["matched_id"]): r["jaccard"]
+            for r in streaming_fuzzy_decontaminate(
+                batch, held, n=3, threshold=0.7).collect()}
+    assert bgot == got
+    # deterministic tier: same flag set through the md5/raw-bucket path
+    dgot = {(r["doc_id"], r["matched_id"]): r["jaccard"]
+            for r in streaming_fuzzy_decontaminate(
+                batch, held, n=3, threshold=0.7,
+                deterministic=True).collect()}
+    assert dgot == got
