@@ -521,9 +521,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: list[list[float]]
     # same bit-identity argument as brute_force_topk)
     self_dot = fixed_point_self_dot if deterministic else \
         (lambda v: dot(v, v))
-    pair_dot = fixed_point_dot if deterministic else dot
     indexed = (ivf_index(corpus, centroids, id_col, vec_col, metric=metric)
                .withColumn("__cc", self_dot(F.col(vec_col))))
+    return ivf_topk_indexed(indexed, queries, centroids, k=k,
+                            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                            query_id_col=query_id_col,
+                            deterministic=deterministic)
+
+
+def ivf_topk_indexed(indexed: DataFrame, queries: DataFrame,
+                     centroids: list[list[float]], k: int = 5,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     query_id_col: str = "query_id",
+                     deterministic: bool = False) -> DataFrame:
+    """The probe half of :func:`ivf_topk`, taking a PRE-BUILT indexed
+    relation ``(id, vec, cell, __cc self-dot)`` instead of assigning
+    cells inline — the search path over a PERSISTED index (the
+    streaming ``vector_index_sink`` store, or any saved ``ivf_index``
+    output enriched with self-dots).  The relation must have been
+    assigned with the SAME centroids and metric this probe uses, or
+    neighbors hide in unprobed cells; ``ivf_topk`` itself is exactly
+    ``ivf_topk_indexed(ivf_index(...) + self-dot, ...)``."""
+    metric = "fixed_cosine" if deterministic else "cosine"
+    self_dot = fixed_point_self_dot if deterministic else \
+        (lambda v: dot(v, v))
+    pair_dot = fixed_point_dot if deterministic else dot
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"),
                        self_dot(F.col(vec_col)).alias("__qq"))
     # same single-literal + transform shape as ivf_index (codegen bounded

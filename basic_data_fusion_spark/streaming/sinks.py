@@ -935,3 +935,85 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def vector_index_sink(df: DataFrame, index_path: str, checkpoint: str,
+                      centroids: list[list[float]],
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      metric: str = "cosine",
+                      available_now: bool = True,
+                      run_id: str | None = None,
+                      compact_every: int | None = None) -> StreamingQuery:
+    """Streaming IVF vector-index maintenance — the embedding member of
+    the store family (content-hash index, banded MinHash index, cluster
+    labels, quantile sketches): each micro-batch of embeddings is
+    assigned to its coarse cell against the DRIVER-LITERAL centroids
+    (``similarity.ivf_index`` — the same single-literal transform-loop
+    expression the batch tier uses, so an index built here and one
+    built in batch are bit-identical under the same metric) and
+    appended as ``(id, vec, cell, __cc self-dot)`` rows into
+    replay-idempotent ``run_id=R/batch_id=N`` directories.  Queries
+    probe the store with :func:`read_vector_index` →
+    ``similarity.ivf_topk_indexed`` — identical results to running
+    ``ivf_topk`` over the accumulated corpus (parity-pinned), without
+    ever re-assigning history.
+
+    Scale shape: per batch the work is O(batch × n_cells) assignment
+    expressions and one append — no index read, no state, no shuffle
+    (cell assignment is a projection; the store write partitions by
+    directory, not by cell).  Self-dots are precomputed at WRITE time
+    so every future probe skips the corpus-side norm pass — the
+    classic build-once/probe-many trade.  Rows are plain facts, so the
+    store compacts with the generic :func:`compact_index_store`
+    (``compact_every=N`` mid-run, same keep-current discipline as the
+    family even though this sink never reads its own store — one
+    uniform invariant).  Centroid REFRESH is a new index path (the
+    FAISS practice: re-assignment is a rebuild, not an edit);
+    ``metric`` must match the probe's tier (``"fixed_cosine"`` for the
+    deterministic/oracle tier, ``"cosine"`` for the fast tier —
+    :func:`similarity.ivf_index` docstring).
+
+    LEGACY-LAYOUT note: this sink is born run-namespaced; there are no
+    pre-namespacing vector stores to migrate."""
+    import hashlib
+
+    from basic_data_fusion_spark.operators.similarity import (
+        dot,
+        fixed_point_self_dot,
+        ivf_index,
+    )
+
+    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    self_dot = fixed_point_self_dot if metric == "fixed_cosine" else \
+        (lambda v: dot(v, v))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        indexed = (ivf_index(batch_df, centroids, id_col, vec_col,
+                             metric=metric, repartition_input=False)
+                   .withColumn("__cc", self_dot(F.col(vec_col))))
+        (indexed.write.mode("overwrite")
+         .parquet(f"{index_path}/run_id={run}/batch_id={batch_id}"))
+        if compact_every and (batch_id + 1) % int(compact_every) == 0:
+            compact_index_store(spark, index_path,
+                                keep_current=(run, batch_id))
+
+    writer = (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_vector_index(spark: SparkSession, index_path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """The probe-ready relation of a :func:`vector_index_sink` store —
+    ``(id, vec, cell, __cc)``, run/batch provenance dropped.  Feed it
+    to ``similarity.ivf_topk_indexed`` with the SAME centroids and
+    metric the sink indexed under.  ``distinct`` makes crash-leftover
+    duplicate rows (snapshot + undeleted original between a
+    compaction's promote and delete steps) inert, exactly as the
+    content-hash store's set-semantic probes are."""
+    return (spark.read.parquet(index_path)
+            .select(id_col, vec_col, "cell", "__cc").distinct())

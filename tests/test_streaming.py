@@ -1869,3 +1869,64 @@ def test_streaming_fuzzy_decontaminate_matches_batch_links(spark, tmp_path):
                 batch, held, n=3, threshold=0.7,
                 deterministic=True).collect()}
     assert dgot == got
+
+
+def test_vector_index_sink_probe_matches_batch_ivf(spark, tmp_path):
+    """Streaming IVF index maintenance: the store built batch-by-batch
+    (with a mid-run compaction) probes to EXACTLY the batch ivf_topk
+    result over the accumulated corpus — same centroids, deterministic
+    fixed-point tier, precomputed self-dots — and the store ends at one
+    snapshot plus the preserved newest batch."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from basic_data_fusion_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        read_vector_index,
+        vector_index_sink,
+    )
+
+    corpus = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+              .select("vec_id", "embedding"))
+    cents = train_centroids(corpus, k=8, seed=42)
+    queries = (corpus.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    # feed the corpus as 3 micro-batches (vec_id mod 3), pinned mtimes
+    d = tmp_path / "vec_in"
+    d.mkdir()
+    t0 = time.time() - 10_000
+    for i in range(3):
+        (corpus.filter(F.col("vec_id") % 3 == i)
+         .coalesce(1).write.parquet(str(tmp_path / f"s{i}")))
+        src = glob.glob(str(tmp_path / f"s{i}" / "*.parquet"))[0]
+        dst = d / f"in{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(tmp_path / f"s{i}")
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    idx = str(tmp_path / "vecidx")
+    q = vector_index_sink(stream, idx, str(tmp_path / "ckpt"), cents,
+                          metric="fixed_cosine", compact_every=2)
+    q.awaitTermination()
+
+    # store shape: compaction fired at batch 1; batch 2 appended after
+    runs = sorted(x for x in os.listdir(idx) if x.startswith("run_id="))
+    assert "run_id=__compact__" in runs and len(runs) == 2
+
+    got = (ivf_topk_indexed(read_vector_index(spark, idx), queries, cents,
+                            k=5, nprobe=3, deterministic=True)
+           .collect())
+    want = ivf_topk(corpus, queries, cents, k=5, nprobe=3,
+                    deterministic=True).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]):
+                        (r["neighbor_id"], r["cosine_sim"]) for r in rows}
+    assert key(got) == key(want) and len(got) == len(want) == 25
