@@ -355,10 +355,9 @@ def main() -> None:
     # whichever snapshot happened to be on disk.  Stamp each run with
     # the CURRENT round — inferred as max(BENCH_r*.json)+1, since the
     # driver writes BENCH_r{N}.json only after this script runs —
-    # overridable with SPARK_GRAFT_ROUND.  bench_full_r{N}.json is
-    # best-effort-kept (first run of a round wins; later same-round
-    # re-runs don't clobber the driver-comparable snapshot unless
-    # SPARK_GRAFT_ROUND_OVERWRITE=1).
+    # overridable with SPARK_GRAFT_ROUND.  Last same-round run wins:
+    # the driver's close-out run is the final bench of a round, so the
+    # stamped file it leaves IS the run of record the tail truncates.
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         seen = [int(m.group(1)) for f in os.listdir(here)
@@ -368,10 +367,8 @@ def main() -> None:
         with open(os.path.join(here, "bench_full.json"), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
         stamped = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
-        if (not os.path.exists(stamped)
-                or os.environ.get("SPARK_GRAFT_ROUND_OVERWRITE") == "1"):
-            with open(stamped, "w") as fh:
-                json.dump(full, fh, indent=1, sort_keys=True)
+        with open(stamped, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
     except (OSError, ValueError):
         pass
     print(json.dumps(full))

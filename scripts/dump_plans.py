@@ -126,6 +126,12 @@ PICK_NOTES = {
                            "consumers; concordance prefix counts come "
                            "from ONE partition-keyed Window plus a "
                            "broadcast totals join (no second pass).",
+    "fuzzy_decontam_det": "Eval band keys + shingles broadcast at both "
+                          "joins (the corpus never exchanges before "
+                          "the AQE-managed final left join); best-match "
+                          "top-1 collapses to WindowGroupLimit Partial "
+                          "before its exchange; train-id scan reads "
+                          "ONLY doc_id.",
     "corpus_diff": "Both snapshots reduce to (id, md5) before the "
                    "single full-outer hash join — bodies never "
                    "shuffle.",
