@@ -28,7 +28,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -170,6 +170,104 @@ def extract_features(df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=[id_col, "feature"])
 
     return df.select(id_col, data_col).mapInPandas(run, schema)
+
+
+def image_header_meta(df: DataFrame, id_col: str = "media_id",
+                      data_col: str = "data",
+                      jpeg_scan_bytes: int = 65536) -> DataFrame:
+    """REAL container-header metadata — NO codec, NO Python: format and
+    pixel dimensions parsed from the public byte layouts of PNG (RFC
+    2083 §3: IHDR width/height big-endian at offsets 16/20), GIF
+    (GIF87a/89a: logical-screen width/height little-endian at 6/8) and
+    JPEG (ISO/IEC 10918 marker stream: walk segments to the first SOFn
+    and read height/width from its fixed positions), entirely in JVM
+    expressions over a bounded hex window.  Unlike ``decode_images``
+    this is NOT a stand-in: the numbers are the true container values,
+    which is what a 100 TB multimodal curation pass filters on
+    (resolution/aspect gates) BEFORE paying any decode.
+
+    Per row: ``(id, format, width, height, header_ok)``; unknown or
+    truncated containers report format NULL / header_ok false.  The
+    JPEG walk is a fixed 32-step ``aggregate`` fold over the first
+    ``jpeg_scan_bytes`` (an EXIF APP1 can legally be 64 KB — one
+    segment, one step; raise the window for pathological multi-APP
+    files).  Scale shape: one map-side projection, ``hex()`` of a
+    BOUNDED prefix (never the full payload), no shuffle, no Python
+    worker — this is the operator the decode stand-ins cannot be."""
+    hx = F.hex(F.substring(F.col(data_col), 1, int(jpeg_scan_bytes)))
+    hxlen = F.length(hx)
+
+    def byte_at(pos):  # 1-based byte index (Column or int) -> int value
+        p = pos if isinstance(pos, Column) else F.lit(int(pos))
+        return F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("int")
+
+    # big-endian u16 at 1-based byte pos
+    def u16(pos):
+        p = pos if isinstance(pos, Column) else F.lit(int(pos))
+        return byte_at(p) * 256 + byte_at(p + 1)
+
+    # ---- PNG: fixed offsets (signature + full IHDR dims present) ----
+    is_png = ((F.substring(hx, 1, 16) == "89504E470D0A1A0A")
+              & (hxlen >= 48))
+    png_w = F.conv(F.substring(hx, 33, 8), 16, 10).cast("int")
+    png_h = F.conv(F.substring(hx, 41, 8), 16, 10).cast("int")
+
+    # ---- GIF: little-endian u16 at bytes 7/9 ----
+    is_gif = (F.substring(hx, 1, 12).isin("474946383761", "474946383961")
+              & (hxlen >= 20))
+    gif_w = byte_at(7) + byte_at(8) * 256
+    gif_h = byte_at(9) + byte_at(10) * 256
+
+    # ---- JPEG: bounded marker walk to the first SOFn ----
+    is_jpeg = F.substring(hx, 1, 4) == "FFD8"
+    # fold state: (pos, w, h); pos = -1 once finished (found or bad)
+    init = F.struct(F.lit(3).cast("int").alias("pos"),
+                    F.lit(None).cast("int").alias("w"),
+                    F.lit(None).cast("int").alias("h"))
+
+    def jpeg_step(acc, _):
+        pos, w = acc["pos"], acc["w"]
+        mk1, mk2 = byte_at(pos), byte_at(pos + 1)
+        # SOFn = C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC)
+        is_sof = ((mk2 >= 192) & (mk2 <= 207)
+                  & (mk2 != 196) & (mk2 != 200) & (mk2 != 204))
+        seg_len = u16(pos + 2)
+        done = w.isNotNull() | (pos < 0)
+        out_of_window = (pos * 2 + 3) > hxlen
+        bad = out_of_window | (mk1 != 255) | seg_len.isNull()
+        stop = F.struct(F.lit(-1).cast("int").alias("pos"),
+                        acc["w"].alias("w"), acc["h"].alias("h"))
+        found = F.struct(F.lit(-1).cast("int").alias("pos"),
+                         u16(pos + 7).alias("w"), u16(pos + 5).alias("h"))
+        # fill bytes (FF FF ...) advance 1; standalone RST/SOI/EOI
+        # markers (D0-D9) have no length field and advance 2
+        nxt = F.when(mk2 == 255, pos + 1).otherwise(
+            F.when((mk2 >= 208) & (mk2 <= 217), pos + 2)
+            .otherwise(pos + 2 + seg_len))
+        walk = F.struct(nxt.cast("int").alias("pos"),
+                        F.lit(None).cast("int").alias("w"),
+                        F.lit(None).cast("int").alias("h"))
+        return (F.when(done, acc)
+                .when(bad, stop)
+                .when(is_sof, found)
+                .otherwise(walk))
+
+    jpeg_state = F.aggregate(F.sequence(F.lit(1), F.lit(32)), init,
+                             jpeg_step)
+    jpg_w, jpg_h = jpeg_state["w"], jpeg_state["h"]
+
+    fmt = (F.when(is_png, F.lit("png"))
+           .when(is_gif, F.lit("gif"))
+           .when(is_jpeg, F.lit("jpeg")))
+    width = (F.when(is_png, png_w).when(is_gif, gif_w)
+             .when(is_jpeg, jpg_w).cast("int"))
+    height = (F.when(is_png, png_h).when(is_gif, gif_h)
+              .when(is_jpeg, jpg_h).cast("int"))
+    return df.select(
+        F.col(id_col), fmt.alias("format"),
+        width.alias("width"), height.alias("height"),
+        (fmt.isNotNull() & width.isNotNull()
+         & height.isNotNull()).alias("header_ok"))
 
 
 def resize_images(df: DataFrame, width: int, height: int,
