@@ -130,3 +130,45 @@ def test_image_header_meta_parses_real_containers(spark):
             .filter("header_ok AND width >= 512 AND height >= 400")
             .select("media_id").collect())
     assert {r["media_id"] for r in keep} == {1, 3}
+
+
+def test_audio_header_meta_parses_real_wav(spark):
+    """audio_header_meta reads the true RIFF container values (spec-built
+    headers): canonical WAV, a WAV with a LIST chunk before fmt (the
+    walk steps over it), odd-size chunk padding, and garbage/NULL/
+    truncated payloads reporting header_ok=false."""
+    import struct
+
+    def wav(pre_chunks=b"", sr=44100, ch=2, bits=16, data_bytes=176400 * 2):
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                    sr * ch * bits // 8,
+                                    ch * bits // 8, bits)
+        data = b"data" + struct.pack("<I", data_bytes)
+        body = b"WAVE" + pre_chunks + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # LIST chunk with an ODD size (walk must pad to word alignment)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    rows = [(1, wav()),                                  # 2.0 s stereo
+            (2, wav(pre_chunks=lst, sr=16000, ch=1, bits=8,
+                    data_bytes=16000 * 3)),              # 3.0 s mono
+            (3, b"RIFFxxxxAVI LIST"),                    # RIFF, not WAVE
+            (4, None),
+            (5, wav()[:16])]                             # truncated
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    from basic_data_fusion_spark.operators.multimodal import (
+        audio_header_meta,
+    )
+    out = {r["media_id"]: r for r in audio_header_meta(df).collect()}
+
+    r1 = out[1]
+    assert (r1["format"], r1["sample_rate"], r1["channels"],
+            r1["bits_per_sample"], r1["header_ok"]) == ("wav", 44100, 2,
+                                                        16, True)
+    assert r1["duration_s"] == 2.0
+    r2 = out[2]
+    assert (r2["sample_rate"], r2["channels"], r2["bits_per_sample"],
+            r2["duration_s"], r2["header_ok"]) == (16000, 1, 8, 3.0, True)
+    assert out[3]["format"] is None and not out[3]["header_ok"]
+    assert not out[4]["header_ok"]
+    assert not out[5]["header_ok"]
