@@ -2040,6 +2040,65 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("feature").alias("feature_dim")))
 
 
+def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary container-header parsing, driver-hash-checked: each
+    document synthesizes a VALID container (PNG / GIF89a / JPEG by
+    ``doc_id % 3``, dimensions derived from the id) as actual bytes via
+    ``unhex`` — the JPEG variant includes a variable-length APP1
+    segment (``2 + doc_id % 64`` filler bytes) so the bounded marker
+    walk is exercised at 64 different offsets — then
+    ``multimodal.image_header_meta`` parses the bytes back with NO
+    codec (pure JVM hex expressions; operator docstring).  The oracle
+    computes the expected (format, width, height) ARITHMETICALLY from
+    doc_id, so a hash match proves the entire construct→bytes→parse
+    round trip: any error in byte layout, endianness, offset math, or
+    the marker walk breaks the hash.  (The synthetic payloads exist
+    because the driver tables carry no binary media column; the
+    construction is honest — the parsed values are true container
+    values of real header bytes.)"""
+    from basic_data_fusion_spark.operators.multimodal import (
+        image_header_meta,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents").select("doc_id")
+    w = (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(1920))).cast("int")
+    h = (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(1080))).cast("int")
+    k = F.pmod(F.col("doc_id"), F.lit(64)).cast("int")     # APP1 filler
+
+    be16 = lambda x: F.lpad(F.hex(x), 4, "0")
+    be32 = lambda x: F.lpad(F.hex(x), 8, "0")
+    le16 = lambda x: F.concat(F.lpad(F.hex(F.pmod(x, F.lit(256))), 2, "0"),
+                              F.lpad(F.hex((x / 256).cast("int")), 2, "0"))
+
+    png_hex = F.concat(F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+                       be32(w), be32(h), F.lit("0806000000" "00000000"))
+    gif_hex = F.concat(F.lit("474946383961"), le16(w), le16(h),
+                       F.lit("000000"))
+    jpeg_hex = F.concat(
+        F.lit("FFD8" "FFE1"), be16(k + 2),
+        F.substring(F.lit("45" * 64), 1, k * 2),
+        F.lit("FFC0" "0011" "08"), be16(h), be16(w),
+        F.lit("03" "012200021101031101"))
+    kind = F.pmod(F.col("doc_id"), F.lit(3))
+    payload = F.unhex(F.when(kind == 0, png_hex)
+                      .when(kind == 1, gif_hex)
+                      .otherwise(jpeg_hex))
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        payload.alias("data"))
+    return image_header_meta(media)
+
+
+_MEDIA_HEADERS_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'jpeg' END AS format,
+       CAST(64 + (doc_id % 1920) AS INT) AS width,
+       CAST(64 + ((doc_id * 7) % 1080) AS INT) AS height,
+       TRUE AS header_ok
+FROM documents
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb corpus-level line dedup over documents: lines whose
     trimmed content appears in ≥2 distinct docs are stripped everywhere;
@@ -8138,6 +8197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         # ---- round-10 additions ----
         "fuzzy_decontam_det": q_fuzzy_decontam_det,
+        "media_headers": q_media_headers,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8247,6 +8307,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_quality_report": _domain_report_oracle(),
         "incremental_minhash_det": _incremental_minhash_det_oracle(),
         "fuzzy_decontam_det": _fuzzy_decontam_det_oracle(),
+        "media_headers": _MEDIA_HEADERS_ORACLE,
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),

@@ -186,6 +186,7 @@ HEADLINE += [
 
     # new in round 10 (absent from BENCH_r09 and earlier)
     "fuzzy_decontam_det",            # near-dup decontam, eval side broadcast
+    "media_headers",                 # real container-header parse, pure JVM
 ]
 
 
