@@ -111,7 +111,7 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     to DISTINCT 32-char hashes, batch shuffles once on the hash;
     document bodies never shuffle. The index grows one small hash
     directory per batch — ``compact_every=N`` folds it mid-run after
-    every Nth batch (``compact_index_store`` with the current batch's
+    every Nth batch (size N with :func:`suggest_compact_every`) (``compact_index_store`` with the current batch's
     partition excluded and preserved, so the replay exclusion keeps
     working — see that docstring for the crash analysis), or fold it
     between runs without the hook (r9; the generic layout compactor

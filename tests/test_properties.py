@@ -838,3 +838,45 @@ def test_kendall_lowcard_bitwise_equals_pair_tier(spark, rows):
     pair = canon(kendall_tau_grouped(df, "g", "a", "b", "id").collect())
     low = canon(kendall_tau_grouped_lowcard(df, "g", "a", "b").collect())
     assert pair == low
+
+
+@FAST
+@given(items=st.lists(
+    st.tuples(st.sampled_from(["png", "gif", "jpeg"]),
+              st.integers(1, 65535), st.integers(1, 65535),
+              st.integers(0, 200)),
+    min_size=1, max_size=24))
+def test_image_header_meta_roundtrips_generated_containers(spark, items):
+    """Property: image_header_meta recovers the exact dimensions from
+    containers built INDEPENDENTLY in Python (struct.pack per the
+    public specs) for arbitrary dims and arbitrary APP1 filler lengths
+    — the parser and the generator share no code, so agreement pins
+    the byte-layout math from both sides."""
+    import struct
+
+    from basic_data_fusion_spark.operators.multimodal import (
+        image_header_meta,
+    )
+
+    def build(fmt, w, h, k):
+        if fmt == "png":
+            return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13)
+                    + b"IHDR" + struct.pack(">II", w, h)
+                    + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+        if fmt == "gif":
+            return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 3
+        return (b"\xff\xd8"
+                + b"\xff\xe1" + struct.pack(">H", 2 + k) + b"\x45" * k
+                + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                + struct.pack(">H", h) + struct.pack(">H", w)
+                + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+
+    rows = [(i, fmt, w, h, build(fmt, w, h, k))
+            for i, (fmt, w, h, k) in enumerate(items)]
+    df = spark.createDataFrame(
+        [(i, d) for i, _, _, _, d in rows], "media_id long, data binary")
+    out = {r["media_id"]: r for r in image_header_meta(df).collect()}
+    for i, fmt, w, h, _ in rows:
+        r = out[i]
+        assert (r["format"], r["width"], r["height"], r["header_ok"]) \
+            == (fmt, w, h, True), (i, fmt, w, h, dict(r.asDict()))
