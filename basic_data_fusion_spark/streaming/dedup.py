@@ -231,10 +231,18 @@ def streaming_fuzzy_decontaminate(df: DataFrame, held_out: DataFrame,
                 .withColumn(bk, minhash_bucket_array(bands, num_hashes, hb))
                 .drop("signature"))
 
+    # The eval side is STATIC across micro-batches but lives inside a
+    # streaming plan, which re-evaluates its subtree every trigger —
+    # without the pin each batch re-shingles and re-signs the whole
+    # held-out set.  cache_pinned materializes it once (eval-set-sized,
+    # the repo's persist-only-when-reused policy); measured 5.7 →
+    # ~2 s/batch on the 24-batch sf0.1 gate run (SCALE.md r10).
+    from basic_data_fusion_spark.caching import cache_pinned
+
     ev = prepared(held_out, "matched_id", "__sh_e", "__bk_e")
-    ev_x = F.broadcast(ev.select(
+    ev_x = F.broadcast(cache_pinned(ev.select(
         "matched_id", "__sh_e", "__bk_e",
-        F.posexplode("__bk_e").alias("__band", "__bucket")))
+        F.posexplode("__bk_e").alias("__band", "__bucket"))))
 
     s_x = (prepared(df, id_col, "__sh_s", "__bk_s")
            .select(id_col, "__sh_s", "__bk_s",
