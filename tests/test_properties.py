@@ -880,3 +880,46 @@ def test_image_header_meta_roundtrips_generated_containers(spark, items):
         r = out[i]
         assert (r["format"], r["width"], r["height"], r["header_ok"]) \
             == (fmt, w, h, True), (i, fmt, w, h, dict(r.asDict()))
+
+
+@FAST
+@given(items=st.lists(
+    st.tuples(st.integers(8000, 192000),     # sample rate
+              st.integers(1, 8),             # channels
+              st.sampled_from([8, 16, 24, 32]),
+              st.integers(0, 10_000_000),    # data bytes
+              st.integers(0, 31)),           # pre-chunk filler len
+    min_size=1, max_size=16))
+def test_audio_header_meta_roundtrips_generated_wavs(spark, items):
+    """Property: audio_header_meta recovers exact RIFF fmt values and
+    the data-derived duration from WAVs built independently with
+    struct.pack, including an arbitrary-length (possibly odd → padded)
+    LIST chunk before fmt."""
+    import struct
+
+    from basic_data_fusion_spark.operators.multimodal import (
+        audio_header_meta,
+    )
+
+    def wav(sr, ch, bits, data_bytes, pre_len):
+        pre = (b"LIST" + struct.pack("<I", pre_len) + b"x" * pre_len
+               + (b"\x00" if pre_len % 2 else b""))
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                    sr * ch * bits // 8,
+                                    ch * bits // 8, bits)
+        data = b"data" + struct.pack("<I", data_bytes)
+        body = b"WAVE" + pre + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [(i, sr, ch, bits, db, wav(sr, ch, bits, db, pl))
+            for i, (sr, ch, bits, db, pl) in enumerate(items)]
+    df = spark.createDataFrame([(i, d) for i, *_, d in rows],
+                               "media_id long, data binary")
+    out = {r["media_id"]: r for r in audio_header_meta(df).collect()}
+    for i, sr, ch, bits, db, _ in rows:
+        r = out[i]
+        br = sr * ch * bits // 8
+        assert (r["format"], r["sample_rate"], r["channels"],
+                r["bits_per_sample"], r["header_ok"]) == \
+            ("wav", sr, ch, bits, True), dict(r.asDict())
+        assert r["duration_s"] == db / br
