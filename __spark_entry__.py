@@ -7897,22 +7897,27 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed in r10: dedup_keep_best RE-PRICED onto the det MinHash
+# (a) changed or NEW in r10 (new contracts get their driver hash row
+#     in their birth round — the r9 dist_shift_report/kendall
+#     precedent): dedup_keep_best RE-PRICED onto the det MinHash
 #     banded candidate tier (the r9 verdict's last acceptance-path
 #     exhaustive pair scan; oracle replays the banded pipeline; sf1
-#     30.8 s → 7.4 s, ratio 10.0× → 2.4×), and the two KS consumers
+#     30.8 s → 7.4 s, ratio 10.0× → 2.4×), the two KS consumers
 #     (dist_shift_report, ks_acctbal_segments) whose ks_d division now
 #     goes through try_divide (the r9 advisory — NULL instead of
 #     DIVIDE_BY_ZERO on an empty group; oracles mirror with NULLIF),
+#     and the two NEW r10 rows: fuzzy_decontam_det (near-dup
+#     decontamination, broadcast-probe banded tier) and media_headers
+#     (the binary construct→bytes→parse round trip),
 # (b) token_counts — the last r5-era oracle-backed row (queued for
 #     r10 by the r9 window comment),
 # (c) the 42 r6-era greens in registration order (ALL oracle-backed;
 #     the 10 rows-only-by-design canaries — 7 r4-era + 3 r5-era, each
 #     with a hash-green det twin — stay outside the window BY DESIGN),
-# (d) 4 slots left: the oldest r7-era oracle-backed rows in
-#     registration order — ivf_topk_det, semantic_dedup_det, and the
-#     two recall gates (which are ALSO the r9 drift-class rows, so
-#     their hashes re-freeze alongside the bench adjudication).
+# (d) 2 slots left: of the four oldest r7-era oracle-backed rows, the
+#     two recall gates (ALSO the r9 drift-class rows, so their hashes
+#     re-freeze alongside the bench adjudication); ivf_topk_det and
+#     semantic_dedup_det stay r7-era and queue for r11.
 # After this rotation no oracle-backed query's latest driver row
 # predates r7 except the r9-checked remainder — i.e. the oldest
 # oracle-backed row is r7-era, two rounds fresher than the r8
@@ -7920,8 +7925,9 @@ WHERE rn <= 20
 # window; every query, windowed or not, stays pinned each pytest run
 # by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r10 plan/oracle changes — fresh hashes for current contracts
+    # (a) r10 plan/oracle changes + new r10 contracts — fresh hashes
     "dedup_keep_best", "dist_shift_report", "ks_acctbal_segments",
+    "fuzzy_decontam_det", "media_headers",
     # (b) the last r5-era oracle-backed row
     "token_counts",
     # (c) the 42 r6-era greens, registration order, all oracle-backed
@@ -7939,9 +7945,8 @@ DRIVER_WINDOW = [
     "media_features", "events_tumbling_daily", "events_sliding",
     "events_sessions", "events_props", "top_event_per_day",
     "asof_latest_order", "event_funnel_5m",
-    # (d) oldest r7-era rows, registration order
-    "ivf_topk_det", "semantic_dedup_det", "ann_recall_report",
-    "dedup_recall_report",
+    # (d) r7-era recall gates (the r9 drift-class rows)
+    "ann_recall_report", "dedup_recall_report",
 ]
 
 
