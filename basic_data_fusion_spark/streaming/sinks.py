@@ -63,6 +63,30 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read a run-namespaced store with CANONICAL partition types.
+
+    ``run_id`` is a string by contract, but Spark infers partition
+    column types from the directory VALUES — and a run whose derived
+    ``md5(checkpoint)[:12]`` id happens to be all decimal digits
+    (p ≈ (10/16)^12 ≈ 0.4% per run) flips the whole column to BIGINT,
+    at which point every string comparison in the family — the replay
+    exclusion (``not_this``), the epoch probe, the ``keep_current``
+    fold filters — throws CAST_INVALID_INPUT under ANSI.  A latent
+    flake of exactly this shape hit the r10 full-suite run (an
+    all-digit first-run id + a hex second-run id in
+    ``cluster_label_sink``).  Casting at the ONE read chokepoint makes
+    the column type independent of which ids a store happens to hold;
+    ``batch_id`` is canonicalized to long for the same reason (int vs
+    long inference varies with value magnitude)."""
+    d = spark.read.parquet(store_path)
+    if "run_id" in d.columns:
+        d = d.withColumn("run_id", F.col("run_id").cast("string"))
+    if "batch_id" in d.columns:
+        d = d.withColumn("batch_id", F.col("batch_id").cast("long"))
+    return d
+
+
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                               available_now: bool = True) -> StreamingQuery:
     """Write a streaming DataFrame to ``path`` with replay-idempotent
@@ -148,7 +172,7 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
         hashed = batch_df.withColumn(
             "__h", fingerprint(F.coalesce(F.col(text_col), F.lit(""))))
         if _index_exists(spark, index_path):
-            idx = (spark.read.parquet(index_path)
+            idx = (_read_store(spark, index_path)
                    .filter(~((F.col("run_id") == run)
                              & (F.col("batch_id") == batch_id)))
                    .select("__h").distinct())
@@ -260,7 +284,7 @@ def read_sketch_store(spark: SparkSession, sketch_path: str) -> DataFrame:
     keys on provenance ``(src_run, src_batch, partition, bin)`` and
     takes ``max(n)`` (duplicates are bit-identical copies of the same
     batch write).  Feed the result to ``quantile_rollup``."""
-    d = _sketch_with_provenance(spark.read.parquet(sketch_path))
+    d = _sketch_with_provenance(_read_store(spark, sketch_path))
     return (d.groupBy("src_run", "src_batch", "partition", "bin")
             .agg(F.max("n").alias("n"))
             .select("partition", "bin", "n"))
@@ -291,7 +315,7 @@ def compact_sketch_store(spark: SparkSession, sketch_path: str,
     ``batch_id=`` directories.  Run the one-time migration with the
     stream stopped.  Returns the number of directories fully
     removed."""
-    d = _sketch_with_provenance(spark.read.parquet(sketch_path))
+    d = _sketch_with_provenance(_read_store(spark, sketch_path))
     if keep_current is not None:
         run, batch = keep_current
         d = d.filter(~((F.col("run_id") == run)
@@ -372,9 +396,9 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
             ~((F.col("run_id") == run) & (F.col("batch_id") == batch_id)))
         drops = None
         if _index_exists(spark, band_dir):
-            idx_b = not_this(spark.read.parquet(band_dir)).select(
+            idx_b = not_this(_read_store(spark, band_dir)).select(
                 "band", "bucket", F.col(id_col).alias("__ex_id"))
-            idx_s = not_this(spark.read.parquet(sig_dir)).select(
+            idx_s = not_this(_read_store(spark, sig_dir)).select(
                 F.col(id_col).alias("__ex_id"),
                 F.col("signature").alias("__ex_sig"))
             cand = (bkeys.join(idx_b, ["band", "bucket"])
@@ -450,7 +474,7 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     run's first batch; a checkpoint-restart of the same run reuses its
     epoch), making the fold total across runs.  Pre-epoch legacy rows
     read as epoch 0 (:func:`_with_epoch`)."""
-    d = _with_epoch(spark.read.parquet(labels_path))
+    d = _with_epoch(_read_store(spark, labels_path))
     return (d.groupBy("doc_id")
             .agg(F.expr("max_by(cluster_id, struct(epoch, batch_id))")
                  .alias("cluster_id")))
@@ -603,7 +627,7 @@ def compact_cluster_labels(spark: SparkSession, labels_path: str,
     epoch.  Correctness-neutral in both cases.
 
     Returns the number of run directories removed."""
-    d = _with_epoch(spark.read.parquet(labels_path))
+    d = _with_epoch(_read_store(spark, labels_path))
     frontier = d.agg(
         F.max("epoch").alias("e"),
         F.expr("max(struct(epoch, batch_id)).batch_id").alias("b")).first()
@@ -729,7 +753,7 @@ def compact_index_store(spark: SparkSession, store_path: str,
     (between promote and delete) — duplicates are inert to the
     set-semantic probes and removed by the next fold's ``distinct``.
     Returns the number of run directories fully removed."""
-    snap = spark.read.parquet(store_path)
+    snap = _read_store(spark, store_path)
     if keep_current is not None:
         run, batch = keep_current
         snap = snap.filter(~((F.col("run_id") == run)
@@ -841,9 +865,9 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                                   StructField("id_b", id_type)])
         pairs = spark.createDataFrame([], pair_schema)
         if _index_exists(spark, band_dir):
-            idx_b = not_this(spark.read.parquet(band_dir)).select(
+            idx_b = not_this(_read_store(spark, band_dir)).select(
                 "band", "bucket", F.col(id_col).alias("__ex_id"))
-            idx_s = not_this(spark.read.parquet(sig_dir)).select(
+            idx_s = not_this(_read_store(spark, sig_dir)).select(
                 F.col(id_col).alias("__ex_id"),
                 F.col("signature").alias("__ex_sig"))
             # a self-row (this doc's own index entry from an earlier
@@ -874,7 +898,7 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
                           F.col("__ib").alias("id_b")).distinct())
         pairs = pairs.unionByName(within)
         if _index_exists(spark, labels_path):
-            store = _with_epoch(spark.read.parquet(labels_path))
+            store = _with_epoch(_read_store(spark, labels_path))
             if epoch_cell[0] is None:
                 # Reuse this run's epoch on checkpoint restart; a fresh
                 # run claims max standing epoch + 1 so its rows outrank
@@ -1015,5 +1039,5 @@ def read_vector_index(spark: SparkSession, index_path: str,
     duplicate rows (snapshot + undeleted original between a
     compaction's promote and delete steps) inert, exactly as the
     content-hash store's set-semantic probes are."""
-    return (spark.read.parquet(index_path)
+    return (_read_store(spark, index_path)
             .select(id_col, vec_col, "cell", "__cc").distinct())

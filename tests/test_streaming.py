@@ -1930,3 +1930,37 @@ def test_vector_index_sink_probe_matches_batch_ivf(spark, tmp_path):
     key = lambda rows: {(r["query_id"], r["rank"]):
                         (r["neighbor_id"], r["cosine_sim"]) for r in rows}
     assert key(got) == key(want) and len(got) == len(want) == 25
+
+
+def test_all_digit_run_id_store_keeps_string_type(spark, tmp_path):
+    """Partition-type-inference flake (caught by the r10 full-suite
+    run, p≈0.4% per run): a first run whose derived md5 id is ALL
+    DECIMAL DIGITS makes Spark infer the store's run_id partition
+    column as BIGINT, and the second (hex-id) run's epoch probe /
+    replay exclusion then dies on CAST_INVALID_INPUT.  _read_store
+    canonicalizes the column to string at the one read chokepoint;
+    this reproduces the flake deterministically via explicit run
+    ids."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        cluster_label_sink,
+        read_cluster_labels,
+    )
+
+    lab, idx = str(tmp_path / "lab"), str(tmp_path / "idx")
+
+    def run(sub, run_id, rows):
+        d = tmp_path / f"in_{sub}"
+        _feed_files(spark, d, [rows])
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        q = cluster_label_sink(stream, lab, idx,
+                               str(tmp_path / f"ckpt_{sub}"),
+                               run_id=run_id)
+        q.awaitTermination()
+
+    run("one", "826605350243", [(1, "first corpus body one")])
+    # pre-fix this second run crashed inside the epoch probe
+    run("two", "a302243ae032", [(2, "second corpus body two")])
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, lab).collect()}
+    assert got == {1: 1, 2: 2}
