@@ -1265,14 +1265,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → per-doc cluster label +
-    size (keep-one-per-cluster is ``cluster_id == doc_id``). Edges are the
-    deterministic exact-jaccard pairs so the DuckDB recursive-CTE oracle
-    sees the same graph; the CC algorithm itself is alternating
-    large-star/small-star (O(log n) rounds, no driver graph state)."""
-    from basic_data_fusion_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    size (keep-one-per-cluster is ``cluster_id == doc_id``); the CC
+    algorithm is alternating large-star/small-star (O(log n) rounds,
+    no driver graph state).
+
+    RE-PRICED r11 (r10 verdict #1, the last exhaustive-pair-fed
+    contract): edges now come from the deterministic MinHash BANDED
+    candidate join + exact-jaccard verification
+    (``minhash_dedup_pairs(deterministic=True)``, the hash-green
+    ``minhash_dedup_det`` relation) instead of the exhaustive shingle
+    self-join — cost O(candidates), not O(corpus²); sf1's planted
+    ~10-copy cliques made the exhaustive tier's PAIR SET grow ~50×
+    (17.4× wall at 10× data, SCALE.md r10) while the banded feed
+    tracks candidates (``incremental_clusters_banded`` 2.5× and the
+    r10 ``dedup_keep_best`` re-price 3.2× are the precedents).  The
+    oracle replays the identical banded pipeline via
+    ``_minhash_det_oracle`` before the same recursive-CTE CC;
+    CC-over-exhaustive-jaccard parity stays driver-checked by the
+    bounded-slice composites (``incremental_clusters``,
+    ``leakage_safe_split``)."""
+    from basic_data_fusion_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_dedup_pairs,
+    )
 
     docs = _catalog(spark, sf_dir).load("documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pairs = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
+                                threshold=0.8, deterministic=True)
     return dedup_clusters(docs, pairs)
 
 
@@ -2099,6 +2118,80 @@ FROM documents
 """
 
 
+def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV twin of ``media_headers`` (NEW r11, r10 verdict #3):
+    each document synthesizes a VALID RIFF/WAVE container as actual
+    bytes via ``unhex`` — sample rate, channel count, bit depth and
+    data-chunk length all derived from doc_id, with the real PCM
+    ``fmt `` fields (byte rate, block align) computed from them and a
+    REAL zero-filled data payload of the declared length — then
+    ``multimodal.audio_header_meta`` parses the bytes back with NO
+    codec (pure JVM hex expressions).  ``doc_id % 3`` picks the chunk
+    layout so the bounded chunk walk is exercised, not just the happy
+    path: 0 = fmt+data, 1 = a LIST(INFO) chunk BEFORE fmt, 2 = an
+    ODD-length LIST chunk whose word-alignment pad byte the walk must
+    skip.  The oracle computes every expected field ARITHMETICALLY
+    from doc_id (duration = data bytes / byte rate, both exact
+    integers, so the IEEE division matches bit-for-bit), making the
+    hash a proof of the whole construct→bytes→parse round trip —
+    endianness, chunk-offset math, alignment padding and the fmt field
+    layout all break it."""
+    from basic_data_fusion_spark.operators.multimodal import (
+        audio_header_meta,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents").select("doc_id")
+    d = F.col("doc_id")
+    sr = (F.lit(8000) * (F.lit(1) + F.pmod(d, F.lit(5)))).cast("long")
+    ch = (F.lit(1) + F.pmod(d, F.lit(2))).cast("long")
+    bits = F.when(F.pmod(d, F.lit(4)) < 2, F.lit(16)) \
+        .otherwise(F.lit(8)).cast("long")
+    ds = (F.lit(8) + F.pmod(d, F.lit(64))).cast("long")     # data bytes
+    block = (ch * bits / F.lit(8)).cast("long")
+    br = (sr * block).cast("long")                          # byte rate
+
+    def le(x, nbytes):                                      # little-endian hex
+        return F.concat(*[
+            F.lpad(F.hex(F.shiftright(x, 8 * i).bitwiseAND(F.lit(255))),
+                   2, "0") for i in range(nbytes)])
+
+    fmt_hex = F.concat(F.lit("666D7420" "10000000" "0100"),  # 'fmt ',16,PCM
+                       le(ch, 2), le(sr, 4), le(br, 4),
+                       le(block, 2), le(bits, 2))
+    data_hex = F.concat(
+        F.lit("64617461"), le(ds, 4),
+        F.substring(F.lit("00" * 71), F.lit(1), (ds * 2).cast("int")),
+        # spec word-alignment: odd-length data chunk gets a pad byte
+        F.when(F.pmod(ds, F.lit(2)) == 1, F.lit("00")).otherwise(F.lit("")))
+    list_even = F.lit("4C495354" "04000000" "494E464F")      # LIST,4,'INFO'
+    list_odd = F.lit("4C495354" "05000000" "494E464F" "00" "00")  # 5 + pad
+    kind = F.pmod(d, F.lit(3))
+    chunks = (F.when(kind == 0, F.concat(fmt_hex, data_hex))
+              .when(kind == 1, F.concat(list_even, fmt_hex, data_hex))
+              .otherwise(F.concat(list_odd, fmt_hex, data_hex)))
+    riff_size = (F.length(chunks) / F.lit(2) + F.lit(4)).cast("long")
+    payload = F.unhex(F.concat(F.lit("52494646"), le(riff_size, 4),
+                               F.lit("57415645"), chunks))
+    media = docs.select(d.alias("media_id"), payload.alias("data"))
+    return audio_header_meta(media)
+
+
+_AUDIO_HEADERS_ORACLE = """
+SELECT doc_id AS media_id,
+       'wav' AS format,
+       CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END AS INT)
+         AS bits_per_sample,
+       CAST(8 + doc_id % 64 AS DOUBLE)
+         / CAST(8000 * (1 + doc_id % 5) * (1 + doc_id % 2)
+                * (CASE WHEN doc_id % 4 < 2 THEN 16 ELSE 8 END) // 8
+                AS DOUBLE) AS duration_s,
+       TRUE AS header_ok
+FROM documents
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb corpus-level line dedup over documents: lines whose
     trimmed content appears in ≥2 distinct docs are stripped everywhere;
@@ -2706,8 +2799,12 @@ LEFT JOIN ragg r ON r.doc_id = d.doc_id
 """
 
 # Min-reachable-node label via recursive CTE over the (deterministic)
-# jaccard pair graph — tiny at oracle scale; the Spark side uses
-# large-star/small-star for the 100 TB path.
+# EXHAUSTIVE jaccard pair graph — tiny at oracle scale; the Spark side
+# uses large-star/small-star for the 100 TB path.  Since r11 the
+# dedup_clusters CONTRACT prices the banded feed
+# (_dedup_clusters_banded_oracle below); this exhaustive variant
+# remains the nested base of _leakage_split_oracle, whose Spark side
+# still clusters over gate-sliced exact-jaccard pairs.
 _DEDUP_CLUSTERS_ORACLE = ("""
 WITH RECURSIVE p AS (""" + _NGRAM_JACCARD_ORACLE + """),
 edges AS (
@@ -2729,6 +2826,37 @@ FROM documents d
 LEFT JOIN lbl l ON l.n = d.doc_id
 LEFT JOIN sz s ON s.cluster_id = l.cluster_id
 """)
+
+
+def _dedup_clusters_banded_oracle() -> str:
+    """The r11 dedup_clusters contract oracle: CC over the det-banded
+    MinHash pair relation (the hash-green minhash_dedup_det oracle) —
+    the _dedup_keep_best_oracle graph minus the quality ranking."""
+    pairs = _minhash_det_oracle(threshold=0.8)
+    return f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({pairs}) t),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b AS u, id_a AS v FROM p
+),
+walk(n, r) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT w.n, e.v FROM walk w JOIN edges e ON e.u = w.r
+),
+lbl AS (SELECT n, MIN(r) AS cluster_id FROM walk GROUP BY n),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lbl
+       GROUP BY cluster_id)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size
+FROM documents d
+LEFT JOIN lbl l ON l.n = d.doc_id
+LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+"""
+
 
 _HARD_NEGATIVES_ORACLE = """
 WITH q AS (
@@ -5610,6 +5738,140 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.train_id = t.doc_id
 """
 
 
+_FUZZY_SWEEP_THRESHOLDS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_fuzzy_decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-gate planning report (NEW r11, r10 verdict #4 —
+    dedup.fuzzy_decontam_sweep): dirty-doc rate and removal cost at
+    five candidate Jaccard thresholds from ONE broadcast-probe banded
+    pair scan, the fuzzy counterpart of ``decontam_window_sweep`` /
+    ``dedup_impact_sweep`` — what a curation run reads to pick its
+    paraphrase gate's threshold before paying for the gate.  Same
+    train/held-out md5 split and det md5 banding as
+    ``fuzzy_decontam_det``; every count is exact and every fraction
+    integer-derived, so the whole report value-hashes against the SQL
+    replay of the banded pipeline."""
+    from basic_data_fusion_spark.operators.dedup import fuzzy_decontam_sweep
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    held = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < _FUZZY_DECONTAM_HELD_PREFIX)
+    return fuzzy_decontam_sweep(
+        docs.filter(~held), docs.filter(held),
+        thresholds=_FUZZY_SWEEP_THRESHOLDS, deterministic=True)
+
+
+def _fuzzy_decontam_sweep_oracle(n: int = 3, num_hashes: int = 64,
+                                 bands: int = 16, seed: int = 42) -> str:
+    """DuckDB replay of the fuzzy threshold sweep: the det fuzzy
+    decontam chain (banding, candidate probe crossing the md5 split,
+    exact jaccard verification) cut at min(thresholds), then the
+    per-threshold explode + distinct-dirty-doc rollup."""
+    from basic_data_fusion_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+    )
+
+    params = _affine_params(num_hashes, seed)
+    values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(params))
+    hex15 = _hex15_sql("shingle")
+    rpb = num_hashes // bands
+    ts = sorted(float(t) for t in _FUZZY_SWEEP_THRESHOLDS)
+    t_values = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in ts)
+    t_min = repr(ts[0])
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+           < '{_FUZZY_DECONTAM_HELD_PREFIX}' AS is_held,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, is_held,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, is_held, {hex15} % {MERSENNE31} AS h0 FROM s),
+params(i, a, b) AS (VALUES {values}),
+mins AS (
+  SELECT h.doc_id, h.is_held, p.i,
+         MIN((p.a * h.h0 + p.b) % {MERSENNE31}) AS mn
+  FROM h CROSS JOIN params p
+  GROUP BY 1, 2, 3
+),
+bnd AS (
+  SELECT doc_id, is_held, i // {rpb} AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY i) AS bucket
+  FROM mins GROUP BY doc_id, is_held, i // {rpb}
+),
+cands AS (
+  SELECT DISTINCT tb.doc_id AS train_id, eb.doc_id AS eval_id
+  FROM bnd tb JOIN bnd eb
+    ON tb.band = eb.band AND tb.bucket = eb.bucket
+  WHERE NOT tb.is_held AND eb.is_held
+),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT c.train_id, c.eval_id, COUNT(*) AS n_common
+  FROM cands c
+  JOIN s sa ON sa.doc_id = c.train_id
+  JOIN s sb ON sb.doc_id = c.eval_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT v.train_id, v.eval_id,
+         CAST(v.n_common AS DOUBLE)
+           / (x.set_size + y.set_size - v.n_common) AS jaccard
+  FROM ver v
+  JOIN sz x ON x.doc_id = v.train_id
+  JOIN sz y ON y.doc_id = v.eval_id
+  WHERE CAST(v.n_common AS DOUBLE)
+          / (x.set_size + y.set_size - v.n_common)
+        >= CAST({t_min} AS DOUBLE)
+),
+ts(threshold) AS (VALUES {t_values}),
+hits AS (
+  SELECT ts.threshold, j.train_id, j.eval_id
+  FROM jac j CROSS JOIN ts
+  WHERE j.jaccard >= ts.threshold
+),
+link_counts AS (
+  SELECT threshold, COUNT(*) AS n_links FROM hits GROUP BY 1
+),
+dd AS (SELECT DISTINCT threshold, train_id FROM hits),
+dirty AS (
+  SELECT dd.threshold, COUNT(*) AS docs_contaminated,
+         SUM(doc.n_chars) AS chars_removed
+  FROM dd JOIN documents doc ON doc.doc_id = dd.train_id
+  GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+  FROM documents
+  WHERE NOT (substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+             < '{_FUZZY_DECONTAM_HELD_PREFIX}')
+)
+SELECT ts.threshold,
+       COALESCE(l.n_links, 0) AS n_links,
+       COALESCE(y.docs_contaminated, 0) AS docs_contaminated,
+       CAST(COALESCE(y.chars_removed, 0) AS BIGINT) AS chars_removed,
+       CAST(COALESCE(y.docs_contaminated, 0) AS DOUBLE) / tot.n_docs
+         AS pct_docs_contaminated,
+       CAST(COALESCE(y.chars_removed, 0) AS DOUBLE) / tot.n_chars
+         AS pct_chars_removed
+FROM ts
+LEFT JOIN link_counts l ON l.threshold = ts.threshold
+LEFT JOIN dirty y ON y.threshold = ts.threshold
+CROSS JOIN tot
+ORDER BY ts.threshold
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -7897,56 +8159,51 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed or NEW in r10 (new contracts get their driver hash row
-#     in their birth round — the r9 dist_shift_report/kendall
-#     precedent): dedup_keep_best RE-PRICED onto the det MinHash
-#     banded candidate tier (the r9 verdict's last acceptance-path
-#     exhaustive pair scan; oracle replays the banded pipeline; sf1
-#     30.8 s → 7.4 s, ratio 10.0× → 2.4×), the two KS consumers
-#     (dist_shift_report, ks_acctbal_segments) whose ks_d division now
-#     goes through try_divide (the r9 advisory — NULL instead of
-#     DIVIDE_BY_ZERO on an empty group; oracles mirror with NULLIF),
-#     and the two NEW r10 rows: fuzzy_decontam_det (near-dup
-#     decontamination, broadcast-probe banded tier) and media_headers
-#     (the binary construct→bytes→parse round trip),
-# (b) token_counts — the last r5-era oracle-backed row (queued for
-#     r10 by the r9 window comment),
-# (c) the 42 r6-era greens in registration order (ALL oracle-backed;
-#     the 10 rows-only-by-design canaries — 7 r4-era + 3 r5-era, each
-#     with a hash-green det twin — stay outside the window BY DESIGN),
-# (d) 2 slots left: of the four oldest r7-era oracle-backed rows, the
-#     two recall gates (ALSO the r9 drift-class rows, so their hashes
-#     re-freeze alongside the bench adjudication); ivf_topk_det and
-#     semantic_dedup_det stay r7-era and queue for r11.
-# After this rotation no oracle-backed query's latest driver row
-# predates r7 except the r9-checked remainder — i.e. the oldest
-# oracle-backed row is r7-era, two rounds fresher than the r8
-# criterion required.  Everything checked in r7-r9 sits past the
-# window; every query, windowed or not, stays pinned each pytest run
-# by tests/test_oracle_parity.py.
+# (a) changed or NEW in r11 (new contracts get their driver hash row
+#     in their birth round): dedup_clusters RE-PRICED onto the det
+#     MinHash banded candidate tier (the r10 verdict's last
+#     exhaustive-pair-fed contract; oracle replays the banded pipeline
+#     before the same recursive-CTE CC; sf1 50.6 s → 8.6 s, ratio
+#     17.4× → 3.4×), audio_headers (the WAV construct→bytes→parse
+#     round trip — the r10 verdict's missing driver-evidence row for
+#     the RIFF parser), and fuzzy_decontam_sweep (the fuzzy gate's
+#     threshold-sweep planning report, r10 verdict #4),
+# (b) the 42 remaining r7-era oracle-backed greens in registration
+#     order — including the two pure-fill rows (ivf_topk_det,
+#     semantic_dedup_det) the r10 window comment queued for r11 (the
+#     10 rows-only-by-design canaries, each with a hash-green det
+#     twin, stay outside the window BY DESIGN),
+# (c) 5 slots left: the oldest r8-era oracle-backed rows in
+#     registration order.
+# After this rotation NO oracle-backed query's latest driver row
+# predates r8 — the r7 era is fully retired; the oldest remaining
+# block is the r8-checked remainder, which queues for r12.  Every
+# query, windowed or not, stays pinned each pytest run by
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r10 plan/oracle changes + new r10 contracts — fresh hashes
-    "dedup_keep_best", "dist_shift_report", "ks_acctbal_segments",
-    "fuzzy_decontam_det", "media_headers",
-    # (b) the last r5-era oracle-backed row
-    "token_counts",
-    # (c) the 42 r6-era greens, registration order, all oracle-backed
-    "hll_distinct_orders", "prefix_jaccard_pairs",
-    "quantile_rollup_totalprice", "lang_id", "quality_scores",
-    "pii_scrub", "corpus_curation", "repetition_scores", "token_rarity",
-    "boilerplate_strip", "quality_percentile", "memorization_risk",
-    "decontam_spans", "decontam_fraction", "gopher_rules",
-    "dedup_impact_sweep", "embedding_outliers", "interleave_order",
-    "packing_efficiency", "pmi_collocations", "corpus_curation_v3",
-    "decontam_window_sweep", "c4_rules", "shard_manifest",
-    "attribute_spans", "interleave_gate", "winnow_overlap_pairs",
-    "lm_surprisal", "shard_plan", "chunk_documents", "decontam_overlap",
-    "ngram_jaccard", "embedding_topk", "hard_negatives",
-    "media_features", "events_tumbling_daily", "events_sliding",
-    "events_sessions", "events_props", "top_event_per_day",
-    "asof_latest_order", "event_funnel_5m",
-    # (d) r7-era recall gates (the r9 drift-class rows)
-    "ann_recall_report", "dedup_recall_report",
+    # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
+    "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
+    # (b) the 42 remaining r7-era greens, registration order
+    "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
+    "quality_classifier", "interleave_order_sharded",
+    "interleave_gate_sharded", "curriculum_order_sharded",
+    "interleave_order_distributed", "curriculum_order_distributed",
+    "mannwhitney_acctbal", "sq8_topk", "label_cohesion",
+    "funnel_steps", "retention_weekly", "customers_no_orders",
+    "pricing_rollup", "orders_cube", "median_by_segment",
+    "hash_sample_orders", "stratified_sample_docs",
+    "events_interarrival", "running_spend", "trailing_7d_value",
+    "acctbal_deciles", "cohort_setops", "vocab_top_tokens",
+    "tfidf_top_terms", "token_diversity", "top_orders_per_segment",
+    "late_shipment_priority", "small_lot_revenue",
+    "big_order_customers", "wealthy_idle_customers",
+    "fuzzy_part_pairs", "latest_event_state", "daily_value_gapfill",
+    "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
+    "customer_order_distribution", "promo_revenue_ratio",
+    "top_revenue_supplier",
+    # (c) the 5 oldest r8-era oracle-backed rows, registration order
+    "column_summary_approx", "forecast_revenue", "market_share",
+    "returned_item_losses", "temperature_mix",
 ]
 
 
@@ -8203,6 +8460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-10 additions ----
         "fuzzy_decontam_det": q_fuzzy_decontam_det,
         "media_headers": q_media_headers,
+        # ---- round-11 contract rows ----
+        "audio_headers": q_audio_headers,
+        "fuzzy_decontam_sweep": q_fuzzy_decontam_sweep,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8313,6 +8573,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_minhash_det": _incremental_minhash_det_oracle(),
         "fuzzy_decontam_det": _fuzzy_decontam_det_oracle(),
         "media_headers": _MEDIA_HEADERS_ORACLE,
+        "audio_headers": _AUDIO_HEADERS_ORACLE,
+        "fuzzy_decontam_sweep": _fuzzy_decontam_sweep_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),
@@ -8408,7 +8670,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_ORACLE,
         "decontam_overlap": _DECONTAM_ORACLE,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "dedup_clusters": _dedup_clusters_banded_oracle(),
         "embedding_topk": _EMBEDDING_TOPK_ORACLE,
         "hard_negatives": _HARD_NEGATIVES_ORACLE,
         "flagship_merge": f"""

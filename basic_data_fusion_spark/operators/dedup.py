@@ -808,6 +808,71 @@ def fuzzy_decontaminate(train: DataFrame, held_out: DataFrame,
             .withColumn("contaminated", F.col("matched_id").isNotNull()))
 
 
+def fuzzy_decontam_sweep(train: DataFrame, held_out: DataFrame,
+                         thresholds: list[float], text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         num_hashes: int = 64, bands: int = 16,
+                         seed: int = 42, deterministic: bool = False,
+                         weight_col: str = "n_chars") -> DataFrame:
+    """Fuzzy-gate planning report (the :func:`dedup_impact_sweep`
+    pattern applied to :func:`fuzzy_decontaminate`): dirty-document
+    rate and removal cost at each candidate Jaccard threshold, priced
+    from ONE banded pair scan instead of one decontam run per
+    threshold.  The exact tier has fraction/report/surgery follow-ups
+    (``decontam_fraction``, ``decontam_window_sweep``); this is the
+    fuzzy tier's counterpart, so a curation run can pick its paraphrase
+    gate's threshold from a single report.
+
+    The link relation is the broadcast-probe banded candidate scan cut
+    once at ``min(thresholds)`` — eval side broadcast at both the
+    candidate and verification joins, corpus never shuffles (the
+    100 TB shape; see :func:`fuzzy_decontaminate`).  Each link then
+    explodes against the LITERAL threshold array; a train doc is
+    contaminated at ``t`` iff some candidate link reaches jaccard ≥ t
+    (same per-pair rule the gate itself applies — the sweep reports
+    BANDED-candidate contamination, i.e. what the gate would actually
+    remove, not exhaustive-pair truth, which the recall gates price
+    separately).  Scale shape: |links| × |thresholds| explode, two
+    hash aggregations on that, one join onto the corpus's (id, weight)
+    projection, a broadcast of the 1-row totals.  Counts exact,
+    fractions integer-derived.  Reference analogue: none (planning
+    extension)."""
+    ts = sorted(float(t) for t in thresholds)
+    t_arr = F.array(*[F.lit(t) for t in ts])
+    links = incremental_minhash_dedup(
+        held_out, train, text_col=text_col, id_col=id_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=ts[0], seed=seed,
+        deterministic=deterministic, broadcast_existing=True)
+    hits = (links.withColumn("threshold", F.explode(t_arr))
+            .where(F.col("jaccard") >= F.col("threshold")))
+    link_counts = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_links"))
+    dirty = (hits.select("threshold", F.col("new_id").alias(id_col))
+             .distinct()
+             .join(train.select(id_col, weight_col), id_col)
+             .groupBy("threshold")
+             .agg(F.count(F.lit(1)).alias("docs_contaminated"),
+                  F.sum(weight_col).alias("chars_removed")))
+    totals = train.agg(F.count(F.lit(1)).alias("__n_docs"),
+                       F.sum(weight_col).alias("__n_chars"))
+    base = (train.sparkSession.range(1)
+            .select(F.explode(t_arr).alias("threshold")))
+    out = (base.join(link_counts, "threshold", "left")
+           .join(dirty, "threshold", "left")
+           .crossJoin(F.broadcast(totals)))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return out.select(
+        "threshold",
+        z("n_links").alias("n_links"),
+        z("docs_contaminated").alias("docs_contaminated"),
+        z("chars_removed").alias("chars_removed"),
+        (z("docs_contaminated").cast("double") / F.col("__n_docs"))
+        .alias("pct_docs_contaminated"),
+        (z("chars_removed").cast("double") / F.col("__n_chars"))
+        .alias("pct_chars_removed"),
+    ).orderBy("threshold")
+
+
 # ---------------- cluster assembly: connected components ----------------
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",

@@ -16,9 +16,27 @@ progress, so AvailableNow restarts resume, not reprocess.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+
+def _derived_run_id(checkpoint: str) -> str:
+    """Run id derived from the checkpoint path — stable across retries
+    of one query, distinct across fresh runs — prefixed ``r`` so it can
+    NEVER be all decimal digits.  An all-digit directory value makes
+    partition-type inference flip a store's ``run_id`` column to
+    BIGINT; with a LEADING zero (``012…``) the original string is then
+    unrecoverable even by casting back (the zero is gone), so the
+    replay exclusion and the epoch probe silently stop matching and a
+    checkpoint replay drops the whole batch as self-duplicates.  The
+    prefix stops new numeric ids at the source; :func:`_read_store`
+    additionally reads with partition-type inference DISABLED so
+    legacy stores already holding numeric ids keep their exact string
+    values too."""
+    return "r" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
 
 def _index_exists(spark: SparkSession, path: str) -> bool:
@@ -75,11 +93,43 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
     fold filters — throws CAST_INVALID_INPUT under ANSI.  A latent
     flake of exactly this shape hit the r10 full-suite run (an
     all-digit first-run id + a hex second-run id in
-    ``cluster_label_sink``).  Casting at the ONE read chokepoint makes
-    the column type independent of which ids a store happens to hold;
-    ``batch_id`` is canonicalized to long for the same reason (int vs
-    long inference varies with value magnitude)."""
-    d = spark.read.parquet(store_path)
+    ``cluster_label_sink``).  Worse than the loud crash: a LEADING-ZERO
+    all-digit id (``012…``, ~0.04% per derived id) survives the cast
+    silently wrong — BIGINT inference drops the zero, the cast yields a
+    *different* string, and the replay exclusion / epoch probe never
+    match again (a checkpoint replay then matches the batch's own prior
+    index write and drops the whole batch as self-duplicates).  So the
+    read itself runs with ``partitionColumnTypeInference`` DISABLED —
+    every partition value stays the exact directory string — and the
+    casts below canonicalize ``batch_id`` back to long (new writes are
+    additionally immunized at the source: :func:`_derived_run_id`
+    prefixes ``r``).  The conf flip is scoped to relation resolution
+    (inference happens inside ``spark.read.parquet``) and restored in
+    a ``finally``; a concurrent reader racing the window at worst sees
+    inference ON, i.e. the r10 status quo, which the ``r`` prefix
+    already makes safe for every non-legacy store.
+
+    DATA schema needs the same care: without mergeSchema, Spark takes
+    one file's schema for the whole store, chosen by listing order —
+    so in a MIXED store (pre-epoch legacy files beside epoch-stamped
+    ones) whether the ``epoch`` column exists at all depended on which
+    run id sorted first ('old' vs a hex id: schema with epoch; 'old'
+    vs an ``r``-prefixed id: epoch silently dropped, every row folds
+    at epoch 0 and a legacy row can outrank a live run's label).
+    mergeSchema makes the union schema unconditional; legacy rows read
+    NULL epoch, which :func:`_with_epoch` coalesces to 0.  Store
+    directory counts are bounded by the compaction family, so the
+    footer-merge cost stays small."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        d = spark.read.option("mergeSchema", "true").parquet(store_path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     if "run_id" in d.columns:
         d = d.withColumn("run_id", F.col("run_id").cast("string"))
     if "batch_id" in d.columns:
@@ -135,9 +185,10 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     to DISTINCT 32-char hashes, batch shuffles once on the hash;
     document bodies never shuffle. The index grows one small hash
     directory per batch — ``compact_every=N`` folds it mid-run after
-    every Nth batch (size N with :func:`suggest_compact_every`) (``compact_index_store`` with the current batch's
-    partition excluded and preserved, so the replay exclusion keeps
-    working — see that docstring for the crash analysis), or fold it
+    every Nth batch via ``compact_index_store`` (pick N with
+    :func:`suggest_compact_every`), with the current batch's partition
+    excluded and preserved so the replay exclusion keeps working —
+    see that docstring for the crash analysis — or fold it
     between runs without the hook (r9; the generic layout compactor
     works too but is not in-place/crash-safe).
 
@@ -159,13 +210,12 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     ``out_path`` and ``index_path`` (stream stopped) before the first
     namespaced run touches an old store.
     """
-    import hashlib
 
     from pyspark.sql import functions as F
 
     from basic_data_fusion_spark.operators.text import fingerprint
 
-    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    run = run_id or _derived_run_id(checkpoint)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -239,13 +289,12 @@ def quantile_sketch_sink(df: DataFrame, sketch_path: str, checkpoint: str,
     depths): run :func:`compact_sketch_store` once first — it migrates
     the legacy layout into a snapshot run.
     """
-    import hashlib
 
     from basic_data_fusion_spark.operators.aggregations import (
         quantile_hist_sketch,
     )
 
-    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    run = run_id or _derived_run_id(checkpoint)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sk = (quantile_hist_sketch(batch_df, part_col, value_col,
@@ -369,7 +418,6 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
     :func:`migrate_legacy_store` on each such path first (stream
     stopped — see ``index_backed_dedup_sink``).
     """
-    import hashlib
 
     from pyspark.sql import functions as F
 
@@ -378,7 +426,7 @@ def minhash_index_sink(df: DataFrame, out_path: str, index_path: str,
         minhash_signatures,
     )
 
-    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    run = run_id or _derived_run_id(checkpoint)
     band_dir = f"{index_path}/bands"
     sig_dir = f"{index_path}/sigs"
 
@@ -454,10 +502,17 @@ def _with_epoch(d: DataFrame) -> DataFrame:
     within the legacy rows ``batch_id`` alone stays the tiebreak —
     exactly the pre-epoch single-run fold those stores were written
     under.  No rewrite/backfill needed; the first compaction after the
-    upgrade materializes the column into the snapshot."""
+    upgrade materializes the column into the snapshot.
+
+    A MIXED store (legacy files beside epoch-stamped ones) reads with
+    the merged schema (``_read_store`` sets mergeSchema), so the
+    column exists but legacy rows carry NULL — coalesce those to 0
+    too, or ``max_by(…, struct(epoch, batch_id))`` sorts the NULLs
+    unpredictably against real epochs."""
     if "epoch" not in d.columns:
         d = d.withColumn("epoch", F.lit(0).cast("long"))
-    return d
+    return d.withColumn("epoch", F.coalesce(F.col("epoch").cast("long"),
+                                            F.lit(0)))
 
 
 def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
@@ -827,7 +882,6 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
     the first post-upgrade run claims epoch 1 and outranks every
     legacy row.
     """
-    import hashlib
 
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -837,7 +891,7 @@ def cluster_label_sink(df: DataFrame, labels_path: str, index_path: str,
         minhash_signatures,
     )
 
-    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    run = run_id or _derived_run_id(checkpoint)
     band_dir = f"{index_path}/bands"
     sig_dir = f"{index_path}/sigs"
     # Claimed once at this run's first batch; cached for the run's life.
@@ -999,7 +1053,6 @@ def vector_index_sink(df: DataFrame, index_path: str, checkpoint: str,
 
     LEGACY-LAYOUT note: this sink is born run-namespaced; there are no
     pre-namespacing vector stores to migrate."""
-    import hashlib
 
     from basic_data_fusion_spark.operators.similarity import (
         dot,
@@ -1007,7 +1060,7 @@ def vector_index_sink(df: DataFrame, index_path: str, checkpoint: str,
         ivf_index,
     )
 
-    run = run_id or hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    run = run_id or _derived_run_id(checkpoint)
     self_dot = fixed_point_self_dot if metric == "fixed_cosine" else \
         (lambda v: dot(v, v))
 

@@ -40,20 +40,30 @@ def main() -> None:
              .config("spark.ui.showConsoleProgress", "false")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"| query | sf0.1 s | sf1 s | ratio (10x data) |")
-    print("|---|---|---|---|")
+    # OUTPUT MASS beside time (r10 verdict #6): span/pair operators'
+    # outputs legitimately grow faster than input rows at sf1 (the
+    # planted near-dup cliques), so the tracked number for those rows
+    # is time-per-output-row — a >4x wall ratio with a >4x rows ratio
+    # is output growth; a flat rows ratio with a growing per-row ratio
+    # is a hidden quadratic.
+    print("| query | sf0.1 s | sf1 s | ratio (10x data) "
+          "| rows sf0.1 | rows sf1 | s/1k rows ratio |")
+    print("|---|---|---|---|---|---|---|")
     for name in names:
-        times = {}
+        times, rows = {}, {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             best = float("inf")
             for _ in range(BEST_OF):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                n = qs[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
-            times[label] = best
+            times[label], rows[label] = best, n
         r = times["sf1"] / times["sf0.1"]
+        per_row = ((times["sf1"] / max(rows["sf1"], 1))
+                   / (times["sf0.1"] / max(rows["sf0.1"], 1)))
         print(f"| `{name}` | {times['sf0.1']:.2f} | {times['sf1']:.2f} "
-              f"| {r:.1f}x |", flush=True)
+              f"| {r:.1f}x | {rows['sf0.1']} | {rows['sf1']} "
+              f"| {per_row:.2f}x |", flush=True)
     spark.stop()
 
 

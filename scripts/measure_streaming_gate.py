@@ -49,7 +49,6 @@ def run(spark, sub, make_gate, output_mode):
     docs = spark.read.parquet(DOCS).select("doc_id", "text")
     held = docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "0d")
-    train = docs.subtract(held.select("doc_id").join(docs, "doc_id"))
     feed(spark, root, docs.join(held, "doc_id", "left_anti"))
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", "1").parquet(f"{root}/in"))

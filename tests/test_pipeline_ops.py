@@ -3129,3 +3129,39 @@ def test_fuzzy_decontaminate_flags_near_dup_leak(spark):
            dedup.fuzzy_decontaminate(train, held, n=3, threshold=0.7,
                                      deterministic=True).collect()}
     assert det == {i: out[i]["contaminated"] for i in out}
+
+
+def test_fuzzy_decontam_sweep_prices_thresholds(spark):
+    """fuzzy_decontam_sweep: one banded scan must price every
+    threshold — the planted paraphrase (jaccard ≈ 0.86) counts as
+    dirty at 0.5/0.8 but drops out at 0.95, where only the exact copy
+    remains; clean docs never count; costs are the dirty docs' n_chars
+    over the train totals."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    para = base + " lightly edited ending here"
+    clean1 = "totally clean training text with no overlap whatsoever"
+    clean2 = "another clean document entirely different words"
+    held = spark.createDataFrame([(900, base)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, clean1), (2, base), (3, para), (4, clean2)],
+        "doc_id long, text string").withColumn(
+            "n_chars", F.length("text").cast("long"))
+    out = {r["threshold"]: r for r in dedup.fuzzy_decontam_sweep(
+        train, held, thresholds=[0.5, 0.8, 0.95], n=3).collect()}
+    assert set(out) == {0.5, 0.8, 0.95}
+    n_total = len(clean1) + len(base) + len(para) + len(clean2)
+    for t in (0.5, 0.8):   # exact copy AND paraphrase are dirty
+        r = out[t]
+        assert r["n_links"] == 2 and r["docs_contaminated"] == 2
+        assert r["chars_removed"] == len(base) + len(para)
+        assert r["pct_docs_contaminated"] == 2 / 4
+        assert r["pct_chars_removed"] == (len(base) + len(para)) / n_total
+    r = out[0.95]          # only the exact copy survives the cut
+    assert r["n_links"] == 1 and r["docs_contaminated"] == 1
+    assert r["chars_removed"] == len(base)
+    assert r["pct_docs_contaminated"] == 1 / 4
+    # det tier: identical report (verification is exact jaccard in both)
+    det = {r["threshold"]: tuple(r) for r in dedup.fuzzy_decontam_sweep(
+        train, held, thresholds=[0.5, 0.8, 0.95], n=3,
+        deterministic=True).collect()}
+    assert det == {t: tuple(out[t]) for t in out}

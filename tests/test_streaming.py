@@ -1932,15 +1932,20 @@ def test_vector_index_sink_probe_matches_batch_ivf(spark, tmp_path):
     assert key(got) == key(want) and len(got) == len(want) == 25
 
 
-def test_all_digit_run_id_store_keeps_string_type(spark, tmp_path):
+@pytest.mark.parametrize("first_run_id", ["826605350243", "026605350243"])
+def test_all_digit_run_id_store_keeps_string_type(spark, tmp_path,
+                                                  first_run_id):
     """Partition-type-inference flake (caught by the r10 full-suite
     run, p≈0.4% per run): a first run whose derived md5 id is ALL
     DECIMAL DIGITS makes Spark infer the store's run_id partition
     column as BIGINT, and the second (hex-id) run's epoch probe /
-    replay exclusion then dies on CAST_INVALID_INPUT.  _read_store
-    canonicalizes the column to string at the one read chokepoint;
-    this reproduces the flake deterministically via explicit run
-    ids."""
+    replay exclusion then dies on CAST_INVALID_INPUT.  The second
+    parametrization is the nastier LEADING-ZERO variant (r10 advisory):
+    BIGINT inference drops the zero, so a cast back to string yields a
+    DIFFERENT id and the exclusion silently never matches — _read_store
+    therefore reads with partition-type inference disabled so the
+    directory string survives verbatim.  Reproduced deterministically
+    via explicit run ids."""
     from basic_data_fusion_spark.streaming.sinks import (
         cluster_label_sink,
         read_cluster_labels,
@@ -1958,9 +1963,28 @@ def test_all_digit_run_id_store_keeps_string_type(spark, tmp_path):
                                run_id=run_id)
         q.awaitTermination()
 
-    run("one", "826605350243", [(1, "first corpus body one")])
-    # pre-fix this second run crashed inside the epoch probe
+    run("one", first_run_id, [(1, "first corpus body one")])
+    # pre-fix this second run crashed inside the epoch probe (or, for
+    # the leading-zero id, silently mislabeled: the probe cast the
+    # BIGINT partition back to a zero-less string and never matched)
     run("two", "a302243ae032", [(2, "second corpus body two")])
     got = {r["doc_id"]: r["cluster_id"]
            for r in read_cluster_labels(spark, lab).collect()}
     assert got == {1: 1, 2: 2}
+    # the store must hold the EXACT directory strings, zero included
+    from basic_data_fusion_spark.streaming.sinks import _read_store
+    runs = {r["run_id"] for r in _read_store(spark, lab)
+            .select("run_id").distinct().collect()}
+    assert runs == {first_run_id, "a302243ae032"}
+
+
+def test_derived_run_ids_are_never_numeric():
+    """New stores can never hit the all-digit inference flake at all:
+    derived run ids carry a non-digit prefix (r10 advisory)."""
+    from basic_data_fusion_spark.streaming.sinks import _derived_run_id
+
+    for ckpt in ("a", "b", "/tmp/ckpt", "x" * 100):
+        rid = _derived_run_id(ckpt)
+        assert rid.startswith("r") and not rid.isdigit() and len(rid) == 13
+    assert _derived_run_id("a") == _derived_run_id("a")
+    assert _derived_run_id("a") != _derived_run_id("b")
