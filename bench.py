@@ -187,6 +187,10 @@ HEADLINE += [
     # new in round 10 (absent from BENCH_r09 and earlier)
     "fuzzy_decontam_det",            # near-dup decontam, eval side broadcast
     "media_headers",                 # real container-header parse, pure JVM
+
+    # new in round 11 (absent from BENCH_r10 and earlier)
+    "audio_headers",                 # WAV construct->bytes->parse round trip
+    "fuzzy_decontam_sweep",          # fuzzy-gate threshold planning report
 ]
 
 

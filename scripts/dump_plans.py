@@ -132,6 +132,11 @@ PICK_NOTES = {
                           "top-1 collapses to WindowGroupLimit Partial "
                           "before its exchange; train-id scan reads "
                           "ONLY doc_id.",
+    "fuzzy_decontam_sweep": "Same broadcast-probe candidate scan as the "
+                            "fuzzy gate, cut once at min(thresholds); "
+                            "the threshold explode runs on the LINK "
+                            "relation only (never on bodies); totals "
+                            "ride a 1-row broadcast crossJoin.",
     "corpus_diff": "Both snapshots reduce to (id, md5) before the "
                    "single full-outer hash join — bodies never "
                    "shuffle.",

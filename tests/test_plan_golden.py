@@ -75,6 +75,10 @@ PINNED = [
     "curriculum_order_distributed",
     "pack_sequences_distributed",
     "incremental_clusters",
+    # r11: the new fuzzy-gate threshold sweep (~2 s at sf0.1 — the
+    # expensive-tier bar) — the pin freezes the broadcast-probe shape
+    # (eval side broadcast at BOTH joins, explode on links only)
+    "fuzzy_decontam_sweep",
     # r10: the only bench-top-20 row without a pin (r9 verdict #2) —
     # exactly the pin's target shape: a cache-pinned 7-consumer cells
     # relation and ONE partition-keyed Window (was two until late r9)
