@@ -5872,6 +5872,136 @@ ORDER BY ts.threshold
 """
 
 
+_LSH_SWEEP_BANDS = (4, 8, 16, 32)
+_LSH_SWEEP_THRESHOLD = 0.8
+
+
+def q_lsh_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-config planning report (NEW r11,
+    dedup.lsh_config_sweep): candidate volume (cost), verified yield,
+    precision, and the closed-form S-curve capture probability at the
+    working threshold for each (bands, rows-per-band) factorization of
+    the 64-hash signature — the bands knob the threshold sweeps don't
+    cover, from ONE signature pass.  Det md5 tier; like the other
+    acceptance composites it prices a bounded md5 slice (gate_slice
+    frac=0.3, replayed by a shadowing documents CTE) because the
+    wide-bands configs (rows=2) deliberately explore the
+    candidate-dense end of the knob."""
+    from basic_data_fusion_spark.operators.dedup import (
+        gate_slice,
+        lsh_config_sweep,
+    )
+
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    return lsh_config_sweep(docs, bands_options=_LSH_SWEEP_BANDS,
+                            threshold=_LSH_SWEEP_THRESHOLD,
+                            deterministic=True)
+
+
+def _lsh_config_sweep_oracle(n: int = 3, num_hashes: int = 64,
+                             seed: int = 42,
+                             slice_frac: float = 0.3) -> str:
+    """DuckDB replay of the banding sweep: one mins relation, re-banded
+    per config via a configs VALUES relation, candidates per config,
+    exact jaccard on the DISTINCT pair union (LEFT join back so a
+    zero-common-shingle candidate still counts), and the same
+    chained-multiplication S-curve literals the Spark side embeds."""
+    from basic_data_fusion_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+        _s_curve_capture,
+    )
+
+    t = float(_LSH_SWEEP_THRESHOLD)
+    params = _affine_params(num_hashes, seed)
+    values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)"
+                       for i, (a, b) in enumerate(params))
+    hex15 = _hex15_sql("shingle")
+    opts = sorted(set(int(b) for b in _LSH_SWEEP_BANDS))
+    config_values = ", ".join(f"({b}, {num_hashes // b})" for b in opts)
+    # quoted literals: DuckDB parses a bare 17-significant-digit
+    # numeric as DECIMAL before the CAST, losing the last ulp vs
+    # Spark's exact F.lit(float); a STRING cast parses straight to
+    # the correctly-rounded double
+    caps_values = ", ".join(
+        f"({b}, {num_hashes // b}, "
+        f"CAST('{_s_curve_capture(t, num_hashes // b, b)!r}' AS DOUBLE))"
+        for b in opts)
+    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
+    return f"""
+WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
+d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d
+),
+h AS (SELECT doc_id, {hex15} % {MERSENNE31} AS h0 FROM s),
+params(i, a, b) AS (VALUES {values}),
+mins AS (
+  SELECT h.doc_id, p.i, MIN((p.a * h.h0 + p.b) % {MERSENNE31}) AS mn
+  FROM h CROSS JOIN params p
+  GROUP BY 1, 2
+),
+configs(bands, rpb) AS (VALUES {config_values}),
+bnd AS (
+  SELECT m.doc_id, c.bands, m.i // c.rpb AS band,
+         string_agg(CAST(m.mn AS VARCHAR), ',' ORDER BY m.i) AS bucket
+  FROM mins m CROSS JOIN configs c
+  GROUP BY m.doc_id, c.bands, m.i // c.rpb
+),
+cands AS (
+  SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a JOIN bnd b
+    ON a.bands = b.bands AND a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+pairs AS (SELECT DISTINCT id_a, id_b FROM cands),
+sz AS (SELECT doc_id, COUNT(*) AS set_size FROM s GROUP BY 1),
+ver AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.id_a
+  JOIN s sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         CAST(COALESCE(v.n_common, 0) AS DOUBLE)
+           / (x.set_size + y.set_size - COALESCE(v.n_common, 0)) AS jaccard
+  FROM pairs p
+  LEFT JOIN ver v ON v.id_a = p.id_a AND v.id_b = p.id_b
+  JOIN sz x ON x.doc_id = p.id_a
+  JOIN sz y ON y.doc_id = p.id_b
+),
+per AS (
+  SELECT c.bands, COUNT(*) AS n_candidates,
+         SUM(CASE WHEN j.jaccard >= CAST({t!r} AS DOUBLE)
+                  THEN 1 ELSE 0 END) AS n_verified
+  FROM cands c
+  JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+  GROUP BY 1
+),
+caps(bands, rows_per_band, capture_prob_at_t) AS (VALUES {caps_values})
+SELECT CAST(caps.bands AS INT) AS bands,
+       CAST(caps.rows_per_band AS INT) AS rows_per_band,
+       CAST(COALESCE(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(per.n_verified, 0) AS BIGINT) AS n_verified,
+       CAST(COALESCE(per.n_verified, 0) AS DOUBLE)
+         / NULLIF(CAST(COALESCE(per.n_candidates, 0) AS DOUBLE), 0)
+         AS precision,
+       caps.capture_prob_at_t
+FROM caps LEFT JOIN per ON per.bands = caps.bands
+ORDER BY caps.bands
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.1}
 
 
@@ -8166,15 +8296,18 @@ WHERE rn <= 20
 #     before the same recursive-CTE CC; sf1 50.6 s → 8.6 s, ratio
 #     17.4× → 3.4×), audio_headers (the WAV construct→bytes→parse
 #     round trip — the r10 verdict's missing driver-evidence row for
-#     the RIFF parser), and fuzzy_decontam_sweep (the fuzzy gate's
-#     threshold-sweep planning report, r10 verdict #4),
+#     the RIFF parser), fuzzy_decontam_sweep (the fuzzy gate's
+#     threshold-sweep planning report, r10 verdict #4), and
+#     lsh_config_sweep (the banding-knob planning report — candidate
+#     volume / verified yield / precision / S-curve capture per
+#     (bands, rows) factorization from ONE signature pass),
 # (b) the 42 remaining r7-era oracle-backed greens in registration
 #     order — including the two pure-fill rows (ivf_topk_det,
 #     semantic_dedup_det) the r10 window comment queued for r11 (the
 #     10 rows-only-by-design canaries, each with a hash-green det
 #     twin, stay outside the window BY DESIGN),
-# (c) 5 slots left: the oldest r8-era oracle-backed rows in
-#     registration order.
+# (c) 4 slots left: the oldest r8-era oracle-backed rows in
+#     registration order (temperature_mix, the 5th, queues for r12).
 # After this rotation NO oracle-backed query's latest driver row
 # predates r8 — the r7 era is fully retired; the oldest remaining
 # block is the r8-checked remainder, which queues for r12.  Every
@@ -8183,6 +8316,7 @@ WHERE rn <= 20
 DRIVER_WINDOW = [
     # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
     "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
+    "lsh_config_sweep",
     # (b) the 42 remaining r7-era greens, registration order
     "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
     "quality_classifier", "interleave_order_sharded",
@@ -8201,9 +8335,9 @@ DRIVER_WINDOW = [
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier",
-    # (c) the 5 oldest r8-era oracle-backed rows, registration order
+    # (c) the 4 oldest r8-era oracle-backed rows, registration order
     "column_summary_approx", "forecast_revenue", "market_share",
-    "returned_item_losses", "temperature_mix",
+    "returned_item_losses",
 ]
 
 
@@ -8463,6 +8597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-11 contract rows ----
         "audio_headers": q_audio_headers,
         "fuzzy_decontam_sweep": q_fuzzy_decontam_sweep,
+        "lsh_config_sweep": q_lsh_config_sweep,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8575,6 +8710,7 @@ def oracle_sql() -> dict[str, str]:
         "media_headers": _MEDIA_HEADERS_ORACLE,
         "audio_headers": _AUDIO_HEADERS_ORACLE,
         "fuzzy_decontam_sweep": _fuzzy_decontam_sweep_oracle(),
+        "lsh_config_sweep": _lsh_config_sweep_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),

@@ -651,6 +651,102 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .select("id_a", "id_b", "jaccard"))
 
 
+def lsh_config_sweep(df: DataFrame, bands_options=(4, 8, 16, 32),
+                     threshold: float = 0.8, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     num_hashes: int = 64, seed: int = 42,
+                     deterministic: bool = False) -> DataFrame:
+    """LSH banding-config planning report — the (bands, rows-per-band)
+    knob counterpart of the threshold sweeps (:func:`dedup_impact_sweep`
+    prices thresholds over one pair relation;
+    :func:`fuzzy_decontam_sweep` prices the fuzzy gate's cut; this
+    prices the BANDING itself): per candidate factorization of
+    ``num_hashes``, how many candidate pairs the banded join emits
+    (the cost side — every candidate pays one exact-jaccard
+    verification), how many survive verification at ``threshold``
+    (the yield), the resulting candidate precision, and the closed-form
+    S-curve capture probability ``1 - (1 - t^r)^b`` at the working
+    threshold (the theoretical recall the banding buys).  A curation
+    run reads the knee of this table to pick bands before building the
+    production index.
+
+    ONE signature pass serves every config (the signature is pinned;
+    each config re-bands the same arrays), each config's candidate join
+    shuffles only (band, bucket) keys, and verification touches each
+    DISTINCT candidate pair once across all configs (a narrower config's
+    candidates are a subset of a wider one's only statistically, so the
+    union is deduped before the shingle join).  Bodies never shuffle.
+    Counts are exact; precision is an integer-derived division
+    (NULL when a config emits no candidates); the S-curve column is
+    config arithmetic embedded as a literal (chained multiplication, so
+    the oracle replays the identical IEEE value).  Reference analogue:
+    none (planning extension, Leskovec/Rajaraman/Ullman MMDS §3.4
+    banding analysis)."""
+    opts = sorted({int(b) for b in bands_options})
+    for b in opts:
+        if num_hashes % b != 0:
+            raise ValueError(f"bands={b} does not divide {num_hashes}")
+    hash_fn = "md5" if deterministic else "xxhash64"
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
+                             hash_fn=hash_fn)
+    sig = cache_pinned(sig)
+    cands = None
+    for b in opts:
+        c = (lsh_candidate_pairs(sig, id_col, bands=b,
+                                 num_hashes=num_hashes,
+                                 hash_buckets=not deterministic)
+             .select(F.lit(b).alias("bands"), "id_a", "id_b"))
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.localCheckpoint(eager=False)  # feeds distinct + rollup
+    sets = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .select(F.col(id_col),
+                    word_shingles(F.col(text_col), n).alias("__sh")))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    bb = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (n_common.cast("double")
+           / (F.size("sh_a") + F.size("sh_b") - n_common))
+    verified = (cands.select("id_a", "id_b").distinct()
+                .join(a, "id_a").join(bb, "id_b")
+                .select("id_a", "id_b", jac.alias("__jac")))
+    per = (cands.join(verified, ["id_a", "id_b"])
+           .groupBy("bands")
+           .agg(F.count(F.lit(1)).alias("n_candidates"),
+                F.sum((F.col("__jac") >= F.lit(float(threshold)))
+                      .cast("long")).alias("n_verified")))
+    conf_rows = []
+    t = float(threshold)
+    for b in opts:
+        r = num_hashes // b
+        conf_rows.append((b, r, _s_curve_capture(t, r, b)))
+    conf = df.sparkSession.createDataFrame(
+        conf_rows, "bands int, rows_per_band int, capture_prob_at_t double")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return (conf.join(per, "bands", "left")
+            .select("bands", "rows_per_band",
+                    z("n_candidates").alias("n_candidates"),
+                    z("n_verified").alias("n_verified"),
+                    F.try_divide(z("n_verified").cast("double"),
+                                 z("n_candidates").cast("double"))
+                    .alias("precision"),
+                    "capture_prob_at_t")
+            .orderBy("bands"))
+
+
+def _s_curve_capture(t: float, r: int, b: int) -> float:
+    """``1 - (1 - t^r)^b`` by CHAINED multiplication (not ``**``), so an
+    oracle replaying the same chain left-to-right lands on the
+    bit-identical IEEE double."""
+    tr = 1.0
+    for _ in range(r):
+        tr *= t
+    q = 1.0 - tr
+    qb = 1.0
+    for _ in range(b):
+        qb *= q
+    return 1.0 - qb
+
+
 def incremental_minhash_dedup(existing: DataFrame, new: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", n: int = 3,

@@ -191,6 +191,7 @@ HEADLINE += [
     # new in round 11 (absent from BENCH_r10 and earlier)
     "audio_headers",                 # WAV construct->bytes->parse round trip
     "fuzzy_decontam_sweep",          # fuzzy-gate threshold planning report
+    "lsh_config_sweep",              # banding-knob planning report
 ]
 
 
@@ -371,9 +372,15 @@ def main() -> None:
     try:
         with open(os.path.join(here, "bench_full.json"), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
-        stamped = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
-        with open(stamped, "w") as fh:
-            json.dump(full, fh, indent=1, sort_keys=True)
+        # the stamped file is the round's per-query record at the
+        # DRIVER's scale — an ad-hoc smoke run at a toy sf must not
+        # pre-write (or, worse, be committed as) the round of record,
+        # so stamp only at the driver sf unless the round is explicit
+        if os.environ.get("SPARK_GRAFT_ROUND") is not None \
+                or summary.get("sf") == 0.1:
+            stamped = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
+            with open(stamped, "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
     except (OSError, ValueError):
         pass
     print(json.dumps(full))

@@ -3165,3 +3165,39 @@ def test_fuzzy_decontam_sweep_prices_thresholds(spark):
         train, held, thresholds=[0.5, 0.8, 0.95], n=3,
         deterministic=True).collect()}
     assert det == {t: tuple(out[t]) for t in out}
+
+
+def test_lsh_config_sweep_prices_banding(spark):
+    """lsh_config_sweep: one signature pass must price every banding —
+    an exact copy (identical signature, so a candidate under EVERY
+    config) keeps n_verified >= 1 everywhere; the S-curve capture
+    column matches the closed form and rises monotonically with bands;
+    precision is verified/candidates."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact copy pair
+         (3, base + " lightly edited ending here"),  # near-dup
+         (4, "totally unrelated words in this clean document"),
+         (5, "another clean doc with different content entirely")],
+        "doc_id long, text string")
+    out = {r["bands"]: r for r in dedup.lsh_config_sweep(
+        docs, bands_options=(4, 8, 16, 32), threshold=0.8,
+        deterministic=True).collect()}
+    assert set(out) == {4, 8, 16, 32}
+    caps = []
+    for b, r in out.items():
+        assert r["rows_per_band"] == 64 // b
+        # the exact copy agrees on every band of every config
+        assert r["n_verified"] >= 1
+        assert r["n_candidates"] >= r["n_verified"]
+        assert r["precision"] == r["n_verified"] / r["n_candidates"]
+        expect = 1.0 - (1.0 - 0.8 ** (64 // b)) ** b
+        assert abs(r["capture_prob_at_t"] - expect) < 1e-9
+        caps.append((b, r["capture_prob_at_t"]))
+    caps.sort()
+    assert all(a[1] < b[1] for a, b in zip(caps, caps[1:]))
+    # fast tier returns the same report SHAPE (counts may differ only
+    # through band recall; the exact-copy floor still holds)
+    fast = {r["bands"]: r for r in dedup.lsh_config_sweep(
+        docs, bands_options=(4, 8, 16, 32), threshold=0.8).collect()}
+    assert all(fast[b]["n_verified"] >= 1 for b in (4, 8, 16, 32))
