@@ -5006,6 +5006,94 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, {"ivf": ivf, "sq8": sq8}, k=5)
 
 
+_DIM_SWEEP_DIMS = (8, 16, 32, 64)
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension planning report (NEW r11,
+    similarity.dim_truncation_sweep): micro-averaged recall@5 of exact
+    cosine search over the FIRST d dimensions against full-vector
+    search, for d in 8/16/32/64 — the Matryoshka-style dimension knob
+    beside the dedup family's threshold and banding sweeps.  All
+    integer-derived (total hits / total per-query denominators), det
+    fixed-point dots; the d=64 row is a built-in self-check (exactly
+    1.0)."""
+    from basic_data_fusion_spark.operators.similarity import (
+        dim_truncation_sweep,
+    )
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return dim_truncation_sweep(emb, queries_df, dims=_DIM_SWEEP_DIMS, k=5)
+
+
+def _truncated_topk_sql(dim: int, k: int = 5) -> str:
+    """Exact fixed-point cosine top-k over the first ``dim`` embedding
+    dimensions — the per-arm building block of the dimension sweep
+    oracle (the _EMBEDDING_TOPK_ORACLE skeleton with a parameterized
+    dims relation)."""
+    fp = "CAST(1000000000000.0 AS DOUBLE)"
+    return f"""
+SELECT query_id, neighbor_id
+FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot / (SQRT(aa) * SQRT(bb)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          * {fp}, 0) AS BIGINT)) / {fp} AS dot,
+           SUM(CAST(ROUND(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+                          * {fp}, 0) AS BIGINT)) / {fp} AS aa,
+           SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          * {fp}, 0) AS BIGINT)) / {fp} AS bb
+    FROM (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN embeddings e
+    CROSS JOIN (SELECT i FROM generate_series(1, {dim}) AS g(i)) dims
+    GROUP BY q.query_id, e.vec_id
+  ) parts
+) ranked WHERE rank <= {k}
+"""
+
+
+def _dim_truncation_oracle(k: int = 5) -> str:
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {d} AS dim, query_id, neighbor_id"
+        f" FROM ({_truncated_topk_sql(d, k)}) a{d}"
+        for d in sorted(_DIM_SWEEP_DIMS))
+    return f"""
+WITH exact AS ({_truncated_topk_sql(64, k)}),
+exn AS (SELECT query_id, COUNT(*) AS n FROM exact GROUP BY 1),
+arms AS (
+{arms}
+),
+per AS (
+  SELECT a.dim, a.query_id,
+         SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_hits
+  FROM arms a
+  LEFT JOIN exact e ON e.query_id = a.query_id
+                   AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2
+),
+roll AS (
+  SELECT p.dim, COUNT(*) AS n_queries, SUM(p.n_hits) AS hits,
+         SUM(LEAST({k}, COALESCE(x.n, {k}))) AS possible
+  FROM per p LEFT JOIN exn x ON x.query_id = p.query_id
+  GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS n_hits_total,
+       CAST(possible AS BIGINT) AS n_possible_total,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS micro_recall
+FROM roll ORDER BY dim
+"""
+
+
 def _ann_recall_oracle() -> str:
     """The same composition in SQL: each arm's published oracle runs as
     a derived table (so this stays in lockstep with the per-arm
@@ -8300,14 +8388,17 @@ WHERE rn <= 20
 #     threshold-sweep planning report, r10 verdict #4), and
 #     lsh_config_sweep (the banding-knob planning report — candidate
 #     volume / verified yield / precision / S-curve capture per
-#     (bands, rows) factorization from ONE signature pass),
+#     (bands, rows) factorization from ONE signature pass), and
+#     dim_truncation_recall (the embedding-dimension knob — recall@5
+#     of prefix-truncated exact search vs full vectors),
 # (b) the 42 remaining r7-era oracle-backed greens in registration
 #     order — including the two pure-fill rows (ivf_topk_det,
 #     semantic_dedup_det) the r10 window comment queued for r11 (the
 #     10 rows-only-by-design canaries, each with a hash-green det
 #     twin, stay outside the window BY DESIGN),
-# (c) 4 slots left: the oldest r8-era oracle-backed rows in
-#     registration order (temperature_mix, the 5th, queues for r12).
+# (c) 3 slots left: the oldest r8-era oracle-backed rows in
+#     registration order (returned_item_losses and temperature_mix,
+#     the 4th and 5th, queue for r12).
 # After this rotation NO oracle-backed query's latest driver row
 # predates r8 — the r7 era is fully retired; the oldest remaining
 # block is the r8-checked remainder, which queues for r12.  Every
@@ -8316,7 +8407,7 @@ WHERE rn <= 20
 DRIVER_WINDOW = [
     # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
     "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
-    "lsh_config_sweep",
+    "lsh_config_sweep", "dim_truncation_recall",
     # (b) the 42 remaining r7-era greens, registration order
     "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
     "quality_classifier", "interleave_order_sharded",
@@ -8335,9 +8426,8 @@ DRIVER_WINDOW = [
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier",
-    # (c) the 4 oldest r8-era oracle-backed rows, registration order
+    # (c) the 3 oldest r8-era oracle-backed rows, registration order
     "column_summary_approx", "forecast_revenue", "market_share",
-    "returned_item_losses",
 ]
 
 
@@ -8598,6 +8688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_headers": q_audio_headers,
         "fuzzy_decontam_sweep": q_fuzzy_decontam_sweep,
         "lsh_config_sweep": q_lsh_config_sweep,
+        "dim_truncation_recall": q_dim_truncation_recall,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8711,6 +8802,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_headers": _AUDIO_HEADERS_ORACLE,
         "fuzzy_decontam_sweep": _fuzzy_decontam_sweep_oracle(),
         "lsh_config_sweep": _lsh_config_sweep_oracle(),
+        "dim_truncation_recall": _dim_truncation_oracle(),
         "pq_topk_det": _pq_topk_det_oracle(),
         "ivfpq_topk_det": _ivfpq_topk_det_oracle(),
         "prefix_jaccard_pairs": _prefix_jaccard_oracle(),

@@ -1132,6 +1132,60 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
                 .alias("recall_at_k")))
 
 
+def dim_truncation_sweep(corpus: DataFrame, queries: DataFrame,
+                         dims=(8, 16, 32, 64), k: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         query_id_col: str = "query_id") -> DataFrame:
+    """Embedding-DIMENSION planning report (the Matryoshka/MRL
+    practice: serve ANN on a prefix of the embedding, keep the full
+    vector only for re-ranking): per candidate prefix length, the
+    micro-averaged recall@k of exact cosine search over the TRUNCATED
+    vectors against exact search over the full vectors — the dimension
+    knob beside the dedup family's threshold (:func:`~.dedup.
+    dedup_impact_sweep`) and banding (:func:`~.dedup.lsh_config_sweep`)
+    knobs.  A deployment reads the knee of this table to pick how many
+    leading dimensions its ANN tier needs before paying for the index
+    build; storage/compute at the chosen prefix scales linearly with it.
+
+    One exact top-k per dim plus one for the full vectors — each is the
+    :func:`brute_force_topk` shape (corpus-sided scan, queries
+    broadcast, per-query window top-k), so the sweep's cost is
+    |dims|+1 corpus scans and nothing shuffles but (query, neighbor)
+    rows.  Recall is micro-averaged from EXACT integers (total hits /
+    total per-query denominators, the :func:`ann_recall` denominator
+    rule), so the report value-hashes cross-engine; the full-dim row
+    doubles as a self-check (recall exactly 1.0)."""
+    ds = sorted({int(d) for d in dims})
+    exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                             vec_col=vec_col, query_id_col=query_id_col,
+                             deterministic=True)
+    arms = {}
+    for d in ds:
+        tc = corpus.select(F.col(id_col),
+                           F.slice(vec_col, 1, d).alias(vec_col))
+        tq = queries.select(F.col(query_id_col),
+                            F.slice(vec_col, 1, d).alias(vec_col))
+        arms[f"dim{d:03d}"] = brute_force_topk(
+            tc, tq, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, deterministic=True)
+    per = ann_recall(exact, arms, k=k)
+    ex_n = (exact.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_exact")))
+    denom = F.least(F.lit(int(k)).cast("long"),
+                    F.coalesce(F.col("__n_exact"),
+                               F.lit(int(k)).cast("long")))
+    return (per.join(F.broadcast(ex_n), query_id_col, "left")
+            .groupBy(F.substring("arm", 4, 3).cast("int").alias("dim"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                 F.sum("n_hits").cast("long").alias("n_hits_total"),
+                 F.sum(denom).cast("long").alias("n_possible_total"))
+            .withColumn("micro_recall",
+                        F.col("n_hits_total").cast("double")
+                        / F.col("n_possible_total").cast("double"))
+            .orderBy("dim"))
+
+
 def embedding_outliers(df: DataFrame, label_col: str = "label",
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        k: int = 5, dim: int = 64) -> DataFrame:

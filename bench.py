@@ -192,6 +192,7 @@ HEADLINE += [
     "audio_headers",                 # WAV construct->bytes->parse round trip
     "fuzzy_decontam_sweep",          # fuzzy-gate threshold planning report
     "lsh_config_sweep",              # banding-knob planning report
+    "dim_truncation_recall",         # embedding-dimension recall sweep
 ]
 
 

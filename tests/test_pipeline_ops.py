@@ -3201,3 +3201,33 @@ def test_lsh_config_sweep_prices_banding(spark):
     fast = {r["bands"]: r for r in dedup.lsh_config_sweep(
         docs, bands_options=(4, 8, 16, 32), threshold=0.8).collect()}
     assert all(fast[b]["n_verified"] >= 1 for b in (4, 8, 16, 32))
+    # cross-operator consistency: the sweep's bands=16 verified count
+    # IS the minhash_dedup_pairs relation at the same config
+    pairs16 = dedup.minhash_dedup_pairs(docs, n=3, num_hashes=64,
+                                        bands=16, threshold=0.8,
+                                        deterministic=True).count()
+    assert out[16]["n_verified"] == pairs16
+
+
+def test_dim_truncation_sweep_planted_geometry(spark):
+    """dim_truncation_sweep: vectors identical in their first 8 dims
+    and one-hot-distinguished in dims 9-16 — truncated-to-8 search ties
+    every neighbor (min-id wins, so only query 0's true top-1 survives:
+    micro recall exactly 1/10), while the full 16 dims recover
+    everything (exactly 1.0, the built-in self-check row)."""
+    rows = []
+    for i in range(10):
+        v = [1.0] * 8 + [0.0] * 8
+        v[8 + i % 8] = float(2 + i)   # distinguishing tail
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = {r["dim"]: r for r in similarity.dim_truncation_sweep(
+        emb, queries, dims=(8, 16), k=1).collect()}
+    assert set(out) == {8, 16}
+    assert out[8]["n_queries"] == out[16]["n_queries"] == 10
+    assert out[8]["n_possible_total"] == out[16]["n_possible_total"] == 10
+    assert out[8]["n_hits_total"] == 1          # only query 0's tie-win
+    assert out[8]["micro_recall"] == 1 / 10
+    assert out[16]["n_hits_total"] == 10
+    assert out[16]["micro_recall"] == 1.0
