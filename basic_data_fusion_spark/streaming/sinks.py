@@ -138,18 +138,27 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
-                              available_now: bool = True) -> StreamingQuery:
+                              available_now: bool = True,
+                              namespaced: bool = False,
+                              run_id: str | None = None) -> StreamingQuery:
     """Write a streaming DataFrame to ``path`` with replay-idempotent
     batches (`batch_id=N` partition directories, overwrite-per-batch).
 
-    Single-run contract: batch ids restart at 0 per checkpoint, so
-    pointing a SECOND run at the same ``path`` overwrites the first
-    run's batches.  Stores that accumulate across runs need the
-    run-namespaced layout the index/sketch sinks use (``run_id=R/
-    batch_id=N``)."""
+    Default single-run contract: batch ids restart at 0 per checkpoint,
+    so pointing a SECOND run at the same ``path`` overwrites the first
+    run's batches.  ``namespaced=True`` (or an explicit ``run_id``)
+    switches to the ``run_id=R/batch_id=N`` layout the index/sketch
+    sinks use, making the output accumulate safely across runs (r10
+    verdict note: the run-namespaced family is the production path).
+    Don't MIX layouts under one ``path`` — a mixed-depth partition tree
+    is unreadable (the migrate_legacy_store hazard); pick the layout at
+    the store's birth or migrate once."""
+    run = run_id or (_derived_run_id(checkpoint) if namespaced else None)
+    prefix = f"{path}/run_id={run}" if run is not None else path
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+        batch_df.write.mode("overwrite").parquet(
+            f"{prefix}/batch_id={batch_id}")
 
     writer = (df.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint))

@@ -181,6 +181,39 @@ def test_exactly_once_parquet_sink(spark, tmp_path):
     assert read_sink(spark, out).count() == batch.count()
 
 
+def test_exactly_once_sink_namespaced_accumulates_across_runs(spark,
+                                                              tmp_path):
+    """namespaced=True switches the output to run_id=R/batch_id=N: a
+    SECOND run (fresh checkpoint, batch ids restarting at 0) appends
+    beside the first instead of overwriting its batch-0 directory —
+    the silent-loss hazard the bare layout documents."""
+    import os
+
+    from basic_data_fusion_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+        read_sink,
+    )
+
+    out = str(tmp_path / "out")
+    n_total = 0
+    for sub in ("one", "two"):
+        d = tmp_path / f"in_{sub}"
+        _feed_files(spark, d, [[(1 if sub == "one" else 2,
+                                 f"body {sub}")]])
+        n_total += 1
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", "1").parquet(str(d)))
+        q = exactly_once_parquet_sink(stream, out,
+                                      str(tmp_path / f"ckpt_{sub}"),
+                                      namespaced=True)
+        q.awaitTermination()
+    runs = [x for x in os.listdir(out) if x.startswith("run_id=")]
+    assert len(runs) == 2 and all(r.startswith("run_id=r") for r in runs)
+    sunk = read_sink(spark, out)
+    assert sunk.count() == n_total
+    assert {r["doc_id"] for r in sunk.select("doc_id").collect()} == {1, 2}
+
+
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream event-time range join (watermarked, bounded state)
     returns exactly the batch interval_join pairs."""
