@@ -2192,6 +2192,51 @@ FROM documents
 """
 
 
+def q_line_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document consecutive-duplicate-line collapse (NEW r11,
+    dedup.collapse_repeated_lines — the within-doc half of line
+    cleanup beside the corpus-level `line_dedup`): each document gets
+    a planted 5-line fixture (head line twice, body twice, head once —
+    derived from its own text, so short docs where head == body
+    exercise the full-collapse path too) and the map-only JVM
+    expression collapses the back-to-back repeats, keeping first
+    occurrences.  The oracle replays the identical list pipeline."""
+    from basic_data_fusion_spark.operators.dedup import (
+        collapse_repeated_lines,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    l1 = F.substring(t, 1, 40)
+    fixture = F.concat_ws("\n", l1, l1, t, t, l1)
+    return collapse_repeated_lines(
+        docs.select("doc_id", fixture.alias("text")))
+
+
+_LINE_COLLAPSE_ORACLE = """
+WITH x AS (
+  SELECT doc_id,
+         substr(COALESCE(text, ''), 1, 40) || chr(10)
+           || substr(COALESCE(text, ''), 1, 40) || chr(10)
+           || COALESCE(text, '') || chr(10)
+           || COALESCE(text, '') || chr(10)
+           || substr(COALESCE(text, ''), 1, 40) AS ft
+  FROM documents
+),
+s AS (SELECT doc_id, str_split(ft, chr(10)) AS ls FROM x),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> i = 1 OR x != ls[i - 1]) AS kept
+  FROM s
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_collapsed
+FROM k
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb corpus-level line dedup over documents: lines whose
     trimmed content appears in ≥2 distinct docs are stripped everywhere;
@@ -8390,15 +8435,17 @@ WHERE rn <= 20
 #     volume / verified yield / precision / S-curve capture per
 #     (bands, rows) factorization from ONE signature pass), and
 #     dim_truncation_recall (the embedding-dimension knob — recall@5
-#     of prefix-truncated exact search vs full vectors),
+#     of prefix-truncated exact search vs full vectors), and
+#     line_collapse (intra-doc consecutive-duplicate-line collapse,
+#     the map-only within-doc half of line cleanup),
 # (b) the 42 remaining r7-era oracle-backed greens in registration
 #     order — including the two pure-fill rows (ivf_topk_det,
 #     semantic_dedup_det) the r10 window comment queued for r11 (the
 #     10 rows-only-by-design canaries, each with a hash-green det
 #     twin, stay outside the window BY DESIGN),
-# (c) 3 slots left: the oldest r8-era oracle-backed rows in
-#     registration order (returned_item_losses and temperature_mix,
-#     the 4th and 5th, queue for r12).
+# (c) 2 slots left: the oldest r8-era oracle-backed rows in
+#     registration order (market_share, returned_item_losses and
+#     temperature_mix, the 3rd-5th, queue for r12).
 # After this rotation NO oracle-backed query's latest driver row
 # predates r8 — the r7 era is fully retired; the oldest remaining
 # block is the r8-checked remainder, which queues for r12.  Every
@@ -8407,7 +8454,7 @@ WHERE rn <= 20
 DRIVER_WINDOW = [
     # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
     "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
-    "lsh_config_sweep", "dim_truncation_recall",
+    "lsh_config_sweep", "dim_truncation_recall", "line_collapse",
     # (b) the 42 remaining r7-era greens, registration order
     "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
     "quality_classifier", "interleave_order_sharded",
@@ -8426,8 +8473,8 @@ DRIVER_WINDOW = [
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier",
-    # (c) the 3 oldest r8-era oracle-backed rows, registration order
-    "column_summary_approx", "forecast_revenue", "market_share",
+    # (c) the 2 oldest r8-era oracle-backed rows, registration order
+    "column_summary_approx", "forecast_revenue",
 ]
 
 
@@ -8679,6 +8726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_impact_individual": q_filter_impact_individual,
         "profiling_stats": q_profiling_stats,
         "line_dedup": q_line_dedup,
+        "line_collapse": q_line_collapse,
         "dsir_weights": q_dsir_weights,
         "embedding_near_dups": q_embedding_near_dups,
         # ---- round-10 additions ----
@@ -8724,6 +8772,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_impact_individual": _FILTER_IMPACT_INDIVIDUAL_ORACLE,
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
+        "line_collapse": _LINE_COLLAPSE_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,
         "decontam_spans": _DECONTAM_SPANS_ORACLE,

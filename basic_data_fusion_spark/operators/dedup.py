@@ -54,6 +54,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ---------------- tier 1b: line-level (sub-document) ----------------
 
+def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """INTRA-document consecutive-duplicate-line collapse — the cheap
+    within-doc half of line cleanup (:func:`line_dedup` is the
+    corpus-level half: a line repeated across ≥N documents is banned
+    everywhere; THIS collapses a line repeated back-to-back inside one
+    document — duplicated nav blocks, stuttering extractors, repeated
+    headers — keeping the first occurrence).  Returns
+    ``(id, clean_text, n_lines, n_collapsed)``.
+
+    Pure map-side JVM expression: split on newline, keep line i iff
+    ``i == 0 or line != previous line`` (exact comparison — trimming
+    belongs to the corpus tier), rejoin.  No shuffle, no UDF; at 100 TB
+    this is a projection over the scan, the same shape as the Gopher/C4
+    rule gates.  Reference analogue: none (cleaning extension; C4 §2.2
+    and RefinedWeb §3.3 apply line rules of this family)."""
+    ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # F.filter's index lambda is 0-based; element_at is 1-based, so
+    # element_at(ls, i) IS the previous element of the 0-based i-th
+    kept = F.filter(ls, lambda x, i: (i == F.lit(0))
+                    | (x != F.element_at(ls, i)))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(ls).cast("long").alias("n_lines"),
+        (F.size(ls) - F.size(kept)).cast("long").alias("n_collapsed"))
+
+
 def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                min_docs: int = 2) -> DataFrame:
     """Corpus-level LINE deduplication (C4, Raffel et al. 2020 §2.2;

@@ -193,6 +193,7 @@ HEADLINE += [
     "fuzzy_decontam_sweep",          # fuzzy-gate threshold planning report
     "lsh_config_sweep",              # banding-knob planning report
     "dim_truncation_recall",         # embedding-dimension recall sweep
+    "line_collapse",                 # intra-doc repeated-line collapse
 ]
 
 

@@ -3209,6 +3209,28 @@ def test_lsh_config_sweep_prices_banding(spark):
     assert out[16]["n_verified"] == pairs16
 
 
+def test_collapse_repeated_lines(spark):
+    """collapse_repeated_lines: back-to-back duplicate lines collapse
+    to their first occurrence; non-adjacent repeats survive (that's
+    the corpus tier's job); consecutive blank lines collapse like any
+    other exact run; single-line and empty docs pass through."""
+    docs = spark.createDataFrame(
+        [(1, "a\na\na\nb\na"),          # run of 3 + non-adjacent repeat
+         (2, "x\n\n\n\ny"),             # blank-line run
+         (3, "only line"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.collapse_repeated_lines(docs).collect()}
+    assert out[1]["clean_text"] == "a\nb\na"
+    assert out[1]["n_lines"] == 5 and out[1]["n_collapsed"] == 2
+    assert out[2]["clean_text"] == "x\n\ny"
+    assert out[2]["n_lines"] == 5 and out[2]["n_collapsed"] == 2
+    assert out[3]["clean_text"] == "only line"
+    assert out[3]["n_collapsed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1
+
+
 def test_dim_truncation_sweep_planted_geometry(spark):
     """dim_truncation_sweep: vectors identical in their first 8 dims
     and one-hot-distinguished in dims 9-16 — truncated-to-8 search ties
