@@ -97,6 +97,49 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 @FAST
+@given(docs=st.lists(st.lists(st.sampled_from(["a", "b", "", "x y"]),
+                              min_size=0, max_size=8),
+                     min_size=1, max_size=5))
+def test_collapse_repeated_lines_matches_python(spark, docs):
+    """Spark collapse_repeated_lines vs the direct Python rule (keep
+    line i iff i==0 or line != previous), plus idempotence: a second
+    pass collapses nothing."""
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.collapse_repeated_lines(df).collect()}
+    for i, lines in enumerate(docs):
+        # split('\n') of the joined text: [''] for the empty doc
+        ls = "\n".join(lines).split("\n")
+        kept = [ln for j, ln in enumerate(ls) if j == 0 or ln != ls[j - 1]]
+        assert got[i]["clean_text"] == "\n".join(kept)
+        assert got[i]["n_lines"] == len(ls)
+        assert got[i]["n_collapsed"] == len(ls) - len(kept)
+    again = dedup.collapse_repeated_lines(
+        df.sparkSession.createDataFrame(
+            [(i, got[i]["clean_text"]) for i in range(len(docs))],
+            "doc_id long, text string"))
+    assert all(r["n_collapsed"] == 0 for r in again.collect())
+
+
+def test_s_curve_capture_matches_closed_form():
+    """The sweep's chained-multiplication S-curve equals the closed
+    form within float tolerance, stays in [0,1], and is monotone in
+    bands at fixed num_hashes (more, narrower bands capture more)."""
+    from basic_data_fusion_spark.operators.dedup import _s_curve_capture
+
+    for t in (0.1, 0.5, 0.8, 0.99):
+        vals = []
+        for b in (1, 2, 4, 8, 16, 32, 64):
+            r = 64 // b
+            v = _s_curve_capture(t, r, b)
+            assert abs(v - (1.0 - (1.0 - t ** r) ** b)) < 1e-9
+            assert 0.0 <= v <= 1.0
+            vals.append(v)
+        assert vals == sorted(vals)
+
+
+@FAST
 @given(docs=st.lists(
     st.lists(st.sampled_from(["nav bar", "footer", "x", "y", "z", ""]),
              min_size=1, max_size=6),
