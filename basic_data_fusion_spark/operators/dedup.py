@@ -726,9 +726,12 @@ def lsh_config_sweep(df: DataFrame, bands_options=(4, 8, 16, 32),
              .select(F.lit(b).alias("bands"), "id_a", "id_b"))
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.localCheckpoint(eager=False)  # feeds distinct + rollup
-    sets = (df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-            .select(F.col(id_col),
-                    word_shingles(F.col(text_col), n).alias("__sh")))
+    # feeds BOTH sides of the verification join (minhash_dedup_pairs
+    # pins the identical relation for the same reason)
+    sets = cache_pinned(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col),
+                word_shingles(F.col(text_col), n).alias("__sh")))
     a = sets.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     bb = sets.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -967,6 +970,11 @@ def fuzzy_decontam_sweep(train: DataFrame, held_out: DataFrame,
         held_out, train, text_col=text_col, id_col=id_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=ts[0], seed=seed,
         deterministic=deterministic, broadcast_existing=True)
+    # the link relation feeds TWO aggregation branches (link counts and
+    # the distinct-dirty-doc rollup) and the broadcast-probe plan has no
+    # exchange to reuse — without lineage truncation the whole corpus
+    # scan + signing + verification would run once per branch
+    links = links.localCheckpoint(eager=False)
     hits = (links.withColumn("threshold", F.explode(t_arr))
             .where(F.col("jaccard") >= F.col("threshold")))
     link_counts = hits.groupBy("threshold").agg(

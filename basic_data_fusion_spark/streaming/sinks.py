@@ -17,6 +17,7 @@ progress, so AvailableNow restarts resume, not reprocess.
 from __future__ import annotations
 
 import hashlib
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,7 +36,18 @@ def _derived_run_id(checkpoint: str) -> str:
     prefix stops new numeric ids at the source; :func:`_read_store`
     additionally reads with partition-type inference DISABLED so
     legacy stores already holding numeric ids keep their exact string
-    values too."""
+    values too.
+
+    UPGRADE note: the prefix CHANGES the derived id, so "stable across
+    retries" holds within one code version only — a checkpoint started
+    under the pre-prefix formula and resumed after the upgrade derives
+    a DIFFERENT id, which breaks the replay exclusion for the in-flight
+    batch (it re-matches its own prior index write and drops itself)
+    and makes the epoch probe claim a fresh epoch mid-run.  Resuming a
+    live pre-upgrade checkpoint over an existing store therefore needs
+    the old id passed EXPLICITLY (``run_id=md5(checkpoint)[:12]``, the
+    old formula) for that run's remaining lifetime; fresh checkpoints
+    need nothing."""
     return "r" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
 
@@ -81,6 +93,9 @@ def _index_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+_READ_STORE_LOCK = threading.Lock()
+
+
 def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Read a run-namespaced store with CANONICAL partition types.
 
@@ -119,17 +134,27 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
     mergeSchema makes the union schema unconditional; legacy rows read
     NULL epoch, which :func:`_with_epoch` coalesces to 0.  Store
     directory counts are bounded by the compaction family, so the
-    footer-merge cost stays small."""
+    footer-merge cost stays small.
+
+    The flip is serialized by a process-wide lock: two concurrent
+    readers on one session (foreachBatch threads, a compaction hook
+    racing a probe) could otherwise interleave save/flip/restore so
+    that one read runs with inference ON and the OTHER's ``finally``
+    pins the transient 'false' into the session conf permanently —
+    silently retyping every later partitioned read in the session.
+    The lock scope is relation resolution only (inference happens
+    inside ``spark.read.parquet``), not the query's execution."""
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "false")
-    try:
-        d = spark.read.option("mergeSchema", "true").parquet(store_path)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    with _READ_STORE_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "false")
+        try:
+            d = spark.read.option("mergeSchema", "true").parquet(store_path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     if "run_id" in d.columns:
         d = d.withColumn("run_id", F.col("run_id").cast("string"))
     if "batch_id" in d.columns:
@@ -168,9 +193,13 @@ def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
 
 
 def read_sink(spark: SparkSession, path: str) -> DataFrame:
-    """Read everything the sink has produced (batch_id becomes a
-    partition column via directory discovery)."""
-    return spark.read.parquet(path)
+    """Read everything the sink has produced (batch_id — and run_id in
+    the namespaced layout — become partition columns via directory
+    discovery).  Routed through :func:`_read_store` so an explicit
+    NUMERIC run_id (user-supplied job ids like '012') keeps its exact
+    directory string instead of being type-inferred to BIGINT with the
+    leading zero destroyed, and batch_id is canonicalized to long."""
+    return _read_store(spark, path)
 
 
 def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
