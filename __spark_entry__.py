@@ -2304,6 +2304,88 @@ def q_decontam_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_decontaminate(train, held, window=13)
 
 
+def q_decontam_by_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination breakdown (NEW r11,
+    dedup.decontam_by_benchmark): the held-out slice (doc_id % 7 == 0,
+    the decontam family's split) is partitioned into three synthetic
+    benchmarks by doc_id % 3, and the report answers WHICH benchmark
+    leaked into the train side and how badly — eval docs leaked, train
+    docs dirty, colliding-window mass, dirty fraction — the GPT-3 §C
+    table shape as one hash-checked relation."""
+    from basic_data_fusion_spark.operators.dedup import (
+        decontam_by_benchmark,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    bench = (F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "bench_a")
+             .when(F.pmod(F.col("doc_id"), F.lit(3)) == 1, "bench_b")
+             .otherwise("bench_c"))
+    held = (docs.filter(F.col("doc_id") % 7 == 0)
+            .select("doc_id", "text", bench.alias("benchmark")))
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontam_by_benchmark(train, held, window=13)
+
+
+_DECONTAM_BY_BENCHMARK_ORACLE = r"""
+WITH alldocs AS (
+  SELECT doc_id,
+         CASE WHEN trim(COALESCE(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+  FROM documents
+),
+held AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'bench_a' WHEN 1 THEN 'bench_b'
+              ELSE 'bench_c' END AS benchmark,
+         toks
+  FROM alldocs WHERE doc_id % 7 = 0
+),
+train AS (SELECT * FROM alldocs WHERE doc_id % 7 <> 0),
+ek AS (
+  SELECT benchmark, doc_id AS eid,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM held WHERE len(toks) >= 13
+),
+probe AS (SELECT DISTINCT benchmark, h FROM ek),
+tw AS (
+  SELECT doc_id AS tid,
+         unnest(list_transform(
+             generate_series(1, len(toks) - 12),
+             i -> md5(array_to_string(list_slice(toks, i, i + 12), ' ')))) AS h
+  FROM train WHERE len(toks) >= 13
+),
+hits AS (SELECT p.benchmark, t.tid, t.h FROM tw t JOIN probe p ON p.h = t.h),
+dirty AS (SELECT benchmark, COUNT(DISTINCT tid) AS n_train_docs_dirty
+          FROM hits GROUP BY 1),
+mass AS (SELECT benchmark, COUNT(*) AS n_hit_windows FROM hits GROUP BY 1),
+hh AS (SELECT DISTINCT benchmark, h FROM hits),
+leaked AS (
+  SELECT e.benchmark, COUNT(DISTINCT e.eid) AS n_eval_docs_leaked
+  FROM ek e JOIN hh ON hh.benchmark = e.benchmark AND hh.h = e.h
+  GROUP BY 1
+),
+pb AS (SELECT benchmark, COUNT(*) AS n_eval_docs FROM held GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM train)
+SELECT pb.benchmark,
+       CAST(pb.n_eval_docs AS BIGINT) AS n_eval_docs,
+       CAST(COALESCE(l.n_eval_docs_leaked, 0) AS BIGINT)
+         AS n_eval_docs_leaked,
+       CAST(COALESCE(d.n_train_docs_dirty, 0) AS BIGINT)
+         AS n_train_docs_dirty,
+       CAST(COALESCE(m.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+       CAST(COALESCE(d.n_train_docs_dirty, 0) AS DOUBLE) / tot.n
+         AS pct_train_docs_dirty
+FROM pb
+LEFT JOIN leaked l ON l.benchmark = pb.benchmark
+LEFT JOIN dirty d ON d.benchmark = pb.benchmark
+LEFT JOIN mass m ON m.benchmark = pb.benchmark
+CROSS JOIN tot
+ORDER BY pb.benchmark
+"""
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (arXiv:2302.03169) for tilting the corpus
     toward its English slice: hashed unigram+bigram bucket models,
@@ -8437,15 +8519,17 @@ WHERE rn <= 20
 #     dim_truncation_recall (the embedding-dimension knob — recall@5
 #     of prefix-truncated exact search vs full vectors), and
 #     line_collapse (intra-doc consecutive-duplicate-line collapse,
-#     the map-only within-doc half of line cleanup),
+#     the map-only within-doc half of line cleanup), and
+#     decontam_by_benchmark (per-benchmark contamination breakdown —
+#     which suite leaked and how badly, the GPT-3 §C table shape),
 # (b) the 42 remaining r7-era oracle-backed greens in registration
 #     order — including the two pure-fill rows (ivf_topk_det,
 #     semantic_dedup_det) the r10 window comment queued for r11 (the
 #     10 rows-only-by-design canaries, each with a hash-green det
 #     twin, stay outside the window BY DESIGN),
-# (c) 2 slots left: the oldest r8-era oracle-backed rows in
-#     registration order (market_share, returned_item_losses and
-#     temperature_mix, the 3rd-5th, queue for r12).
+# (c) 1 slot left: the oldest r8-era oracle-backed row in
+#     registration order (forecast_revenue through temperature_mix,
+#     the 2nd-5th, queue for r12).
 # After this rotation NO oracle-backed query's latest driver row
 # predates r8 — the r7 era is fully retired; the oldest remaining
 # block is the r8-checked remainder, which queues for r12.  Every
@@ -8455,6 +8539,7 @@ DRIVER_WINDOW = [
     # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
     "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
     "lsh_config_sweep", "dim_truncation_recall", "line_collapse",
+    "decontam_by_benchmark",
     # (b) the 42 remaining r7-era greens, registration order
     "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
     "quality_classifier", "interleave_order_sharded",
@@ -8473,8 +8558,8 @@ DRIVER_WINDOW = [
     "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
     "customer_order_distribution", "promo_revenue_ratio",
     "top_revenue_supplier",
-    # (c) the 2 oldest r8-era oracle-backed rows, registration order
-    "column_summary_approx", "forecast_revenue",
+    # (c) the oldest r8-era oracle-backed row, registration order
+    "column_summary_approx",
 ]
 
 
@@ -8727,6 +8812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profiling_stats": q_profiling_stats,
         "line_dedup": q_line_dedup,
         "line_collapse": q_line_collapse,
+        "decontam_by_benchmark": q_decontam_by_benchmark,
         "dsir_weights": q_dsir_weights,
         "embedding_near_dups": q_embedding_near_dups,
         # ---- round-10 additions ----
@@ -8773,6 +8859,7 @@ def oracle_sql() -> dict[str, str]:
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "line_collapse": _LINE_COLLAPSE_ORACLE,
+        "decontam_by_benchmark": _DECONTAM_BY_BENCHMARK_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,
         "decontam_spans": _DECONTAM_SPANS_ORACLE,

@@ -888,6 +888,84 @@ def cross_corpus_overlap(train: DataFrame, held_out: DataFrame,
             .filter(F.col("n_common") >= min_common))
 
 
+def decontam_by_benchmark(train: DataFrame, held_out: DataFrame,
+                          benchmark_col: str = "benchmark",
+                          text_col: str = "text", id_col: str = "doc_id",
+                          window: int = 13) -> DataFrame:
+    """Per-BENCHMARK contamination breakdown — the aggregate report a
+    decontamination run publishes when the held-out side is a SUITE
+    (MMLU + GSM8K + HumanEval + …), not one corpus: for each benchmark,
+    how many of its eval docs leaked into the training corpus, how many
+    train docs are dirty against it, and the colliding-window mass.
+    The doc-level tiers answer "is this train doc dirty"
+    (:func:`cross_corpus_overlap`, ``streaming_decontaminate``); this
+    answers "WHICH benchmark leaked and how badly" — what decides
+    whether a reported eval number is trustworthy.
+
+    Returns one row per benchmark: ``(benchmark, n_eval_docs,
+    n_eval_docs_leaked, n_train_docs_dirty, n_hit_windows,
+    pct_train_docs_dirty)``.
+
+    Scale shape: eval windows reduce to DISTINCT (benchmark, hash)
+    keys and BROADCAST (benchmark suites are tiny next to the corpus);
+    train bodies never shuffle — only the post-probe (train_id,
+    benchmark, hash) triples feed the rollups, and the hit relation is
+    lineage-truncated because three aggregations consume it.  The
+    eval-leak side joins the eval keys against the DISTINCT hit hashes
+    (bounded by the eval window count, so that side broadcasts too).
+    Counts exact, the fraction integer-derived.  Reference analogue:
+    none (decontamination reporting extension; GPT-3 §C publishes
+    exactly this table shape)."""
+    w = int(window)
+    # window hashing is CPU-bound; a single-file source would pin each
+    # side to one core (cross_corpus_overlap precedent)
+    ev_win = _window_hash_table(
+        _tokenized_base(spread_narrow(held_out), text_col, id_col),
+        id_col, w)
+    ev_bench = held_out.select(F.col(id_col).alias("__eid"),
+                               F.col(benchmark_col).alias("benchmark"))
+    ev_keys = (ev_win.select(F.col(id_col).alias("__eid"), "__h")
+               .join(ev_bench, "__eid")
+               .select("benchmark", "__eid", "__h"))
+    ev_keys = cache_pinned(ev_keys)   # feeds the probe AND the leak join
+    probe = ev_keys.select("benchmark", "__h").distinct()
+    tr_win = _window_hash_table(
+        _tokenized_base(spread_narrow(train), text_col, id_col),
+        id_col, w) \
+        .select(F.col(id_col).alias("__tid"), "__h")
+    hits = (tr_win.join(F.broadcast(probe), "__h")
+            .select("benchmark", "__tid", "__h")
+            .localCheckpoint(eager=False))
+    dirty = (hits.select("benchmark", "__tid").distinct()
+             .groupBy("benchmark")
+             .agg(F.count(F.lit(1)).alias("n_train_docs_dirty")))
+    mass = hits.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("n_hit_windows"))
+    hit_hashes = hits.select("benchmark", "__h").distinct()
+    leaked = (ev_keys.join(F.broadcast(hit_hashes), ["benchmark", "__h"])
+              .select("benchmark", "__eid").distinct()
+              .groupBy("benchmark")
+              .agg(F.count(F.lit(1)).alias("n_eval_docs_leaked")))
+    per_bench = ev_bench.groupBy("benchmark").agg(
+        F.count(F.lit(1)).alias("n_eval_docs"))
+    totals = train.agg(F.count(F.lit(1)).alias("__n_train"))
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return (per_bench
+            .join(leaked, "benchmark", "left")
+            .join(dirty, "benchmark", "left")
+            .join(mass, "benchmark", "left")
+            .crossJoin(F.broadcast(totals))
+            .select("benchmark",
+                    z("n_eval_docs").alias("n_eval_docs"),
+                    z("n_eval_docs_leaked").alias("n_eval_docs_leaked"),
+                    z("n_train_docs_dirty").alias("n_train_docs_dirty"),
+                    z("n_hit_windows").alias("n_hit_windows"),
+                    (z("n_train_docs_dirty").cast("double")
+                     / F.col("__n_train").cast("double"))
+                    .alias("pct_train_docs_dirty"))
+            .orderBy("benchmark"))
+
+
 def fuzzy_decontaminate(train: DataFrame, held_out: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, num_hashes: int = 64, bands: int = 16,

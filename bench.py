@@ -194,6 +194,7 @@ HEADLINE += [
     "lsh_config_sweep",              # banding-knob planning report
     "dim_truncation_recall",         # embedding-dimension recall sweep
     "line_collapse",                 # intra-doc repeated-line collapse
+    "decontam_by_benchmark",         # per-benchmark contamination table
 ]
 
 

@@ -3209,6 +3209,33 @@ def test_lsh_config_sweep_prices_banding(spark):
     assert out[16]["n_verified"] == pairs16
 
 
+def test_decontam_by_benchmark_isolates_the_leaky_suite(spark):
+    """decontam_by_benchmark: a train doc quoting a 13-token span from
+    bench_a's eval doc dirties bench_a's row ONLY; bench_b reports
+    clean with its eval docs still counted; the dirty fraction is over
+    the whole train corpus."""
+    span = " ".join(f"q{i}" for i in range(13))
+    held = spark.createDataFrame(
+        [(900, "bench_a", span + " answer forty two"),
+         (901, "bench_b", " ".join(f"z{i}" for i in range(20))),
+         (902, "bench_b", "short doc")],   # <13 tokens: no windows
+        "doc_id long, benchmark string, text string")
+    train = spark.createDataFrame(
+        [(1, "totally clean " + " ".join(f"c{i}" for i in range(20))),
+         (2, "leaked verbatim " + span + " and more words after")],
+        "doc_id long, text string")
+    out = {r["benchmark"]: r for r in dedup.decontam_by_benchmark(
+        train, held, window=13).collect()}
+    assert set(out) == {"bench_a", "bench_b"}
+    a, b = out["bench_a"], out["bench_b"]
+    assert a["n_eval_docs"] == 1 and a["n_eval_docs_leaked"] == 1
+    assert a["n_train_docs_dirty"] == 1 and a["n_hit_windows"] >= 1
+    assert a["pct_train_docs_dirty"] == 1 / 2
+    assert b["n_eval_docs"] == 2 and b["n_eval_docs_leaked"] == 0
+    assert b["n_train_docs_dirty"] == 0 and b["n_hit_windows"] == 0
+    assert b["pct_train_docs_dirty"] == 0.0
+
+
 def test_collapse_repeated_lines(spark):
     """collapse_repeated_lines: back-to-back duplicate lines collapse
     to their first occurrence; non-adjacent repeats survive (that's
