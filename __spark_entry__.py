@@ -2375,7 +2375,8 @@ SELECT pb.benchmark,
        CAST(COALESCE(d.n_train_docs_dirty, 0) AS BIGINT)
          AS n_train_docs_dirty,
        CAST(COALESCE(m.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
-       CAST(COALESCE(d.n_train_docs_dirty, 0) AS DOUBLE) / tot.n
+       CAST(COALESCE(d.n_train_docs_dirty, 0) AS DOUBLE)
+         / NULLIF(CAST(tot.n AS DOUBLE), 0.0)
          AS pct_train_docs_dirty
 FROM pb
 LEFT JOIN leaked l ON l.benchmark = pb.benchmark

@@ -72,9 +72,12 @@ def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
     and RefinedWeb §3.3 apply line rules of this family)."""
     ls = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     # F.filter's index lambda is 0-based; element_at is 1-based, so
-    # element_at(ls, i) IS the previous element of the 0-based i-th
-    kept = F.filter(ls, lambda x, i: (i == F.lit(0))
-                    | (x != F.element_at(ls, i)))
+    # element_at(ls, i) IS the previous element of the 0-based i-th.
+    # The i==0 guard must be an explicit WHEN branch: element_at(ls, 0)
+    # is a runtime error, and a boolean Or makes no evaluation-order
+    # promise (r11 advisory) — CASE does.
+    kept = F.filter(ls, lambda x, i: F.when(i == F.lit(0), F.lit(True))
+                    .otherwise(x != F.element_at(ls, i)))
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
@@ -960,8 +963,11 @@ def decontam_by_benchmark(train: DataFrame, held_out: DataFrame,
                     z("n_eval_docs_leaked").alias("n_eval_docs_leaked"),
                     z("n_train_docs_dirty").alias("n_train_docs_dirty"),
                     z("n_hit_windows").alias("n_hit_windows"),
-                    (z("n_train_docs_dirty").cast("double")
-                     / F.col("__n_train").cast("double"))
+                    # try_divide, not /: an EMPTY train corpus must read
+                    # NULL (the lsh_config_sweep precision convention),
+                    # not NaN (r11 advisory)
+                    F.try_divide(z("n_train_docs_dirty").cast("double"),
+                                 F.col("__n_train").cast("double"))
                     .alias("pct_train_docs_dirty"))
             .orderBy("benchmark"))
 

@@ -1155,8 +1155,22 @@ def dim_truncation_sweep(corpus: DataFrame, queries: DataFrame,
     rows.  Recall is micro-averaged from EXACT integers (total hits /
     total per-query denominators, the :func:`ann_recall` denominator
     rule), so the report value-hashes cross-engine; the full-dim row
-    doubles as a self-check (recall exactly 1.0)."""
+    doubles as a self-check (recall exactly 1.0).
+
+    ``dims`` are validated against the corpus's actual vector length
+    (one ``limit(1)`` probe): ``F.slice`` CLAMPS, so an oversized dim
+    would silently produce a mislabeled duplicate of the full-dim row
+    at recall 1.0 (r11 advisory) — raise instead.  The ``dimNNN`` arm
+    label is 3 digits wide, so dims are also capped at 999."""
     ds = sorted({int(d) for d in dims})
+    if not ds or ds[0] < 1 or ds[-1] > 999:
+        raise ValueError(f"dims must be within [1, 999], got {ds}")
+    probe = corpus.select(F.size(vec_col).alias("n")).limit(1).collect()
+    if probe and ds[-1] > probe[0]["n"]:
+        raise ValueError(
+            f"dim {ds[-1]} exceeds the corpus vector length "
+            f"{probe[0]['n']} — F.slice would clamp and the arm would "
+            f"silently duplicate the full-dim row")
     exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
                              vec_col=vec_col, query_id_col=query_id_col,
                              deterministic=True)

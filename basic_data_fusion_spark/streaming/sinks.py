@@ -120,9 +120,19 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
     additionally immunized at the source: :func:`_derived_run_id`
     prefixes ``r``).  The conf flip is scoped to relation resolution
     (inference happens inside ``spark.read.parquet``) and restored in
-    a ``finally``; a concurrent reader racing the window at worst sees
-    inference ON, i.e. the r10 status quo, which the ``r`` prefix
-    already makes safe for every non-legacy store.
+    a ``finally``.  The race is two-sided (r11 advisory): a concurrent
+    STORE reader racing the window at worst sees inference ON — the
+    r10 status quo, which the ``r`` prefix already makes safe for
+    every non-legacy store — but an unrelated partitioned read on the
+    same session (the lock only serializes ``_read_store`` callers)
+    can transiently observe inference OFF and get STRING-typed
+    partition columns (e.g. a date-partitioned layout's DATE key).
+    The package's own paths never overlap the two (store probes run
+    inside foreachBatch/compaction call chains that don't issue
+    layout reads); a session shared with arbitrary concurrent
+    partitioned reads should either serialize them against store
+    probes or read with an explicit schema, which skips inference
+    entirely.
 
     DATA schema needs the same care: without mergeSchema, Spark takes
     one file's schema for the whole store, chosen by listing order —
@@ -164,20 +174,22 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                               available_now: bool = True,
-                              namespaced: bool = False,
+                              namespaced: bool = True,
                               run_id: str | None = None) -> StreamingQuery:
     """Write a streaming DataFrame to ``path`` with replay-idempotent
-    batches (`batch_id=N` partition directories, overwrite-per-batch).
+    batches (overwrite-per-batch partition directories).
 
-    Default single-run contract: batch ids restart at 0 per checkpoint,
-    so pointing a SECOND run at the same ``path`` overwrites the first
-    run's batches.  ``namespaced=True`` (or an explicit ``run_id``)
-    switches to the ``run_id=R/batch_id=N`` layout the index/sketch
-    sinks use, making the output accumulate safely across runs (r10
-    verdict note: the run-namespaced family is the production path).
-    Don't MIX layouts under one ``path`` — a mixed-depth partition tree
-    is unreadable (the migrate_legacy_store hazard); pick the layout at
-    the store's birth or migrate once."""
+    Default (``namespaced=True``, flipped in r12 per the r11 verdict)
+    is the ``run_id=R/batch_id=N`` layout the index/sketch sinks use:
+    output accumulates safely across runs, because batch ids restart
+    at 0 per checkpoint and a bare layout would let a SECOND run
+    pointed at the same ``path`` silently overwrite the first run's
+    batches.  ``namespaced=False`` keeps the legacy bare ``batch_id=N``
+    layout for single-run callers whose store was born that way —
+    single-run BY CONTRACT, caller beware.  Don't MIX layouts under one
+    ``path`` — a mixed-depth partition tree is unreadable (the
+    migrate_legacy_store hazard); pick the layout at the store's birth
+    or migrate once with :func:`migrate_legacy_store`."""
     run = run_id or (_derived_run_id(checkpoint) if namespaced else None)
     prefix = f"{path}/run_id={run}" if run is not None else path
 

@@ -379,8 +379,19 @@ def main() -> None:
         # DRIVER's scale — an ad-hoc smoke run at a toy sf must not
         # pre-write (or, worse, be committed as) the round of record,
         # so stamp only at the driver sf unless the round is explicit
+        # tolerance compare, not float ==, against the regex-parsed sf
+        # (r11 advisory); and an explicit-round run at a NON-driver sf
+        # still stamps (intended: the operator asked for it) but warns
+        # loudly so a toy-sf run isn't silently committed as the round
+        # of record.
+        at_driver_sf = abs(float(summary.get("sf", -1.0)) - 0.1) < 1e-9
         if os.environ.get("SPARK_GRAFT_ROUND") is not None \
-                or summary.get("sf") == 0.1:
+                or at_driver_sf:
+            if not at_driver_sf:
+                print(f"WARNING: stamping bench_full_r{int(rnd):02d}.json "
+                      f"at sf={summary.get('sf')} (driver sf is 0.1) — "
+                      "this overwrites the round of record",
+                      file=sys.stderr)
             stamped = os.path.join(here, f"bench_full_r{int(rnd):02d}.json")
             with open(stamped, "w") as fh:
                 json.dump(full, fh, indent=1, sort_keys=True)

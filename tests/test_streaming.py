@@ -145,7 +145,10 @@ def test_stateful_running_stats_matches_batch(spark, tmp_path):
 
 def test_exactly_once_parquet_sink(spark, tmp_path):
     """foreachBatch sink: all micro-batches land exactly once; a replayed
-    batch function call (same batch_id) would overwrite, not duplicate."""
+    batch function call (same batch_id) would overwrite, not duplicate.
+    Exercises the LEGACY bare ``batch_id=N`` layout (explicit
+    ``namespaced=False`` — since r12 the run-namespaced layout is the
+    default, covered by the accumulation test below)."""
     from basic_data_fusion_spark.streaming.sinks import (
         exactly_once_parquet_sink,
         read_sink,
@@ -166,17 +169,18 @@ def test_exactly_once_parquet_sink(spark, tmp_path):
     stream = (spark.readStream.schema(batch.schema)
               .option("maxFilesPerTrigger", "1").parquet(str(d)))
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    q = exactly_once_parquet_sink(stream, out, ckpt)
+    q = exactly_once_parquet_sink(stream, out, ckpt, namespaced=False)
     q.awaitTermination()
 
     sunk = read_sink(spark, out)
+    assert "run_id" not in sunk.columns  # bare legacy layout
     assert sunk.select("batch_id").distinct().count() == 2
     assert sunk.count() == batch.count()
     assert sunk.agg(F.sum("event_id")).first()[0] == \
         batch.agg(F.sum("event_id")).first()[0]
 
     # restart over the same checkpoint: nothing new to process, no dupes
-    q2 = exactly_once_parquet_sink(stream, out, ckpt)
+    q2 = exactly_once_parquet_sink(stream, out, ckpt, namespaced=False)
     q2.awaitTermination()
     assert read_sink(spark, out).count() == batch.count()
 
@@ -186,7 +190,9 @@ def test_exactly_once_sink_namespaced_accumulates_across_runs(spark,
     """namespaced=True switches the output to run_id=R/batch_id=N: a
     SECOND run (fresh checkpoint, batch ids restarting at 0) appends
     beside the first instead of overwriting its batch-0 directory —
-    the silent-loss hazard the bare layout documents."""
+    the silent-loss hazard the bare layout documents.  Since r12 this
+    IS the default, so the test exercises the default path (no
+    ``namespaced=`` argument)."""
     import os
 
     from basic_data_fusion_spark.streaming.sinks import (
@@ -204,8 +210,7 @@ def test_exactly_once_sink_namespaced_accumulates_across_runs(spark,
         stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", "1").parquet(str(d)))
         q = exactly_once_parquet_sink(stream, out,
-                                      str(tmp_path / f"ckpt_{sub}"),
-                                      namespaced=True)
+                                      str(tmp_path / f"ckpt_{sub}"))
         q.awaitTermination()
     runs = [x for x in os.listdir(out) if x.startswith("run_id=")]
     assert len(runs) == 2 and all(r.startswith("run_id=r") for r in runs)
