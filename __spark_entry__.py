@@ -2237,6 +2237,79 @@ FROM k
 """
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical text dedup (NEW r12, r11 verdict #5 —
+    text.canonical_text + dedup.canonical_assignments: the text half
+    of key canonicalization beside `url_dedup`'s URL half).  The
+    corpus plants a confusable near-copy of every document: arm A is
+    the doc text plus an ASCII ``" ... fine"`` tail; arm B (id+1000)
+    applies a doc_id%4-selected Unicode disguise — identity,
+    ideographic-space substitution, zero-width-prefixed fullwidth
+    letters, or NBSP-wrapped uppercase — plus the same tail written
+    with a real ellipsis and an fi-ligature.  The JVM fold (ONE
+    translate + exact replaces + whitespace collapse + lower, a
+    map-side projection — only (id, md5) pairs ever shuffle) must
+    land every pair in one group: (doc_id, canonical_id, n_copies)
+    with arm B's canonical_id pointing at arm A.  The oracle replays
+    the identical disguises and the identical fold chain via
+    ``canonical_text_sql`` — generated from the SAME fold tables, so
+    any translate/replace/collapse divergence breaks the hash."""
+    from basic_data_fusion_spark.operators.dedup import (
+        canonical_assignments,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    disguise = (
+        F.when(m == 0, t)
+        .when(m == 1, F.replace(t, F.lit(" "), F.lit(chr(0x3000))))
+        .when(m == 2, F.concat(F.lit(chr(0x200B)),
+                               F.replace(t, F.lit("a"),
+                                         F.lit(chr(0xFF41)))))
+        .otherwise(F.concat(F.lit(chr(0x00A0)), F.upper(t),
+                            F.lit(chr(0x00A0)))))
+    a = docs.select(F.col("doc_id"),
+                    F.concat(t, F.lit(" ... fine")).alias("text"))
+    b = docs.select((F.col("doc_id") + 1000).alias("doc_id"),
+                    F.concat(disguise,
+                             F.lit(" " + chr(0x2026) + " "
+                                   + chr(0xFB01) + "ne")).alias("text"))
+    return canonical_assignments(a.unionByName(b))
+
+
+def _canonical_dedup_oracle() -> str:
+    from basic_data_fusion_spark.operators.text import canonical_text_sql
+
+    ideo, zwsp, nbsp = chr(0x3000), chr(0x200B), chr(0x00A0)
+    tail_b = " " + chr(0x2026) + " " + chr(0xFB01) + "ne"
+    return f"""
+WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+corpus AS (
+  SELECT doc_id, t || ' ... fine' AS text FROM base
+  UNION ALL
+  SELECT doc_id + 1000,
+         CASE doc_id % 4
+           WHEN 0 THEN t
+           WHEN 1 THEN replace(t, ' ', '{ideo}')
+           WHEN 2 THEN '{zwsp}' || replace(t, 'a', '{chr(0xFF41)}')
+           ELSE '{nbsp}' || upper(t) || '{nbsp}'
+         END || '{tail_b}'
+  FROM base
+),
+keyed AS (
+  SELECT doc_id, md5({canonical_text_sql('text')}) AS ck FROM corpus
+),
+grp AS (
+  SELECT ck, MIN(doc_id) AS canonical_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM keyed GROUP BY ck
+)
+SELECT k.doc_id, g.canonical_id, g.n_copies
+FROM keyed k JOIN grp g USING (ck)
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb corpus-level line dedup over documents: lines whose
     trimmed content appears in ≥2 distinct docs are stripped everywhere;
@@ -8824,6 +8897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontam_sweep": q_fuzzy_decontam_sweep,
         "lsh_config_sweep": q_lsh_config_sweep,
         "dim_truncation_recall": q_dim_truncation_recall,
+        # ---- round-12 contract rows ----
+        "canonical_dedup": q_canonical_dedup,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8860,6 +8935,7 @@ def oracle_sql() -> dict[str, str]:
         "profiling_stats": _profiling_stats_oracle(),
         "line_dedup": _LINE_DEDUP_ORACLE,
         "line_collapse": _LINE_COLLAPSE_ORACLE,
+        "canonical_dedup": _canonical_dedup_oracle(),
         "decontam_by_benchmark": _DECONTAM_BY_BENCHMARK_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,

@@ -199,6 +199,50 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     return df.join(keep, id_col, "left_semi")
 
 
+def canonical_assignments(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          case_fold: bool = True) -> DataFrame:
+    """Per-row duplicate assignment keyed on the UNICODE-CANONICAL text
+    (:func:`~.text.canonical_text` — width/confusable/whitespace fold,
+    the text half of key canonicalization; :func:`canonical_url` is the
+    URL half).  Returns ``(id, canonical_id, n_copies)`` for every
+    input row: ``canonical_id`` is the min id of the row's canonical
+    group, so a fullwidth or curly-quoted near-copy of an ASCII page
+    lands in its original's group — the C4/RefinedWeb preprocessing
+    step the exact ladder otherwise skips (r11 verdict #5).
+
+    Scale shape: only ``(id, md5(canon))`` pairs shuffle — one groupBy
+    on the 32-char hash plus one hash-keyed join back; bodies never
+    move, the fold itself is a map-side JVM projection."""
+    from .text import canonical_text
+
+    key = F.md5(canonical_text(F.col(text_col), case_fold=case_fold))
+    base = df.select(F.col(id_col), key.alias("__ck"))
+    grp = base.groupBy("__ck").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"))
+    return (base.join(grp, "__ck")
+            .select(id_col, "canonical_id", "n_copies"))
+
+
+def canonical_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    case_fold: bool = True) -> DataFrame:
+    """Keep one (min-id) row per Unicode-canonical content — the
+    transform twin of :func:`canonical_assignments`, same min-id
+    semi-join shape as :func:`exact_dedup` so full rows never shuffle
+    by content."""
+    from .text import canonical_text
+
+    keep = (df.select(F.col(id_col),
+                      F.md5(canonical_text(F.col(text_col),
+                                           case_fold=case_fold))
+                      .alias("__ck"))
+            .groupBy("__ck").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 # ---------------- tier 1c: exact duplicated substrings ----------------
 
 def exact_substring_dedup(df: DataFrame, text_col: str = "text",

@@ -411,6 +411,145 @@ def fingerprint(col: Column, normalize: bool = True) -> Column:
     return F.md5(c)
 
 
+# ---------- Unicode canonicalization (dedup-key tier, r12) ----------
+#
+# The text half of key canonicalization (``dedup.canonical_url`` is the
+# URL half): the C4/RefinedWeb-family preprocessing step that folds
+# confusable Unicode variants BEFORE exact/fuzzy dedup keys are built,
+# so a fullwidth or curly-quoted near-copy of an ASCII page lands in
+# the same dedup bucket.  Spark exposes no Unicode-normalize builtin
+# (and DuckDB none for NFKC), so the tier is TWO layers:
+#
+# 1. ``canonical_text`` — a pure JVM expression chain (one ``translate``
+#    + a few exact ``replace``s + one whitespace-collapse regex)
+#    generated from the SHARED fold tables below.  Engine-portable:
+#    ``canonical_text_sql`` renders the identical chain as ANSI SQL
+#    (translate/replace/regexp_replace exist in DuckDB with matching
+#    semantics), so contract rows hash cross-engine.  Map-only — at
+#    100 TB this is a projection over the scan, no shuffle, no Python.
+# 2. ``nfkc_text`` — the full-fidelity NFKC tier (Arrow-batched
+#    ``mapInPandas`` over ``unicodedata.normalize``), for corpora where
+#    the fold tables' deliberate subset isn't enough (Han compatibility
+#    ideographs, circled digits, superscripts...).  A documented
+#    Python-tier op like ``compression_ratio``; pinned by planted
+#    fixtures, not an oracle (no SQL engine at hand speaks NFKC).
+#
+# The fold tables cover the classes that dominate real web text and are
+# exactly NFKC-compatible on their domain: fullwidth ASCII, Unicode
+# spaces, curly quotes, dash variants, zero-width/soft-hyphen deletion,
+# ellipsis and f-ligature expansion.  Documented NFKC gap: everything
+# outside the tables (e.g. ² → 2, ① → 1) passes through unchanged —
+# use ``nfkc_text`` when that matters.
+
+# 1:1 folds (src char → dst char), applied in one translate() pass.
+_CANON_1TO1: dict[str, str] = {
+    # fullwidth ASCII block U+FF01–U+FF5E → U+0021–U+007E
+    **{chr(0xFF01 + i): chr(0x21 + i) for i in range(94)},
+    # Unicode spaces → ASCII space (ideographic, NBSP, en/em family)
+    **{chr(cp): " " for cp in (0x3000, 0x00A0, 0x1680, 0x202F, 0x205F,
+                               *range(0x2000, 0x200B))},
+    # single-quote variants → apostrophe
+    **{c: "'" for c in "‘’‚‛"},
+    # double-quote variants (incl. guillemets) → straight quote
+    **{c: '"' for c in "“”„‟«»"},
+    # dash variants (hyphens, figure/en/em/horizontal-bar, minus) → '-'
+    **{c: "-" for c in "‐‑‒–—―−"},
+}
+# Deleted outright: zero-widths, BOM, soft hyphen (translate drops a
+# src char with no dst counterpart — same rule in Spark and DuckDB).
+_CANON_DROP = "​‌‍﻿­"
+# Ordered 1:N expansions, applied as exact replace() after the
+# translate (sources are disjoint, order is fixed for determinism).
+_CANON_MULTI: list[tuple[str, str]] = [
+    ("…", "..."),
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("ﬆ", "st"),
+]
+# Literal control chars, not escapes: identical bytes reach the Java
+# regex and RE2 — both treat them as themselves, so no dialect risk.
+_CANON_WS_PATTERN = "[ \t\n\r\f]+"
+
+
+def canonical_text(col: Column, case_fold: bool = True) -> Column:
+    """Canonical form of free text — the dedup-key normalization
+    (see the tier comment above).  NULL propagates.  Chain order:
+    translate folds/drops → ligature/ellipsis expansion → whitespace
+    collapse → trim → optional case fold (collapse BEFORE trim, the
+    :func:`fingerprint` lesson: trim only strips spaces)."""
+    src = "".join(_CANON_1TO1) + _CANON_DROP
+    dst = "".join(_CANON_1TO1.values())
+    c = F.translate(col, src, dst)
+    for s, d in _CANON_MULTI:
+        c = F.replace(c, F.lit(s), F.lit(d))
+    c = F.trim(F.regexp_replace(c, _CANON_WS_PATTERN, " "))
+    return F.lower(c) if case_fold else c
+
+
+def canonical_text_sql(expr: str, case_fold: bool = True) -> str:
+    """Render :func:`canonical_text` as ANSI SQL over ``expr`` — the
+    oracle replay, generated from the SAME fold tables so the two
+    engines cannot drift.  (DuckDB's regexp_replace needs the explicit
+    ``'g'`` flag; Spark's Column API — used on the engine side — is
+    global by default.)"""
+    q = lambda s: "'" + s.replace("'", "''") + "'"
+    src = "".join(_CANON_1TO1) + _CANON_DROP
+    dst = "".join(_CANON_1TO1.values())
+    e = f"translate({expr}, {q(src)}, {q(dst)})"
+    for s, d in _CANON_MULTI:
+        e = f"replace({e}, {q(s)}, {q(d)})"
+    e = f"trim(regexp_replace({e}, {q(_CANON_WS_PATTERN)}, ' ', 'g'))"
+    return f"lower({e})" if case_fold else e
+
+
+def nfkc_text(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              case_fold: bool = True) -> DataFrame:
+    """Full NFKC normalization — the fidelity tier above
+    :func:`canonical_text` for corpora where the JVM fold tables'
+    subset isn't enough.  Returns ``(id, canon_text, changed)``.
+
+    Deliberately a PYTHON-tier op (Arrow-batched ``mapInPandas``, the
+    ``compression_ratio`` pattern): no JVM builtin speaks NFKC, and
+    ``unicodedata`` is stdlib, deterministic for a given Unicode
+    version, and vectorizes fine over Arrow batches.  ``casefold()``
+    (not ``lower()``) when folding — the Unicode-correct many-to-one
+    case map NFKC pipelines pair with."""
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("canon_text", StringType()),
+        StructField("changed", BooleanType()),
+    ])
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    rows.append((mid, None, None))
+                    continue
+                c = unicodedata.normalize("NFKC", t)
+                if case_fold:
+                    c = c.casefold()
+                c = " ".join(c.split())
+                rows.append((mid, c, c != t))
+            yield pd.DataFrame(rows, columns=[id_col, "canon_text",
+                                              "changed"])
+
+    return (spread_narrow(df)
+            .select(id_col, text_col).mapInPandas(run, out_schema))
+
+
 def rolling_hash_fingerprint(col: Column, window: int = 3) -> Column:
     """Order-sensitive rolling fingerprint: xxhash64 of each token
     ``window``-shingle, combined with a polynomial accumulator — detects

@@ -381,6 +381,101 @@ def test_url_canonicalization_and_dedup(spark):
     assert kept == {1, 4, 5, 6, 8}
 
 
+def test_canonical_text_folds_confusables(spark):
+    """Unicode canonicalization (the text half of key canonicalization):
+    width variants, curly quotes, dash variants, Unicode spaces,
+    zero-widths, soft hyphens, ellipsis, f-ligatures and case all fold
+    to the same ASCII canonical form; genuinely different text does
+    not collapse."""
+    from basic_data_fusion_spark.operators.dedup import (
+        canonical_assignments,
+        canonical_dedup,
+    )
+    from basic_data_fusion_spark.operators.text import canonical_text
+
+    zwsp, nbsp, ideo = chr(0x200B), chr(0x00A0), chr(0x3000)
+    rows = [
+        (1, "the file is... \"fine\" - ok"),
+        # fullwidth letters/punct + ideographic space + ligature
+        (2, "the " + chr(0xFB01) + "le is" + chr(0x2026) + ideo
+            + chr(0x201C) + "fine" + chr(0x201D) + " " + chr(0x2014)
+            + " ok"),
+        # zero-width/soft-hyphen noise + NBSP + case + curly apostrophe
+        (3, zwsp + "THE FI" + chr(0x00AD) + "LE" + nbsp
+            + "IS... " + chr(0x201E) + "FINE" + chr(0x201F)
+            + " " + chr(0x2212) + " ok" + zwsp),
+        (4, "the file is... \"fine\" - not ok"),   # genuinely different
+        (5, None),                                  # NULL propagates
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    canon = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_text(F.col("text")).alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == 'the file is... "fine" - ok'
+    assert canon[4] != canon[1]
+    assert canon[5] is None
+    asg = {r["doc_id"]: r for r in canonical_assignments(df).collect()}
+    assert asg[1]["canonical_id"] == asg[2]["canonical_id"] \
+        == asg[3]["canonical_id"] == 1
+    assert asg[1]["n_copies"] == 3 and asg[4]["n_copies"] == 1
+    kept = {r["doc_id"] for r in canonical_dedup(df).collect()}
+    assert kept == {1, 4, 5}
+
+
+def test_canonical_text_sql_matches_spark(spark):
+    """Cross-engine differential for the oracle replay: DuckDB running
+    ``canonical_text_sql`` produces byte-identical canonical forms to
+    the Spark Column chain on a corpus exercising EVERY fold-table
+    entry (each 1:1 fold, each drop, each multi-char expansion, plus
+    whitespace runs and case)."""
+    import duckdb
+
+    from basic_data_fusion_spark.operators.text import (
+        _CANON_1TO1,
+        _CANON_DROP,
+        _CANON_MULTI,
+        canonical_text,
+        canonical_text_sql,
+    )
+
+    rows = [(i, f"A {c}x{c} B\t\n {c}") for i, c in enumerate(_CANON_1TO1)]
+    rows += [(1000 + i, f"pre{c}post") for i, c in enumerate(_CANON_DROP)]
+    rows += [(2000 + i, f"L {s} R {s}{s}")
+             for i, (s, _) in enumerate(_CANON_MULTI)]
+    rows += [(3000, "  MiXeD   CaSe\f\r text  "), (3001, ""), (3002, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_text(F.col("text")).alias("c")).collect()}
+
+    con = duckdb.connect()
+    pdf = df.toPandas()
+    con.register("t", pdf)
+    sql = f"SELECT doc_id, {canonical_text_sql('text')} AS c FROM t"
+    want = {int(i): c for i, c in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_nfkc_text_tier(spark):
+    """The full-fidelity NFKC Arrow tier: covers what the JVM fold
+    tables deliberately skip (superscripts, circled digits), agrees
+    with ``canonical_text`` on the fold-table domain, casefolds
+    Unicode-correctly (ß → ss), and propagates NULL."""
+    from basic_data_fusion_spark.operators.text import nfkc_text
+
+    rows = [
+        (1, "x" + chr(0x00B2) + " " + chr(0x2460) + " done"),  # ² ①
+        (2, chr(0xFF28) + chr(0xFF25) + chr(0xFF31) + "  ok"),  # fullwidth
+        (3, "Ma" + chr(0x00DF) + "e"),                          # ß → ss
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["canon_text"], r["changed"])
+           for r in nfkc_text(df).collect()}
+    assert got[1] == ("x2 1 done", True)
+    assert got[2] == ("heq ok", True)
+    assert got[3] == ("masse", True)
+    assert got[4] == (None, None)
+
+
 def test_dsir_gumbel_sample_tilts_and_perturbs(spark):
     """Gumbel-top-k resampling: the sample still tilts hard toward the
     target (most of the 50 are English), but the Gumbel perturbation
