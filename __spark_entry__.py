@@ -8294,6 +8294,53 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_bpe_tokens"))
 
 
+def q_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (NEW r12, r11 verdict #4 —
+    tokenizer.unigram_train/unigram_encode, Kudo 2018 hard-EM flavor):
+    train a small piece vocabulary on the corpus (one corpus pass for
+    the word table; seeding/EM/prune run over the vocab-sized relation
+    — the production trainer shape, same law as the BPE trio), then
+    Viterbi-encode every document (word-table Arrow pass + join-back;
+    the corpus never runs the DP).  Float-iterative training is not
+    SQL-expressible, so the HASH-CHECKED bit is the structural
+    invariant that survives any learned vocabulary (the
+    quality_classifier AUC-gate pattern): per doc, the whitespace word
+    count and ``roundtrip_ok`` — concat of the learned pieces equals
+    concat of the words, which any join-back ordering bug, DP bug or
+    coverage gap breaks.  The oracle replays the word count and
+    asserts the flag; trainer exactness itself is pytest-pinned by the
+    exact distributed-vs-local differential (integer counts +
+    fixed-point loss quantization make the two orderings equal)."""
+    from basic_data_fusion_spark.operators.text import tokens
+    from basic_data_fusion_spark.operators.tokenizer import (
+        unigram_encode,
+        unigram_train_local,
+    )
+
+    docs = _catalog(spark, sf_dir).load("documents")
+    pieces = unigram_train_local(docs, vocab_size=60, seed_size=200,
+                                 max_piece_len=5, n_em_rounds=1)
+    enc = unigram_encode(docs, pieces)
+    toks = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))),
+                    lambda x: x != "")
+    base = docs.select("doc_id", F.size(toks).cast("long").alias("n_words"),
+                       F.array_join(toks, "").alias("__joined"))
+    return (base.join(enc, "doc_id")
+            .select("doc_id", "n_words",
+                    (F.array_join("unigram_tokens", "") == F.col("__joined"))
+                    .alias("roundtrip_ok")))
+
+
+_UNIGRAM_ROUNDTRIP_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(list_filter(
+         regexp_split_to_array(lower(trim(COALESCE(text, ''))), '\s+'),
+         x -> x != '')) AS BIGINT) AS n_words,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (GPT-3-style logistic classifier over
     hashed token features) as a PLANTED-AUC GATE (r6 conversion from
@@ -8899,6 +8946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_truncation_recall": q_dim_truncation_recall,
         # ---- round-12 contract rows ----
         "canonical_dedup": q_canonical_dedup,
+        "unigram_roundtrip": q_unigram_roundtrip,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8936,6 +8984,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _LINE_DEDUP_ORACLE,
         "line_collapse": _LINE_COLLAPSE_ORACLE,
         "canonical_dedup": _canonical_dedup_oracle(),
+        "unigram_roundtrip": _UNIGRAM_ROUNDTRIP_ORACLE,
         "decontam_by_benchmark": _DECONTAM_BY_BENCHMARK_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,

@@ -288,3 +288,371 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str, int]],
                     F.coalesce("bpe_tokens", F.array().cast("array<string>"))
                      .alias("bpe_tokens"))
             .withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long")))
+
+
+# ------------- Unigram-LM (SentencePiece-style) trainer (r12) -------------
+#
+# Kudo 2018 ("Subword Regularization", arXiv:1804.10959 §3; the
+# SentencePiece unigram trainer): seed a large candidate vocabulary from
+# frequent substrings, fit piece probabilities by EM over the corpus,
+# prune the pieces whose removal costs the likelihood least, repeat
+# until the target size.  This implementation is the hard-EM (Viterbi)
+# flavor: the E-step assigns each word its single best segmentation —
+# the standard production simplification, and the one that makes every
+# statistic an integer (occurrence counts) or a fixed-point quantized
+# float (loss contributions), so the distributed trainer is EXACTLY
+# reproducible against the pure-local reference (`unigram_train_local`)
+# regardless of partitioning or aggregation order.
+#
+# Scale shape (same law as the BPE trio above): the CORPUS is touched
+# exactly once (`word_counts`); every EM pass runs over the vocab-sized
+# word table with the piece table broadcast inside an Arrow-batched
+# `mapInPandas` closure (the per-word Viterbi DP is a genuinely
+# imperative inner loop — the documented Python-tier case), and each
+# M-step is ONE groupBy over pieces.  At 100 TB the word table is
+# ~10^6 rows; the driver holds only piece statistics (bounded by
+# `seed_size`).
+
+_UNIGRAM_LOSS_SCALE = 1 << 20   # fixed-point quantum for loss sums
+_UNIGRAM_LOSS_CAP = 1 << 40     # per-(word, piece) "essential" sentinel
+
+
+def _viterbi_word(word: str, logp: dict, max_piece_len: int,
+                  need_alts: bool = False, unk_lp: float | None = None):
+    """Best segmentation of ``word`` under piece log-probs ``logp``.
+
+    DP over prefix positions, candidates tried LONGEST-FIRST with a
+    strictly-greater acceptance rule — deterministic tie-break (longest
+    piece wins a tie) with no float comparison ambiguity.  ``unk_lp``
+    (encode-time byte-fallback analogue): an out-of-vocab SINGLE
+    character scores ``unk_lp`` instead of being unusable, so any
+    string segments.  With ``need_alts``, also returns
+    ``{piece: best score of a path avoiding that piece}`` for each
+    distinct piece on the best path — the likelihood drop Kudo's prune
+    ranks on (−inf when no avoiding path exists)."""
+    n = len(word)
+    neg = float("-inf")
+
+    def solve(banned: str | None = None):
+        best = [neg] * (n + 1)
+        best[0] = 0.0
+        back: list = [0] * (n + 1)
+        for i in range(1, n + 1):
+            for ln in range(min(max_piece_len, i), 0, -1):
+                piece = word[i - ln:i]
+                if piece == banned:
+                    continue
+                lp = logp.get(piece)
+                if lp is None:
+                    if unk_lp is None or ln != 1:
+                        continue
+                    lp = unk_lp
+                if best[i - ln] == neg:
+                    continue
+                s = best[i - ln] + lp
+                if s > best[i]:
+                    best[i] = s
+                    back[i] = ln
+        if best[n] == neg:
+            return None, neg
+        out: list[str] = []
+        i = n
+        while i > 0:
+            ln = back[i]
+            out.append(word[i - ln:i])
+            i -= ln
+        out.reverse()
+        return out, best[n]
+
+    pieces, score = solve()
+    if not need_alts:
+        return pieces, score
+    alts: dict[str, float] = {}
+    for p in set(pieces or ()):
+        _, s = solve(banned=p)
+        alts[p] = s
+    return pieces, score, alts
+
+
+def unigram_seed_counts(df: DataFrame, text_col: str = "text",
+                        max_piece_len: int = 8) -> DataFrame:
+    """(piece, c): corpus-weighted substring frequencies up to
+    ``max_piece_len`` over the word table — the seed-candidate relation
+    (Kudo 2018 seeds from frequent substrings; suffix-array in the
+    original, a bounded substring explode here).  All JVM: per word,
+    substrings enumerate as a flattened nested transform; counts weight
+    by word frequency.  Shuffles only (piece, n) pairs — the corpus is
+    not re-read (word_counts is the one corpus pass)."""
+    wc = word_counts(df, text_col)
+    w = F.col("word")
+    n = F.length(w).cast("int")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(int(max_piece_len)),
+                               (n - i + 1).cast("int")).cast("int")),
+            lambda ln: w.substr(i, ln))))
+    return (wc.select(F.explode(subs).alias("piece"), "n")
+            .groupBy("piece").agg(F.sum("n").alias("c")))
+
+
+def _unigram_estep(words: DataFrame, logp: dict,
+                   max_piece_len: int) -> DataFrame:
+    """One hard-EM E-step over the word table: per piece, the total
+    Viterbi-path occurrence count (weighted by word frequency, exact
+    long) and the total loss contribution (likelihood drop if the piece
+    were removed, weighted, fixed-point at 2^-20 — quantized PER
+    (word, piece) so partition/aggregation order cannot change the sum;
+    an irreplaceable piece contributes the saturating
+    ``_UNIGRAM_LOSS_CAP``).  Arrow-batched over the vocab-sized word
+    table; ONE groupBy on piece."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("piece", StringType()),
+        StructField("cnt", LongType()),
+        StructField("loss_fp", LongType()),
+    ])
+    mpl = int(max_piece_len)
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            agg: dict[str, list[int]] = {}
+            for w, n in zip(pdf["word"], pdf["n"]):
+                n = int(n)
+                pieces, score, alts = _viterbi_word(
+                    w, logp, mpl, need_alts=True)
+                if pieces is None:
+                    continue
+                for p, k in Counter(pieces).items():
+                    alt = alts[p]
+                    if alt == float("-inf"):
+                        fp = _UNIGRAM_LOSS_CAP
+                    else:
+                        fp = int(round((score - alt) * n
+                                       * _UNIGRAM_LOSS_SCALE))
+                    e = agg.setdefault(p, [0, 0])
+                    e[0] += k * n
+                    e[1] += fp
+            yield pd.DataFrame(
+                [(p, c, lf) for p, (c, lf) in agg.items()],
+                columns=["piece", "cnt", "loss_fp"])
+
+    from ..sources.partitioning import spread_narrow
+
+    return (spread_narrow(words).mapInPandas(run, schema)
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.sum("loss_fp").alias("loss_fp")))
+
+
+def _unigram_fit(seed_rows: list, vocab_size: int,
+                 max_piece_len: int, n_em_rounds: int, prune_frac: float,
+                 estep) -> list[tuple[str, float]]:
+    """Shared EM+prune driver loop: ``estep(logp) -> [(piece, cnt,
+    loss_fp)]`` is the only part that differs between the distributed
+    trainer (Spark E-step) and the local reference (plain dict) — the
+    seeding, M-step, prune ordering and termination are THIS code for
+    both, so a differential failure isolates to the distributed pass."""
+    import math
+
+    cur = {p: c for p, c in seed_rows}
+
+    def mstep(stats: dict) -> dict:
+        total = sum(c for c, _ in stats.values())
+        out = {}
+        for p in cur:
+            c = stats.get(p, (0, 0))[0]
+            if c > 0:
+                out[p] = math.log(c / total)
+            elif len(p) == 1:
+                out[p] = math.log(0.5 / total)   # keep char coverage
+        return out
+
+    # init probs straight from seed counts
+    total0 = sum(cur.values())
+    logp = {p: math.log(c / total0) for p, c in cur.items()}
+    while True:
+        stats = None
+        for _ in range(max(1, int(n_em_rounds))):
+            stats = {p: (c, lf) for p, c, lf in estep(logp)}
+            cur_keep = {p for p in cur
+                        if len(p) == 1 or stats.get(p, (0, 0))[0] > 0}
+            cur = {p: cur[p] for p in cur_keep}
+            logp = mstep(stats)
+        n_multi = sum(1 for p in cur if len(p) > 1)
+        target_multi = max(0, int(vocab_size) - len(
+            [p for p in cur if len(p) == 1]))
+        if n_multi <= target_multi:
+            break
+        keep_n = max(target_multi, int(n_multi * (1.0 - prune_frac)))
+        ranked = sorted(
+            ((p, stats.get(p, (0, 0))[1]) for p in cur if len(p) > 1),
+            key=lambda t: (-t[1], t[0]))
+        kept_multi = {p for p, _ in ranked[:keep_n]}
+        cur = {p: c for p, c in cur.items()
+               if len(p) == 1 or p in kept_multi}
+        logp = {p: lp for p, lp in logp.items() if p in cur}
+    # final refresh so returned probs reflect the final vocab
+    stats = {p: (c, lf) for p, c, lf in estep(logp)}
+    logp = mstep(stats)
+    return sorted(logp.items())
+
+
+def unigram_train(df: DataFrame, vocab_size: int, text_col: str = "text",
+                  seed_size: int = 1000, max_piece_len: int = 8,
+                  n_em_rounds: int = 2, prune_frac: float = 0.25,
+                  min_count: int = 2) -> list[tuple[str, float]]:
+    """Learn a unigram-LM piece vocabulary (see the tier comment above).
+    Returns ``[(piece, logprob)]`` sorted by piece.
+
+    Distributed shape: one corpus pass (word table, localCheckpoint),
+    one substring-explode aggregation for seeds, then per EM round one
+    Arrow pass + one groupBy over the VOCAB-SIZED word table — the
+    driver holds only piece statistics.  Single characters are always
+    seeded and never pruned (full coverage, SentencePiece's
+    required-char rule); multi-char seeds are the top ``seed_size`` by
+    (weighted count desc, piece asc) at ``min_count`` support."""
+    words = word_counts(df, text_col).localCheckpoint()
+    seeds_df = unigram_seed_counts(df, text_col, max_piece_len)
+    chars = [(r["piece"], int(r["c"]))
+             for r in seeds_df.filter(F.length("piece") == 1).collect()]
+    multis = [(r["piece"], int(r["c"])) for r in
+              (seeds_df.filter((F.length("piece") > 1)
+                               & (F.col("c") >= int(min_count)))
+               .orderBy(F.desc("c"), F.asc("piece"))
+               .limit(int(seed_size)).collect())]
+    seed_rows = sorted(chars + multis)
+
+    def estep(logp):
+        return [(r["piece"], int(r["cnt"]), int(r["loss_fp"]))
+                for r in _unigram_estep(words, logp,
+                                        max_piece_len).collect()]
+
+    return _unigram_fit(seed_rows, vocab_size, max_piece_len,
+                        n_em_rounds, prune_frac, estep)
+
+
+def unigram_train_local(df: DataFrame, vocab_size: int,
+                        text_col: str = "text", seed_size: int = 1000,
+                        max_piece_len: int = 8, n_em_rounds: int = 2,
+                        prune_frac: float = 0.25, min_count: int = 2,
+                        max_vocab: int = 2_000_000,
+                        ) -> list[tuple[str, float]]:
+    """Pure-local reference trainer (the ``bpe_train_local`` analogue):
+    ONE distributed pass builds the word table, then seeding, EM and
+    pruning run driver-local over plain dicts.  Differentially tested
+    to produce the IDENTICAL ``[(piece, logprob)]`` list as
+    :func:`unigram_train` — integer counts and per-(word, piece)
+    fixed-point loss quantization make both orderings exact."""
+    from collections import Counter
+
+    rows = (word_counts(df, text_col).orderBy("word")
+            .limit(max_vocab + 1).collect())
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}")
+    wc = {r["word"]: int(r["n"]) for r in rows}
+
+    sub_counts: Counter = Counter()
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub_counts[w[i:i + ln]] += n
+    chars = [(p, c) for p, c in sub_counts.items() if len(p) == 1]
+    multis = sorted(((p, c) for p, c in sub_counts.items()
+                     if len(p) > 1 and c >= int(min_count)),
+                    key=lambda t: (-t[1], t[0]))[:int(seed_size)]
+    seed_rows = sorted(chars + multis)
+
+    def estep(logp):
+        agg: dict[str, list[int]] = {}
+        for w, n in wc.items():
+            pieces, score, alts = _viterbi_word(
+                w, logp, int(max_piece_len), need_alts=True)
+            if pieces is None:
+                continue
+            for p, k in Counter(pieces).items():
+                alt = alts[p]
+                if alt == float("-inf"):
+                    fp = _UNIGRAM_LOSS_CAP
+                else:
+                    fp = int(round((score - alt) * n
+                                   * _UNIGRAM_LOSS_SCALE))
+                e = agg.setdefault(p, [0, 0])
+                e[0] += k * n
+                e[1] += fp
+        return [(p, c, lf) for p, (c, lf) in agg.items()]
+
+    return _unigram_fit(seed_rows, vocab_size, max_piece_len,
+                        n_em_rounds, prune_frac, estep)
+
+
+def unigram_encode(df: DataFrame, pieces: list[tuple[str, float]],
+                   text_col: str = "text", id_col: str = "doc_id",
+                   unk_lp: float = -100.0) -> DataFrame:
+    """Apply a learned unigram vocabulary: Viterbi-segment the DISTINCT
+    words (Arrow pass over the word table with the piece log-probs in
+    the closure), then join documents' exploded tokens back on the word
+    key — the :func:`bpe_encode` shape, the corpus never runs the DP.
+    ``unk_lp`` is the char-fallback score, so any word segments (the
+    byte-fallback analogue); round-trip ``concat(pieces) == word``
+    holds for every word by construction.  Output one row per doc:
+    ``(id, unigram_tokens array<string>, n_unigram_tokens)``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    logp = dict(pieces)
+    max_len = max((len(p) for p in logp), default=1)
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    inst = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+    vocab = inst.select("word").distinct()
+
+    schema = StructType([
+        StructField("word", StringType()),
+        StructField("syms", ArrayType(StringType())),
+    ])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for w in pdf["word"]:
+                segs, _ = _viterbi_word(w, logp, max_len, unk_lp=unk_lp)
+                rows.append((w, segs if segs is not None else [w]))
+            yield pd.DataFrame(rows, columns=["word", "syms"])
+
+    from ..sources.partitioning import spread_narrow
+
+    seg = spread_narrow(vocab).mapInPandas(run, schema)
+    rebuilt = (inst.join(seg, "word")
+               .groupBy(id_col)
+               .agg(F.flatten(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "syms"))),
+                            lambda x: x["syms"])).alias("unigram_tokens")))
+    return (df.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("unigram_tokens",
+                               F.array().cast("array<string>"))
+                     .alias("unigram_tokens"))
+            .withColumn("n_unigram_tokens",
+                        F.size("unigram_tokens").cast("long")))

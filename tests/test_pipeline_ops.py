@@ -656,6 +656,94 @@ def test_bpe_trainer_tiers_identical_merges(spark):
     assert bpe_train_local(tiny, n_merges=6)[0] == bpe_train(tiny, n_merges=6)
 
 
+def test_unigram_trainer_distributed_matches_local(spark):
+    """Unigram-LM trainer (Kudo 2018, hard-EM flavor): the distributed
+    trainer (Spark seed aggregation + Arrow E-step + groupBy M-step)
+    must produce the IDENTICAL [(piece, logprob)] list as the
+    pure-local reference — exact float equality, made possible by
+    integer occurrence counts and per-(word, piece) fixed-point loss
+    quantization (aggregation order cannot move either)."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        unigram_train,
+        unigram_train_local,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(80)
+    kw = dict(vocab_size=60, seed_size=120, max_piece_len=6,
+              n_em_rounds=2, prune_frac=0.25)
+    dist = unigram_train(docs, **kw)
+    local = unigram_train_local(docs, **kw)
+    assert dist == local
+    assert len(dist) <= 60 + sum(1 for p, _ in dist if len(p) == 1)
+    # single chars always survive; every piece has a finite logprob
+    assert all(lp < 0 and lp == lp for _, lp in dist)
+
+    tiny = spark.createDataFrame(
+        [(1, "abab abab ababab xy xy"), (2, "abab cd cd cd")],
+        "doc_id long, text string")
+    kw2 = dict(vocab_size=8, seed_size=40, max_piece_len=4,
+               n_em_rounds=2, prune_frac=0.5)
+    assert unigram_train(tiny, **kw2) == unigram_train_local(tiny, **kw2)
+
+
+def test_unigram_learns_planted_piece_and_encodes(spark):
+    """A corpus dominated by 'ab' repetition must keep 'ab' (or a
+    longer ab-run) as a learned piece, and Viterbi encoding must use
+    multi-char pieces (fewer pieces than characters), round-trip
+    exactly, handle unknown chars via the char fallback, and return
+    empty arrays for empty/NULL docs."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        unigram_encode,
+        unigram_train_local,
+    )
+
+    corpus = [(1, "abab abab abab ababab"), (2, "ababab abab zq"),
+              (3, "abab abab")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    pieces = unigram_train_local(df, vocab_size=6, seed_size=30,
+                                 max_piece_len=4, min_count=2)
+    vocab = {p for p, _ in pieces}
+    assert any("ab" in p and len(p) > 1 for p in vocab), vocab
+
+    enc_in = spark.createDataFrame(
+        [(1, "abab abab"), (2, "zq koo"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_encode(enc_in, pieces).collect()}
+    assert "".join(got[1]["unigram_tokens"]) == "abababab"
+    assert got[1]["n_unigram_tokens"] < 8  # multi-char pieces were used
+    # unknown chars ('koo' has chars outside the training corpus):
+    # char-fallback still segments and round-trips
+    assert "".join(got[2]["unigram_tokens"]) == "zqkoo"
+    assert got[3]["unigram_tokens"] == [] and got[3]["n_unigram_tokens"] == 0
+    assert got[4]["unigram_tokens"] == [] and got[4]["n_unigram_tokens"] == 0
+
+
+def test_unigram_prune_respects_vocab_size_and_chars(spark):
+    """Pruning drives the multi-char piece count down to the target
+    while every single character survives for coverage; the final
+    vocabulary segments the whole training corpus (no word falls back
+    to -inf)."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        _viterbi_word,
+        unigram_train_local,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").limit(60)
+    pieces = unigram_train_local(docs, vocab_size=40, seed_size=200,
+                                 max_piece_len=6)
+    logp = dict(pieces)
+    chars_in_corpus = {c for r in docs.select("text").collect()
+                       if r["text"] for w in r["text"].lower().split()
+                       for c in w}
+    assert chars_in_corpus <= {p for p in logp if len(p) == 1}
+    n_multi = sum(1 for p in logp if len(p) > 1)
+    assert n_multi <= 40
+    for r in docs.select("text").limit(20).collect():
+        for w in (r["text"] or "").lower().split():
+            segs, score = _viterbi_word(w, logp, 6)
+            assert segs is not None and "".join(segs) == w
+
+
 def test_quality_classifier_separates_planted_classes(spark):
     """Hashed-feature logistic quality filter: clean prose (positive)
     vs shuffled gibberish (negative) must separate almost perfectly on
