@@ -5332,6 +5332,201 @@ GROUP BY a.arm, a.query_id
 """
 
 
+def q_centroid_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer drift audit (NEW r12, r11 verdict #3 —
+    similarity.centroid_drift_report, the go/no-go gate in front of
+    streaming.sinks.retrain_vector_index): per centroid set, the
+    micro-averaged recall@5 of nprobe=2 cell-probe search vs exact
+    search.  The 'stale' arm is the seeded at-build quantizer the
+    existing IVF det tier uses (`_ivf_centroids`, random Gaussian —
+    exactly what a drifted corpus looks like to a stale quantizer);
+    the 'retrained' arm seeds cells from the corpus's own first 8
+    vectors (the Forgy step — the SQL-expressible stand-in for the
+    k-means retrain, whose float-iterative Lloyd rounds stay
+    pytest-pinned via test_streaming's end-to-end rebuild parity).
+    Deterministic fixed-point tier throughout, so assignment, probe,
+    scoring and the integer-derived micro-average all replay in SQL
+    (measured at sf0.01: retrained 0.86 vs stale 0.42 — the report
+    showing exactly the decay it exists to price)."""
+    from basic_data_fusion_spark.operators.similarity import (
+        centroid_drift_report,
+    )
+
+    emb = _catalog(spark, sf_dir).load("embeddings")
+    fresh = [[float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 8)
+             .orderBy("vec_id").collect()]
+    queries_df = (emb.filter(F.col("vec_id") < 10)
+                  .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return centroid_drift_report(
+        emb, queries_df, {"stale": _ivf_centroids(), "retrained": fresh},
+        k=5, nprobe=2, deterministic=True)
+
+
+def _ivf_probe_sql(cent_sql: str, k: int, nprobe: int) -> str:
+    """The `_ivf_det_oracle` probe pipeline with a PARAMETERIZED
+    centroid relation ``cent(cell, i, cv)`` — assignment and probe
+    rank by fixed-point cosine with the (score desc, cell asc)
+    tie-break, candidates re-score exactly; returns
+    (query_id, neighbor_id)."""
+    fps = _fps_sql
+    return f"""
+WITH cent AS ({cent_sql}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+asgn_parts AS (
+  SELECT b.vec_id, c.cell,
+         {fps('b.e[c.i] * c.cv')} AS ab,
+         {fps('b.e[c.i] * b.e[c.i]')} AS aa,
+         {fps('c.cv * c.cv')} AS bb
+  FROM base b CROSS JOIN cent c
+  GROUP BY b.vec_id, c.cell
+),
+asgn AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts WHERE vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgn a ON a.cell = p.cell
+),
+dims AS (SELECT i FROM generate_series(1, 64) AS g(i)),
+pair_parts AS (
+  SELECT c.query_id, c.neighbor_id,
+         {fps('q.e[dims.i] * n.e[dims.i]')} AS ab,
+         {fps('q.e[dims.i] * q.e[dims.i]')} AS aa,
+         {fps('n.e[dims.i] * n.e[dims.i]')} AS bb
+  FROM cand c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base n ON n.vec_id = c.neighbor_id
+  CROSS JOIN dims
+  GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM pair_parts
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ivf_cand_count_sql(cent_sql: str, nprobe: int) -> str:
+    """Probe candidate volume for the same centroid relation: COUNT of
+    the cand relation (probed cells × their members) — the
+    n_candidates_total mirror of centroid_drift_report's cell-size
+    join."""
+    fps = _fps_sql
+    return f"""
+WITH cent AS ({cent_sql}),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+asgn_parts AS (
+  SELECT b.vec_id, c.cell,
+         {fps('b.e[c.i] * c.cv')} AS ab,
+         {fps('b.e[c.i] * b.e[c.i]')} AS aa,
+         {fps('c.cv * c.cv')} AS bb
+  FROM base b CROSS JOIN cent c
+  GROUP BY b.vec_id, c.cell
+),
+asgn AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell
+  FROM (SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ab / (SQRT(aa) * SQRT(bb)) DESC,
+                                           cell ASC) AS rn
+        FROM asgn_parts WHERE vec_id < 10)
+  WHERE rn <= {nprobe}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates_total
+FROM probes p JOIN asgn a ON a.cell = p.cell
+"""
+
+
+def _centroid_drift_oracle(k: int = 5, nprobe: int = 2) -> str:
+    cents = _ivf_centroids()
+    values = ", ".join(
+        f"({ci}, {i + 1}, {v!r}::DOUBLE)"
+        for ci, row in enumerate(cents) for i, v in enumerate(row))
+    stale_cent = f"SELECT * FROM (VALUES {values}) v(cell, i, cv)"
+    fresh_cent = """
+SELECT CAST(vec_id AS INT) AS cell, d.i,
+       CAST(embedding[d.i] AS DOUBLE) AS cv
+FROM embeddings CROSS JOIN (SELECT i FROM generate_series(1, 64) AS g(i)) d
+WHERE vec_id < 8
+"""
+    return f"""
+WITH exact AS ({_truncated_topk_sql(64, k)}),
+exn AS (SELECT query_id, COUNT(*) AS n FROM exact GROUP BY 1),
+arms AS (
+  SELECT 'stale' AS arm, query_id, neighbor_id
+  FROM ({_ivf_probe_sql(stale_cent, k, nprobe)}) s
+  UNION ALL
+  SELECT 'retrained' AS arm, query_id, neighbor_id
+  FROM ({_ivf_probe_sql(fresh_cent, k, nprobe)}) r
+),
+per AS (
+  SELECT a.arm, a.query_id,
+         SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_hits
+  FROM arms a
+  LEFT JOIN exact e ON e.query_id = a.query_id
+                   AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1, 2
+),
+roll AS (
+  SELECT p.arm, COUNT(*) AS n_queries, SUM(p.n_hits) AS hits,
+         SUM(LEAST({k}, COALESCE(x.n, {k}))) AS possible
+  FROM per p LEFT JOIN exn x ON x.query_id = p.query_id
+  GROUP BY 1
+),
+cands AS (
+  SELECT 'stale' AS arm, n_candidates_total
+  FROM ({_ivf_cand_count_sql(stale_cent, nprobe)}) cs
+  UNION ALL
+  SELECT 'retrained' AS arm, n_candidates_total
+  FROM ({_ivf_cand_count_sql(fresh_cent, nprobe)}) cr
+)
+SELECT roll.arm,
+       CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(hits AS BIGINT) AS n_hits_total,
+       CAST(possible AS BIGINT) AS n_possible_total,
+       CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS micro_recall,
+       cands.n_candidates_total
+FROM roll JOIN cands ON cands.arm = roll.arm
+ORDER BY roll.arm
+"""
+
+
 def q_minhash_dedup_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash+LSH tier: md5-derived base hash and
     raw-string band buckets make the ENTIRE candidate pipeline —
@@ -8947,6 +9142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- round-12 contract rows ----
         "canonical_dedup": q_canonical_dedup,
         "unigram_roundtrip": q_unigram_roundtrip,
+        "centroid_drift_recall": q_centroid_drift_recall,
     }
     ordered = {k: base[k] for k in DRIVER_WINDOW}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8985,6 +9181,7 @@ def oracle_sql() -> dict[str, str]:
         "line_collapse": _LINE_COLLAPSE_ORACLE,
         "canonical_dedup": _canonical_dedup_oracle(),
         "unigram_roundtrip": _UNIGRAM_ROUNDTRIP_ORACLE,
+        "centroid_drift_recall": _centroid_drift_oracle(),
         "decontam_by_benchmark": _DECONTAM_BY_BENCHMARK_ORACLE,
         "exactsubstr_dedup": _EXACTSUBSTR_ORACLE,
         "memorization_risk": _MEMORIZATION_ORACLE,

@@ -1200,6 +1200,91 @@ def dim_truncation_sweep(corpus: DataFrame, queries: DataFrame,
             .orderBy("dim"))
 
 
+def centroid_drift_report(corpus: DataFrame, queries: DataFrame,
+                          arms: dict[str, list[list[float]]],
+                          k: int = 5, nprobe: int = 2,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          query_id_col: str = "query_id",
+                          deterministic: bool = False) -> DataFrame:
+    """Coarse-quantizer DRIFT audit (r11 verdict #3): per candidate
+    centroid set — typically ``{"stale": at-build centroids,
+    "retrained": retrain over the accumulated corpus}`` — the
+    micro-averaged recall@k of IVF cell-probe search against exact
+    search over the SAME corpus and queries.  On a drifting corpus the
+    cells a stale quantizer carves stop matching the data's density;
+    this report prices that decay in the one number that matters
+    (probe recall) BEFORE paying for an epoch-bumped re-index
+    (:func:`~..streaming.sinks.retrain_vector_index` is the
+    remediation; this is its go/no-go gate).
+
+    Drift decays BOTH probe qualities, so the report prices both:
+    ``micro_recall`` (neighbors hiding in unprobed cells) and
+    ``n_candidates_total`` (drifted mass COLLAPSING into few stale
+    cells, so every probe scans it — recall holds while cost silently
+    explodes; the r11-verdict "cell balance" axis).  Candidates are
+    counted by the probe's own definition: Σ over queries of the
+    probed cells' member counts.
+
+    Same integer-derived micro-average as :func:`dim_truncation_sweep`
+    (total hits / total min(k, n_exact) denominators — the
+    :func:`ann_recall` rule), so the deterministic tier value-hashes
+    cross-engine.  Cost: ONE exact scan plus one cell-probe search and
+    one assignment-count pass per arm; the exact tier is the expensive
+    half, shared across arms — acceptable for a go/no-go gate run
+    before a rebuild, not a hot path."""
+    metric = "fixed_cosine" if deterministic else "cosine"
+    exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                             vec_col=vec_col, query_id_col=query_id_col,
+                             deterministic=deterministic)
+    arm_frames = {}
+    cand_frames = []
+    for name, cents in arms.items():
+        arm_frames[name] = ivf_topk(corpus, queries, cents, k=k,
+                                    nprobe=nprobe, id_col=id_col,
+                                    vec_col=vec_col,
+                                    query_id_col=query_id_col,
+                                    deterministic=deterministic)
+        # probe candidate volume: cell sizes joined onto each query's
+        # top-nprobe cells (same affinity + tie-break as the probe)
+        sizes = (ivf_index(corpus, cents, id_col, vec_col, metric=metric)
+                 .groupBy("cell").agg(F.count(F.lit(1)).alias("__csz")))
+        sims, _ = _cell_scores(F.col(vec_col), cents, metric)
+        qc = (queries.select(F.col(query_id_col),
+                             F.posexplode(sims).alias("cell", "sim"))
+              .withColumn("__rk", F.row_number().over(
+                  Window.partitionBy(query_id_col)
+                  .orderBy(F.desc("sim"), F.asc("cell"))))
+              .filter(F.col("__rk") <= nprobe).select("cell"))
+        cand_frames.append(
+            qc.join(F.broadcast(sizes), "cell")
+            .agg(F.coalesce(F.sum("__csz"), F.lit(0)).cast("long")
+                 .alias("n_candidates_total"))
+            .select(F.lit(name).alias("arm"), "n_candidates_total"))
+    cands = cand_frames[0]
+    for cf in cand_frames[1:]:
+        cands = cands.unionByName(cf)
+    per = ann_recall(exact, arm_frames, k=k)
+    ex_n = (exact.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__n_exact")))
+    denom = F.least(F.lit(int(k)).cast("long"),
+                    F.coalesce(F.col("__n_exact"),
+                               F.lit(int(k)).cast("long")))
+    return (per.join(F.broadcast(ex_n), query_id_col, "left")
+            .groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                 F.sum("n_hits").cast("long").alias("n_hits_total"),
+                 F.sum(denom).cast("long").alias("n_possible_total"))
+            .withColumn("micro_recall",
+                        F.col("n_hits_total").cast("double")
+                        / F.col("n_possible_total").cast("double"))
+            .join(F.broadcast(cands), "arm")
+            .select("arm", "n_queries", "n_hits_total",
+                    "n_possible_total", "micro_recall",
+                    "n_candidates_total")
+            .orderBy("arm"))
+
+
 def embedding_outliers(df: DataFrame, label_col: str = "label",
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        k: int = 5, dim: int = 64) -> DataFrame:

@@ -1144,3 +1144,56 @@ def read_vector_index(spark: SparkSession, index_path: str,
     content-hash store's set-semantic probes are."""
     return (_read_store(spark, index_path)
             .select(id_col, vec_col, "cell", "__cc").distinct())
+
+
+def retrain_vector_index(spark: SparkSession, index_path: str,
+                         new_index_path: str, k: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         metric: str = "cosine", max_iter: int = 20,
+                         seed: int = 42,
+                         run_id: str | None = None) -> list[list[float]]:
+    """Centroid-drift remediation for a :func:`vector_index_sink` store
+    (r11 verdict #3): the sink assigns cells against centroids FIXED at
+    first build, so on a drifting corpus cell balance and probe recall
+    decay silently — :func:`~..operators.similarity.
+    centroid_drift_report` prices the decay; THIS is the fix.  Retrain
+    the coarse quantizer over the ACCUMULATED store corpus
+    (``similarity.train_centroids`` — distributed k-means, map-side
+    partial sums) and build the re-indexed store at ``new_index_path``
+    — a REBUILD into a fresh path, not an edit of the live one (the
+    FAISS refresh practice, and what the sink docstring promises), so
+    a crash mid-rebuild leaves the old store untouched and the cutover
+    is an atomic path swap in the caller's config.  The rebuilt store
+    uses the same run-namespaced layout (one ``run_id=R/batch_id=0``
+    directory), so :func:`read_vector_index`, the probe path and the
+    compaction family work on it unchanged; a resumed sink stream then
+    points at the new path with the NEW centroids.
+
+    Returns the retrained centroids — callers MUST probe the new store
+    with them (mixing a store with another epoch's centroid set is the
+    exact bug this rebuild-not-edit design prevents).
+
+    Cost shape: one store read (distinct probe rows), one k-means over
+    the corpus (each Lloyd round a map-side aggregation), one
+    assignment projection, one write — all linear; nothing quadratic,
+    no per-row Python."""
+    from basic_data_fusion_spark.operators.similarity import (
+        dot,
+        fixed_point_self_dot,
+        ivf_index,
+        train_centroids,
+    )
+
+    corpus = (read_vector_index(spark, index_path, id_col, vec_col)
+              .select(id_col, vec_col))
+    cents = train_centroids(corpus, k=k, vec_col=vec_col,
+                            max_iter=max_iter, seed=seed)
+    self_dot = fixed_point_self_dot if metric == "fixed_cosine" else \
+        (lambda v: dot(v, v))
+    indexed = (ivf_index(corpus, cents, id_col, vec_col, metric=metric)
+               .withColumn("__cc", self_dot(F.col(vec_col))))
+    run = run_id or _derived_run_id(new_index_path)
+    (indexed.write.mode("overwrite")
+     .parquet(f"{new_index_path}/run_id={run}/batch_id=0"))
+    return cents

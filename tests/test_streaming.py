@@ -2026,3 +2026,83 @@ def test_derived_run_ids_are_never_numeric():
         assert rid.startswith("r") and not rid.isdigit() and len(rid) == 13
     assert _derived_run_id("a") == _derived_run_id("a")
     assert _derived_run_id("a") != _derived_run_id("b")
+
+
+def test_retrain_vector_index_parity_and_drift_report(spark, tmp_path):
+    """Centroid-drift remediation end-to-end: a vector store built with
+    STALE centroids (trained before a planted distribution shift) is
+    rebuilt by retrain_vector_index into a new-path store; probing the
+    rebuilt store with the retrained centroids must EXACTLY equal batch
+    ivf_topk over the accumulated corpus with the same centroids, and
+    centroid_drift_report must price the decay: on shifted-half
+    queries the retrained arm's micro-recall is at least the stale
+    arm's (the planted shift — a negated second half — scatters
+    incoherently across stale cells)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from basic_data_fusion_spark.operators.similarity import (
+        centroid_drift_report,
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+    )
+    from basic_data_fusion_spark.streaming.sinks import (
+        read_vector_index,
+        retrain_vector_index,
+        vector_index_sink,
+    )
+
+    half_a = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+              .select("vec_id", "embedding").filter(F.col("vec_id") < 200))
+    half_b = half_a.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"))
+    corpus = half_a.unionByName(half_b)
+    stale = train_centroids(half_a, k=8, seed=42)   # pre-drift quantizer
+
+    d = tmp_path / "vec_in"
+    d.mkdir()
+    t0 = time.time() - 10_000
+    for i, part in enumerate((half_a, half_b)):
+        part.coalesce(1).write.parquet(str(tmp_path / f"s{i}"))
+        src = glob.glob(str(tmp_path / f"s{i}" / "*.parquet"))[0]
+        dst = d / f"in{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(tmp_path / f"s{i}")
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+    idx = str(tmp_path / "vecidx")
+    q = vector_index_sink(stream, idx, str(tmp_path / "ckpt"), stale,
+                          metric="fixed_cosine")
+    q.awaitTermination()
+
+    idx2 = str(tmp_path / "vecidx_retrained")
+    fresh = retrain_vector_index(spark, idx, idx2, k=8,
+                                 metric="fixed_cosine", seed=42)
+    assert len(fresh) == 8 and all(len(c) == 64 for c in fresh)
+    runs = [x for x in os.listdir(idx2) if x.startswith("run_id=r")]
+    assert len(runs) == 1  # one namespaced rebuild directory
+
+    queries = (half_b.filter(F.col("vec_id") < 10_005)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = (ivf_topk_indexed(read_vector_index(spark, idx2), queries, fresh,
+                            k=5, nprobe=2, deterministic=True).collect())
+    want = ivf_topk(corpus, queries, fresh, k=5, nprobe=2,
+                    deterministic=True).collect()
+    key = lambda rows: {(r["query_id"], r["rank"]):
+                        (r["neighbor_id"], r["cosine_sim"]) for r in rows}
+    assert key(got) == key(want) and len(got) == len(want)
+
+    rep = {r["arm"]: r for r in centroid_drift_report(
+        corpus, queries, {"stale": stale, "retrained": fresh},
+        k=5, nprobe=2, deterministic=True).collect()}
+    assert set(rep) == {"stale", "retrained"}
+    for r in rep.values():
+        assert 0.0 <= r["micro_recall"] <= 1.0
+        assert r["n_possible_total"] == 5 * 5
+    assert rep["retrained"]["micro_recall"] >= rep["stale"]["micro_recall"]
