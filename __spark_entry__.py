@@ -8820,62 +8820,49 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed or NEW in r11 (new contracts get their driver hash row
-#     in their birth round): dedup_clusters RE-PRICED onto the det
-#     MinHash banded candidate tier (the r10 verdict's last
-#     exhaustive-pair-fed contract; oracle replays the banded pipeline
-#     before the same recursive-CTE CC; sf1 50.6 s → 8.6 s, ratio
-#     17.4× → 3.4×), audio_headers (the WAV construct→bytes→parse
-#     round trip — the r10 verdict's missing driver-evidence row for
-#     the RIFF parser), fuzzy_decontam_sweep (the fuzzy gate's
-#     threshold-sweep planning report, r10 verdict #4), and
-#     lsh_config_sweep (the banding-knob planning report — candidate
-#     volume / verified yield / precision / S-curve capture per
-#     (bands, rows) factorization from ONE signature pass), and
-#     dim_truncation_recall (the embedding-dimension knob — recall@5
-#     of prefix-truncated exact search vs full vectors), and
-#     line_collapse (intra-doc consecutive-duplicate-line collapse,
-#     the map-only within-doc half of line cleanup), and
-#     decontam_by_benchmark (per-benchmark contamination breakdown —
-#     which suite leaked and how badly, the GPT-3 §C table shape),
-# (b) the 42 remaining r7-era oracle-backed greens in registration
-#     order — including the two pure-fill rows (ivf_topk_det,
-#     semantic_dedup_det) the r10 window comment queued for r11 (the
-#     10 rows-only-by-design canaries, each with a hash-green det
-#     twin, stay outside the window BY DESIGN),
-# (c) 1 slot left: the oldest r8-era oracle-backed row in
-#     registration order (forecast_revenue through temperature_mix,
-#     the 2nd-5th, queue for r12).
+# (a) changed or NEW in r12 (new contracts get their driver hash row
+#     in their birth round): canonical_dedup (Unicode text
+#     canonicalization for dedup keys — the planted 4-way confusable
+#     disguises, r11 verdict #5), unigram_roundtrip (the unigram-LM
+#     tokenizer's word-count + concat-roundtrip gate, r11 verdict #4),
+#     centroid_drift_recall (the IVF quantizer-drift audit — recall +
+#     probe candidate volume per centroid set, r11 verdict #3), and
+#     decontam_by_benchmark whose ORACLE changed this round (r11
+#     advisory: pct_train_docs_dirty → try_divide / NULLIF, NULL not
+#     NaN on an empty corpus), so its r11 row no longer prices the
+#     current contract.
+# (b) 46 of the 47 r8-era oracle-backed greens in registration order
+#     (the r11 verdict's rotation request: retire the r8 era).  The
+#     one that does not fit, embedding_near_dups (last in registration
+#     order), queues for r13.
 # After this rotation NO oracle-backed query's latest driver row
-# predates r8 — the r7 era is fully retired; the oldest remaining
-# block is the r8-checked remainder, which queues for r12.  Every
-# query, windowed or not, stays pinned each pytest run by
-# tests/test_oracle_parity.py.
+# predates r9 except embedding_near_dups (r8, queued) — the r8 era is
+# one row from retired.  Every query, windowed or not, stays pinned
+# each pytest run by tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r11 plan/oracle changes + new r11 contracts — fresh hashes
-    "dedup_clusters", "audio_headers", "fuzzy_decontam_sweep",
-    "lsh_config_sweep", "dim_truncation_recall", "line_collapse",
+    # (a) r12 plan/oracle changes + new r12 contracts — fresh hashes
+    "canonical_dedup", "unigram_roundtrip", "centroid_drift_recall",
     "decontam_by_benchmark",
-    # (b) the 42 remaining r7-era greens, registration order
-    "ivf_topk_det", "semantic_dedup_det", "leakage_safe_split",
-    "quality_classifier", "interleave_order_sharded",
-    "interleave_gate_sharded", "curriculum_order_sharded",
-    "interleave_order_distributed", "curriculum_order_distributed",
-    "mannwhitney_acctbal", "sq8_topk", "label_cohesion",
-    "funnel_steps", "retention_weekly", "customers_no_orders",
-    "pricing_rollup", "orders_cube", "median_by_segment",
-    "hash_sample_orders", "stratified_sample_docs",
-    "events_interarrival", "running_spend", "trailing_7d_value",
-    "acctbal_deciles", "cohort_setops", "vocab_top_tokens",
-    "tfidf_top_terms", "token_diversity", "top_orders_per_segment",
-    "late_shipment_priority", "small_lot_revenue",
-    "big_order_customers", "wealthy_idle_customers",
-    "fuzzy_part_pairs", "latest_event_state", "daily_value_gapfill",
-    "order_grouping_sets", "order_status_scd2", "numbered_tokens_udtf",
-    "customer_order_distribution", "promo_revenue_ratio",
-    "top_revenue_supplier",
-    # (c) the oldest r8-era oracle-backed row, registration order
-    "column_summary_approx",
+    # (b) 46 r8-era greens, registration order
+    "forecast_revenue", "market_share", "returned_item_losses",
+    "temperature_mix", "dsir_top_docs", "exactsubstr_dedup",
+    "pack_sequences_sharded", "pack_sequences_distributed",
+    "incremental_clusters_banded", "length_bucketed_batches",
+    "url_dedup", "dsir_gumbel_sample", "pareto_quality_sample",
+    "stupid_backoff_lm", "perplexity_buckets", "bm25_search",
+    "cheapest_supplier_per_part", "product_type_profit",
+    "priority_shipping_bands", "bulk_suppliers_for_parts",
+    "sole_blame_suppliers", "important_stock", "chi2_priority_status",
+    "hybrid_rrf_search", "benford_extendedprice", "curriculum_order",
+    "corpus_composition", "rolling_zscore_purchases",
+    "mutual_info_priority_status", "winnow_fingerprints",
+    "winsorized_acctbal", "distinctive_terms_en",
+    "toml_pipeline_curation", "simhash_det", "pack_sequences",
+    "disjunctive_parts_revenue", "part_supplier_variety",
+    "nation_pair_trade", "melt_measures", "zscore_by_segment",
+    "mad_outliers_by_segment", "segment_sample",
+    "filter_impact_individual", "profiling_stats", "line_dedup",
+    "dsir_weights",
 ]
 
 

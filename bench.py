@@ -195,6 +195,11 @@ HEADLINE += [
     "dim_truncation_recall",         # embedding-dimension recall sweep
     "line_collapse",                 # intra-doc repeated-line collapse
     "decontam_by_benchmark",         # per-benchmark contamination table
+
+    # new in round 12 (absent from BENCH_r11 and earlier)
+    "canonical_dedup",               # Unicode-canonical dedup keys
+    "unigram_roundtrip",             # unigram-LM tokenizer train+encode gate
+    "centroid_drift_recall",         # IVF quantizer-drift audit
 ]
 
 

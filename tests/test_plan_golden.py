@@ -87,6 +87,16 @@ PINNED = [
     # band keys + shingles BuildRight at both joins; the corpus side
     # never exchanges before the final AQE-managed left join)
     "fuzzy_decontam_det",
+    # r12: the quantizer-drift audit (~2 s at sf0.1 — two IVF arms +
+    # one shared exact scan + per-arm assignment counts; the pin
+    # freezes the broadcast query-cells probes and the single exact
+    # corpus scan shared across arms)
+    "centroid_drift_recall",
+    # r12: the unigram encode join-back (training runs eagerly at
+    # build time; the returned plan is the distinct-word Arrow DP +
+    # posexplode join-back — the pin freezes that the corpus DP never
+    # runs per-instance, only per-distinct-word)
+    "unigram_roundtrip",
 ]
 
 # Internal pre-execution frames for contracts that execute eagerly
