@@ -62,6 +62,10 @@ def main() -> None:
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.sql.session.timeZone", "UTC")
+             # COPIES=30/100 tiers (r11 verdict #6) OOM the default 1g
+             # heap on the lineitem union — the single local JVM holds
+             # all 32 executor threads' write buffers at once
+             .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT, exist_ok=True)
