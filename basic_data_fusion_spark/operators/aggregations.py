@@ -77,7 +77,16 @@ def numeric_summary(df: DataFrame, columns: list[str]) -> DataFrame:
     """A5 numeric half (reference: analysis/demographics.py:135-252): one row
     per column with non-null count, missing count/%, mean, median (exact),
     std (sample), min, max. Single aggregation pass over all columns, then a
-    driver-side unpivot of the one result row (bounded by column count)."""
+    driver-side unpivot of the one result row (bounded by column count).
+
+    Scale note (r12 sf-decade sweep): the exact ``percentile`` aggregate
+    buffers EVERY value of the column on the merge path — a data-sized
+    aggregation buffer (measured: 6.7× wall for 3× rows crossing sf1→sf3).
+    This is the deliberate ORACLE-tier trade (bit-exact medians for the
+    hash check); the interactive/production tier is the
+    ``column_summary_approx`` contract's ``approx_percentile`` path
+    (mergeable sketch, bounded buffers), whose sweep ratio stays
+    ~linear."""
     total = F.count(F.lit(1))
     aggs = [total.alias("__total")]
     for c in columns:

@@ -1862,7 +1862,8 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str = "text",
 # ---------------- acceptance gates: recall report + leakage-safe split ----------------
 
 def gate_slice(df: DataFrame, frac: float, id_col: str = "doc_id",
-               seed: str = "gate_slice") -> DataFrame:
+               seed: str = "gate_slice",
+               max_rows: int | None = None) -> DataFrame:
     """Deterministic md5 corpus slice for the expensive acceptance
     gates: keep rows whose ``hash_uniform(id)`` draw falls below
     ``frac``.  The gates (``dedup_recall_report``,
@@ -1877,15 +1878,33 @@ def gate_slice(df: DataFrame, frac: float, id_col: str = "doc_id",
     engine/partitioning-invariant (md5 on the id, no RNG), so a DuckDB
     oracle replays the same predicate and the sliced gate still
     value-hashes.  Plan shape: one map-side filter, no shuffle.
-    """
+
+    A FRACTION alone keeps the gate quadratic in corpus size — the r12
+    sf-decade sweep DNF'd ``dedup_recall_report`` at sf10 for exactly
+    this (0.3 of 500k docs is a 150k-doc exhaustive truth set).
+    ``max_rows`` caps the slice at a FIXED size: the ``max_rows``
+    smallest ``hash_uniform`` draws (ties broken on id), still
+    deterministic and SQL-replayable (``ORDER BY draw, id LIMIT n``),
+    so a gate priced at ``max_rows=5000`` costs the same at sf0.1 and
+    at 100 TB.  The cap adds one total-order top-n on the (draw, id)
+    projection — rank-shuffle of id pairs only, never bodies; the
+    driver-sf contracts pass no cap so their hashes are unchanged."""
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"gate_slice frac must be in (0, 1], got {frac}")
-    if frac == 1.0:
-        return df
     from .selection import hash_uniform
 
-    return df.filter(hash_uniform(F.col(id_col), seed)
-                     < F.lit(float(frac)))
+    out = df
+    if frac < 1.0:
+        out = df.filter(hash_uniform(F.col(id_col), seed)
+                        < F.lit(float(frac)))
+    if max_rows is not None:
+        keep = (out.select(F.col(id_col),
+                           hash_uniform(F.col(id_col), seed).alias("__u"))
+                .orderBy(F.asc("__u"), F.asc(id_col))
+                .limit(int(max_rows))
+                .select(id_col))
+        out = out.join(F.broadcast(keep), id_col, "left_semi")
+    return out
 
 def dedup_recall_report(truth_pairs: DataFrame,
                         arms: dict[str, DataFrame]) -> DataFrame:

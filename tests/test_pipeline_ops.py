@@ -3463,3 +3463,29 @@ def test_dim_truncation_sweep_planted_geometry(spark):
     assert out[8]["micro_recall"] == 1 / 10
     assert out[16]["n_hits_total"] == 10
     assert out[16]["micro_recall"] == 1.0
+
+
+def test_gate_slice_max_rows_cap(spark):
+    """Fixed-size acceptance slices (r12 sf-decade finding): max_rows
+    bounds the slice at a constant size regardless of corpus scale —
+    deterministic (smallest hash_uniform draws, id tie-break), a
+    strict subset of the uncapped slice, and stable across input
+    partitioning."""
+    from basic_data_fusion_spark.operators.dedup import gate_slice
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    full = {r["doc_id"] for r in
+            gate_slice(docs, 0.5).select("doc_id").collect()}
+    capped = [r["doc_id"] for r in
+              gate_slice(docs, 0.5, max_rows=40).select("doc_id").collect()]
+    assert len(capped) == 40
+    assert set(capped) <= full
+    # repartitioned input yields the identical slice
+    again = {r["doc_id"] for r in
+             gate_slice(docs.repartition(13), 0.5, max_rows=40)
+             .select("doc_id").collect()}
+    assert set(capped) == again
+    # cap larger than the slice is a no-op
+    assert {r["doc_id"] for r in
+            gate_slice(docs, 0.5, max_rows=10_000)
+            .select("doc_id").collect()} == full
