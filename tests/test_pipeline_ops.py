@@ -3489,3 +3489,36 @@ def test_gate_slice_max_rows_cap(spark):
     assert {r["doc_id"] for r in
             gate_slice(docs, 0.5, max_rows=10_000)
             .select("doc_id").collect()} == full
+
+
+def test_canonical_fold_feeds_fuzzy_dedup(spark):
+    """The canonical→fuzzy composition (C4/RefinedWeb preprocessing
+    order): a fullwidth/curly-quoted NEAR-copy (different tail, so not
+    an exact dup even after folding) shares no raw shingles with its
+    ASCII original — the raw fuzzy tier finds nothing — but after
+    canonical_text pre-folding the banded MinHash tier surfaces the
+    pair at high Jaccard.  Pins the recipe: fold the text column, then
+    run the unchanged fuzzy pipeline."""
+    from basic_data_fusion_spark.operators.dedup import minhash_dedup_pairs
+    from basic_data_fusion_spark.operators.text import canonical_text
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet hills before dawn breaks")
+    # fullwidth letters + ideographic spaces + a different short tail
+    wide = "".join(chr(0xFEE0 + ord(c)) if "a" <= c <= "z" else c
+                   for c in base).replace(" ", chr(0x3000)) \
+        + chr(0x3000) + "ｅｘｔｒａ ｗｏｒｄｓ ｈｅｒｅ"
+    rows = [(1, base + " extra tail here"), (2, wide),
+            (3, "completely unrelated content about query planners and "
+                "shuffle partitions in distributed database engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    raw = minhash_dedup_pairs(df, n=3, threshold=0.5, deterministic=True)
+    assert raw.count() == 0  # confusable disguise defeats raw shingles
+
+    folded = df.withColumn("text", canonical_text(F.col("text")))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_dedup_pairs(folded, n=3, threshold=0.5,
+                                          deterministic=True).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] >= 0.5
