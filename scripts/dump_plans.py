@@ -244,6 +244,18 @@ PICK_NOTES = {
     "acctbal_deciles": "NTILE from the distributed global rank "
                        "(integer-exact remainder-to-early-buckets); "
                        "no single-partition gather.",
+    "canonical_dedup": "Unicode fold is ONE map-side translate/replace "
+                       "projection; only (id, md5) pairs shuffle for "
+                       "the group + hash-keyed join back — bodies "
+                       "never move.",
+    "unigram_roundtrip": "Viterbi DP runs once per DISTINCT word "
+                         "(Arrow pass on the word table), never per "
+                         "instance; join-back re-assembles docs from "
+                         "posexplode positions.",
+    "centroid_drift_recall": "One exact corpus scan shared across "
+                             "arms; per-arm probes broadcast the "
+                             "query cells; candidate counts ride the "
+                             "assignment projection.",
 }
 MAX_LINES = 40
 
