@@ -1237,17 +1237,30 @@ def centroid_drift_report(corpus: DataFrame, queries: DataFrame,
     exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
                              vec_col=vec_col, query_id_col=query_id_col,
                              deterministic=deterministic)
+    self_dot = fixed_point_self_dot if deterministic else \
+        (lambda v: dot(v, v))
     arm_frames = {}
     cand_frames = []
     for name, cents in arms.items():
-        arm_frames[name] = ivf_topk(corpus, queries, cents, k=k,
-                                    nprobe=nprobe, id_col=id_col,
-                                    vec_col=vec_col,
-                                    query_id_col=query_id_col,
-                                    deterministic=deterministic)
+        # ONE assignment pass per arm, pinned: the indexed relation
+        # feeds both the probe search and the cell-size counts, which
+        # would otherwise each run their own corpus assignment.  At
+        # sf0.1/k=8 the measured gain is small (~5% — the shared exact
+        # scan dominates there); the second pass costs k-cosines-per-
+        # row, so the saving scales with the cell count (production
+        # quantizers run k in the thousands).  Gate-tier cache:
+        # bounded by the corpus under audit; the persist registry
+        # releases it after the run.
+        indexed = cache_pinned(
+            ivf_index(corpus, cents, id_col, vec_col, metric=metric)
+            .withColumn("__cc", self_dot(F.col(vec_col))))
+        arm_frames[name] = ivf_topk_indexed(
+            indexed, queries, cents, k=k, nprobe=nprobe, id_col=id_col,
+            vec_col=vec_col, query_id_col=query_id_col,
+            deterministic=deterministic)
         # probe candidate volume: cell sizes joined onto each query's
         # top-nprobe cells (same affinity + tie-break as the probe)
-        sizes = (ivf_index(corpus, cents, id_col, vec_col, metric=metric)
+        sizes = (indexed
                  .groupBy("cell").agg(F.count(F.lit(1)).alias("__csz")))
         sims, _ = _cell_scores(F.col(vec_col), cents, metric)
         qc = (queries.select(F.col(query_id_col),
