@@ -191,32 +191,64 @@ def q_baseline_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return consolidate_baseline(wide)
 
 
-def _column_summary_impl(spark: SparkSession, sf_dir: str,
-                         median_agg) -> DataFrame:
-    """Shared body of the exact and approx A5 summary tiers — ONE
-    aggregation pass per table (every column's stats + the row count in
-    a single scan, no per-column jobs); the tiers differ ONLY in the
-    median aggregation expression, and the approx tier's
-    same-shape-as-exact contract is enforced by construction here.
-    Column-pruned scan, then the CPU-heavy percentile update phase is
-    spread over all cores (single-file source = few splits; the final
-    merge stays serial by nature)."""
+_SUMMARY_TABLES = (("customer", ["c_acctbal"]),
+                   ("lineitem", ["l_quantity", "l_extendedprice",
+                                 "l_discount"]))
+
+
+def _summary_base(spark: SparkSession, sf_dir: str, table: str,
+                  cols: list[str]) -> DataFrame:
+    """Column-pruned, core-spread scan shared by both A5 summary
+    tiers (single-file source = few splits without the spread)."""
+    return (_catalog(spark, sf_dir).load(table).select(*cols)
+            .repartition(spark.sparkContext.defaultParallelism))
+
+
+def _summary_quantiles(df: DataFrame, cols: list[str],
+                       ps: list[float]) -> dict:
+    """{(column, p): value} via the DISTRIBUTED exact-quantile
+    decomposition (aggregations.exact_quantiles) — replaces the
+    percentile() aggregate, whose buffer holds EVERY value of the
+    column on the single merge path (the r12 sf-decade cliff: 6.7x
+    wall for 3x rows at sf1->sf3; re-measured after this re-plan in
+    SCALE.md).  Same interpolation arithmetic bit-for-bit (pos =
+    1+(n-1)p is exact in doubles at these magnitudes and the
+    lo + frac*(hi-lo) op order matches the aggregate), so values and
+    the oracles are unchanged.  Costs one extra linear scan per
+    table; every buffer is now distinct-values-sized."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        exact_quantiles,
+    )
+
+    return {(r["column"], r["p"]): r["value"]
+            for r in exact_quantiles(df, cols, ps).collect()}
+
+
+def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 deterministic tier: per-column n / missing / mean / median /
+    min / max for customer+lineitem numerics.  Mean via fixed-point
+    sum; median EXACT via the distributed quantile decomposition
+    (r12 re-plan — see _summary_quantiles), rounded to 4 in-engine
+    (2-decimal source data -> the round is identity on true values,
+    only kills cross-engine ulp drift)."""
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
-    cat = _catalog(spark, sf_dir)
     rows = []
-    for table, cols in (("customer", ["c_acctbal"]),
-                        ("lineitem", ["l_quantity", "l_extendedprice",
-                                      "l_discount"])):
-        df = (cat.load(table).select(*cols)
-              .repartition(spark.sparkContext.defaultParallelism))
+    for table, cols in _SUMMARY_TABLES:
+        df = _summary_base(spark, sf_dir, table, cols)
+        med_df = spark.createDataFrame(
+            [(c, v) for (c, _p), v in
+             _summary_quantiles(df, cols, [0.5]).items()],
+            "column string, median double")
+        med = {r["column"]: r["m"] for r in
+               med_df.select("column",
+                             F.round("median", 4).alias("m")).collect()}
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
             aggs += [
                 F.count(col).alias(f"n_{c}"),
                 (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
-                median_agg(c).alias(f"med_{c}"),
                 F.min(col).alias(f"min_{c}"),
                 F.max(col).alias(f"max_{c}"),
             ]
@@ -224,45 +256,34 @@ def _column_summary_impl(spark: SparkSession, sf_dir: str,
         for c in cols:
             rows.append((f"{table}.{c}", row[f"n_{c}"],
                          row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
-                         row[f"med_{c}"], row[f"min_{c}"], row[f"max_{c}"]))
+                         med.get(c), row[f"min_{c}"], row[f"max_{c}"]))
     return spark.createDataFrame(
         rows, "column string, n_non_null long, n_missing long, mean double, "
               "median double, min double, max double")
-
-
-def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 deterministic tier: per-column n / missing / mean / median / min /
-    max for customer+lineitem numerics. Mean via fixed-point sum and median
-    via exact percentile rounded to 4 (2-decimal source data → the round is
-    identity on true values, only kills cross-engine ulp drift)."""
-    # exact tier: percentile() buffers every value into one final merge
-    return _column_summary_impl(
-        spark, sf_dir,
-        lambda c: F.round(F.expr(f"percentile({c}, 0.5)"), 4))
 
 
 def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 interactive/100 TB tier as a BAND REPORT (r6 conversion from
     rows-only to hash-checked): the summary's deterministic columns
     (n / missing / fixed-point mean / min / max) stay exact, and the
-    `approx_percentile` median (KLL-style mergeable sketch — the
+    `approx_percentile` median (KLL-style mergeable sketch - the
     documented at-scale switch for the percentile surface) is exposed
     as ``median_within_band``: does the sketch's median lie between the
     exact 0.49 and 0.51 quantiles?  The sketch VALUE is engine-specific
-    and can't hash; the band verdict can — the oracle replays the exact
+    and can't hash; the band verdict can - the oracle replays the exact
     side and asserts the flag, so a sketch drifting out of its rank
-    budget (accuracy 10000 → rank error 1e-4, 100× inside the band)
+    budget (accuracy 10000 -> rank error 1e-4, 100x inside the band)
     flips a hash-checked bit instead of hiding in a rows-only row.
-    Same one-aggregation-pass shape as the exact tier."""
+    r12 re-plan: the band's exact 0.49/0.51 bounds come from the
+    distributed quantile decomposition (see _summary_quantiles), so
+    this tier no longer smuggles the percentile() aggregate's
+    data-sized buffer in through its own verification bounds."""
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
-    cat = _catalog(spark, sf_dir)
     rows = []
-    for table, cols in (("customer", ["c_acctbal"]),
-                        ("lineitem", ["l_quantity", "l_extendedprice",
-                                      "l_discount"])):
-        df = (cat.load(table).select(*cols)
-              .repartition(spark.sparkContext.defaultParallelism))
+    for table, cols in _SUMMARY_TABLES:
+        df = _summary_base(spark, sf_dir, table, cols)
+        bounds = _summary_quantiles(df, cols, [0.49, 0.51])
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
@@ -271,8 +292,6 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
                 F.expr(f"approx_percentile({c}, 0.5, 10000)")
                 .cast("double").alias(f"ap_{c}"),
-                F.expr(f"percentile({c}, 0.49)").alias(f"lo_{c}"),
-                F.expr(f"percentile({c}, 0.51)").alias(f"hi_{c}"),
                 F.min(col).alias(f"min_{c}"),
                 F.max(col).alias(f"max_{c}"),
             ]
@@ -281,8 +300,8 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"{table}.{c}", row[f"n_{c}"],
                          row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
                          row[f"min_{c}"], row[f"max_{c}"],
-                         bool(row[f"lo_{c}"] <= row[f"ap_{c}"]
-                              <= row[f"hi_{c}"])))
+                         bool(bounds[(c, 0.49)] <= row[f"ap_{c}"]
+                              <= bounds[(c, 0.51)])))
     return spark.createDataFrame(
         rows, "column string, n_non_null long, n_missing long, mean double, "
               "min double, max double, median_within_band boolean")
@@ -8830,20 +8849,26 @@ WHERE rn <= 20
 #     decontam_by_benchmark whose ORACLE changed this round (r11
 #     advisory: pct_train_docs_dirty → try_divide / NULLIF, NULL not
 #     NaN on an empty corpus), so its r11 row no longer prices the
-#     current contract.
-# (b) 46 of the 47 r8-era oracle-backed greens in registration order
+#     current contract; and column_summary + column_summary_approx,
+#     whose PLANS changed late in r12 (exact medians / band bounds
+#     re-planned onto aggregations.exact_quantiles — the distributed
+#     prefix-sum decomposition replacing the percentile() aggregate's
+#     data-sized merge buffer, the sf-decade finding; values and
+#     oracles unchanged, plan hashes not).
+# (b) 44 of the 47 r8-era oracle-backed greens in registration order
 #     (the r11 verdict's rotation request: retire the r8 era).  The
-#     one that does not fit, embedding_near_dups (last in registration
-#     order), queues for r13.
+#     three that do not fit — line_dedup, dsir_weights,
+#     embedding_near_dups (last in registration order) — queue for
+#     r13.
 # After this rotation NO oracle-backed query's latest driver row
-# predates r9 except embedding_near_dups (r8, queued) — the r8 era is
-# one row from retired.  Every query, windowed or not, stays pinned
-# each pytest run by tests/test_oracle_parity.py.
+# predates r9 except those three queued r8 rows.  Every query,
+# windowed or not, stays pinned each pytest run by
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     # (a) r12 plan/oracle changes + new r12 contracts — fresh hashes
     "canonical_dedup", "unigram_roundtrip", "centroid_drift_recall",
-    "decontam_by_benchmark",
-    # (b) 46 r8-era greens, registration order
+    "decontam_by_benchmark", "column_summary", "column_summary_approx",
+    # (b) 44 r8-era greens, registration order
     "forecast_revenue", "market_share", "returned_item_losses",
     "temperature_mix", "dsir_top_docs", "exactsubstr_dedup",
     "pack_sequences_sharded", "pack_sequences_distributed",
@@ -8861,8 +8886,7 @@ DRIVER_WINDOW = [
     "disjunctive_parts_revenue", "part_supplier_variety",
     "nation_pair_trade", "melt_measures", "zscore_by_segment",
     "mad_outliers_by_segment", "segment_sample",
-    "filter_impact_individual", "profiling_stats", "line_dedup",
-    "dsir_weights",
+    "filter_impact_individual", "profiling_stats",
 ]
 
 

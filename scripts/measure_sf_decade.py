@@ -92,6 +92,13 @@ def main() -> None:
     for name in names:
         cells, walls = [], []
         dnf = False
+        # unmeasured warmup at the smallest tier: the first measured
+        # row of a cold JVM otherwise reads 2-3x high (codegen/JIT),
+        # polluting the ladder's head (observed r12)
+        try:
+            run_once(qs[name], tiers[0][1])
+        except Exception:
+            pass
         for lbl, sf_dir in tiers:
             if dnf:
                 cells.append(" — |")

@@ -783,3 +783,48 @@ def test_kendall_tau_grouped_lowcard_bitwise_parity(spark):
     assert got["consta"]["tau_b"] is None
     assert got["constb"]["tau_b"] is None
     assert "solo" not in got
+
+
+def test_exact_quantiles_distributed_matches_percentile(spark):
+    """exact_quantiles (melt → value counts → ONE distributed prefix
+    sum → bracketing-rank interpolation) must reproduce the
+    percentile() aggregate — including NULL exclusion, duplicate-heavy
+    columns, odd/even counts and interpolated fractions — without the
+    aggregate's data-sized merge buffer."""
+    from basic_data_fusion_spark.operators.aggregations import (
+        exact_quantiles,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {(r["column"], r["p"]): (r["n_non_null"], r["value"])
+           for r in exact_quantiles(li, cols, ps).collect()}
+    from pyspark.sql import functions as F
+
+    exp_row = li.agg(*[
+        F.expr(f"percentile({c}, {p})").alias(f"{c}__{i}")
+        for c in cols for i, p in enumerate(ps)],
+        *[F.count(F.col(c).cast("double")).alias(f"n__{c}")
+          for c in cols]).first()
+    for c in cols:
+        for i, p in enumerate(ps):
+            n, v = got[(c, p)]
+            assert n == exp_row[f"n__{c}"]
+            assert v == pytest.approx(exp_row[f"{c}__{i}"],
+                                      rel=0, abs=1e-9), (c, p)
+
+    # planted edges: NULLs, duplicates, odd and even counts
+    rows = [(1.0, 10.0), (2.0, None), (2.0, 20.0), (3.0, 30.0),
+            (None, 40.0), (100.0, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = {(r["column"], r["p"]): r["value"]
+           for r in exact_quantiles(df, ["a", "b"], [0.5]).collect()}
+    assert got[("a", 0.5)] == 2.0          # n=5 odd → middle value
+    assert got[("b", 0.5)] == 25.0         # n=4 even → mean of middles
+
+    # no data-sized single-node structure: the plan's only windows run
+    # over range-partitioned locals / the partition-count totals
+    plan = (exact_quantiles(li, cols, [0.5])
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "percentile(" not in plan
