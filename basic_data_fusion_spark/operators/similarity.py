@@ -1157,20 +1157,25 @@ def dim_truncation_sweep(corpus: DataFrame, queries: DataFrame,
     rule), so the report value-hashes cross-engine; the full-dim row
     doubles as a self-check (recall exactly 1.0).
 
-    ``dims`` are validated against the corpus's actual vector length
-    (one ``limit(1)`` probe): ``F.slice`` CLAMPS, so an oversized dim
-    would silently produce a mislabeled duplicate of the full-dim row
-    at recall 1.0 (r11 advisory) — raise instead.  The ``dimNNN`` arm
-    label is 3 digits wide, so dims are also capped at 999."""
+    ``dims`` are validated against the corpus's MINIMUM non-null
+    vector length (one small aggregation): ``F.slice`` CLAMPS, so an
+    oversized dim would silently produce a mislabeled duplicate of the
+    full-dim row at recall 1.0 (r11 advisory) — raise instead.  An
+    unordered ``limit(1)`` probe is not enough (r12 advisory): a NULL
+    embedding in the probed row makes ``F.size`` return −1 and raises
+    spuriously, while a ragged corpus whose probed row happens to be
+    long still clamps silently on the shorter rows.  The ``dimNNN``
+    arm label is 3 digits wide, so dims are also capped at 999."""
     ds = sorted({int(d) for d in dims})
     if not ds or ds[0] < 1 or ds[-1] > 999:
         raise ValueError(f"dims must be within [1, 999], got {ds}")
-    probe = corpus.select(F.size(vec_col).alias("n")).limit(1).collect()
-    if probe and ds[-1] > probe[0]["n"]:
+    probe = (corpus.where(F.col(vec_col).isNotNull())
+             .agg(F.min(F.size(vec_col)).alias("n")).first())
+    if probe is not None and probe["n"] is not None and ds[-1] > probe["n"]:
         raise ValueError(
-            f"dim {ds[-1]} exceeds the corpus vector length "
-            f"{probe[0]['n']} — F.slice would clamp and the arm would "
-            f"silently duplicate the full-dim row")
+            f"dim {ds[-1]} exceeds the corpus minimum vector length "
+            f"{probe['n']} — F.slice would clamp and the arm would "
+            f"silently duplicate or mislabel rows")
     exact = brute_force_topk(corpus, queries, k=k, id_col=id_col,
                              vec_col=vec_col, query_id_col=query_id_col,
                              deterministic=True)
@@ -1278,6 +1283,22 @@ def centroid_drift_report(corpus: DataFrame, queries: DataFrame,
     for cf in cand_frames[1:]:
         cands = cands.unionByName(cf)
     per = ann_recall(exact, arm_frames, k=k)
+    # Re-anchor per-query rows on the FULL (arm × query) grid (r12
+    # advisory): a query whose nprobe probed cells are ALL EMPTY
+    # returns no arm rows, so it would vanish from ``per`` — and from
+    # ``n_possible_total`` — precisely in the severe-drift/cell-
+    # collapse regime this gate exists to catch, inflating
+    # micro_recall and letting ``n_queries`` differ across arms.
+    # The grid is |queries|×|arms| id rows — broadcast-tiny.
+    arm_names = corpus.sparkSession.createDataFrame(
+        [(n,) for n in sorted(arms)], "arm string")
+    grid = (queries.select(query_id_col).distinct()
+            .crossJoin(F.broadcast(arm_names)))
+    per = (grid.join(per.select("arm", query_id_col, "n_hits"),
+                     ["arm", query_id_col], "left")
+           .withColumn("n_hits",
+                       F.coalesce(F.col("n_hits"),
+                                  F.lit(0).cast("long"))))
     ex_n = (exact.groupBy(query_id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("__n_exact")))
     denom = F.least(F.lit(int(k)).cast("long"),

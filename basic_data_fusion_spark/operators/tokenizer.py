@@ -456,6 +456,19 @@ def _unigram_estep(words: DataFrame, logp: dict,
                  F.sum("loss_fp").alias("loss_fp")))
 
 
+def _validate_unigram_params(vocab_size: int, prune_frac: float) -> None:
+    """Both trainers share the ``_unigram_fit`` prune loop, whose
+    progress guarantee is ``keep_n < n_multi`` — with ``prune_frac <=
+    0`` the loop keeps every multi-char piece each round and never
+    terminates (r12 advisory).  Validate at the trainer entry so the
+    error surfaces before any corpus pass."""
+    if int(vocab_size) < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    if not 0.0 < float(prune_frac) <= 1.0:
+        raise ValueError(
+            f"prune_frac must be in (0, 1], got {prune_frac}")
+
+
 def _unigram_fit(seed_rows: list, vocab_size: int,
                  max_piece_len: int, n_em_rounds: int, prune_frac: float,
                  estep) -> list[tuple[str, float]]:
@@ -523,6 +536,7 @@ def unigram_train(df: DataFrame, vocab_size: int, text_col: str = "text",
     seeded and never pruned (full coverage, SentencePiece's
     required-char rule); multi-char seeds are the top ``seed_size`` by
     (weighted count desc, piece asc) at ``min_count`` support."""
+    _validate_unigram_params(vocab_size, prune_frac)
     words = word_counts(df, text_col).localCheckpoint()
     seeds_df = unigram_seed_counts(df, text_col, max_piece_len)
     chars = [(r["piece"], int(r["c"]))
@@ -555,6 +569,7 @@ def unigram_train_local(df: DataFrame, vocab_size: int,
     to produce the IDENTICAL ``[(piece, logprob)]`` list as
     :func:`unigram_train` — integer counts and per-(word, piece)
     fixed-point loss quantization make both orderings exact."""
+    _validate_unigram_params(vocab_size, prune_frac)
     from collections import Counter
 
     rows = (word_counts(df, text_col).orderBy("word")

@@ -172,6 +172,46 @@ def _read_store(spark: SparkSession, store_path: str) -> DataFrame:
     return d
 
 
+def _assert_store_layout(spark: SparkSession, path: str,
+                         namespaced: bool) -> None:
+    """Refuse to write one layout beside the other (r12 advisory): a
+    namespaced run resuming over a legacy bare ``batch_id=N`` store —
+    or a ``namespaced=False`` caller pointed at a ``run_id=R`` store —
+    would produce the mixed-depth partition tree Spark cannot list,
+    and only fail LATER, at read time, after the damage is on disk.
+    Detection is one top-level directory listing (cheap on any store);
+    raise with the migration pointer instead of relying on every
+    caller to remember the store's birth layout."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return
+    has_bare = has_run = False
+    for st in fs.listStatus(jpath):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            has_bare = True
+        elif name.startswith("run_id="):
+            has_run = True
+    if namespaced and has_bare:
+        raise IOError(
+            f"{path} holds a legacy bare batch_id=N store; writing "
+            f"run_id=R/batch_id=N beside it would create a mixed-depth "
+            f"partition tree Spark cannot list. Run "
+            f"migrate_legacy_store(spark, {path!r}) once (stream "
+            f"stopped), or pass namespaced=False if the store is "
+            f"single-run by contract")
+    if not namespaced and has_run:
+        raise IOError(
+            f"{path} holds a run-namespaced run_id=R/batch_id=N store; "
+            f"writing bare batch_id=N beside it would create a "
+            f"mixed-depth partition tree Spark cannot list. Drop "
+            f"namespaced=False (the default layout matches the store)")
+
+
 def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
                               available_now: bool = True,
                               namespaced: bool = True,
@@ -188,9 +228,13 @@ def exactly_once_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     layout for single-run callers whose store was born that way —
     single-run BY CONTRACT, caller beware.  Don't MIX layouts under one
     ``path`` — a mixed-depth partition tree is unreadable (the
-    migrate_legacy_store hazard); pick the layout at the store's birth
-    or migrate once with :func:`migrate_legacy_store`."""
+    migrate_legacy_store hazard); an existing opposite-layout store
+    under ``path`` is DETECTED here and refused with a pointer to
+    :func:`migrate_legacy_store` (r12 advisory — failing at start
+    time beats an unreadable mixed-depth tree at read time); pick the
+    layout at the store's birth or migrate once."""
     run = run_id or (_derived_run_id(checkpoint) if namespaced else None)
+    _assert_store_layout(df.sparkSession, path, namespaced=run is not None)
     prefix = f"{path}/run_id={run}" if run is not None else path
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -266,6 +310,8 @@ def index_backed_dedup_sink(df: DataFrame, out_path: str, index_path: str,
     from basic_data_fusion_spark.operators.text import fingerprint
 
     run = run_id or _derived_run_id(checkpoint)
+    _assert_store_layout(df.sparkSession, out_path, namespaced=True)
+    _assert_store_layout(df.sparkSession, index_path, namespaced=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

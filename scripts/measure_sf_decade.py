@@ -101,7 +101,10 @@ def main() -> None:
             pass
         for lbl, sf_dir in tiers:
             if dnf:
+                # keep walls aligned with tiers so post-DNF step
+                # ratios print as '—' instead of silently dropping
                 cells.append(" — |")
+                walls.append(None)
                 continue
             best, rows = float("inf"), None
             try:

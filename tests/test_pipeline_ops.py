@@ -3522,3 +3522,47 @@ def test_canonical_fold_feeds_fuzzy_dedup(spark):
                                           deterministic=True).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] >= 0.5
+
+
+def test_unigram_trainer_param_validation(spark):
+    """prune_frac <= 0 made _unigram_fit's prune loop keep every
+    multi-char piece each round and never terminate (r12 advisory);
+    both trainers now validate (0, 1] prune_frac and vocab_size >= 1
+    BEFORE any corpus pass."""
+    from basic_data_fusion_spark.operators.tokenizer import (
+        unigram_train,
+        unigram_train_local,
+    )
+
+    tiny = spark.createDataFrame([(1, "ab ab cd")],
+                                 "doc_id long, text string")
+    for trainer in (unigram_train, unigram_train_local):
+        with pytest.raises(ValueError, match="prune_frac"):
+            trainer(tiny, vocab_size=8, prune_frac=0.0)
+        with pytest.raises(ValueError, match="prune_frac"):
+            trainer(tiny, vocab_size=8, prune_frac=1.5)
+        with pytest.raises(ValueError, match="vocab_size"):
+            trainer(tiny, vocab_size=0)
+
+
+def test_dim_truncation_probe_null_and_ragged(spark):
+    """The dims-vs-vector-length guard probes min(size) over NON-NULL
+    vectors (r12 advisory): a NULL embedding row must not spuriously
+    raise for valid dims (F.size(NULL) is -1), and a ragged corpus
+    must be measured by its SHORTEST vector so no row is silently
+    clamped."""
+    withnull = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0, 0.0, 2.0]), (2, [0.0, 1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<double>")
+    queries = (withnull.filter(F.col("embedding").isNotNull())
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    # NULL row present, dims within the real length: must not raise
+    similarity.dim_truncation_sweep(withnull, queries, dims=(2, 4), k=1)
+    with pytest.raises(ValueError, match="minimum vector length"):
+        similarity.dim_truncation_sweep(withnull, queries, dims=(8,), k=1)
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 2.0]), (2, [0.0, 1.0, 0.5])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="minimum vector length"):
+        similarity.dim_truncation_sweep(ragged, queries, dims=(4,), k=1)
+    similarity.dim_truncation_sweep(ragged, queries, dims=(3,), k=1)

@@ -2106,3 +2106,69 @@ def test_retrain_vector_index_parity_and_drift_report(spark, tmp_path):
         assert 0.0 <= r["micro_recall"] <= 1.0
         assert r["n_possible_total"] == 5 * 5
     assert rep["retrained"]["micro_recall"] >= rep["stale"]["micro_recall"]
+
+
+def test_sink_refuses_mixed_layout_store(spark, tmp_path):
+    """Opposite-layout detection (r12 advisory): a namespaced (default)
+    sink pointed at a legacy bare ``batch_id=N`` store — or a
+    ``namespaced=False`` caller pointed at a run-namespaced store —
+    must refuse at START time with the migration pointer, instead of
+    writing the mixed-depth partition tree Spark cannot list."""
+    from basic_data_fusion_spark.streaming.sinks import (
+        exactly_once_parquet_sink,
+        migrate_legacy_store,
+        read_sink,
+    )
+
+    batch = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    d = tmp_path / "in"
+    _feed_files(spark, d, [[(1, "a")]])
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(str(d)))
+
+    legacy = str(tmp_path / "legacy")
+    batch.write.parquet(f"{legacy}/batch_id=0")
+    with pytest.raises(IOError, match="migrate_legacy_store"):
+        exactly_once_parquet_sink(stream, legacy, str(tmp_path / "c1"))
+
+    spaced = str(tmp_path / "spaced")
+    batch.write.parquet(f"{spaced}/run_id=rX/batch_id=0")
+    with pytest.raises(IOError, match="mixed-depth"):
+        exactly_once_parquet_sink(stream, spaced, str(tmp_path / "c2"),
+                                  namespaced=False)
+
+    # migration unblocks the namespaced run on the legacy store
+    assert migrate_legacy_store(spark, legacy) == 1
+    q = exactly_once_parquet_sink(stream, legacy, str(tmp_path / "c1"))
+    q.awaitTermination()
+    assert read_sink(spark, legacy).count() == 2  # legacy row + new row
+
+
+def test_centroid_drift_counts_empty_probe_queries(spark):
+    """A query whose nprobe probed cells are ALL EMPTY yields no arm
+    rows; it must still contribute its denominator (r12 advisory) —
+    dropping it inflates micro_recall exactly in the cell-collapse
+    regime the gate exists to catch, and lets n_queries differ across
+    arms."""
+    from basic_data_fusion_spark.operators.similarity import (
+        centroid_drift_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),       # probes the populated cell
+         (1, [0.0, 1.0, 0.0, 0.0])],      # both probed cells empty
+        "query_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0],
+             [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.9, 0.1, 0.0]]
+    rep = {r["arm"]: r for r in centroid_drift_report(
+        corpus, queries, {"only": cents}, k=2, nprobe=2,
+        deterministic=True).collect()}
+    r = rep["only"]
+    assert r["n_queries"] == 2                   # empty-probe query kept
+    assert r["n_possible_total"] == 4            # min(k, n_exact) per query
+    assert r["n_hits_total"] == 2                # query 0's two hits only
+    assert r["micro_recall"] == 0.5
