@@ -204,41 +204,77 @@ def _summary_base(spark: SparkSession, sf_dir: str, table: str,
             .repartition(spark.sparkContext.defaultParallelism))
 
 
-def _summary_quantiles(df: DataFrame, cols: list[str],
-                       ps: list[float]) -> dict:
-    """{(column, p): value} via the DISTRIBUTED exact-quantile
-    decomposition (aggregations.exact_quantiles) — replaces the
-    percentile() aggregate, whose buffer holds EVERY value of the
-    column on the single merge path (the r12 sf-decade cliff: 6.7x
-    wall for 3x rows at sf1->sf3; re-measured after this re-plan in
-    SCALE.md).  Same interpolation arithmetic bit-for-bit (pos =
-    1+(n-1)p is exact in doubles at these magnitudes and the
-    lo + frac*(hi-lo) op order matches the aggregate), so values and
-    the oracles are unchanged.  Costs one extra linear scan per
-    table; every buffer is now distinct-values-sized."""
+_SUMMARY_QUANTILE_MEMO: dict[str, dict] = {}
+
+
+def _summary_quantiles_all(spark: SparkSession, sf_dir: str) -> dict:
+    """{(table, column, p): value} for BOTH A5 summary tiers from ONE
+    distributed quantile machine.
+
+    r12 re-plan: the DISTRIBUTED exact-quantile decomposition
+    (aggregations.exact_quantiles) replaced the percentile()
+    aggregate, whose buffer holds EVERY value of the column on the
+    single merge path (the r12 sf-decade cliff: 6.7x wall for 3x rows
+    at sf1->sf3).  Interpolation arithmetic is bit-for-bit the
+    aggregate's (pos = 1+(n-1)p exact in doubles at these magnitudes,
+    lo + frac*(hi-lo) op order matched), so values and oracles are
+    unchanged.
+
+    r13 fusion (r12 verdict #3): the exact tier needs p=0.5 and the
+    approx tier's verification band needs 0.49/0.51, and each tier
+    previously ran the melt->counts->prefix-sum machine once PER
+    TABLE — four machines over the same columns across the two
+    contracts.  Now the tables' melts union under table-qualified
+    __cid labels (exact_quantiles_stacked), ONE machine computes all
+    three quantiles, and the collected dict (columns x 3 plain
+    floats) memoizes per sf_dir so the second tier's quantile cost is
+    zero.  Per-column values are bit-identical to per-table runs (the
+    cumulative rank subtracts the preceding columns' mass), so both
+    oracles hold unchanged.  Memo safety: keyed by sf_dir — the
+    driver/test fixtures are immutable parquet directories — and
+    holds only plain floats, no session objects."""
+    hit = _SUMMARY_QUANTILE_MEMO.get(sf_dir)
+    if hit is not None:
+        return hit
     from basic_data_fusion_spark.operators.aggregations import (
-        exact_quantiles,
+        exact_quantiles_stacked,
     )
 
-    return {(r["column"], r["p"]): r["value"]
-            for r in exact_quantiles(df, cols, ps).collect()}
+    stacked = None
+    for table, cols in _SUMMARY_TABLES:
+        df = _summary_base(spark, sf_dir, table, cols)
+        part = (df.select(F.explode(F.array(*[
+            F.struct(F.lit(f"{table}.{c}").alias("__cid"),
+                     F.col(c).cast("double").alias("__v"))
+            for c in cols])).alias("s"))
+            .select("s.__cid", "s.__v")
+            .where(F.col("__v").isNotNull()))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    out = {}
+    for r in exact_quantiles_stacked(stacked,
+                                     [0.49, 0.5, 0.51]).collect():
+        table, col = r["column"].split(".", 1)
+        out[(table, col, r["p"])] = r["value"]
+    _SUMMARY_QUANTILE_MEMO[sf_dir] = out
+    return out
 
 
 def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 deterministic tier: per-column n / missing / mean / median /
     min / max for customer+lineitem numerics.  Mean via fixed-point
-    sum; median EXACT via the distributed quantile decomposition
-    (r12 re-plan — see _summary_quantiles), rounded to 4 in-engine
-    (2-decimal source data -> the round is identity on true values,
-    only kills cross-engine ulp drift)."""
+    sum; median EXACT via the distributed quantile decomposition,
+    computed ONCE for both summary tiers (r13 fusion — see
+    _summary_quantiles_all), rounded to 4 in-engine (2-decimal source
+    data -> the round is identity on true values, only kills
+    cross-engine ulp drift)."""
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
+    quant = _summary_quantiles_all(spark, sf_dir)
     rows = []
     for table, cols in _SUMMARY_TABLES:
         df = _summary_base(spark, sf_dir, table, cols)
         med_df = spark.createDataFrame(
-            [(c, v) for (c, _p), v in
-             _summary_quantiles(df, cols, [0.5]).items()],
+            [(c, quant[(table, c, 0.5)]) for c in cols],
             "column string, median double")
         med = {r["column"]: r["m"] for r in
                med_df.select("column",
@@ -275,15 +311,17 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (accuracy 10000 -> rank error 1e-4, 100x inside the band)
     flips a hash-checked bit instead of hiding in a rows-only row.
     r12 re-plan: the band's exact 0.49/0.51 bounds come from the
-    distributed quantile decomposition (see _summary_quantiles), so
-    this tier no longer smuggles the percentile() aggregate's
-    data-sized buffer in through its own verification bounds."""
+    distributed quantile decomposition, shared with the exact tier's
+    medians since r13 (see _summary_quantiles_all), so this tier
+    neither smuggles the percentile() aggregate's data-sized buffer in
+    through its own verification bounds nor re-runs the quantile
+    machine the exact tier already paid for."""
     from basic_data_fusion_spark.functions.scalars import fixed_point_sum
 
+    quant = _summary_quantiles_all(spark, sf_dir)
     rows = []
     for table, cols in _SUMMARY_TABLES:
         df = _summary_base(spark, sf_dir, table, cols)
-        bounds = _summary_quantiles(df, cols, [0.49, 0.51])
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
@@ -300,8 +338,8 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"{table}.{c}", row[f"n_{c}"],
                          row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
                          row[f"min_{c}"], row[f"max_{c}"],
-                         bool(bounds[(c, 0.49)] <= row[f"ap_{c}"]
-                              <= bounds[(c, 0.51)])))
+                         bool(quant[(table, c, 0.49)] <= row[f"ap_{c}"]
+                              <= quant[(table, c, 0.51)])))
     return spark.createDataFrame(
         rows, "column string, n_non_null long, n_missing long, mean double, "
               "min double, max double, median_within_band boolean")
@@ -1333,7 +1371,14 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadowing ``documents`` CTE in the oracle).  The exhaustive
     shingle self-join is quadratic in documents, so the slice cuts the
     pair tier ~11x while the sliced corpus keeps hundreds of verified
-    pairs through both CC stages at driver scale."""
+    pairs through both CC stages at driver scale.
+
+    RE-PRICED r13 (r12 verdict #1): the slice is additionally CAPPED
+    at ``max_rows=_GATE_MAX_ROWS`` — the r12 decade sweep proved a
+    bare fraction keeps this exhaustive-fed gate quadratic in corpus
+    size (417 s at sf10); the fixed-size slice costs the same at
+    sf0.1 and at 100 TB, and at driver scale the 0.3-slice is below
+    the cap so values are unchanged."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_clusters,
         gate_slice,
@@ -1341,7 +1386,8 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
+                      max_rows=_GATE_MAX_ROWS)
     old = docs.filter(F.col("doc_id") % 10 != 0)
     # jaccard is pairwise, so the old-corpus pair relation is the full
     # relation filtered to old endpoints — ONE pair tier feeds both the
@@ -1365,9 +1411,9 @@ def _incremental_clusters_oracle(slice_frac: float = 0.3) -> str:
     # relation filtered to old endpoints — mirrors the Spark side's
     # single shared pair tier.  The r9 gate slice replays as a
     # shadowing ``documents`` CTE (dedup_recall precedent), which the
-    # nested jaccard oracle's bare ``documents`` references resolve to.
-    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
-            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
+    # nested jaccard oracle's bare ``documents`` references resolve
+    # to; r13 adds the max_rows top-n to the same predicate.
+    pred = _gate_slice_sql(slice_frac, _GATE_MAX_ROWS)
     return f"""
 WITH RECURSIVE
 documents AS (SELECT * FROM main.documents WHERE {pred}),
@@ -1436,8 +1482,9 @@ def q_incremental_clusters_banded(spark: SparkSession,
     oracle computes the identical single relation and splits it, then
     replays the two-stage star-contraction CC.  Like the other
     acceptance composites (dedup_recall_report precedent) the contract
-    prices a bounded md5 slice (gate_slice frac=0.3, replayed by a
-    shadowing documents CTE in the oracle)."""
+    prices a bounded md5 slice (gate_slice frac=0.3, capped at
+    max_rows=_GATE_MAX_ROWS since r13, replayed by a shadowing
+    documents CTE in the oracle)."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_clusters,
         gate_slice,
@@ -1447,7 +1494,8 @@ def q_incremental_clusters_banded(spark: SparkSession,
         word_shingles,
     )
 
-    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
+                      max_rows=_GATE_MAX_ROWS)
     sets = docs.select("doc_id",
                        word_shingles(F.col("text"), 3).alias("shingles")) \
         .localCheckpoint(eager=False)
@@ -1483,10 +1531,10 @@ def _incremental_clusters_banded_oracle(slice_frac: float = 0.3) -> str:
     # relation by endpoint class (band keys are per-doc), so the oracle
     # derives them by filtering one relation — then replays the same
     # two-stage CC as _incremental_clusters_oracle.  The md5 gate slice
-    # replays as a shadowing ``documents`` CTE (dedup_recall precedent).
+    # (+ r13 max_rows cap) replays as a shadowing ``documents`` CTE
+    # (dedup_recall precedent).
     pairs = _minhash_det_oracle(threshold=0.8)
-    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
-            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
+    pred = _gate_slice_sql(slice_frac, _GATE_MAX_ROWS)
     return f"""
 WITH RECURSIVE
 documents AS (SELECT * FROM main.documents WHERE {pred}),
@@ -5795,7 +5843,14 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup pipelines by definition, so at production scale the bounded
     sample is the standing gate and the full corpus (frac=1.0) the
     opt-in.  Pair-tier cost falls ~1/frac² (~11× here); the oracle
-    replays the identical predicate via a shadowing documents CTE."""
+    replays the identical predicate via a shadowing documents CTE.
+
+    r13 (r12 verdict #1): the slice is CAPPED at max_rows=
+    _GATE_MAX_ROWS — the r12 decade sweep DNF'd this gate >420 s at
+    sf10 because a bare fraction of a growing corpus keeps the
+    exhaustive truth set quadratic; the fixed-size slice holds the
+    gate flat (measured 26.7 → 29.1 s sf3 → sf10) and is inactive at
+    driver scale (values unchanged)."""
     from basic_data_fusion_spark.operators.dedup import (
         dedup_recall_report,
         gate_slice,
@@ -5804,7 +5859,8 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_jaccard_pairs,
     )
 
-    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
+                      max_rows=_GATE_MAX_ROWS)
     truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     mh = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
                              threshold=0.8, deterministic=True)
@@ -5818,8 +5874,7 @@ def _dedup_recall_oracle(slice_frac: float = 0.3) -> str:
     The md5 gate slice replays as a shadowing ``documents`` CTE (the
     per-arm oracles' bare ``documents`` references resolve to it), so
     the sliced gate needs no per-arm oracle edits."""
-    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
-            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
+    pred = _gate_slice_sql(slice_frac, _GATE_MAX_ROWS)
     return f"""
 WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
 truth AS (
@@ -5866,14 +5921,20 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frac=0.3) — its cost is the pair graph + CC labeling, quadratic
     in documents; production verifies split hygiene on the bounded
     sample and runs the full-corpus assignment (frac=1.0) as the
-    opt-in job."""
+    opt-in job.
+
+    r13 (r12 verdict #1): slice capped at max_rows=_GATE_MAX_ROWS —
+    the fraction slice grew 8.9× at the r12 sweep's sf3 step; the
+    fixed-size hygiene sample costs the same at any corpus scale and
+    the cap is inactive at driver scale (values unchanged)."""
     from basic_data_fusion_spark.operators.dedup import (
         gate_slice,
         leakage_safe_split,
         ngram_jaccard_pairs,
     )
 
-    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
+                      max_rows=_GATE_MAX_ROWS)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return leakage_safe_split(docs, pairs)
 
@@ -5890,8 +5951,7 @@ def _leakage_split_oracle(train_frac: float = 0.8,
         hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
     t1 = repr(float(train_frac))
     t2 = repr(float(train_frac) + float(val_frac))
-    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
-            f" / 4294967296.0) < CAST({0.3!r} AS DOUBLE)")
+    pred = _gate_slice_sql(0.3, _GATE_MAX_ROWS)
     return f"""
 WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
 base AS ({_DEDUP_CLUSTERS_ORACLE}),
@@ -6254,14 +6314,28 @@ def q_fuzzy_decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/held-out md5 split and det md5 banding as
     ``fuzzy_decontam_det``; every count is exact and every fraction
     integer-derived, so the whole report value-hashes against the SQL
-    replay of the banded pipeline."""
-    from basic_data_fusion_spark.operators.dedup import fuzzy_decontam_sweep
+    replay of the banded pipeline.
+
+    r13 (r12 verdict #5): the EVAL side is capped at max_rows=
+    _GATE_MAX_ROWS (gate_slice top-n, frac=1.0) — the md5-prefix held
+    split is fraction-sized, so at sf10 BOTH sides of the candidate
+    probe grew with the corpus (133.5 s, 6.4× step).  A planning
+    sweep prices its thresholds on a bounded eval sample; the train
+    side (the corpus being decontaminated) still scans in full, which
+    is the linear part.  At driver scale the held set is far below
+    the cap, so values and hashes are unchanged."""
+    from basic_data_fusion_spark.operators.dedup import (
+        fuzzy_decontam_sweep,
+        gate_slice,
+    )
 
     docs = _catalog(spark, sf_dir).load("documents")
     held = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
             < _FUZZY_DECONTAM_HELD_PREFIX)
+    eval_docs = gate_slice(docs.filter(held), 1.0,
+                           max_rows=_GATE_MAX_ROWS)
     return fuzzy_decontam_sweep(
-        docs.filter(~held), docs.filter(held),
+        docs.filter(~held), eval_docs,
         thresholds=_FUZZY_SWEEP_THRESHOLDS, deterministic=True)
 
 
@@ -6284,13 +6358,26 @@ def _fuzzy_decontam_sweep_oracle(n: int = 3, num_hashes: int = 64,
     ts = sorted(float(t) for t in _FUZZY_SWEEP_THRESHOLDS)
     t_values = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in ts)
     t_min = repr(ts[0])
+    # r13 eval cap: held docs beyond the max_rows smallest
+    # (hash_uniform draw, doc_id) survivors drop out entirely —
+    # they are neither train (md5 prefix) nor eval (cap), mirroring
+    # gate_slice(frac=1.0, max_rows) on the held side
+    hex8 = _seeded_hex8_sql("gate_slice")
     return f"""
-WITH d AS (
+WITH d0 AS (
   SELECT doc_id,
          substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
            < '{_FUZZY_DECONTAM_HELD_PREFIX}' AS is_held,
          regexp_split_to_array(lower(trim(text)), '\\s+') AS t
   FROM documents
+),
+evalcap AS (
+  SELECT doc_id FROM d0 WHERE is_held
+  ORDER BY {hex8} ASC, doc_id ASC LIMIT {_GATE_MAX_ROWS}
+),
+d AS (
+  SELECT * FROM d0
+  WHERE NOT is_held OR doc_id IN (SELECT doc_id FROM evalcap)
 ),
 s AS (
   SELECT doc_id, is_held,
@@ -6387,15 +6474,17 @@ def q_lsh_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-hash signature — the bands knob the threshold sweeps don't
     cover, from ONE signature pass.  Det md5 tier; like the other
     acceptance composites it prices a bounded md5 slice (gate_slice
-    frac=0.3, replayed by a shadowing documents CTE) because the
-    wide-bands configs (rows=2) deliberately explore the
-    candidate-dense end of the knob."""
+    frac=0.3, capped at max_rows=_GATE_MAX_ROWS since r13, replayed
+    by a shadowing documents CTE) because the wide-bands configs
+    (rows=2) deliberately explore the candidate-dense end of the
+    knob."""
     from basic_data_fusion_spark.operators.dedup import (
         gate_slice,
         lsh_config_sweep,
     )
 
-    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3)
+    docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
+                      max_rows=_GATE_MAX_ROWS)
     return lsh_config_sweep(docs, bands_options=_LSH_SWEEP_BANDS,
                             threshold=_LSH_SWEEP_THRESHOLD,
                             deterministic=True)
@@ -6430,8 +6519,7 @@ def _lsh_config_sweep_oracle(n: int = 3, num_hashes: int = 64,
         f"({b}, {num_hashes // b}, "
         f"CAST('{_s_curve_capture(t, num_hashes // b, b)!r}' AS DOUBLE))"
         for b in opts)
-    pred = (f"((CAST({_seeded_hex8_sql('gate_slice')} AS DOUBLE) + 0.5)"
-            f" / 4294967296.0) < CAST({slice_frac!r} AS DOUBLE)")
+    pred = _gate_slice_sql(slice_frac, _GATE_MAX_ROWS)
     return f"""
 WITH documents AS (SELECT * FROM main.documents WHERE {pred}),
 d AS (
@@ -8438,6 +8526,36 @@ def _seeded_hex8_sql(seed: str) -> str:
           " * {p}::BIGINT")
     return "(" + " + ".join(
         hv.format(i=i, p=16 ** (8 - i)) for i in range(1, 9)) + ")"
+
+
+# Fixed-size cap for the acceptance-gate slices (r13 re-pricing, the
+# r12 sf-decade finding): a FRACTION slice keeps a quadratic gate
+# growing with the corpus (dedup_recall_report DNF'd >420 s at sf10 on
+# frac=0.3 alone — 150k docs is still an exhaustive truth set), while
+# the max_rows cap holds the gate flat (measured 26.7 → 29.1 s across
+# sf3 → sf10, dedup.gate_slice).  5000 docs keeps hundreds of verified
+# pairs through every gate at driver scale; at sf0.01/sf0.1 the
+# 0.3-slice is already below the cap, so driver hashes are unchanged
+# and the cap's top-n only prunes at sf1+.
+_GATE_MAX_ROWS = 5000
+
+
+def _gate_slice_sql(slice_frac: float, max_rows: int | None = None,
+                    table: str = "main.documents") -> str:
+    """DuckDB replay of ``dedup.gate_slice(frac, max_rows=…)`` as a WHERE
+    predicate over ``table``: the md5 hash_uniform draw falls below
+    ``frac``, and — when capped — the doc is among the ``max_rows``
+    smallest (draw, doc_id) survivors.  hash_uniform is strictly
+    monotone in the hex8 BIGINT numerator, so ``ORDER BY hex8, doc_id
+    LIMIT n`` reproduces the Spark side's (draw, id) top-n exactly."""
+    hex8 = _seeded_hex8_sql("gate_slice")
+    pred = (f"((CAST({hex8} AS DOUBLE) + 0.5)"
+            f" / 4294967296.0) < CAST({float(slice_frac)!r} AS DOUBLE)")
+    if max_rows is None:
+        return pred
+    return (f"{pred} AND doc_id IN (SELECT doc_id FROM {table} "
+            f"WHERE {pred} ORDER BY {hex8} ASC, doc_id ASC "
+            f"LIMIT {int(max_rows)})")
 
 
 def _dsir_gumbel_oracle(k: int = 50, buckets: int = 2048) -> str:

@@ -1662,20 +1662,51 @@ def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
     the doc from the report AND could shift which member a cluster
     keeps, turning an upstream scoring gap into a wrong dedup decision.
     Returns (id, cluster_id, cluster_size, score, keep).
+
+    Scale shape (r13 restructure, r12 verdict #4): only PAIR MEMBERS
+    ride the CC labeling and the cluster-keyed ranking window —
+    singletons (the vast majority of a real corpus; every doc the pair
+    tier never touched) take a map-side branch (anti-join on the
+    member-id relation, keep=True, cluster_id=self) and never shuffle
+    on cluster_id.  The previous form pushed the WHOLE corpus through
+    the window sort to rank mostly singleton partitions of size 1;
+    now window input is pair-mass-sized, which is what the sf10
+    finishing stage was paying for.  Results are identical: a
+    singleton's window rank was always 1.
     """
     from pyspark.sql import Window
 
-    clusters = dedup_clusters(df, pairs, id_col=id_col)
-    joined = clusters.join(scored.select(F.col(id_col),
-                                         F.col(score_col)), id_col, "left")
+    # non-singleton labels come from the pair graph alone
+    # (dedup_clusters's `labeled` relation, inlined so the singleton
+    # branch can skip the window entirely)
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    labeled = (labels.join(sizes, "component")
+               .select(F.col("node").alias(id_col),
+                       F.col("component").alias("cluster_id"),
+                       "cluster_size"))
+    joined = labeled.join(scored.select(F.col(id_col),
+                                        F.col(score_col)), id_col, "left")
     # NULL score → -inf rank key: unscored members lose to any scored one
     rank_score = F.coalesce(F.col(score_col),
                             F.lit(float("-inf")).cast("double"))
     w = (Window.partitionBy("cluster_id")
          .orderBy(F.desc(rank_score), F.asc(id_col)))
-    return (joined.withColumn("keep", F.row_number().over(w) == 1)
-            .select(id_col, "cluster_id", "cluster_size", score_col,
-                    "keep"))
+    ranked = (joined.withColumn("keep", F.row_number().over(w) == 1)
+              .select(id_col, "cluster_id", "cluster_size", score_col,
+                      "keep"))
+    singles = (df.select(id_col)
+               .join(labels.select(F.col("node").alias(id_col)),
+                     id_col, "left_anti")
+               .join(scored.select(F.col(id_col), F.col(score_col)),
+                     id_col, "left")
+               .select(F.col(id_col),
+                       F.col(id_col).alias("cluster_id"),
+                       F.lit(1).cast("long").alias("cluster_size"),
+                       F.col(score_col),
+                       F.lit(True).alias("keep")))
+    return ranked.unionByName(singles)
 
 
 # ---------------- corpus snapshot diff ----------------

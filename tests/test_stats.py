@@ -828,3 +828,43 @@ def test_exact_quantiles_distributed_matches_percentile(spark):
     plan = (exact_quantiles(li, cols, [0.5])
             ._jdf.queryExecution().optimizedPlan().toString())
     assert "percentile(" not in plan
+
+
+def test_exact_quantiles_stacked_fusion_bit_identical(spark):
+    """exact_quantiles_stacked (r13 fusion): two tables' melts unioned
+    under table-qualified __cid labels through ONE prefix-sum machine
+    must return bit-identical values to separate per-table
+    exact_quantiles runs — the per-column cumulative rank subtracts
+    the preceding columns' mass, so sharing the pass cannot move any
+    bracketing rank or interpolation."""
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.operators.aggregations import (
+        exact_quantiles,
+        exact_quantiles_stacked,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    ps = [0.49, 0.5, 0.51]
+
+    def melt(df, table, cols):
+        return (df.select(F.explode(F.array(*[
+            F.struct(F.lit(f"{table}.{c}").alias("__cid"),
+                     F.col(c).cast("double").alias("__v"))
+            for c in cols])).alias("s"))
+            .select("s.__cid", "s.__v")
+            .where(F.col("__v").isNotNull()))
+
+    stacked = melt(cust, "customer", ["c_acctbal"]).unionByName(
+        melt(li, "lineitem", ["l_quantity", "l_extendedprice"]))
+    fused = {(r["column"], r["p"]): (r["n_non_null"], r["value"])
+             for r in exact_quantiles_stacked(stacked, ps).collect()}
+    solo = {}
+    for df, table, cols in ((cust, "customer", ["c_acctbal"]),
+                            (li, "lineitem",
+                             ["l_quantity", "l_extendedprice"])):
+        for r in exact_quantiles(df, cols, ps).collect():
+            solo[(f"{table}.{r['column']}", r["p"])] = (r["n_non_null"],
+                                                        r["value"])
+    assert fused == solo  # exact float equality, not approx
