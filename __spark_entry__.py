@@ -8957,54 +8957,52 @@ WHERE rn <= 20
 # rotation request): a query whose plan or oracle changed after the
 # previous window froze has no driver row for its CURRENT contract, so
 # those outrank everything.
-# (a) changed or NEW in r12 (new contracts get their driver hash row
-#     in their birth round): canonical_dedup (Unicode text
-#     canonicalization for dedup keys — the planted 4-way confusable
-#     disguises, r11 verdict #5), unigram_roundtrip (the unigram-LM
-#     tokenizer's word-count + concat-roundtrip gate, r11 verdict #4),
-#     centroid_drift_recall (the IVF quantizer-drift audit — recall +
-#     probe candidate volume per centroid set, r11 verdict #3), and
-#     decontam_by_benchmark whose ORACLE changed this round (r11
-#     advisory: pct_train_docs_dirty → try_divide / NULLIF, NULL not
-#     NaN on an empty corpus), so its r11 row no longer prices the
-#     current contract; and column_summary + column_summary_approx,
-#     whose PLANS changed late in r12 (exact medians / band bounds
-#     re-planned onto aggregations.exact_quantiles — the distributed
-#     prefix-sum decomposition replacing the percentile() aggregate's
-#     data-sized merge buffer, the sf-decade finding; values and
-#     oracles unchanged, plan hashes not).
-# (b) 44 of the 47 r8-era oracle-backed greens in registration order
-#     (the r11 verdict's rotation request: retire the r8 era).  The
-#     three that do not fit — line_dedup, dsir_weights,
-#     embedding_near_dups (last in registration order) — queue for
-#     r13.
-# After this rotation NO oracle-backed query's latest driver row
-# predates r9 except those three queued r8 rows.  Every query,
-# windowed or not, stays pinned each pytest run by
+# (a) plans/oracles CHANGED in r13:
+#     - the five acceptance-gate contracts re-priced onto
+#       gate_slice(max_rows=_GATE_MAX_ROWS) (r12 verdict #1) — oracle
+#       predicates now carry the top-n replay: dedup_recall_report,
+#       leakage_safe_split, incremental_clusters,
+#       incremental_clusters_banded, lsh_config_sweep — plus
+#       fuzzy_decontam_sweep, whose EVAL slice is capped the same way
+#       (r12 verdict #5).  Values unchanged at driver sf (cap
+#       inactive below 5000 docs) but the contracts changed.
+#     - column_summary + column_summary_approx: both tiers re-planned
+#       onto ONE shared memoized quantile relation
+#       (_summary_quantiles_all, r12 verdict #3; values bit-identical,
+#       plans not).
+#     - dedup_keep_best: singleton fast path (members-only CC window +
+#       anti-join branch, r12 verdict #4; values identical).
+#     - centroid_drift_recall: full (arm × query) grid join (r12
+#       advisory — empty-probe queries keep their denominator).
+# (b) the three r8-era rows queued from the r12 rotation (r12 verdict
+#     #2): line_dedup, dsir_weights, embedding_near_dups.  After they
+#     land, every oracle-backed contract's latest driver row is r9+.
+# (c) 37 fills = the oldest-verified remaining oracle-backed rows
+#     (all r9-era), name order within the round.
+# Every query, windowed or not, stays pinned each pytest run by
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r12 plan/oracle changes + new r12 contracts — fresh hashes
-    "canonical_dedup", "unigram_roundtrip", "centroid_drift_recall",
-    "decontam_by_benchmark", "column_summary", "column_summary_approx",
-    # (b) 44 r8-era greens, registration order
-    "forecast_revenue", "market_share", "returned_item_losses",
-    "temperature_mix", "dsir_top_docs", "exactsubstr_dedup",
-    "pack_sequences_sharded", "pack_sequences_distributed",
-    "incremental_clusters_banded", "length_bucketed_batches",
-    "url_dedup", "dsir_gumbel_sample", "pareto_quality_sample",
-    "stupid_backoff_lm", "perplexity_buckets", "bm25_search",
-    "cheapest_supplier_per_part", "product_type_profit",
-    "priority_shipping_bands", "bulk_suppliers_for_parts",
-    "sole_blame_suppliers", "important_stock", "chi2_priority_status",
-    "hybrid_rrf_search", "benford_extendedprice", "curriculum_order",
-    "corpus_composition", "rolling_zscore_purchases",
-    "mutual_info_priority_status", "winnow_fingerprints",
-    "winsorized_acctbal", "distinctive_terms_en",
-    "toml_pipeline_curation", "simhash_det", "pack_sequences",
-    "disjunctive_parts_revenue", "part_supplier_variety",
-    "nation_pair_trade", "melt_measures", "zscore_by_segment",
-    "mad_outliers_by_segment", "segment_sample",
-    "filter_impact_individual", "profiling_stats",
+    # (a) r13 plan/oracle changes — fresh hashes
+    "dedup_recall_report", "leakage_safe_split", "incremental_clusters",
+    "incremental_clusters_banded", "lsh_config_sweep",
+    "fuzzy_decontam_sweep", "column_summary", "column_summary_approx",
+    "dedup_keep_best", "centroid_drift_recall",
+    # (b) r8-era backlog — the last pre-r9 rows
+    "line_dedup", "dsir_weights", "embedding_near_dups",
+    # (c) 37 oldest-verified fills (r9-era), name order
+    "acctbal_minmax", "anova_acctbal_by_segment", "approx_top_flags",
+    "baseline_consolidation", "bloom_decontam_det",
+    "categorical_summary", "cms_token_freq", "corpus_curation_v2",
+    "corpus_diff", "dedup_exact", "density_2d_lineitem",
+    "dist_stats_acctbal", "distinct_capped", "distinct_segments",
+    "domain_quality_report", "enwiden_events", "filter_impact",
+    "flagship_merge", "grouped_normality_k2", "grouped_ols_events",
+    "histogram_acctbal", "incremental_dedup", "incremental_minhash_det",
+    "iqr_outliers_acctbal", "ivfpq_topk_det", "js_divergence_en",
+    "kendall_tau_grouped", "longitudinal_merge", "minhash_dedup_det",
+    "numeric_ranges_lineitem", "ols_regression", "part_heavy_hitters",
+    "participant_count", "pearson_corr", "pq_topk_det",
+    "pricing_summary", "quality_audit_orders",
 ]
 
 
