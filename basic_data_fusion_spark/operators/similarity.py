@@ -1319,6 +1319,59 @@ def centroid_drift_report(corpus: DataFrame, queries: DataFrame,
             .orderBy("arm"))
 
 
+def drift_retrain_decision(report: DataFrame, arm: str,
+                           recall_floor: float = 0.8,
+                           candidate_factor: float = 3.0,
+                           corpus_size: int | None = None,
+                           n_cells: int | None = None,
+                           nprobe: int | None = None) -> dict:
+    """Go/no-go RULE over a :func:`centroid_drift_report` row (r12
+    verdict #6) — the documented threshold policy that turns the drift
+    audit into an automatic rebuild trigger.  Rebuild iff either decay
+    axis crosses its line:
+
+    - **recall floor**: ``micro_recall < recall_floor`` — neighbors are
+      hiding in unprobed cells; the quantizer no longer carves the
+      data's density.
+    - **candidate-volume ceiling**: ``n_candidates_total >
+      candidate_factor × n_queries × nprobe × corpus_size / n_cells``
+      — the BALANCED-cells probe budget (each probe scans
+      corpus/n_cells members) exceeded ``candidate_factor``-fold:
+      drifted mass has collapsed into few stale cells, so recall holds
+      while every probe silently scans a growing fraction of the
+      corpus.  Skipped when any of (corpus_size, n_cells, nprobe) is
+      not supplied.
+
+    ``report`` is arm-count-sized, so the collect is bounded; returns
+    a plain dict (retrain / reason / the numbers behind it) the caller
+    logs or acts on.  :func:`~..streaming.sinks.maybe_retrain_vector_
+    index` composes this with the audit and the rebuild."""
+    rows = {r["arm"]: r for r in report.collect()}
+    if arm not in rows:
+        raise ValueError(f"arm {arm!r} not in report ({sorted(rows)})")
+    r = rows[arm]
+    budget = None
+    if corpus_size and n_cells and nprobe:
+        budget = (float(candidate_factor) * r["n_queries"]
+                  * int(nprobe) * int(corpus_size) / int(n_cells))
+    reasons = []
+    if r["micro_recall"] < float(recall_floor):
+        reasons.append(
+            f"micro_recall {r['micro_recall']:.4f} < floor {recall_floor}")
+    if budget is not None and r["n_candidates_total"] > budget:
+        reasons.append(
+            f"n_candidates_total {r['n_candidates_total']} > "
+            f"{candidate_factor}x balanced budget {budget:.0f}")
+    return {
+        "retrain": bool(reasons),
+        "reason": "; ".join(reasons) or "within thresholds",
+        "micro_recall": float(r["micro_recall"]),
+        "n_candidates_total": int(r["n_candidates_total"]),
+        "n_queries": int(r["n_queries"]),
+        "candidate_budget": budget,
+    }
+
+
 def embedding_outliers(df: DataFrame, label_col: str = "label",
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        k: int = 5, dim: int = 64) -> DataFrame:

@@ -1243,3 +1243,67 @@ def retrain_vector_index(spark: SparkSession, index_path: str,
     (indexed.write.mode("overwrite")
      .parquet(f"{new_index_path}/run_id={run}/batch_id=0"))
     return cents
+
+
+def maybe_retrain_vector_index(spark: SparkSession, index_path: str,
+                               new_index_path: str,
+                               queries: DataFrame,
+                               centroids: list[list[float]],
+                               k: int = 5, nprobe: int = 2,
+                               recall_floor: float = 0.8,
+                               candidate_factor: float = 3.0,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               query_id_col: str = "query_id",
+                               metric: str = "cosine",
+                               max_iter: int = 20, seed: int = 42,
+                               run_id: str | None = None,
+                               ) -> tuple[dict, list[list[float]] | None]:
+    """Drift-TRIGGERED retrain (r12 verdict #6): run the quantizer
+    drift audit over the accumulated store, apply the documented
+    threshold rule, and rebuild only when a decay axis crosses its
+    line — the closed loop around the r12 pair
+    (:func:`~..operators.similarity.centroid_drift_report` prices the
+    decay, :func:`retrain_vector_index` is the fix).
+
+    ``centroids`` are the store's CURRENT (at-build) centroid set;
+    ``queries`` is the representative probe workload the deployment
+    watches (recent queries, or a held-out sample).  The rule
+    (:func:`~..operators.similarity.drift_retrain_decision`) rebuilds
+    iff probe ``micro_recall`` falls below ``recall_floor`` OR probe
+    candidate volume exceeds ``candidate_factor`` × the balanced-cells
+    budget (``n_queries × nprobe × corpus/|centroids|``) — the two
+    independent decay modes the audit prices (neighbors hiding in
+    unprobed cells; drifted mass collapsing into few stale cells so
+    cost explodes while recall holds).
+
+    Returns ``(decision, new_centroids | None)``; on rebuild the
+    caller cuts its probe path over to ``new_index_path`` with the
+    returned centroids (rebuild-not-edit, as retrain_vector_index
+    documents).  Cost: one exact scan over the store corpus + one
+    cell-probe per arm (the audit), and only on trigger the k-means
+    rebuild — run it on the audit cadence (per N batches / per epoch),
+    not per query."""
+    from basic_data_fusion_spark.operators.similarity import (
+        centroid_drift_report,
+        drift_retrain_decision,
+    )
+
+    corpus = (read_vector_index(spark, index_path, id_col, vec_col)
+              .select(id_col, vec_col))
+    n_corpus = corpus.count()
+    report = centroid_drift_report(
+        corpus, queries, {"current": centroids}, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        deterministic=(metric == "fixed_cosine"))
+    decision = drift_retrain_decision(
+        report, "current", recall_floor=recall_floor,
+        candidate_factor=candidate_factor, corpus_size=n_corpus,
+        n_cells=len(centroids), nprobe=nprobe)
+    if not decision["retrain"]:
+        return decision, None
+    cents = retrain_vector_index(
+        spark, index_path, new_index_path, k=len(centroids),
+        id_col=id_col, vec_col=vec_col, metric=metric,
+        max_iter=max_iter, seed=seed, run_id=run_id)
+    return decision, cents
