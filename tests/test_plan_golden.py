@@ -97,6 +97,11 @@ PINNED = [
     # posexplode join-back — the pin freezes that the corpus DP never
     # runs per-instance, only per-distinct-word)
     "unigram_roundtrip",
+    # r13 (r12 verdict #7): the Unicode-canonicalization dedup tier —
+    # the pin freezes that the fold tables ride the plan as broadcast
+    # literals/joins and the canonical-key reduction stays one
+    # hash aggregation over (key) with bodies never shuffled twice
+    "canonical_dedup",
 ]
 
 # Internal pre-execution frames for contracts that execute eagerly
