@@ -1387,7 +1387,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
-                      max_rows=_GATE_MAX_ROWS)
+                      max_rows=_GATE_MAX_ROWS).localCheckpoint(eager=False)
     old = docs.filter(F.col("doc_id") % 10 != 0)
     # jaccard is pairwise, so the old-corpus pair relation is the full
     # relation filtered to old endpoints — ONE pair tier feeds both the
@@ -1495,7 +1495,7 @@ def q_incremental_clusters_banded(spark: SparkSession,
     )
 
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
-                      max_rows=_GATE_MAX_ROWS)
+                      max_rows=_GATE_MAX_ROWS).localCheckpoint(eager=False)
     sets = docs.select("doc_id",
                        word_shingles(F.col("text"), 3).alias("shingles")) \
         .localCheckpoint(eager=False)
@@ -5859,8 +5859,12 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_jaccard_pairs,
     )
 
+    # slice ONCE: the three arms would otherwise each re-evaluate the
+    # corpus-sized hash + top-n slice subtree (~6 scans of the full
+    # corpus at sf10 — measured 84.6 s vs ~20 s at sf3 before this
+    # checkpoint; the sliced frame itself is max_rows-bounded)
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
-                      max_rows=_GATE_MAX_ROWS)
+                      max_rows=_GATE_MAX_ROWS).localCheckpoint(eager=False)
     truth = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     mh = minhash_dedup_pairs(docs, n=3, num_hashes=64, bands=16,
                              threshold=0.8, deterministic=True)
@@ -5933,8 +5937,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    # slice ONCE (dedup_recall_report precedent): pairs and the split
+    # both consume the sliced frame
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
-                      max_rows=_GATE_MAX_ROWS)
+                      max_rows=_GATE_MAX_ROWS).localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return leakage_safe_split(docs, pairs)
 
@@ -6333,7 +6339,8 @@ def q_fuzzy_decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
             < _FUZZY_DECONTAM_HELD_PREFIX)
     eval_docs = gate_slice(docs.filter(held), 1.0,
-                           max_rows=_GATE_MAX_ROWS)
+                           max_rows=_GATE_MAX_ROWS) \
+        .localCheckpoint(eager=False)
     return fuzzy_decontam_sweep(
         docs.filter(~held), eval_docs,
         thresholds=_FUZZY_SWEEP_THRESHOLDS, deterministic=True)
