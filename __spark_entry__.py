@@ -6490,8 +6490,10 @@ def q_lsh_config_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_config_sweep,
     )
 
+    # slice ONCE (dedup_recall_report precedent): the sweep pins both
+    # a signature and a shingle-set relation off the sliced frame
     docs = gate_slice(_catalog(spark, sf_dir).load("documents"), 0.3,
-                      max_rows=_GATE_MAX_ROWS)
+                      max_rows=_GATE_MAX_ROWS).localCheckpoint(eager=False)
     return lsh_config_sweep(docs, bands_options=_LSH_SWEEP_BANDS,
                             threshold=_LSH_SWEEP_THRESHOLD,
                             deterministic=True)
