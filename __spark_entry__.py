@@ -2145,8 +2145,12 @@ def q_media_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.multimodal import (
         image_header_meta,
     )
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
 
-    docs = _catalog(spark, sf_dir).load("documents").select("doc_id")
+    # hex construct + unhex + header parse are one CPU-bound map pass;
+    # spread the single-file scan so it parallelizes (1 task before)
+    docs = spread_narrow(
+        _catalog(spark, sf_dir).load("documents").select("doc_id"))
     w = (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(1920))).cast("int")
     h = (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(1080))).cast("int")
     k = F.pmod(F.col("doc_id"), F.lit(64)).cast("int")     # APP1 filler
@@ -2206,8 +2210,11 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.multimodal import (
         audio_header_meta,
     )
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
 
-    docs = _catalog(spark, sf_dir).load("documents").select("doc_id")
+    # same spread rationale as media_headers (1 task / ~1 s exec before)
+    docs = spread_narrow(
+        _catalog(spark, sf_dir).load("documents").select("doc_id"))
     d = F.col("doc_id")
     sr = (F.lit(8000) * (F.lit(1) + F.pmod(d, F.lit(5)))).cast("long")
     ch = (F.lit(1) + F.pmod(d, F.lit(2))).cast("long")
@@ -5988,8 +5995,12 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_estimate,
     )
     from basic_data_fusion_spark.operators.text import tokens
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
 
-    docs = _catalog(spark, sf_dir).load("documents")
+    # tokenize + explode + per-cell md5 all pipeline with the scan;
+    # spread the single-file source so the pass parallelizes (r13 opt:
+    # 6 tasks / 1.45 s exec at sf0.1 before)
+    docs = spread_narrow(_catalog(spark, sf_dir).load("documents"))
     toks = F.filter(tokens(F.coalesce(F.col("text"), F.lit(""))),
                     lambda x: x != "")
     inst = docs.select(F.explode(toks).alias("token"))

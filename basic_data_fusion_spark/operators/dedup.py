@@ -610,8 +610,12 @@ def minhash_signature_column(text: Column, n: int = 3,
                          "(expected 'xxhash64' or 'md5')")
 
     params = _affine_params(num_hashes, seed)
-    ab = F.array(*[F.struct(F.lit(a).cast("long").alias("a"),
-                            F.lit(b).cast("long").alias("b")) for a, b in params])
+    # ONE SQL parse for the (a, b) literal array: the F.array/F.struct
+    # form crossed py4j ~7× per hash function (~0.8 s of plan-build per
+    # bench run at num_hashes=64 — the nested_double_lit lesson, r13
+    # opt round); the parsed tree constant-folds to the same Literal.
+    ab = F.expr("array(" + ",".join(
+        f"named_struct('a',{a}L,'b',{b}L)" for a, b in params) + ")")
     init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
     return F.aggregate(
         base, init,
@@ -634,13 +638,17 @@ def _band_bucket_cols(bands: int, num_hashes: int,
     rows_per_band = num_hashes // bands
 
     def bucket(bi: int):
-        joined = F.concat_ws(
-            ",", *[F.element_at(signature_col, bi * rows_per_band + r + 1)
-                   .cast("string") for r in range(rows_per_band)])
+        # ONE SQL parse per band instead of ~3 py4j calls per signature
+        # element (r13 opt round; the parsed tree is identical)
+        elems = ",".join(
+            f"cast(element_at(`{signature_col}`,"
+            f" {bi * rows_per_band + r + 1}) as string)"
+            for r in range(rows_per_band))
+        joined = f"concat_ws(',',{elems})"
         # hashed buckets shuffle 8-byte keys (default); raw-string
         # buckets are engine-portable — the oracle-checkable tier
-        return (F.xxhash64(joined).cast("string") if hash_buckets
-                else joined)
+        return F.expr(f"cast(xxhash64({joined}) as string)"
+                      if hash_buckets else joined)
 
     return [bucket(bi) for bi in range(bands)]
 

@@ -1005,6 +1005,10 @@ def sq8_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     instead of 4 (the memory lever that lets a 100 TB embedding corpus
     fit its ANN working set); queries and bounds broadcast; ranking is
     the per-query window top-k."""
+    # encode/decode/ADC are CPU-bound HOF pipelines; a single-file
+    # corpus scan otherwise pins the whole pass to one core (r13 opt:
+    # measured 7 tasks / 1.8 s exec at sf0.1 before the spread)
+    corpus = spread_narrow(corpus)
     bounds = sq8_bounds(corpus, vec_col=vec_col, dim=dim)
     # one crossJoin carries the codes AND the bounds forward so the
     # 1-row training aggregate is referenced once (not re-evaluated by
@@ -1050,14 +1054,22 @@ def label_cohesion(df: DataFrame, label_col: str = "label",
     through fixed IEEE trees, so the report is bit-identical to a
     single-node SQL replay at any partitioning.
     """
-    v = lambda i: F.col(vec_col).getItem(i).cast("double")
+    # the 64-expression fixed-point sums and the per-member cosine are
+    # CPU-bound; spread a narrow single-file scan so both label-keyed
+    # passes parallelize (values are fixed-point — partitioning-invariant)
+    df = spread_narrow(df)
+    # per-dimension sums and the centroid array parse as SQL strings —
+    # the F.round/F.col form crossed py4j ~7× per dimension (~1.9 s of
+    # plan-build per bench run at dim=64; r13 opt round). 1.0E6 parses
+    # as DOUBLE (exponent literals never hit the DECIMAL default).
     sums = df.groupBy(F.col(label_col).alias("__lbl")).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.round(v(i) * F.lit(1e6), 0).cast("bigint")).alias(f"__s{i}")
+        *[F.expr(f"sum(cast(round(cast(`{vec_col}`[{i}] as double)"
+                 f" * 1.0E6, 0) as bigint))").alias(f"__s{i}")
           for i in range(dim)])
-    centroid = F.array(*[
-        (F.col(f"__s{i}").cast("double") / F.lit(1e6))
-        / F.col("n").cast("double") for i in range(dim)])
+    centroid = F.expr("array(" + ",".join(
+        f"(cast(__s{i} as double) / 1.0E6) / cast(n as double)"
+        for i in range(dim)) + ")")
     cents = sums.select("__lbl", "n", centroid.alias("__cent"))
     scored = (df.join(F.broadcast(cents),
                       F.col(label_col) == F.col("__lbl"))
@@ -1391,14 +1403,18 @@ def embedding_outliers(df: DataFrame, label_col: str = "label",
     rank-then-filter top-k shuffles only (id, label, cosine) triples —
     vectors never pass through the window.
     """
-    v = lambda i: F.col(vec_col).getItem(i).cast("double")
+    # same spread + SQL-parse rationale as label_cohesion: CPU-bound
+    # fixed-point passes, and the per-dimension expressions cross py4j
+    # once as ONE parsed string instead of ~7× per dimension
+    df = spread_narrow(df)
     sums = df.groupBy(F.col(label_col).alias("__lbl")).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.round(v(i) * F.lit(1e6), 0).cast("bigint")).alias(f"__s{i}")
+        *[F.expr(f"sum(cast(round(cast(`{vec_col}`[{i}] as double)"
+                 f" * 1.0E6, 0) as bigint))").alias(f"__s{i}")
           for i in range(dim)])
-    centroid = F.array(*[
-        (F.col(f"__s{i}").cast("double") / F.lit(1e6))
-        / F.col("n").cast("double") for i in range(dim)])
+    centroid = F.expr("array(" + ",".join(
+        f"(cast(__s{i} as double) / 1.0E6) / cast(n as double)"
+        for i in range(dim)) + ")")
     cents = sums.select("__lbl", centroid.alias("__cent"))
     scored = (df.join(F.broadcast(cents),
                       F.col(label_col) == F.col("__lbl"))

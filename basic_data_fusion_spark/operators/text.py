@@ -99,7 +99,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     unstaged form re-tokenized the document once per referencing
     feature (~6× per row — same lesson as ``gopher_rules``' staged
     scalars; see SCALE.md). Values are bit-identical — the staged
-    columns feed the exact same expression trees."""
+    columns feed the exact same expression trees.
+
+    r13 opt: the feature pass is CPU-bound (tokenize + four regex
+    scrubs per document); spread a narrow single-file scan so it
+    parallelizes (spread_narrow no-ops when the input already has a
+    shuffle upstream — e.g. inside the curation composites)."""
+    df = spread_narrow(df)
     c = F.col(text_col)
     staged = df.withColumns({
         "__toks": tokens(c),

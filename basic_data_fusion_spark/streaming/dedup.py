@@ -74,7 +74,12 @@ def streaming_decontaminate(df: DataFrame, held_out: DataFrame,
                  .select("__h").distinct()
                  .withColumn("__hit", F.lit(1)))
 
-    base = _tokenized_base(df, text_col, id_col)
+    # tokenize + per-window md5 is CPU-bound; spread a narrow batch
+    # scan so the probe parallelizes (spread_narrow passes streaming
+    # frames through untouched — the live-ingest path is unchanged)
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
+
+    base = _tokenized_base(spread_narrow(df), text_col, id_col)
     # posexplode_outer keeps zero-window (short) docs as a NULL row, so
     # ONE aggregation covers every doc — no stream-to-aggregate back-join
     # (unsupported in streaming) and no doc silently dropped.  The short
