@@ -193,8 +193,18 @@ def image_header_meta(df: DataFrame, id_col: str = "media_id",
     segment, one step; raise the window for pathological multi-APP
     files).  Scale shape: one map-side projection, ``hex()`` of a
     BOUNDED prefix (never the full payload), no shuffle, no Python
-    worker — this is the operator the decode stand-ins cannot be."""
-    hx = F.hex(F.substring(F.col(data_col), 1, int(jpeg_scan_bytes)))
+    worker — this is the operator the decode stand-ins cannot be.
+
+    The hex window is STAGED through a projection boundary (r13 opt,
+    the quality_features staging lesson): every ``byte_at`` otherwise
+    re-embeds ``hex(substring(payload))`` — and with it the caller's
+    whole payload expression — once per byte access (~40× per row in
+    the marker walk; the staged column evaluates it once per row and
+    shrank the media_headers plan ~10×)."""
+    df = df.withColumn("__hx",
+                       F.hex(F.substring(F.col(data_col), 1,
+                                         int(jpeg_scan_bytes))))
+    hx = F.col("__hx")
     hxlen = F.length(hx)
 
     def byte_at(pos):  # 1-based byte index (Column or int) -> int value
@@ -341,8 +351,15 @@ def audio_header_meta(df: DataFrame, id_col: str = "media_id",
     format, sample_rate, channels, bits_per_sample, duration_s,
     header_ok)``; non-RIFF/truncated payloads report header_ok false.
     Same scale shape as the image parser: one map-side projection over
-    a bounded hex prefix, no shuffle."""
-    hx = F.hex(F.substring(F.col(data_col), 1, int(scan_bytes)))
+    a bounded hex prefix, no shuffle — and the hex window is STAGED
+    through a projection boundary so the chunk walk's ~50 byte reads
+    share one ``hex(substring(payload))`` evaluation per row instead of
+    re-embedding the caller's payload expression each (r13 opt; see
+    :func:`image_header_meta`)."""
+    df = df.withColumn("__hx",
+                       F.hex(F.substring(F.col(data_col), 1,
+                                         int(scan_bytes))))
+    hx = F.col("__hx")
     hxlen = F.length(hx)
 
     def byte_at(pos):
