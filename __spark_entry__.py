@@ -6709,16 +6709,32 @@ def q_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated self-probes of lineitem; orders with n_supp > 1 and
     exactly one late supplier assign blame. One fact-fact join + two
     grouped aggs; supplier/nation decorate via broadcast."""
+    from basic_data_fusion_spark.sources.partitioning import spread_narrow
+
     cat = _catalog(spark, sf_dir)
-    li = cat.load("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # spread the single-file fact scan so the join + first aggregation's
+    # map side parallelizes (r13 opt: 2.1 s exec pinned to the scan
+    # stage before; no-op at scale where the scan is already split)
+    li = spread_narrow(
+        cat.load("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate"))
     orders = cat.load("orders").select("o_orderkey", "o_orderdate")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    # two-level aggregation instead of two countDistincts: the distinct
+    # pass reduces to (order, supplier, any-late) first, so the plan
+    # carries no Expand — the countDistinct form tripled every joined
+    # row through the first shuffle (r13 opt; integers are identical:
+    # distinct-supplier count = row count after the first level,
+    # distinct-late count = sum of the any-late flags, and the sole
+    # late supplier = min over late rows either way)
+    per_pair = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max(late.cast("int")).alias("__late")))
+    per_order = (per_pair
                  .groupBy("l_orderkey")
-                 .agg(F.countDistinct("l_suppkey").alias("__n_supp"),
-                      F.countDistinct(F.when(late, F.col("l_suppkey")))
-                      .alias("__n_late"),
-                      F.min(F.when(late, F.col("l_suppkey")))
+                 .agg(F.count(F.lit(1)).alias("__n_supp"),
+                      F.sum("__late").alias("__n_late"),
+                      F.min(F.when(F.col("__late") == 1,
+                                   F.col("l_suppkey")))
                       .alias("__late_supp")))
     blamed = (per_order
               .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))

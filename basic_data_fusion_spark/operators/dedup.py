@@ -1568,6 +1568,11 @@ def source_overlap(df: DataFrame, source_col: str = "source",
     """
     from basic_data_fusion_spark.operators.text import fingerprint, tokens
 
+    # every granularity runs a CPU-bound hash pass (doc fingerprint,
+    # per-line md5, or per-window md5) in the scan stage; spread a
+    # narrow single-file source so it parallelizes (r13 opt: shingle
+    # tier ran 1.6 s exec with the hashing pinned to the scan task)
+    df = spread_narrow(df)
     src = F.col(source_col).alias("__src")
     if granularity == "document":
         keyed = df.select(src, fingerprint(F.col(text_col)).alias("__h"))
@@ -2097,7 +2102,11 @@ def decontam_window_sweep(train: DataFrame, held_out: DataFrame,
     w_arr = F.array(*[F.lit(w) for w in ws])
 
     def side_windows(df: DataFrame) -> DataFrame:
-        base = (_tokenized_base(df, text_col, id_col)
+        # tokenize + |windows| per-window md5 passes are the sweep's CPU
+        # mass; spread a narrow single-file scan so they parallelize
+        # (r13 opt: the train probe ran its hashing in the 1-task scan
+        # stage — 3.5 s exec on ~20 tasks at sf0.1)
+        base = (_tokenized_base(spread_narrow(df), text_col, id_col)
                 .select(id_col, "__t")
                 .withColumn("w", F.explode(w_arr)))
         hashes = F.when(
@@ -2169,8 +2178,12 @@ def attribute_spans(corpus: DataFrame, queries: DataFrame, *,
           .select(query_id_col, "__h").distinct())
     q_tot = (qw.groupBy(query_id_col)
              .agg(F.count(F.lit(1)).cast("long").alias("__q_windows")))
+    # the corpus side's tokenize + per-window md5 is the pass's CPU
+    # mass; spread a narrow single-file scan so it parallelizes
+    # (r13 opt: 3.2 s exec pinned to the scan stage at sf0.1 before)
     cw = (_window_hash_table(
-              _tokenized_base(corpus, text_col, id_col), id_col, w)
+              _tokenized_base(spread_narrow(corpus), text_col, id_col),
+              id_col, w)
           .select(id_col, "__h").distinct())
     df_ok = (cw.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
              .filter(F.col("__df") <= cap).select("__h"))
