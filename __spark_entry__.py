@@ -4118,7 +4118,8 @@ def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _catalog(spark, sf_dir).load("orders")
     w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fp = F.round(F.col("o_totalprice") * F.lit(1_000_000.0), 0).cast("bigint")
+    from basic_data_fusion_spark.functions.scalars import half_up_long
+    fp = half_up_long(F.col("o_totalprice") * F.lit(1_000_000.0))
     return orders.select(
         "o_custkey", "o_orderkey", "o_orderdate",
         (F.sum(fp).over(w) / F.lit(1_000_000.0)).alias("running_spend"),
@@ -4149,7 +4150,8 @@ def q_trailing_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros(F.col("ts"))
     w = (Window.partitionBy("user_id").orderBy(us)
          .rangeBetween(-7 * 86400 * 1_000_000, 0))
-    fp = F.round(F.col("value") * F.lit(1_000_000.0), 0).cast("bigint")
+    from basic_data_fusion_spark.functions.scalars import half_up_long
+    fp = half_up_long(F.col("value") * F.lit(1_000_000.0))
     return ev.select(
         "user_id", "event_id", "ts",
         (F.sum(fp).over(w) / F.lit(1_000_000.0)).alias("trailing_7d_sum"),
@@ -8463,8 +8465,9 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
           .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"),
                 "left_semi"))
-    cents = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                    * F.lit(100.0), 0).cast("bigint")
+    from basic_data_fusion_spark.functions.scalars import half_up_long
+    cents = half_up_long(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                         * F.lit(100.0))
     # per_part feeds BOTH the threshold scalar and the final filter;
     # without a persist Catalyst re-evaluates the subtree and the 100 TB
     # fact table would be scanned twice. The cached relation is one row

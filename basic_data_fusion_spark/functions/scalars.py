@@ -84,6 +84,33 @@ def normalize_session_label(raw) -> str:
     return re.sub(r"[^0-9A-Za-z_]", "_", s).upper()
 
 
+def half_up_long(col: Column) -> Column:
+    """``ROUND(x, 0)`` (half-away-from-zero) cast to BIGINT, as plain IEEE
+    arithmetic on the EXACT fractional part.
+
+    Spark's ``Round`` on a double routes every value through
+    ``BigDecimal.setScale`` — an object allocation plus decimal-expansion
+    arithmetic per row that dominated the fixed-point aggregation passes
+    (pearson_corr spent 1.5 s of its 1.87 s in it at sf0.1).  This form
+    stays inside codegen primitives: ``t = CAST(x AS BIGINT)`` (ANSI
+    truncation toward zero), then bump by ±1 iff ``|x - t| >= 0.5``.
+
+    Unlike the classic ``CAST(x + SIGN(x)*0.5 AS BIGINT)`` trick, this is
+    bit-identical to ``ROUND(x, 0)`` for ALL |x| < 2^53, with no edge set:
+    the subtraction ``x - t`` is exact (for |x| >= 1 Sterbenz applies since
+    t <= |x| < 2*t; below 1, t = 0), so the >= 0.5 test sees the true
+    fractional part — whereas ``x + 0.5`` itself rounds, e.g. for
+    x = 0.49999999999999994 it rounds to exactly 1.0 and the trick yields 1
+    where ROUND yields 0 (covered by test_half_up_long_matches_round).
+    NaN and ±Inf throw on the cast in ANSI mode, exactly as the rounded
+    cast did; NULL propagates.
+    """
+    t = col.cast("bigint")
+    bump = F.when(F.abs(col - t.cast("double")) >= F.lit(0.5),
+                  F.signum(col).cast("bigint")).otherwise(F.lit(0))
+    return t + bump
+
+
 def fixed_point_sum(col: Column, scale: int = 1_000_000) -> Column:
     """Order-independent (bit-deterministic) sum of a double column.
 
@@ -96,13 +123,20 @@ def fixed_point_sum(col: Column, scale: int = 1_000_000) -> Column:
 
         SUM(CAST(ROUND(x * <scale>, 0) AS BIGINT)) / <scale>.0
 
+    The rounding itself runs as [[half_up_long]] (plain IEEE multiply-add
+    truncation, bit-identical to the ROUND form for every in-contract
+    magnitude) — Spark's ``Round`` allocates a BigDecimal per row, which
+    dominated the CPU profile of the fixed-point aggregation passes
+    (r13 opt, guide §1.3/§4: keep hot per-row math inside codegen
+    primitives).
+
     Overflow headroom: |x|·scale·rows must stay < 2^63 (~9.2e18) — at the
     100 TB tier use ``F.sum(col.cast('decimal(38,6)'))`` instead (Spark
     decimal aggregation is exact and unbounded-order-safe; kept out of the
     oracle path only because cross-engine double→decimal cast rounding is
     not pinned by any standard).
     """
-    return F.sum(F.round(col * F.lit(float(scale)), 0).cast("bigint")) / F.lit(float(scale))
+    return F.sum(half_up_long(col * F.lit(float(scale)))) / F.lit(float(scale))
 
 
 def numeric_coerce(col: Column) -> Column:

@@ -1778,6 +1778,7 @@ def domain_report(urls: DataFrame, scored: DataFrame,
     shuffle.  Returns (host, n_docs, n_pages, url_dup_ratio,
     mean_quality, keep_rate).
     """
+    from ..functions.scalars import half_up_long
     base = (urls.select(F.col(id_col),
                         url_host(F.col(url_col)).alias("host"),
                         canonical_url(F.col(url_col)).alias("__cu"))
@@ -1786,7 +1787,7 @@ def domain_report(urls: DataFrame, scored: DataFrame,
     agg = base.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct("__cu").cast("long").alias("n_pages"),
-        F.sum(F.round(F.col(score_col) * F.lit(1e6), 0).cast("bigint"))
+        F.sum(half_up_long(F.col(score_col) * F.lit(1e6)))
         .alias("__qs"),
         F.sum(F.col(keep_col).cast("int")).cast("long").alias("__nk"))
     return agg.select(

@@ -35,9 +35,29 @@ def lit(x: float) -> str:
 
 
 def fs(expr: str, scale: float) -> str:
-    """Fixed-point (order-independent) sum of ``expr`` quantized at 1/scale."""
+    """Fixed-point (order-independent) sum of ``expr`` quantized at 1/scale.
+
+    The quantization is written on the EXACT fractional part rather than
+    as ``ROUND(t, 0)``: both engines implement ROUND on doubles via
+    decimal expansion (Spark allocates a BigDecimal per row — it dominated
+    the det-tier CPU profile, r13 opt), while this form stays in plain
+    IEEE primitives. With ``u = ABS(t)``: ``FLOOR(u)`` is exact, the
+    subtraction ``u - FLOOR(u)`` is exact (Sterbenz for u >= 1; FLOOR = 0
+    below 1), so ``(FLOOR(u) + (frac >= 0.5)) * SIGN(t)`` reproduces
+    ROUND half-away-from-zero bit-identically for ALL |t| < 2^52 — with
+    no edge set, unlike the ``FLOOR(t + 0.5)`` trick whose ADDITION can
+    round across the boundary (t = 0.49999999999999994 + 0.5 rounds to
+    exactly 1.0). Identical expression tree on both engines, so the
+    shared-dialect guarantee is preserved; the product is an
+    exactly-integral double, so the BIGINT cast is unambiguous on both
+    engines (Spark truncates, DuckDB rounds — no fraction either way).
+    Covered by test_half_up_long_matches_round."""
     s = lit(scale)
-    return f"SUM(CAST(ROUND(({expr}) * {s}, 0) AS BIGINT)) / {s}"
+    t = f"(({expr}) * {s})"
+    u = f"ABS({t})"
+    return (f"SUM(CAST((FLOOR({u}) + (CASE WHEN {u} - FLOOR({u}) >= "
+            f"{lit(0.5)} THEN 1 ELSE 0 END)) * SIGN({t}) AS BIGINT))"
+            f" / {s}")
 
 
 def pearson_corr_sql(table: str, pairs: list[dict]) -> str:

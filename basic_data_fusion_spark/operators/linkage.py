@@ -159,8 +159,9 @@ def rolling_zscore(df: DataFrame, key: str, ts_col: str, tiebreak: str,
     ~3e9/√lookback; pick ``decimals`` accordingly (the z-score loses
     nothing at 4-6 dp for typical metric ranges).
     """
+    from ..functions.scalars import half_up_long
     scale = float(10 ** decimals)
-    vi = F.round(F.col(value_col) * F.lit(scale), 0).cast("bigint")
+    vi = half_up_long(F.col(value_col) * F.lit(scale))
     w = (Window.partitionBy(key)
          .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
          .rowsBetween(-lookback, -1))

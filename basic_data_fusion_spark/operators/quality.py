@@ -194,7 +194,8 @@ def benford_audit(df: DataFrame, value_col: str,
     fact-table aggregation pass.
     """
     scale = float(10 ** decimals)
-    units = F.round(F.abs(F.col(value_col)) * F.lit(scale), 0).cast("bigint")
+    from ..functions.scalars import half_up_long
+    units = half_up_long(F.abs(F.col(value_col)) * F.lit(scale))
     digits = (df.filter(F.col(value_col).isNotNull())
               .select(units.alias("__u"))
               .filter(F.col("__u") > 0)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import half_up_long
 from ..sources.partitioning import spread_narrow
 from .text import tokens
 
@@ -106,11 +107,12 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
              .crossJoin(F.broadcast(tgt_tot))
              .select(
                  "bucket",
-                 F.round((F.log((F.col("ct") + 1).cast("double")
-                                / (F.col("__tt") + b).cast("double"))
-                          - F.log((F.col("cr") + 1).cast("double")
-                                  / (F.col("__tr") + b).cast("double")))
-                         * F.lit(_SCALE), 0).cast("long").alias("__lr_fixed")))
+                 half_up_long(
+                     (F.log((F.col("ct") + 1).cast("double")
+                            / (F.col("__tt") + b).cast("double"))
+                      - F.log((F.col("cr") + 1).cast("double")
+                              / (F.col("__tr") + b).cast("double")))
+                     * F.lit(_SCALE)).alias("__lr_fixed")))
 
     scored = (doc_counts.join(F.broadcast(ratio), "bucket")
               .groupBy(id_col)
@@ -144,9 +146,9 @@ def temperature_mix(df: DataFrame, source_col: str = "source",
     pattern, making every downstream double bit-identical. All stats
     are source-level (≤ #sources rows, broadcast); the corpus pass is
     one groupBy(source) count plus a map-side join + filter."""
-    pa_fixed = F.round(
+    pa_fixed = half_up_long(
         F.pow(F.col("n_s").cast("double") / F.col("__N").cast("double"),
-              F.lit(float(alpha))) * F.lit(1e12), 0).cast("long")
+              F.lit(float(alpha))) * F.lit(1e12))
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(F.coalesce(F.sum("n_s"), F.lit(0).cast("long")).alias("__N"))
     pa = (counts.crossJoin(F.broadcast(tot))
@@ -308,8 +310,8 @@ def dsir_gumbel_sample(raw: DataFrame, target: DataFrame, k: int,
     w = (dsir_log_weights(raw, target, text_col, id_col, buckets)
          .filter(F.col("log_weight").isNotNull()))
     u = hash_uniform(F.col(id_col), seed)
-    g_fixed = F.round(-F.log(-F.log(u)) * F.lit(_SCALE), 0).cast("long")
-    lw_fixed = F.round(F.col("log_weight") * F.lit(_SCALE), 0).cast("long")
+    g_fixed = half_up_long(-F.log(-F.log(u)) * F.lit(_SCALE))
+    lw_fixed = half_up_long(F.col("log_weight") * F.lit(_SCALE))
     keyed = w.select(F.col(id_col), F.col("log_weight"),
                      (lw_fixed + g_fixed).alias("__kf"))
     return (keyed.orderBy(F.desc("__kf"), F.asc(id_col)).limit(k)
@@ -336,9 +338,9 @@ def pareto_keep(df: DataFrame, score_col: str = "quality_score",
     ``quality_classifier_scores`` for the model tier).
     Returns (id, score, pareto_x, keep)."""
     u = hash_uniform(F.col(id_col), seed)
-    x_fixed = F.round(
+    x_fixed = half_up_long(
         (F.pow(F.lit(1.0) - u, F.lit(-1.0 / float(alpha))) - F.lit(1.0))
-        * F.lit(1e12), 0).cast("long")
+        * F.lit(1e12))
     pareto_x = (x_fixed.cast("double") / F.lit(1e12)).alias("pareto_x")
     return (df.select(F.col(id_col), F.col(score_col), pareto_x)
             .withColumn("keep",

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import cache_pinned
+from ..functions.scalars import half_up_long
 from ..sources.partitioning import spread_narrow
 
 
@@ -70,7 +71,7 @@ def cosine(a: Column, b: Column) -> Column:
 def fp_sum(prod_arr: Column, scale: float = 1e12) -> Column:
     """Fixed-point array sum: each element quantized at 1/scale, summed
     as integers — order-independent and bit-identical on any engine."""
-    q = F.transform(prod_arr, lambda v: F.round(v * F.lit(scale), 0).cast("long"))
+    q = F.transform(prod_arr, lambda v: half_up_long(v * F.lit(scale)))
     return (F.aggregate(q, F.lit(0).cast("long"), lambda acc, v: acc + v)
             .cast("double") / F.lit(scale))
 
@@ -327,10 +328,9 @@ def fp_sq_l2_int(a: Column, b: Column, scale: float = 1e12) -> Column:
     bit-identical on any engine. The det-tier companion of ``sq_l2``
     (whose sequential double fold an unordered SQL SUM cannot replay)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: F.round(
+        F.zip_with(a, b, lambda x, y: half_up_long(
             (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")) * F.lit(scale), 0)
-            .cast("long")),
+            * (x.cast("double") - y.cast("double")) * F.lit(scale))),
         F.lit(0).cast("long"), lambda acc, d_: acc + d_)
 
 
@@ -981,7 +981,8 @@ def _sq8_code(vec: Column) -> Column:
         lambda d, s: F.when(s == F.lit(0.0), F.lit(0)).otherwise(
             F.greatest(F.lit(0.0),
                        F.least(F.lit(255.0),
-                               F.round(d * F.lit(255.0) / s, 0)))
+                               half_up_long(d * F.lit(255.0) / s)
+                               .cast("double")))
             .cast("int")))
 
 
@@ -1082,8 +1083,8 @@ def label_cohesion(df: DataFrame, label_col: str = "label",
             .agg(F.first("n").cast("long").alias("n"),
                  F.sqrt(fixed_point_self_dot(F.first("__cent")))
                  .alias("centroid_norm"),
-                 (F.sum(F.round(F.col("__cos") * F.lit(1e9), 0)
-                        .cast("bigint")).cast("double") / F.lit(1e9)
+                 (F.sum(half_up_long(F.col("__cos") * F.lit(1e9)))
+                  .cast("double") / F.lit(1e9)
                   / F.first("n").cast("double")).alias("mean_cosine")))
 
 

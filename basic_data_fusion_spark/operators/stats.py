@@ -1116,9 +1116,10 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
                 4).alias("__lo"),
         F.round(F.expr(f"percentile(CAST(`{value_col}` AS DOUBLE), {upper})"),
                 4).alias("__hi"))
+    from ..functions.scalars import half_up_long
     scale = float(10 ** decimals)
     clamped = F.greatest(F.col("__lo"), F.least(F.col("__hi"), v))
-    vi = F.round(clamped * F.lit(scale), 0).cast("bigint")
+    vi = half_up_long(clamped * F.lit(scale))
     agg = (base.join(F.broadcast(g), F.col(group_col) == F.col("__g"))
            .groupBy(group_col)
            .agg(F.count(F.lit(1)).alias("n"),
@@ -1156,10 +1157,11 @@ def grouped_ols(df: DataFrame, group_col: str, x_col: str, y_col: str,
     Overflow headroom: |x|·10^decimals and |y|·10^decimals must stay
     below ~3e9/√rows_per_group for the cross/self products.
     """
+    from ..functions.scalars import half_up_long
     scale = float(10 ** decimals)
     pair = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    xi = F.round(F.col(x_col) * F.lit(scale), 0).cast("bigint")
-    yi = F.round(F.col(y_col) * F.lit(scale), 0).cast("bigint")
+    xi = half_up_long(F.col(x_col) * F.lit(scale))
+    yi = half_up_long(F.col(y_col) * F.lit(scale))
     agg = pair.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xi).alias("__sx"), F.sum(yi).alias("__sy"),

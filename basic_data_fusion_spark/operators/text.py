@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import cache_pinned
+from ..functions.scalars import half_up_long
 from ..sources.partitioning import spread_narrow
 
 # Minimal stopword profiles for the n-gram/stopword language heuristic.
@@ -691,8 +692,8 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     inst = base.select(id_col, F.explode("toks").alias("token"))
     freq = inst.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     total = inst.agg(F.count(F.lit(1)).alias("n"))
-    s_int = F.round(-F.log(F.col("c").cast("double") / F.col("n"))
-                    * F.lit(1e8), 0).cast("bigint")
+    s_int = half_up_long(-F.log(F.col("c").cast("double") / F.col("n"))
+                         * F.lit(1e8))
     scored = (inst
               .join(freq, "token")
               .crossJoin(F.broadcast(total))
@@ -831,7 +832,7 @@ def stupid_backoff_lm(df: DataFrame, text_col: str = "text",
          .when(F.col("c1_w2").isNotNull() & (F.col("n") > 0),
                F.lit(alpha) * F.col("c1_w2").cast("double") / F.col("n"))
          .when(F.col("n") > 0, F.lit(alpha) * F.lit(alpha) / F.col("n")))
-    s_int = F.round(-F.log(s) * F.lit(1e8), 0).cast("bigint")
+    s_int = half_up_long(-F.log(s) * F.lit(1e8))
     scored = (inst
               .join(big, ["w1", "w2"], "left")
               .join(u1, "w1", "left")
@@ -924,7 +925,7 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     contrib = (idf * F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))
                / (F.col("tf") + F.lit(k1)
                   * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)))
-    c_int = F.round(contrib * F.lit(1e8), 0).cast("bigint")
+    c_int = half_up_long(contrib * F.lit(1e8))
     scored = (tf.join(F.broadcast(dfreq), "token")
               .crossJoin(F.broadcast(stats))
               .groupBy(id_col)
@@ -998,7 +999,7 @@ def stupid_backoff_trigram_lm(df: DataFrame, text_col: str = "text",
                / F.col("n"))
          .when(F.col("n") > 0,
                F.lit(alpha) * F.lit(alpha) * F.lit(alpha) / F.col("n")))
-    s_int = F.round(-F.log(s) * F.lit(1e8), 0).cast("bigint")
+    s_int = half_up_long(-F.log(s) * F.lit(1e8))
     scored = (inst
               .join(tri, ["w1", "w2", "w3"], "left")
               .join(b12, (F.col("w1") == F.col("b1"))
@@ -1189,7 +1190,7 @@ def distinctive_terms(df: DataFrame, flag: Column, text_col: str = "text",
     A, B = F.col("__A").cast("double"), F.col("__B").cast("double")
     ea = A * (a + b) / (A + B)
     eb = B * (a + b) / (A + B)
-    q8 = lambda x: F.round(x * F.lit(1e8), 0).cast("bigint")
+    q8 = lambda x: half_up_long(x * F.lit(1e8))
     ta = F.when(F.col("a") > 0, q8(a * F.log(a / ea))).otherwise(F.lit(0))
     tb = F.when(F.col("b") > 0, q8(b * F.log(b / eb))).otherwise(F.lit(0))
     g2 = (F.lit(2.0) * (ta + tb).cast("double")) / F.lit(1e8)
@@ -1242,7 +1243,7 @@ def js_divergence(df: DataFrame, flag: Column,
     p = F.when(A > F.lit(0.0), a / A).otherwise(F.lit(0.0))
     q = F.when(B > F.lit(0.0), b / B).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
-    q12 = lambda x: F.round(x * F.lit(1e12), 0).cast("bigint")
+    q12 = lambda x: half_up_long(x * F.lit(1e12))
     term = (F.when(F.col("a") > 0, q12(p * F.log(p / m))).otherwise(F.lit(0))
             + F.when(F.col("b") > 0, q12(q * F.log(q / m))).otherwise(F.lit(0)))
     return (counts.crossJoin(F.broadcast(totals))

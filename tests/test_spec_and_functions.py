@@ -175,3 +175,38 @@ def test_curation_pipeline_lang_whitelist(spark):
     assert out.columns == ["doc_id", "detected_lang"]
     langs = {r["detected_lang"] for r in out.collect()}
     assert langs == {"en"}
+
+
+def test_half_up_long_matches_round(spark):
+    """half_up_long must be bit-identical to ROUND(x, 0)→BIGINT (the form it
+    replaced in every fixed-point quantization site) across signs, exact .5
+    ties, tiny magnitudes and the large-but-in-contract range, and the
+    shared-dialect fs() FLOOR/ABS/SIGN form must agree too."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from basic_data_fusion_spark.functions.scalars import half_up_long
+    from basic_data_fusion_spark.operators.deterministic_sql import fs
+
+    vals = [0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 0.49999999999999994,
+            -0.49999999999999994, 1e-300, -1e-300, 123456.789, -123456.789,
+            2.0**51 + 0.5, -(2.0**51 + 0.5), 7.105427357601002e-15,
+            1.0000000000000002, -0.9999999999999999, 3141592653.5897932]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.select(F.round("x", 0).cast("bigint").alias("o"),
+                    half_up_long(F.col("x")).alias("n")).collect()
+    for v, r in zip(vals, got):
+        assert r.o == r.n, (v, r.o, r.n)
+
+    # fs() text: Spark and DuckDB both equal the old ROUND form per row.
+    df.createOrReplaceTempView("__hul")
+    new_agg = fs("x", 1.0)
+    old_agg = "SUM(CAST(ROUND((x) * CAST(1.0 AS DOUBLE), 0) AS BIGINT)) / CAST(1.0 AS DOUBLE)"
+    q = f"SELECT {old_agg} AS o, {new_agg} AS n FROM __hul"
+    sp = spark.sql(q).collect()[0]
+    assert sp.o == sp.n, (sp.o, sp.n)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE __hul (x DOUBLE)")
+    con.executemany("INSERT INTO __hul VALUES (?)", [(v,) for v in vals])
+    do, dn = con.execute(q.replace("__hul", "main.__hul")).fetchone()
+    assert do == dn == sp.n, (do, dn, sp.n)
