@@ -19,3 +19,11 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Driver-side plan-build fast path: cache py4j's per-call JVM reflection
+# lookups (see py4j_fastpath docstring; measured ~10x on F.col, ~14x on
+# the fixed-point rounding tree). Installed at import so every consumer
+# (bench, entry points, tests) builds plans through the cached handles.
+from . import py4j_fastpath as _py4j_fastpath
+
+_py4j_fastpath.install()
