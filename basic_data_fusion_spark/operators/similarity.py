@@ -317,8 +317,55 @@ def _cell_scores(vec: Column, centroids: list[list[float]],
         # SQL; array_min/array_position operate on longs directly
         return F.transform(cent, lambda c: fp_sq_l2_int(vec, c)), False
     if metric == "fixed_cosine":
-        return F.transform(cent, lambda c: fixed_point_cosine(vec, c)), True
+        # Same three doubles (ab, aa, bb) through the same division tree
+        # as ``fixed_point_cosine`` — but the row self-dot ``aa`` is
+        # bound ONCE per row (single-element lambda binding: HOFs are
+        # interpreted, so the naive per-cell form re-ran the 64-element
+        # quantize-fold k times per row) and each centroid's self-dot
+        # ``bb`` folds to a driver-computed literal
+        # (:func:`_fp_self_dot_py`, the bit-exact Python twin — Catalyst
+        # does not constant-fold lambda HOFs even over literal arrays).
+        # Per-(row, cell) work drops from three folds to one; values,
+        # argmax cells and the SQL oracle are unchanged (r13 opt,
+        # guide §1.2 per-task work).
+        bbs = nested_double_lit([_fp_self_dot_py(c) for c in centroids])
+        pairs = F.zip_with(cent, bbs,
+                           lambda c, bb: F.struct(c.alias("c"),
+                                                  bb.alias("bb")))
+        scores = F.element_at(
+            F.transform(
+                F.array(fixed_point_self_dot(vec)),
+                lambda aa: F.transform(
+                    pairs,
+                    lambda p: safe_cos_div(fixed_point_dot(vec, p["c"]),
+                                           F.sqrt(aa) * F.sqrt(p["bb"])))),
+            1)
+        return scores, True
     raise ValueError(f"unknown metric {metric!r}")
+
+
+def _fp_self_dot_py(v: list[float], scale: float = 1e12) -> float:
+    """Driver-side twin of ``fixed_point_self_dot`` on a literal vector,
+    bit-identical by construction: the column tree runs, per element,
+    ``y = (x*x) * scale`` (two IEEE multiplies), ANSI-truncates ``y`` to
+    BIGINT, bumps by ``sign(y)`` iff ``|y - trunc(y)| >= 0.5`` (the
+    ``half_up_long`` form — the subtraction is exact, see its
+    docstring), integer-sums, casts the sum to double and divides by
+    ``scale``. Python's float ops are the same IEEE-754 doubles,
+    ``int()`` truncates toward zero, and Python ints are exact, so every
+    intermediate matches the JVM bit for bit (pinned by
+    test_fp_self_dot_py_matches_column). Lets ``_cell_scores`` fold the
+    per-centroid self-dots at plan-build time instead of re-running a
+    64-element fold per (row, cell)."""
+    total = 0
+    for x in v:
+        fx = float(x)
+        y = (fx * fx) * scale
+        t = int(y)
+        if abs(y - float(t)) >= 0.5:
+            t += 1 if y > 0 else (-1 if y < 0 else 0)
+        total += t
+    return float(total) / scale
 
 
 def fp_sq_l2_int(a: Column, b: Column, scale: float = 1e12) -> Column:

@@ -322,6 +322,31 @@ def test_nested_double_lit_roundtrip_exact(spark, vals):
 
 
 @FAST
+@given(vals=st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                               allow_nan=False, width=64),
+                     min_size=1, max_size=16))
+def test_fp_self_dot_py_matches_column(spark, vals):
+    """The driver-side centroid self-dot twin (_fp_self_dot_py) must be
+    BIT-IDENTICAL to the fixed_point_self_dot column tree on the same
+    literal vector — it is what lets _cell_scores fold per-centroid
+    self-dots at plan-build time. Magnitudes are bounded like real
+    centroid coordinates; ties (x*x*1e12 landing exactly on .5) and
+    negative zero are fair game for the generator."""
+    import struct
+
+    from basic_data_fusion_spark.operators.similarity import (
+        _fp_self_dot_py,
+        fixed_point_self_dot,
+        nested_double_lit,
+    )
+
+    got = spark.range(1).select(
+        fixed_point_self_dot(nested_double_lit(vals)).alias("bb")).first()["bb"]
+    exp = _fp_self_dot_py(vals)
+    assert struct.pack("<d", got) == struct.pack("<d", exp), (got, exp)
+
+
+@FAST
 @given(a=st.lists(st.integers(-50, 50), min_size=4, max_size=40),
        b=st.lists(st.integers(-50, 50), min_size=4, max_size=40))
 def test_mann_whitney_matches_python(spark, a, b):
