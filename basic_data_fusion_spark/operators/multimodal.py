@@ -262,8 +262,15 @@ def image_header_meta(df: DataFrame, id_col: str = "media_id",
                 .when(is_sof, found)
                 .otherwise(walk))
 
-    jpeg_state = F.aggregate(F.sequence(F.lit(1), F.lit(32)), init,
-                             jpeg_step)
+    # stage the fold STRUCT through a projection boundary (r13 opt, same
+    # lesson as the hex window): width, height and header_ok reference
+    # the walk state four times, and aggregate() is CodegenFallback-
+    # interpreted with no subexpression elimination — unstaged, every
+    # reference re-ran the whole 32-step marker walk per row
+    df = df.withColumn("__jst",
+                       F.aggregate(F.sequence(F.lit(1), F.lit(32)), init,
+                                   jpeg_step))
+    jpeg_state = F.col("__jst")
     jpg_w, jpg_h = jpeg_state["w"], jpeg_state["h"]
 
     fmt = (F.when(is_png, F.lit("png"))
@@ -415,7 +422,15 @@ def audio_header_meta(df: DataFrame, id_col: str = "media_id",
                 .when(cid == "64617461", take_data)     # 'data'
                 .otherwise(walk))
 
-    st = F.aggregate(F.sequence(F.lit(1), F.lit(8)), init, wav_step)
+    # stage the fold STRUCT through a projection boundary too (r13 opt,
+    # same lesson as the hex window): the output columns reference the
+    # walk state 8 times, and aggregate() is CodegenFallback-interpreted
+    # with no subexpression elimination — unstaged, every reference
+    # re-ran the whole 8-step chunk walk per row
+    df = df.withColumn("__st",
+                       F.aggregate(F.sequence(F.lit(1), F.lit(8)), init,
+                                   wav_step))
+    st = F.col("__st")
     ok = (is_riff_wave & st["sr"].isNotNull() & st["ds"].isNotNull()
           & (st["br"] > 0))
     dur = F.try_divide(st["ds"].cast("double"), st["br"].cast("double"))
