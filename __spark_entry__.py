@@ -8741,9 +8741,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(" qmarker qmarker qmarker")))
         .otherwise(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
         is_pos.alias("__pos"))
+    # max_iter=8 (operator default 30): every L-BFGS iteration is a
+    # full treeAggregate job, and the planted marker separates the
+    # classes perfectly after the first few — AUC measured exactly
+    # 1.000000 at sf0.001/0.01/0.1 down to max_iter=3, so 8 keeps a
+    # wide margin over the 0.95 gate while dropping ~22 driver-
+    # coordinated jobs from the contract (r13 opt, guide §1.2)
     model = train_quality_classifier(
         planted.filter("__pos"), planted.filter(~F.col("__pos")),
-        buckets=1 << 12)
+        buckets=1 << 12, max_iter=8)
     scored = (quality_classifier_scores(planted, model)
               .join(planted.select("doc_id", "__pos"), "doc_id"))
     return (binary_auc(scored, F.col("__pos"))
