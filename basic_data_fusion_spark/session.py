@@ -35,6 +35,15 @@ _DEFAULTS = {
     # Read parquet TIMESTAMP(NANOS) as long; Catalog converts to a
     # microsecond timestamp column at load (Spark has no ns timestamps).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4's DataFrame-debugging layer wraps EVERY F.*/Column call
+    # with a call-site capture: getActiveSession + conf.get +
+    # PySparkCurrentOrigin.set — ~4 py4j round trips (≈2 ms each on
+    # this box) plus a Python stack walk, per call, buying only richer
+    # error messages.  A Column-heavy plan build pays it thousands of
+    # times (F.col measured 7.9 → 2.7 ms/call when disabled).  Pure
+    # driver-side overhead at any scale — results and plans are
+    # byte-identical (r13 opt, guide §4 "driver boundary").
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -220,6 +220,10 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # per-call call-site capture for error enrichment costs ~4 py4j
+        # round trips per F.* call on the driver — plan-build time that
+        # serializes every query; plans/results identical without it
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
