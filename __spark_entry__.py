@@ -2541,8 +2541,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_fusion_spark.operators.selection import dsir_log_weights
 
     docs = _catalog(spark, sf_dir).load("documents")
+    # target is a row-level slice of raw → target_filter derives the
+    # target's bucket counts from the raw side's single tokenize pass
+    # (r13 opt; values identical by construction, oracle unchanged)
     return dsir_log_weights(docs, docs.filter(F.col("lang") == "en"),
-                            buckets=2048)
+                            buckets=2048,
+                            target_filter=F.col("lang") == "en")
 
 
 def _planted_urls(docs: DataFrame) -> DataFrame:
@@ -2591,7 +2595,8 @@ def q_dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _catalog(spark, sf_dir).load("documents")
     return dsir_gumbel_sample(docs, docs.filter(F.col("lang") == "en"),
-                              50, buckets=2048)
+                              50, buckets=2048,
+                              target_filter=F.col("lang") == "en")
 
 
 def q_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8514,7 +8519,8 @@ def q_dsir_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _catalog(spark, sf_dir).load("documents")
     return dsir_select(docs, docs.filter(F.col("lang") == "en"),
-                       k=50, buckets=2048)
+                       k=50, buckets=2048,
+                       target_filter=F.col("lang") == "en")
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:

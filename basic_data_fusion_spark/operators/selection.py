@@ -35,7 +35,8 @@ def hashed_ngram_bucket(col: Column, buckets: int) -> Column:
 
 
 def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
-                       buckets: int) -> DataFrame:
+                       buckets: int,
+                       flag: Column | None = None) -> DataFrame:
     """One row per hashed unigram/bigram INSTANCE. Tokenization matches
     operators/text.tokens; bigrams via the staged-projection idiom
     (see _repetition_hof) so the document is tokenized once.
@@ -44,12 +45,19 @@ def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
     the CPU-heavy stage of every DSIR pass — via the same conditional
     repartition idiom as winnowing/ExactSubstr (skipped when the input
     is already wider than the parallelism, so no text shuffle at
-    scale)."""
+    scale).
+
+    ``flag`` (optional) is a per-row boolean expression evaluated on
+    ``df`` and carried through the explosion as ``__tgt`` — the
+    target-membership marker ``dsir_log_weights`` uses to derive both
+    corpora's bucket counts from ONE tokenize pass."""
     df = spread_narrow(df)
     toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                     lambda x: x != "")
-    cols = [F.col(id_col)] if id_col else []
-    staged = df.select(*cols, toks.alias("__toks"),
+    in_cols = [F.col(id_col)] if id_col else []
+    if flag is not None:
+        in_cols = in_cols + [flag.alias("__tgt")]
+    staged = df.select(*in_cols, toks.alias("__toks"),
                        F.size(toks).alias("__n"))
     grams = F.concat(
         F.col("__toks"),
@@ -57,7 +65,9 @@ def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
                F.transform(F.sequence(F.lit(1), (F.col("__n") - 1).cast("int")),
                            lambda i: F.concat_ws(" ", F.slice("__toks", i, 2))))
          .otherwise(F.array().cast("array<string>")))
-    out_cols = cols + [F.explode(grams).alias("__gram")]
+    pass_cols = ([F.col(id_col)] if id_col else []) + \
+        ([F.col("__tgt")] if flag is not None else [])
+    out_cols = pass_cols + [F.explode(grams).alias("__gram")]
     return (staged.select(*out_cols)
             .withColumn("bucket", hashed_ngram_bucket(F.col("__gram"), buckets))
             .drop("__gram"))
@@ -65,7 +75,8 @@ def _feature_instances(df: DataFrame, text_col: str, id_col: str | None,
 
 def dsir_log_weights(raw: DataFrame, target: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
-                     buckets: int = 4096) -> DataFrame:
+                     buckets: int = 4096,
+                     target_filter: Column | None = None) -> DataFrame:
     """Per-document DSIR log importance weight
     ``Σ_f c_f · (ln p_target(f) − ln p_raw(f))`` over hashed
     unigram+bigram features with add-one smoothing (arXiv:2302.03169
@@ -84,13 +95,39 @@ def dsir_log_weights(raw: DataFrame, target: DataFrame,
     document accumulates ``Σ c_f · ratio_fixed`` in exact integer
     arithmetic — partitioning cannot reorder a float sum. The ratio
     table (≤ ``buckets`` rows) broadcasts onto the (doc, bucket) counts;
-    one shuffle by bucket, one by doc id."""
+    one shuffle by bucket, one by doc id.
+
+    ``target_filter`` (r13 opt, guide §2 "do the work once"): when the
+    target corpus is a row-level SLICE of ``raw`` (the common in-corpus
+    tilt, e.g. ``raw.filter(lang == 'en')``), pass the predicate here
+    and ``target`` is ignored — the target's bucket counts derive from
+    the SAME (doc, bucket) relation the raw side already aggregates
+    (membership rides the explosion as a per-doc flag), so the whole
+    target-side tokenize→explode→shuffle subtree disappears from the
+    plan. Counts are identical by construction: instances of
+    ``raw.filter(p)`` = instances of ``raw`` whose row satisfies
+    ``p``."""
     b = F.lit(buckets)
-    doc_counts = (_feature_instances(raw, text_col, id_col, buckets)
-                  .groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("n")))
-    raw_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("cr"))
-    tgt_counts = (_feature_instances(target, text_col, None, buckets)
-                  .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    if target_filter is not None:
+        inst = _feature_instances(raw, text_col, id_col, buckets,
+                                  flag=target_filter)
+        per_doc = (inst.groupBy(id_col, "bucket")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        # __tgt is constant within a doc (a per-row
+                        # predicate on doc attributes); max() picks it
+                        # without caring how instances partition
+                        F.max("__tgt").alias("__tgt")))
+        doc_counts = per_doc.select(id_col, "bucket", "n")
+        raw_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("cr"))
+        tgt_counts = (per_doc.filter(F.col("__tgt"))
+                      .groupBy("bucket").agg(F.sum("n").alias("ct")))
+    else:
+        doc_counts = (_feature_instances(raw, text_col, id_col, buckets)
+                      .groupBy(id_col, "bucket")
+                      .agg(F.count(F.lit(1)).alias("n")))
+        raw_counts = doc_counts.groupBy("bucket").agg(F.sum("n").alias("cr"))
+        tgt_counts = (_feature_instances(target, text_col, None, buckets)
+                      .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
     # SUM over an EMPTY counts relation is NULL, not 0 — an empty target
     # corpus (filter matched nothing) must degrade to the uniform prior,
     # not to NULL weights
@@ -266,13 +303,15 @@ def binary_auc(scored: DataFrame, label: Column,
 
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,
                 text_col: str = "text", id_col: str = "doc_id",
-                buckets: int = 4096) -> DataFrame:
+                buckets: int = 4096,
+                target_filter: Column | None = None) -> DataFrame:
     """Top-k selection by DSIR weight with a deterministic id tie-break.
     (Paper-faithful Gumbel resampling is ``dsir_gumbel_sample``; this
     deterministic rank is the argmax tier.) Global top-k: Spark's
     sort-limit runs as per-partition top-k + a k-row driver merge,
     never a full sort."""
-    w = dsir_log_weights(raw, target, text_col, id_col, buckets)
+    w = dsir_log_weights(raw, target, text_col, id_col, buckets,
+                         target_filter=target_filter)
     return (w.filter(F.col("log_weight").isNotNull())
             .orderBy(F.desc("log_weight"), F.asc(id_col)).limit(k))
 
@@ -292,7 +331,8 @@ def hash_uniform(col: Column, seed: str) -> Column:
 
 def dsir_gumbel_sample(raw: DataFrame, target: DataFrame, k: int,
                        text_col: str = "text", id_col: str = "doc_id",
-                       buckets: int = 4096, seed: str = "gumbel") -> DataFrame:
+                       buckets: int = 4096, seed: str = "gumbel",
+                       target_filter: Column | None = None) -> DataFrame:
     """Paper-faithful DSIR resampling (arXiv:2302.03169 §2.3): sampling
     k documents WITHOUT replacement with probability ∝ exp(log_weight)
     is exactly the top-k of ``log_weight + G_i`` with i.i.d. standard
@@ -307,7 +347,8 @@ def dsir_gumbel_sample(raw: DataFrame, target: DataFrame, k: int,
     Returns (id, log_weight, gumbel_key), the k sampled docs. Same
     sort-limit shape as ``dsir_select`` — per-partition top-k, k-row
     driver merge."""
-    w = (dsir_log_weights(raw, target, text_col, id_col, buckets)
+    w = (dsir_log_weights(raw, target, text_col, id_col, buckets,
+                          target_filter=target_filter)
          .filter(F.col("log_weight").isNotNull()))
     u = hash_uniform(F.col(id_col), seed)
     g_fixed = half_up_long(-F.log(-F.log(u)) * F.lit(_SCALE))

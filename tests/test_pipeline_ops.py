@@ -345,6 +345,31 @@ def test_dsir_weights_tilt_toward_target(spark):
     assert a == b
 
 
+def test_dsir_target_filter_path_is_bitwise_identical(spark):
+    """The single-pass target_filter path (r13 opt: target bucket counts
+    derived from the raw side's one tokenize pass) must be BITWISE the
+    two-pass path on every column — including n_features and NULL
+    log_weights — for both weight and Gumbel-sample tiers."""
+    from basic_data_fusion_spark.operators.selection import (
+        dsir_gumbel_sample,
+        dsir_log_weights,
+    )
+
+    raw = spark.read.parquet(f"{SF0001}/documents.parquet")
+    pred = F.col("lang") == "en"
+    two = dsir_log_weights(raw, raw.filter(pred), buckets=1024).collect()
+    one = dsir_log_weights(raw, raw.filter(pred), buckets=1024,
+                           target_filter=pred).collect()
+    key = lambda rows: {r["doc_id"]: (r["n_features"], r["log_weight"])
+                        for r in rows}
+    assert key(two) == key(one)
+    g_two = dsir_gumbel_sample(raw, raw.filter(pred), 20,
+                               buckets=1024).collect()
+    g_one = dsir_gumbel_sample(raw, raw.filter(pred), 20, buckets=1024,
+                               target_filter=pred).collect()
+    assert [tuple(r) for r in g_two] == [tuple(r) for r in g_one]
+
+
 def test_url_canonicalization_and_dedup(spark):
     """RefinedWeb-style URL dedup: case, default ports, www, fragments,
     trailing slashes, tracking params and param order all collapse to
