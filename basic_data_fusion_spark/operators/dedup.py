@@ -1967,8 +1967,14 @@ def dedup_recall_report(truth_pairs: DataFrame,
     """
     if not arms:
         raise ValueError("dedup_recall_report needs at least one arm")
-    t = (truth_pairs.select("id_a", "id_b").distinct()
-         .withColumn("__t", F.lit(1)))
+    # the truth relation feeds |arms| broadcast joins PLUS the n_truth
+    # count — without a pin the whole exhaustive-pair pipeline re-runs
+    # per consumer (cache_pinned inside the jaccard tier covers its
+    # shingle relations, but the candidate join + verification re-ran
+    # 3x for a two-arm report; r13 opt, guide §2 "do the work once").
+    # Pair-count-sized (the gate slices bound it), registry-released.
+    t = cache_pinned(truth_pairs.select("id_a", "id_b").distinct()
+                     .withColumn("__t", F.lit(1)))
     tn = t.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     per = None
     for name in sorted(arms):

@@ -3490,6 +3490,50 @@ def test_dim_truncation_sweep_planted_geometry(spark):
     assert out[16]["micro_recall"] == 1.0
 
 
+def test_dim_truncation_fused_matches_per_arm(spark):
+    """The fused single-scan tier (r13 opt: all cut dots are prefix
+    sums of one quantized-product array) must reproduce the per-arm
+    brute-force composition EXACTLY — counts and micro_recall bitwise —
+    on fixed-width vectors, including NULL-embedding rows."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(40)]
+    rows.append((40, None))  # NULL row must rank last, not vanish
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    ds = (3, 6, 12)
+    fused = similarity.dim_truncation_sweep(emb, queries, dims=ds,
+                                            k=4).collect()
+    # per-arm reference: the pre-r13 composition, inlined
+    exact = similarity.brute_force_topk(emb, queries, k=4,
+                                        deterministic=True)
+    arms = {}
+    for d in ds:
+        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        tq = queries.select("query_id",
+                            F.slice("embedding", 1, d).alias("embedding"))
+        arms[f"dim{d:03d}"] = similarity.brute_force_topk(
+            tc, tq, k=4, deterministic=True)
+    per = similarity.ann_recall(exact, arms, k=4)
+    ex_n = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_exact"))
+    denom = F.least(F.lit(4).cast("long"),
+                    F.coalesce(F.col("__n_exact"), F.lit(4).cast("long")))
+    ref = (per.join(F.broadcast(ex_n), "query_id", "left")
+           .groupBy(F.substring("arm", 4, 3).cast("int").alias("dim"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.sum("n_hits").cast("long").alias("n_hits_total"),
+                F.sum(denom).cast("long").alias("n_possible_total"))
+           .withColumn("micro_recall",
+                       F.col("n_hits_total").cast("double")
+                       / F.col("n_possible_total").cast("double"))
+           .orderBy("dim").collect())
+    assert [tuple(r) for r in fused] == [tuple(r) for r in ref]
+    assert fused[-1]["micro_recall"] == 1.0   # full-dim self-check
+
+
 def test_gate_slice_max_rows_cap(spark):
     """Fixed-size acceptance slices (r12 sf-decade finding): max_rows
     bounds the slice at a constant size regardless of corpus scale —
