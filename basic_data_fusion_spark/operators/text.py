@@ -904,17 +904,27 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     """
     spark = df.sparkSession
     toks = F.filter(tokens(F.col(text_col)), lambda x: x != "")
-    base = (spread_narrow(df)
-            .select(F.col(id_col), toks.alias("toks"))
-            .withColumn("dl", F.size("toks")))
-    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.sum("dl").alias("total_dl"))
     # corpus tokens are lowercased/trimmed — normalize the query bag the
     # same way so 'Spark' matches; raw-uppercase terms silently matching
     # nothing is a footgun, not a feature
     terms = sorted({t.strip().lower() for t in query_terms if t.strip()})
-    tf = (base.select(id_col, "dl", F.explode("toks").alias("token"))
-          .filter(F.col("token").isin(terms))
+    # tokenize ONCE (r13 opt, guide §2 "do the work once"): the corpus
+    # stats and the tf explosion both need the token pipeline, and two
+    # lazy consumers would run it twice.  The pinned relation keeps
+    # only (id, dl, query-term matches) — one int plus the handful of
+    # matching tokens per doc, never the full token array — so the
+    # cache is query-bag-bounded, not corpus-token-sized (a production
+    # deployment pre-builds exactly this posting shape as its index).
+    # dl and the match filter are the same expressions as before, so
+    # tf/df/idf and the oracle are unchanged.
+    matched = F.filter(toks, lambda x: x.isin(terms))
+    base = cache_pinned(
+        spread_narrow(df)
+        .select(F.col(id_col), F.size(toks).alias("dl"),
+                matched.alias("__mt")))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("dl").alias("total_dl"))
+    tf = (base.select(id_col, "dl", F.explode("__mt").alias("token"))
           .groupBy(id_col, "dl", "token")
           .agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
