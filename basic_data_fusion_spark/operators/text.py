@@ -690,8 +690,17 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     base = (spread_narrow(df)
             .select(F.col(id_col), toks.alias("toks")))
     inst = base.select(id_col, F.explode("toks").alias("token"))
-    freq = inst.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = inst.agg(F.count(F.lit(1)).alias("n"))
+    # ONE tokenize+explode pass builds the count table (r13 opt, guide
+    # §2 "do the work once"): freq feeds the instance join AND the
+    # grand total, and unpinned each consumer would re-run the whole
+    # tokenize pipeline (no exchange reuse across the differently
+    # shaped aggregates — 3 corpus passes, measured).  freq is
+    # VOCAB-sized, so the pin is bounded at any corpus scale; the
+    # total rolls up from it as an exact BIGINT sum of counts —
+    # bit-identical to counting the instances directly.
+    freq = cache_pinned(
+        inst.groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    total = freq.agg(F.sum("c").alias("n"))
     s_int = half_up_long(-F.log(F.col("c").cast("double") / F.col("n"))
                          * F.lit(1e8))
     scored = (inst
@@ -816,14 +825,32 @@ def stupid_backoff_lm(df: DataFrame, text_col: str = "text",
             .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
     nib = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 1), 16, 10).cast("int")
     train = base.filter(nib < F.lit(int(train_nibbles)))
-    train_inst = train.select(F.explode("toks").alias("w"))
-    uni = train_inst.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
-    tot = train_inst.agg(F.count(F.lit(1)).alias("n"))
-    big = (train.select(F.explode(pair_expr).alias("p"))
-           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-           .agg(F.count(F.lit(1)).alias("c2")))
-    u1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1_w1"))
-    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    # ONE tokenize pass over the train half (r13 opt, guide §2 "do the
+    # work once"): emit every POSITION as (w1, w2-or-NULL-at-the-end)
+    # and aggregate once.  c2 is the non-NULL-w2 rows directly (every
+    # adjacent pair is a position with w2 set); c1 rolls up by w1
+    # (every token occupies exactly one position); N is the grand
+    # total — all exact BIGINT sums of the same counts the three
+    # separate explosions produced, so every downstream score is
+    # bit-identical.  Unfused, uni/tot/big each re-ran the tokenize
+    # pipeline (and uni twice more via its two join aliases).  The
+    # pinned table is bigram-vocab-sized — the same size class the
+    # plan already shuffles for the c2 aggregate.
+    pad_expr = F.when(
+        F.size("toks") >= 1,
+        F.expr("transform(sequence(0, size(toks)-1),"
+               " i -> struct(toks[i] AS w1,"
+               " CASE WHEN i < size(toks)-1 THEN toks[i+1] END AS w2))"))
+    tcounts = cache_pinned(
+        train.select(F.explode(pad_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("__c")))
+    uni = tcounts.groupBy("w1").agg(F.sum("__c").alias("c1"))
+    tot = tcounts.agg(F.sum("__c").alias("n"))
+    big = (tcounts.where(F.col("w2").isNotNull())
+           .select("w1", "w2", F.col("__c").alias("c2")))
+    u1 = uni.select(F.col("w1"), F.col("c1").alias("c1_w1"))
+    u2 = uni.select(F.col("w1").alias("w2"), F.col("c1").alias("c1_w2"))
     # every division is CASE-guarded so an empty train half (n = 0) yields
     # NULL scores instead of an ANSI DIVIDE_BY_ZERO; path 1's denominator
     # c1_w1 >= 1 whenever the bigram was seen
@@ -976,24 +1003,39 @@ def stupid_backoff_trigram_lm(df: DataFrame, text_col: str = "text",
         F.size("toks") >= 3,
         F.expr("transform(sequence(0, size(toks)-3),"
                " i -> struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
-    bi_expr = F.when(
-        F.size("toks") >= 2,
-        F.expr("transform(sequence(0, size(toks)-2),"
-               " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
     inst = (base.select(id_col, F.explode(tri_expr).alias("p"))
             .select(id_col, "p.w1", "p.w2", "p.w3"))
     nib = F.conv(F.md5(F.col(id_col).cast("string")).substr(1, 1), 16, 10).cast("int")
     train = base.filter(nib < F.lit(int(train_nibbles)))
-    uni = (train.select(F.explode("toks").alias("w"))
-           .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
-    tot = train.select(F.explode("toks").alias("w")).agg(F.count(F.lit(1)).alias("n"))
-    big = (train.select(F.explode(bi_expr).alias("p"))
-           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-           .agg(F.count(F.lit(1)).alias("c2")))
-    tri = (train.select(F.explode(tri_expr).alias("p"))
-           .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
-                    F.col("p.w3").alias("w3"))
-           .agg(F.count(F.lit(1)).alias("c3")))
+    # ONE tokenize pass over the train half (r13 opt, guide §2; same
+    # construction as stupid_backoff_lm): every POSITION emits
+    # (w1, w2-or-NULL, w3-or-NULL) — NULLs pad the last two positions —
+    # and aggregates once.  c3 is the non-NULL-w3 rows directly; c2
+    # rolls up the non-NULL-w2 rows by (w1, w2); c1 rolls up by w1; N
+    # is the grand total.  All exact BIGINT sums of the same counts
+    # the four separate explosions produced → scores bit-identical.
+    # Unfused, uni (×2 aliases), tot, big (×2 aliases) and tri each
+    # re-ran the tokenize pipeline.  The pinned table is
+    # trigram-vocab-sized — the size class the c3 aggregate already
+    # shuffled.
+    pad_expr = F.when(
+        F.size("toks") >= 1,
+        F.expr("transform(sequence(0, size(toks)-1),"
+               " i -> struct(toks[i] AS w1,"
+               " CASE WHEN i < size(toks)-1 THEN toks[i+1] END AS w2,"
+               " CASE WHEN i < size(toks)-2 THEN toks[i+2] END AS w3))"))
+    tcounts = cache_pinned(
+        train.select(F.explode(pad_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+                 F.col("p.w3").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("__c")))
+    uni = (tcounts.groupBy("w1").agg(F.sum("__c").alias("c1"))
+           .select(F.col("w1").alias("w"), "c1"))
+    tot = tcounts.agg(F.sum("__c").alias("n"))
+    big = (tcounts.where(F.col("w2").isNotNull())
+           .groupBy("w1", "w2").agg(F.sum("__c").alias("c2")))
+    tri = (tcounts.where(F.col("w3").isNotNull())
+           .select("w1", "w2", "w3", F.col("__c").alias("c3")))
     b12 = big.select(F.col("w1").alias("b1"), F.col("w2").alias("b2"),
                      F.col("c2").alias("c2_12"))
     b23 = big.select(F.col("w1").alias("b2_"), F.col("w2").alias("b3_"),
