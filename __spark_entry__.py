@@ -1380,7 +1380,7 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 and at 100 TB, and at driver scale the 0.3-slice is below
     the cap so values are unchanged."""
     from basic_data_fusion_spark.operators.dedup import (
-        dedup_clusters,
+        cluster_labels,
         gate_slice,
         incremental_clusters,
         ngram_jaccard_pairs,
@@ -1397,8 +1397,10 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     old_pairs = all_pairs.filter((F.col("id_a") % 10 != 0)
                                  & (F.col("id_b") % 10 != 0))
-    labels_old = (dedup_clusters(old, old_pairs)
-                  .select("doc_id", "cluster_id"))
+    # cluster_labels, not dedup_clusters: the merge consumes only the
+    # label map, so the size aggregation + join dedup_clusters pays
+    # would be discarded work (r13 opt; old_pairs endpoints ⊆ old)
+    labels_old = cluster_labels(old, old_pairs)
     new_pairs = all_pairs.filter((F.col("id_a") % 10 == 0)
                                  | (F.col("id_b") % 10 == 0))
     new_ids = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
@@ -1486,7 +1488,7 @@ def q_incremental_clusters_banded(spark: SparkSession,
     max_rows=_GATE_MAX_ROWS since r13, replayed by a shadowing
     documents CTE in the oracle)."""
     from basic_data_fusion_spark.operators.dedup import (
-        dedup_clusters,
+        cluster_labels,
         gate_slice,
         incremental_clusters,
         lsh_candidate_pairs,
@@ -1519,8 +1521,10 @@ def q_incremental_clusters_banded(spark: SparkSession,
     new_pairs = pairs.filter(is_new("id_a") | is_new("id_b"))
     old = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    labels_old = (dedup_clusters(old, old_pairs)
-                  .select("doc_id", "cluster_id"))
+    # cluster_labels, not dedup_clusters: the merge consumes only the
+    # label map, so the size aggregation + join dedup_clusters pays
+    # would be discarded work (r13 opt; old_pairs endpoints ⊆ old)
+    labels_old = cluster_labels(old, old_pairs)
     return incremental_clusters(labels_old, new_pairs,
                                 batch.select("doc_id"))
 

@@ -1245,6 +1245,30 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return labeled.union(singles)
 
 
+def cluster_labels(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """``dedup_clusters`` without the cluster-size machinery:
+    ``(id, cluster_id)`` for every document of ``df``, cluster_id = min
+    member id (singletons label themselves).  For consumers that only
+    need the LABEL MAP (split assignment, star edges for incremental
+    merges) the size aggregation + join-back that ``dedup_clusters``
+    pays is dead weight Catalyst cannot prune (the inner join is not
+    provably cardinality-preserving), so this variant skips it — one
+    left join + coalesce instead of a groupBy, an inner join and an
+    anti-join (r13 opt, guide §1.2 "don't compute things you throw
+    away").  Precondition: every pair endpoint appears in ``df``
+    (the labels are df-keyed; a pair id outside ``df`` would be
+    dropped where ``dedup_clusters`` emits it).  Values are otherwise
+    identical to ``dedup_clusters``'s (id, cluster_id) projection."""
+    comps = (connected_components(pairs, src, dst)
+             .withColumnRenamed("node", id_col))
+    return (df.select(id_col)
+            .join(comps, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col))
+                    .alias("cluster_id")))
+
+
 # ---------------- tier 4: simhash ----------------
 
 def _signed_mask(bit: int) -> int:
@@ -2021,7 +2045,10 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame,
     """
     from .selection import hash_uniform
 
-    clusters = dedup_clusters(df, pairs, id_col=id_col)
+    # cluster_labels, not dedup_clusters: the split needs only the label
+    # map, and the size aggregation + join would be computed and thrown
+    # away (pair endpoints ⊆ df holds — pairs come from the same corpus)
+    clusters = cluster_labels(df, pairs, id_col=id_col)
     u = hash_uniform(F.col("cluster_id"), seed)
     split = (F.when(u < F.lit(float(train_frac)), F.lit("train"))
              .when(u < F.lit(float(train_frac) + float(val_frac)),
