@@ -2074,32 +2074,58 @@ def dedup_impact_sweep(docs: DataFrame, pairs: DataFrame,
     pair relation so the sweep is one scan of the pairs, not one dedup
     run per threshold).
 
-    Scale shape: |pairs| × |thresholds| explode (thresholds is a tiny
-    literal array), two hash aggregations on that, one join back to the
-    (id, weight) projection of the corpus — bodies never shuffle — and a
-    broadcast of the single-row corpus totals.  Percentages are
-    integer-derived divisions, so the report is bit-deterministic.
+    Scale shape: ONE scan of the pairs (each pair classified into its
+    highest-threshold band — no |pairs| × |thresholds| explode), two
+    hash aggregations on band keys, one join back to the (id, weight)
+    projection of the corpus — bodies never shuffle — and every
+    per-threshold figure read as a suffix sum over the ≤|thresholds|
+    band rows (broadcast).  Percentages are integer-derived divisions,
+    so the report is bit-deterministic.
     Reference analogue: none (planning extension).
     """
     ts = sorted(float(t) for t in thresholds)
     t_arr = F.array(*[F.lit(t) for t in ts])
-    hits = (pairs.select("id_a", "id_b", "jaccard")
-            .withColumn("threshold", F.explode(t_arr))
-            .where(F.col("jaccard") >= F.col("threshold")))
-    pair_counts = hits.groupBy("threshold").agg(
-        F.count(F.lit(1)).alias("n_pairs"))
-    removed = (hits.select("threshold", F.col("id_b").alias(id_col))
-               .distinct()
-               .join(docs.select(id_col, weight_col), id_col)
-               .groupBy("threshold")
-               .agg(F.count(F.lit(1)).alias("docs_removed"),
-                    F.sum(weight_col).alias("chars_removed")))
+    # band(j) = #{i : j >= ts[i]} — the SAME literal comparisons the
+    # old |pairs|×|ts| explode made, evaluated once per PAIR: a pair
+    # passes ts[i] iff band >= i+1, so every per-threshold count is a
+    # suffix sum over the ≤|ts| band groups, and a doc's removal band
+    # is max(band) = band(max jaccard) (band is monotone in jaccard).
+    # This drops the threshold explode, the (threshold, id) distinct
+    # shuffle, and the per-threshold doc join (r13 opt, guide §2.3
+    # "shuffle fewer bytes"): the pair relation is scanned once, docs
+    # join once, the sweep arms become suffix sums over tiny broadcast
+    # relations.  Counts and char sums are the same exact integers
+    # (weight_col must be integral for bit-determinism — already the
+    # operator's implicit contract), summed band-first.
+    band = F.size(F.filter(t_arr, lambda t: F.col("jaccard") >= t))
+    # pair-count-bounded (id, band) pairs feed BOTH sweep arms — pin so
+    # the upstream pair tier (at production scale the PPJoin/LSH
+    # candidate join + verification) runs once, not once per arm (the
+    # dedup_recall_report truth-pin precedent)
+    pb = cache_pinned(pairs.select("id_b", band.alias("__band"))
+                      .where(F.col("__band") >= 1))
+    pair_bands = pb.groupBy("__band").agg(
+        F.count(F.lit(1)).alias("__np"))
+    doc_bands = (pb.groupBy(F.col("id_b").alias(id_col))
+                 .agg(F.max("__band").alias("__band"))
+                 .join(docs.select(id_col, weight_col), id_col)
+                 .groupBy("__band")
+                 .agg(F.count(F.lit(1)).alias("__nd"),
+                      F.sum(weight_col).alias("__nc")))
     totals = docs.agg(F.count(F.lit(1)).alias("__n_docs"),
                       F.sum(weight_col).alias("__n_chars"))
     base = (docs.sparkSession.range(1)
-            .select(F.explode(t_arr).alias("threshold")))
-    out = (base.join(pair_counts, "threshold", "left")
-           .join(removed, "threshold", "left")
+            .select(F.posexplode(t_arr).alias("__i", "threshold")))
+    pc = (base.join(F.broadcast(pair_bands),
+                    F.col("__band") > F.col("__i"), "left")
+          .groupBy("__i", "threshold")
+          .agg(F.sum("__np").alias("n_pairs")))
+    rm = (base.join(F.broadcast(doc_bands),
+                    F.col("__band") > F.col("__i"), "left")
+          .groupBy("__i", "threshold")
+          .agg(F.sum("__nd").alias("docs_removed"),
+               F.sum("__nc").alias("chars_removed")))
+    out = (pc.join(rm, ["__i", "threshold"])
            .crossJoin(F.broadcast(totals)))
     z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
     return out.select(
