@@ -204,43 +204,35 @@ def _summary_base(spark: SparkSession, sf_dir: str, table: str,
             .repartition(spark.sparkContext.defaultParallelism))
 
 
-_SUMMARY_QUANTILE_MEMO: dict[str, dict] = {}
+def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 deterministic tier: per-column n / missing / mean / median /
+    min / max for customer+lineitem numerics.  Mean via fixed-point
+    sum; median EXACT via the distributed quantile decomposition,
+    rounded to 4 in-engine (2-decimal source data -> the round is
+    identity on true values, only kills cross-engine ulp drift).
 
-
-def _summary_quantiles_all(spark: SparkSession, sf_dir: str) -> dict:
-    """{(table, column, p): value} for BOTH A5 summary tiers from ONE
-    distributed quantile machine.
-
-    r12 re-plan: the DISTRIBUTED exact-quantile decomposition
-    (aggregations.exact_quantiles) replaced the percentile()
-    aggregate, whose buffer holds EVERY value of the column on the
-    single merge path (the r12 sf-decade cliff: 6.7x wall for 3x rows
-    at sf1->sf3).  Interpolation arithmetic is bit-for-bit the
-    aggregate's (pos = 1+(n-1)p exact in doubles at these magnitudes,
-    lo + frac*(hi-lo) op order matched), so values and oracles are
-    unchanged.
-
-    r13 fusion (r12 verdict #3): the exact tier needs p=0.5 and the
-    approx tier's verification band needs 0.49/0.51, and each tier
-    previously ran the melt->counts->prefix-sum machine once PER
-    TABLE — four machines over the same columns across the two
-    contracts.  Now the tables' melts union under table-qualified
-    __cid labels (exact_quantiles_stacked), ONE machine computes all
-    three quantiles, and the collected dict (columns x 3 plain
-    floats) memoizes per sf_dir so the second tier's quantile cost is
-    zero.  Per-column values are bit-identical to per-table runs (the
-    cumulative rank subtracts the preceding columns' mass), so both
-    oracles hold unchanged.  Memo safety: keyed by sf_dir — the
-    driver/test fixtures are immutable parquet directories — and
-    holds only plain floats, no session objects."""
-    hit = _SUMMARY_QUANTILE_MEMO.get(sf_dir)
-    if hit is not None:
-        return hit
+    r13 one-scan re-plan (optimization round 1, guide §2 "do the work
+    once"): the tier previously ran the quantile machine's melt AND a
+    separate per-table aggregate pass (plus an eager collect per
+    relation).  Now ONE lazy plan does everything: the stacked melt
+    reduces to per-distinct-value counts (pinned — distinct-values-
+    sized, the same relation the machine shuffles anyway), the
+    quantile machine enters at the counts level
+    (exact_quantiles_counts), and n/mean/min/max derive from the SAME
+    counts: n = Σc, min/max over distinct values, and the fixed-point
+    mean numerator Σ c·half_up(v·1e6) — an exact integer sum equal
+    term-for-term to the per-row Σ half_up(v·1e6), feeding the
+    identical division tree, so every value is bit-identical to the
+    per-row aggregate (oracle unchanged).  Per-table totals for
+    n_missing are count(*) aggregates (metadata-only on parquet)."""
+    from basic_data_fusion_spark.caching import cache_pinned
+    from basic_data_fusion_spark.functions.scalars import half_up_long
     from basic_data_fusion_spark.operators.aggregations import (
-        exact_quantiles_stacked,
+        exact_quantiles_counts,
     )
 
     stacked = None
+    tots = None
     for table, cols in _SUMMARY_TABLES:
         df = _summary_base(spark, sf_dir, table, cols)
         part = (df.select(F.explode(F.array(*[
@@ -250,52 +242,29 @@ def _summary_quantiles_all(spark: SparkSession, sf_dir: str) -> dict:
             .select("s.__cid", "s.__v")
             .where(F.col("__v").isNotNull()))
         stacked = part if stacked is None else stacked.unionByName(part)
-    out = {}
-    for r in exact_quantiles_stacked(stacked,
-                                     [0.49, 0.5, 0.51]).collect():
-        table, col = r["column"].split(".", 1)
-        out[(table, col, r["p"])] = r["value"]
-    _SUMMARY_QUANTILE_MEMO[sf_dir] = out
-    return out
-
-
-def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 deterministic tier: per-column n / missing / mean / median /
-    min / max for customer+lineitem numerics.  Mean via fixed-point
-    sum; median EXACT via the distributed quantile decomposition,
-    computed ONCE for both summary tiers (r13 fusion — see
-    _summary_quantiles_all), rounded to 4 in-engine (2-decimal source
-    data -> the round is identity on true values, only kills
-    cross-engine ulp drift)."""
-    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
-
-    quant = _summary_quantiles_all(spark, sf_dir)
-    rows = []
-    for table, cols in _SUMMARY_TABLES:
-        df = _summary_base(spark, sf_dir, table, cols)
-        med_df = spark.createDataFrame(
-            [(c, quant[(table, c, 0.5)]) for c in cols],
-            "column string, median double")
-        med = {r["column"]: r["m"] for r in
-               med_df.select("column",
-                             F.round("median", 4).alias("m")).collect()}
-        aggs = [F.count(F.lit(1)).alias("__total")]
-        for c in cols:
-            col = F.col(c).cast("double")
-            aggs += [
-                F.count(col).alias(f"n_{c}"),
-                (fixed_point_sum(col) / F.count(col)).alias(f"mean_{c}"),
-                F.min(col).alias(f"min_{c}"),
-                F.max(col).alias(f"max_{c}"),
-            ]
-        row = df.agg(*aggs).first()  # one job; result is a single row
-        for c in cols:
-            rows.append((f"{table}.{c}", row[f"n_{c}"],
-                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
-                         med.get(c), row[f"min_{c}"], row[f"max_{c}"]))
-    return spark.createDataFrame(
-        rows, "column string, n_non_null long, n_missing long, mean double, "
-              "median double, min double, max double")
+        t = (_catalog(spark, sf_dir).load(table)
+             .agg(F.count(F.lit(1)).alias("__total"))
+             .select(F.lit(table).alias("__tbl"), "__total"))
+        tots = t if tots is None else tots.unionByName(t)
+    counts = cache_pinned(stacked.groupBy("__cid", "__v")
+                          .agg(F.count(F.lit(1)).alias("__c")))
+    med = (exact_quantiles_counts(counts, [0.5])
+           .select(F.col("column").alias("__cid"),
+                   F.round("value", 4).alias("median")))
+    colagg = (counts.groupBy("__cid").agg(
+        F.sum("__c").alias("__n"),
+        ((F.sum(F.col("__c") * half_up_long(F.col("__v") * F.lit(1e6)))
+          / F.lit(1e6)) / F.sum("__c")).alias("mean"),
+        F.min("__v").alias("min"),
+        F.max("__v").alias("max")))
+    return (colagg
+            .join(F.broadcast(med), "__cid")
+            .withColumn("__tbl", F.substring_index("__cid", ".", 1))
+            .join(F.broadcast(tots), "__tbl")
+            .select(F.col("__cid").alias("column"),
+                    F.col("__n").alias("n_non_null"),
+                    (F.col("__total") - F.col("__n")).alias("n_missing"),
+                    "mean", "median", "min", "max"))
 
 
 def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,17 +280,36 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget (accuracy 10000 -> rank error 1e-4, 100x inside the band)
     flips a hash-checked bit instead of hiding in a rows-only row.
     r12 re-plan: the band's exact 0.49/0.51 bounds come from the
-    distributed quantile decomposition, shared with the exact tier's
-    medians since r13 (see _summary_quantiles_all), so this tier
-    neither smuggles the percentile() aggregate's data-sized buffer in
-    through its own verification bounds nor re-runs the quantile
-    machine the exact tier already paid for."""
-    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    distributed quantile decomposition, so this tier doesn't smuggle
+    the percentile() aggregate's data-sized buffer in through its own
+    verification bounds.
 
-    quant = _summary_quantiles_all(spark, sf_dir)
-    rows = []
+    r13 one-action re-plan (optimization round 1, guide §2/§1.2): the
+    tier previously collected the quantile machine AND one aggregate
+    row per table through separate eager actions, serializing three
+    jobs.  Now the per-table sketch aggregates reshape to per-column
+    rows lazily (explode of the one-row aggregate) and the exact
+    bounds join in from the machine, so ONE action runs everything
+    and the sketch pass overlaps the machine's stages.  Values are
+    identical: same aggregate expressions, same bound values, and the
+    band flag `lo <= ap AND ap <= hi` is the same comparison the
+    driver-side Python chain evaluated."""
+    from basic_data_fusion_spark.functions.scalars import fixed_point_sum
+    from basic_data_fusion_spark.operators.aggregations import (
+        exact_quantiles_stacked,
+    )
+
+    stacked = None
+    percol = None
     for table, cols in _SUMMARY_TABLES:
         df = _summary_base(spark, sf_dir, table, cols)
+        part = (df.select(F.explode(F.array(*[
+            F.struct(F.lit(f"{table}.{c}").alias("__cid"),
+                     F.col(c).cast("double").alias("__v"))
+            for c in cols])).alias("s"))
+            .select("s.__cid", "s.__v")
+            .where(F.col("__v").isNotNull()))
+        stacked = part if stacked is None else stacked.unionByName(part)
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
@@ -333,16 +321,32 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(col).alias(f"min_{c}"),
                 F.max(col).alias(f"max_{c}"),
             ]
-        row = df.agg(*aggs).first()  # one job; result is a single row
-        for c in cols:
-            rows.append((f"{table}.{c}", row[f"n_{c}"],
-                         row["__total"] - row[f"n_{c}"], row[f"mean_{c}"],
-                         row[f"min_{c}"], row[f"max_{c}"],
-                         bool(quant[(table, c, 0.49)] <= row[f"ap_{c}"]
-                              <= quant[(table, c, 0.51)])))
-    return spark.createDataFrame(
-        rows, "column string, n_non_null long, n_missing long, mean double, "
-              "min double, max double, median_within_band boolean")
+        p = (df.agg(*aggs)
+             .select(F.explode(F.array(*[
+                 F.struct(F.lit(f"{table}.{c}").alias("__cid"),
+                          F.col(f"n_{c}").alias("n_non_null"),
+                          (F.col("__total") - F.col(f"n_{c}"))
+                          .alias("n_missing"),
+                          F.col(f"mean_{c}").alias("mean"),
+                          F.col(f"ap_{c}").alias("__ap"),
+                          F.col(f"min_{c}").alias("min"),
+                          F.col(f"max_{c}").alias("max"))
+                 for c in cols])).alias("s"))
+             .select("s.*"))
+        percol = p if percol is None else percol.unionByName(p)
+    bounds = (exact_quantiles_stacked(stacked, [0.49, 0.51])
+              .groupBy(F.col("column").alias("__cid"))
+              .agg(F.min(F.when(F.col("p") == 0.49, F.col("value")))
+                   .alias("__lo"),
+                   F.min(F.when(F.col("p") == 0.51, F.col("value")))
+                   .alias("__hi")))
+    return (percol
+            .join(F.broadcast(bounds), "__cid")
+            .select(F.col("__cid").alias("column"),
+                    "n_non_null", "n_missing", "mean", "min", "max",
+                    ((F.col("__lo") <= F.col("__ap"))
+                     & (F.col("__ap") <= F.col("__hi")))
+                    .alias("median_within_band")))
 
 
 _COLUMN_SUMMARY_APPROX_ORACLE = """
@@ -9022,9 +9026,9 @@ WHERE rn <= 20
 #       (r12 verdict #5).  Values unchanged at driver sf (cap
 #       inactive below 5000 docs) but the contracts changed.
 #     - column_summary + column_summary_approx: both tiers re-planned
-#       onto ONE shared memoized quantile relation
-#       (_summary_quantiles_all, r12 verdict #3; values bit-identical,
-#       plans not).
+#       onto ONE stacked quantile machine per call (r12 verdict #3;
+#       r13 opt round 1 made each tier a single lazy plan — values
+#       bit-identical, plans not).
 #     - dedup_keep_best: singleton fast path (members-only CC window +
 #       anti-join branch, r12 verdict #4; values identical).
 #     - centroid_drift_recall: full (arm × query) grid join (r12

@@ -161,10 +161,24 @@ def exact_quantiles_stacked(stacked: DataFrame, ps: list[float],
     shares the pass."""
     if not ps:
         raise ValueError("ps must be non-empty")
-    from .ordering import global_running_sum
-
     counts = (stacked.groupBy("__cid", "__v")
               .agg(F.count(F.lit(1)).alias("__c")))
+    return exact_quantiles_counts(counts, ps, n_partitions=n_partitions)
+
+
+def exact_quantiles_counts(counts: DataFrame, ps: list[float],
+                           n_partitions: int | None = None) -> DataFrame:
+    """:func:`exact_quantiles_stacked` over a PRE-AGGREGATED
+    ``(__cid, __v, __c)`` per-distinct-value count relation — the entry
+    point for callers that already materialize the counts (e.g. the A5
+    summary tier derives its n/mean/min/max aggregates from the same
+    relation, so pinning it and entering here makes the whole summary
+    one corpus scan).  Identical arithmetic to the stacked form — the
+    stacked form now just counts and delegates."""
+    if not ps:
+        raise ValueError("ps must be non-empty")
+    from .ordering import global_running_sum
+
     cum = global_running_sum(counts, ["__cid", "__v"], "__c",
                              out_col="__cum", n_partitions=n_partitions)
     tot = cum.groupBy("__cid").agg(F.max("__cum").alias("__end"),
