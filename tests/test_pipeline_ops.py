@@ -868,9 +868,30 @@ def test_connected_components_star_but_not_function(spark):
     must require both halves."""
     edges = spark.createDataFrame(
         [(0, 3), (1, 4), (2, 3), (2, 4)], "id_a long, id_b long")
+    # local_edge_cap=0: this regression pins the DISTRIBUTED rounds'
+    # fixed-point test, which the small-graph fast path would bypass
     got = {r["node"]: r["component"]
-           for r in dedup.connected_components(edges).collect()}
+           for r in dedup.connected_components(
+               edges, local_edge_cap=0).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The r13 small-graph fast path (driver union-find under
+    local_edge_cap) must label exactly like the distributed
+    alternating-star rounds — same nodes, same min-member components —
+    including multi-merge chains and the star-but-not-function shape."""
+    rng = np.random.default_rng(11)
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, 120, (140, 2)) if a != b]
+    pairs += [(0, 3), (1, 4), (2, 3), (2, 4)]
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast = {(r["node"], r["component"])
+            for r in dedup.connected_components(edges).collect()}
+    dist = {(r["node"], r["component"])
+            for r in dedup.connected_components(
+                edges, local_edge_cap=0).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_connected_components_random_vs_union_find(spark):

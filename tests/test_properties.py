@@ -76,8 +76,12 @@ def test_max_run_matches_python(spark, words):
     min_size=1, max_size=40))
 def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # local_edge_cap=0 keeps this property net on the DISTRIBUTED
+    # rounds (the fast path has its own parity pin in
+    # test_connected_components_fast_path_matches_distributed)
     got = {r["node"]: r["component"]
-           for r in dedup.connected_components(df).collect()}
+           for r in dedup.connected_components(
+               df, local_edge_cap=0).collect()}
 
     parent: dict[int, int] = {}
 
