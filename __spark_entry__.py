@@ -204,6 +204,32 @@ def _summary_base(spark: SparkSession, sf_dir: str, table: str,
             .repartition(spark.sparkContext.defaultParallelism))
 
 
+def _summary_stacked(spark: SparkSession, sf_dir: str):
+    """(stacked, names): the A5 summary melt as ``(__cid int, __v
+    double)`` non-null rows plus the parallel ``table.column`` name
+    list (``names[cid]``).  ``posexplode`` of a bare value array —
+    the column id IS the position — instead of exploding structs
+    that carry a ~20-byte label string per melted row: the machine's
+    two data-sized shuffles (melt → counts, counts → range) move an
+    int instead of the string, and per-column quantiles are invariant
+    to the cid ORDER (each column's block is contiguous under any
+    total cid order; the cumulative rank subtracts the block start),
+    so values are bit-identical (r13 opt round 1, guide §2.3
+    "narrower types")."""
+    names: list[str] = []
+    stacked = None
+    for table, cols in _SUMMARY_TABLES:
+        df = _summary_base(spark, sf_dir, table, cols)
+        off = len(names)
+        part = (df.select(F.posexplode(F.array(*[
+            F.col(c).cast("double") for c in cols])).alias("__p", "__v"))
+            .select((F.col("__p") + F.lit(off)).alias("__cid"), "__v")
+            .where(F.col("__v").isNotNull()))
+        names += [f"{table}.{c}" for c in cols]
+        stacked = part if stacked is None else stacked.unionByName(part)
+    return stacked, names
+
+
 def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 deterministic tier: per-column n / missing / mean / median /
     min / max for customer+lineitem numerics.  Mean via fixed-point
@@ -231,17 +257,9 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_quantiles_counts,
     )
 
-    stacked = None
+    stacked, names = _summary_stacked(spark, sf_dir)
     tots = None
-    for table, cols in _SUMMARY_TABLES:
-        df = _summary_base(spark, sf_dir, table, cols)
-        part = (df.select(F.explode(F.array(*[
-            F.struct(F.lit(f"{table}.{c}").alias("__cid"),
-                     F.col(c).cast("double").alias("__v"))
-            for c in cols])).alias("s"))
-            .select("s.__cid", "s.__v")
-            .where(F.col("__v").isNotNull()))
-        stacked = part if stacked is None else stacked.unionByName(part)
+    for table, _cols in _SUMMARY_TABLES:
         t = (_catalog(spark, sf_dir).load(table)
              .agg(F.count(F.lit(1)).alias("__total"))
              .select(F.lit(table).alias("__tbl"), "__total"))
@@ -257,11 +275,14 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
           / F.lit(1e6)) / F.sum("__c")).alias("mean"),
         F.min("__v").alias("min"),
         F.max("__v").alias("max")))
+    name = F.element_at(F.array(*[F.lit(n) for n in names]),
+                        F.col("__cid").cast("int") + 1)
     return (colagg
             .join(F.broadcast(med), "__cid")
-            .withColumn("__tbl", F.substring_index("__cid", ".", 1))
+            .withColumn("column", name)
+            .withColumn("__tbl", F.substring_index("column", ".", 1))
             .join(F.broadcast(tots), "__tbl")
-            .select(F.col("__cid").alias("column"),
+            .select("column",
                     F.col("__n").alias("n_non_null"),
                     (F.col("__total") - F.col("__n")).alias("n_missing"),
                     "mean", "median", "min", "max"))
@@ -299,17 +320,10 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_quantiles_stacked,
     )
 
-    stacked = None
+    stacked, names = _summary_stacked(spark, sf_dir)
     percol = None
     for table, cols in _SUMMARY_TABLES:
         df = _summary_base(spark, sf_dir, table, cols)
-        part = (df.select(F.explode(F.array(*[
-            F.struct(F.lit(f"{table}.{c}").alias("__cid"),
-                     F.col(c).cast("double").alias("__v"))
-            for c in cols])).alias("s"))
-            .select("s.__cid", "s.__v")
-            .where(F.col("__v").isNotNull()))
-        stacked = part if stacked is None else stacked.unionByName(part)
         aggs = [F.count(F.lit(1)).alias("__total")]
         for c in cols:
             col = F.col(c).cast("double")
@@ -334,8 +348,10 @@ def q_column_summary_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for c in cols])).alias("s"))
              .select("s.*"))
         percol = p if percol is None else percol.unionByName(p)
+    cid_name = F.element_at(F.array(*[F.lit(n) for n in names]),
+                            F.col("column").cast("int") + 1)
     bounds = (exact_quantiles_stacked(stacked, [0.49, 0.51])
-              .groupBy(F.col("column").alias("__cid"))
+              .groupBy(cid_name.alias("__cid"))
               .agg(F.min(F.when(F.col("p") == 0.49, F.col("value")))
                    .alias("__lo"),
                    F.min(F.when(F.col("p") == 0.51, F.col("value")))
