@@ -250,7 +250,17 @@ def q_column_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-for-term to the per-row Σ half_up(v·1e6), feeding the
     identical division tree, so every value is bit-identical to the
     per-row aggregate (oracle unchanged).  Per-table totals for
-    n_missing are count(*) aggregates (metadata-only on parquet)."""
+    n_missing are count(*) aggregates (metadata-only on parquet).
+
+    Precondition (r13 advisory): every summarized column must have at
+    least one non-null value — an entirely-NULL column produces no
+    counts rows, so the med/counts inner joins emit no row for it
+    (the pre-r13 eager path crashed on the same input with a
+    KeyError, so neither shape ever summarized such a column).  The
+    contract's columns are TPC-H NOT NULL numerics, so the case is
+    unreachable here; a caller summarizing nullable columns should
+    pre-filter them or extend the tier with a names-literal left
+    join."""
     from basic_data_fusion_spark.caching import cache_pinned
     from basic_data_fusion_spark.functions.scalars import half_up_long
     from basic_data_fusion_spark.operators.aggregations import (

@@ -1212,8 +1212,15 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
 
         integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         ut, vt = e.schema["u"].dataType, e.schema["v"].dataType
+        # bounded-ness probe, not a full count: limit(cap+1) lets the
+        # scan stop as soon as cap+1 rows exist, so a corpus-scale
+        # graph that will blow past the cap doesn't pay a full
+        # edge-relation pass just to learn it must run the rounds
+        # (r13 advisory; the rounds materialize the lazy checkpoint
+        # themselves on the first convergence action)
         if (isinstance(ut, integral) and ut == vt
-                and e.count() <= int(local_edge_cap)):
+                and e.limit(int(local_edge_cap) + 1).count()
+                <= int(local_edge_cap)):
             parent: dict = {}
 
             def _find(x):

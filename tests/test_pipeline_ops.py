@@ -915,8 +915,13 @@ def test_connected_components_random_vs_union_find(spark):
     expected = {x: find(x) for x in touched}
 
     edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # local_edge_cap=0 pins the DISTRIBUTED alternating-star rounds —
+    # this is their only sizable random-graph oracle (the driver
+    # fast path has its own parity test above and would otherwise
+    # silently absorb this graph since 150 < local_edge_cap)
     got = {r["node"]: r["component"]
-           for r in dedup.connected_components(edges).collect()}
+           for r in dedup.connected_components(
+               edges, local_edge_cap=0).collect()}
     assert got == expected
 
 
