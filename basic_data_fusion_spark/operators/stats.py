@@ -388,18 +388,23 @@ def kendall_tau_grouped_lowcard(df: DataFrame, group_col: str, col_a: str,
             .withColumn("__le", F.sum("__c").over(w))
             .withColumn("__lt", F.col("__le") - F.col("__c"))
             .withColumn("__gt", F.col("__ta") - F.col("__le")))
-    vecs = (grid.groupBy(group_col, "__b")
-            .agg(F.collect_list(
-                F.struct("__a", "__lt", "__gt")).alias("__vec")))
+    # strictly-smaller-a prefix vector as a WINDOW prefix sum over the
+    # grid (r14 opt, guide §4 "prefer built-ins"): Σ_{v<a₀} lt/gt is an
+    # exclusive running sum per (group, b) ordered by a — the former
+    # collect_list + per-cell filter/aggregate HOF form shuffled the
+    # same (group, b) keys but then built an m-element struct array per
+    # grid column and re-folded it with INTERPRETED lambdas once per
+    # non-empty cell (CodegenFallback, no subexpression elimination);
+    # the window is whole-stage-codegen'd and emits the identical exact
+    # BIGINT prefixes.  Non-empty grid rows ARE the cells relation
+    # (__c > 0 marks them), so the cells join disappears too.
+    w_pre = (Window.partitionBy(group_col, "__b").orderBy("__a")
+             .rowsBetween(Window.unboundedPreceding, -1))
     zero = F.lit(0).cast("long")
-    pre = F.filter("__vec", lambda x: x["__a"] < F.col("__a"))
-    cd = (cells.join(vecs, [group_col, "__b"])
-          .withColumn("__pre", pre)
-          .select(group_col, "__c",
-                  F.aggregate("__pre", zero,
-                              lambda acc, x: acc + x["__lt"]).alias("__Cc"),
-                  F.aggregate("__pre", zero,
-                              lambda acc, x: acc + x["__gt"]).alias("__Dc")))
+    cd = (grid
+          .withColumn("__Cc", F.coalesce(F.sum("__lt").over(w_pre), zero))
+          .withColumn("__Dc", F.coalesce(F.sum("__gt").over(w_pre), zero))
+          .filter(F.col("__c") > 0))
     counts = (cd.groupBy(group_col)
               .agg(F.sum(F.col("__c") * F.col("__Cc")).alias("concordant"),
                    F.sum(F.col("__c") * F.col("__Dc")).alias("discordant")))
