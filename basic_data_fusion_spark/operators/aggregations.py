@@ -181,6 +181,12 @@ def exact_quantiles_counts(counts: DataFrame, ps: list[float],
 
     cum = global_running_sum(counts, ["__cid", "__v"], "__c",
                              out_col="__cum", n_partitions=n_partitions)
+    # tot reads the machine OUTPUT (whose range shuffle is checkpointed
+    # inside global_running_sum), not the raw counts relation: for
+    # callers that pass a lazy counts plan, a counts-side aggregate
+    # would re-execute the whole melt subtree, where this pass re-reads
+    # the checkpoint (r14: measured, the counts-side form regressed the
+    # approx summary tier ~15%)
     tot = cum.groupBy("__cid").agg(F.max("__cum").alias("__end"),
                                    F.sum("__c").alias("__n"))
     # per-column cumulative rank: subtract the preceding columns' mass

@@ -1159,7 +1159,7 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
 
     Returns (arm, query_id, n_returned, n_hits, recall_at_k).
     """
-    if not arms:
+    if isinstance(arms, dict) and not arms:
         raise ValueError("ann_recall needs at least one arm to score")
     # |queries|·k rows, consumed by the hit join AND the per-query
     # count — without a pin the exact brute-force scan upstream runs
@@ -1170,11 +1170,17 @@ def ann_recall(exact: DataFrame, arms: dict[str, DataFrame],
     # per-query exact count — query-set-sized, rides the same broadcast
     ex_n = (ex.groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("__n_exact")))
-    tagged = None
-    for name in sorted(arms):
-        t = (arms[name].select("query_id", "neighbor_id")
-             .withColumn("arm", F.lit(name)))
-        tagged = t if tagged is None else tagged.unionByName(t)
+    if isinstance(arms, DataFrame):
+        # pre-stacked arm frame (arm, query_id, neighbor_id) — callers
+        # that compute every arm in ONE plan (centroid_drift_report's
+        # stacked probe, r14) skip the per-arm union
+        tagged = arms.select("arm", "query_id", "neighbor_id")
+    else:
+        tagged = None
+        for name in sorted(arms):
+            t = (arms[name].select("query_id", "neighbor_id")
+                 .withColumn("arm", F.lit(name)))
+            tagged = t if tagged is None else tagged.unionByName(t)
     per = (tagged.join(F.broadcast(ex), ["query_id", "neighbor_id"],
                        "left")
            .groupBy("arm", "query_id")
@@ -1438,37 +1444,71 @@ def centroid_drift_report(corpus: DataFrame, queries: DataFrame,
                     .alias(f"__cell_{i}"))
     proj.append(self_dot(F.col(vec_col)).alias("__cc"))
     combined = cache_pinned(spread_narrow(corpus).select(*proj))
-    arm_frames = {}
-    cand_frames = []
-    for i, name in enumerate(names):
-        cents = arms[name]
-        indexed = combined.select(F.col(id_col), F.col(vec_col),
-                                  F.col(f"__cell_{i}").alias("cell"),
-                                  "__cc")
-        arm_frames[name] = ivf_topk_indexed(
-            indexed, queries, cents, k=k, nprobe=nprobe, id_col=id_col,
-            vec_col=vec_col, query_id_col=query_id_col,
-            deterministic=deterministic)
-        # probe candidate volume: cell sizes joined onto each query's
-        # top-nprobe cells (same affinity + tie-break as the probe)
-        sizes = (indexed
-                 .groupBy("cell").agg(F.count(F.lit(1)).alias("__csz")))
-        sims, _ = _cell_scores(F.col(vec_col), cents, metric)
-        qc = (queries.select(F.col(query_id_col),
-                             F.posexplode(sims).alias("cell", "sim"))
-              .withColumn("__rk", F.row_number().over(
-                  Window.partitionBy(query_id_col)
-                  .orderBy(F.desc("sim"), F.asc("cell"))))
-              .filter(F.col("__rk") <= nprobe).select("cell"))
-        cand_frames.append(
-            qc.join(F.broadcast(sizes), "cell")
-            .agg(F.coalesce(F.sum("__csz"), F.lit(0)).cast("long")
-                 .alias("n_candidates_total"))
-            .select(F.lit(name).alias("arm"), "n_candidates_total"))
-    cands = cand_frames[0]
-    for cf in cand_frames[1:]:
-        cands = cands.unionByName(cf)
-    per = ann_recall(exact, arm_frames, k=k)
+    # STACKED per-arm probe (r14 opt, guide §2.4 "remove shuffles
+    # outright"/§1.2 "count the jobs"): the per-arm loop ran one probe
+    # window + candidate join + rank window + sizes aggregate + volume
+    # aggregate PER ARM — ~4 extra stages and several broadcast jobs
+    # per additional centroid set.  The arms differ only in which cell
+    # column / affinity array they read, so every per-arm relation
+    # stacks under an arm INDEX: one posexplode fans the corpus to
+    # (arm, cell) rows map-side, one window picks every arm's probe
+    # cells, one join + one rank window scores all arms, one aggregate
+    # counts every arm's candidate volume.  Per-arm expressions,
+    # orderings and tie-breaks are identical (the window partitions add
+    # the arm index), so per-arm rows — and the SQL oracle — are
+    # unchanged.
+    arm_lits = F.array(*[F.lit(n) for n in names])
+    c_exp = combined.select(
+        F.col(id_col), F.col(vec_col), F.col("__cc"),
+        F.posexplode(F.array(*[F.col(f"__cell_{i}")
+                               for i in range(len(names))]))
+        .alias("__ai", "cell"))
+    pair_dot = fixed_point_dot if deterministic else dot
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("__qvec"),
+                       self_dot(F.col(vec_col)).alias("__qq"))
+    per_arm_sims = [_cell_scores(F.col("__qvec"), arms[n], metric)[0]
+                    for n in names]
+    q_cells = (q.select(query_id_col, "__qvec", "__qq",
+                        F.posexplode(F.array(*per_arm_sims))
+                        .alias("__ai", "__sims"))
+               .select(query_id_col, "__qvec", "__qq", "__ai",
+                       F.posexplode("__sims").alias("cell", "sim"))
+               .withColumn("__rk", F.row_number().over(
+                   Window.partitionBy("__ai", query_id_col)
+                   .orderBy(F.desc("sim"), F.asc("cell"))))
+               .filter(F.col("__rk") <= nprobe)
+               .select("__ai", query_id_col, "__qvec", "__qq", "cell"))
+    scored = (c_exp.join(F.broadcast(q_cells), ["__ai", "cell"])
+              .withColumn("cosine_sim",
+                          safe_cos_div(
+                              pair_dot(F.col("__qvec"), F.col(vec_col)),
+                              F.sqrt("__qq") * F.sqrt("__cc"))))
+    w_rank = (Window.partitionBy("__ai", query_id_col)
+              .orderBy(F.desc("cosine_sim"), F.asc(id_col)))
+    tagged = (scored.withColumn("rank", F.row_number().over(w_rank))
+              .filter(F.col("rank") <= k)
+              .select(F.element_at(arm_lits, F.col("__ai") + 1)
+                      .alias("arm"),
+                      F.col(query_id_col).alias("query_id"),
+                      F.col(id_col).alias("neighbor_id")))
+    # probe candidate volume: cell sizes joined onto each query's
+    # top-nprobe cells (same affinity + tie-break as the probe); the
+    # arm-literal left join keeps an all-empty-probe arm at volume 0,
+    # exactly like the old per-arm no-groupBy aggregate
+    sizes = (c_exp.groupBy("__ai", "cell")
+             .agg(F.count(F.lit(1)).alias("__csz")))
+    vol = (q_cells.select("__ai", "cell")
+           .join(F.broadcast(sizes), ["__ai", "cell"])
+           .groupBy("__ai")
+           .agg(F.sum("__csz").cast("long").alias("__nct")))
+    arm_idx = corpus.sparkSession.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "__ai int, arm string")
+    cands = (arm_idx.join(vol, "__ai", "left")
+             .select("arm",
+                     F.coalesce("__nct", F.lit(0).cast("long"))
+                     .alias("n_candidates_total")))
+    per = ann_recall(exact, tagged, k=k)
     # Re-anchor per-query rows on the FULL (arm × query) grid (r12
     # advisory): a query whose nprobe probed cells are ALL EMPTY
     # returns no arm rows, so it would vanish from ``per`` — and from
