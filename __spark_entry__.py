@@ -9067,27 +9067,30 @@ WHERE rn <= 20
 # Every query, windowed or not, stays pinned each pytest run by
 # tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
-    # (a) r13 plan/oracle changes — fresh hashes
-    "dedup_recall_report", "leakage_safe_split", "incremental_clusters",
-    "incremental_clusters_banded", "lsh_config_sweep",
-    "fuzzy_decontam_sweep", "column_summary", "column_summary_approx",
-    "dedup_keep_best", "centroid_drift_recall",
-    # (b) r8-era backlog — the last pre-r9 rows
-    "line_dedup", "dsir_weights", "embedding_near_dups",
-    # (c) 37 oldest-verified fills (r9-era), name order
-    "acctbal_minmax", "anova_acctbal_by_segment", "approx_top_flags",
-    "baseline_consolidation", "bloom_decontam_det",
-    "categorical_summary", "cms_token_freq", "corpus_curation_v2",
-    "corpus_diff", "dedup_exact", "density_2d_lineitem",
-    "dist_stats_acctbal", "distinct_capped", "distinct_segments",
-    "domain_quality_report", "enwiden_events", "filter_impact",
-    "flagship_merge", "grouped_normality_k2", "grouped_ols_events",
-    "histogram_acctbal", "incremental_dedup", "incremental_minhash_det",
-    "iqr_outliers_acctbal", "ivfpq_topk_det", "js_divergence_en",
-    "kendall_tau_grouped", "longitudinal_merge", "minhash_dedup_det",
-    "numeric_ranges_lineitem", "ols_regression", "part_heavy_hitters",
-    "participant_count", "pearson_corr", "pq_topk_det",
-    "pricing_summary", "quality_audit_orders",
+    # (a) r14 plan changes (value-identical rewrites) — changed-plans-
+    # first per the r7 rotation policy
+    "kendall_tau_grouped", "centroid_drift_recall",
+    # (b) the 10 oldest-verified rows (last hash-checked in the r9
+    # window)
+    "regional_volume", "segment_breakdown", "shipping_priority",
+    "source_overlap", "spearman_corr", "spearman_matrix",
+    "substudy_filter", "token_budget_mix", "top_segments", "trigram_lm",
+    # (c) 38 oldest fills (r10-era), name order; the 10 remaining
+    # r10-era rows (quality_percentile .. winnow_overlap_pairs) queue
+    # for the next rotation
+    "ann_recall_report", "asof_latest_order", "attribute_spans",
+    "boilerplate_strip", "c4_rules", "chunk_documents",
+    "corpus_curation", "corpus_curation_v3", "decontam_fraction",
+    "decontam_overlap", "decontam_spans", "decontam_window_sweep",
+    "dedup_impact_sweep", "dist_shift_report", "embedding_outliers",
+    "embedding_topk", "event_funnel_5m", "events_props",
+    "events_sessions", "events_sliding", "events_tumbling_daily",
+    "fuzzy_decontam_det", "gopher_rules", "hard_negatives",
+    "hll_distinct_orders", "interleave_gate", "interleave_order",
+    "ks_acctbal_segments", "lang_id", "lm_surprisal",
+    "media_features", "media_headers", "memorization_risk",
+    "ngram_jaccard", "packing_efficiency", "pii_scrub",
+    "pmi_collocations", "prefix_jaccard_pairs",
 ]
 
 
