@@ -2249,38 +2249,47 @@ def q_audio_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same spread rationale as media_headers (1 task / ~1 s exec before)
     docs = spread_narrow(
         _catalog(spark, sf_dir).load("documents").select("doc_id"))
-    d = F.col("doc_id")
-    sr = (F.lit(8000) * (F.lit(1) + F.pmod(d, F.lit(5)))).cast("long")
-    ch = (F.lit(1) + F.pmod(d, F.lit(2))).cast("long")
-    bits = F.when(F.pmod(d, F.lit(4)) < 2, F.lit(16)) \
-        .otherwise(F.lit(8)).cast("long")
-    ds = (F.lit(8) + F.pmod(d, F.lit(64))).cast("long")     # data bytes
-    block = (ch * bits / F.lit(8)).cast("long")
-    br = (sr * block).cast("long")                          # byte rate
 
-    def le(x, nbytes):                                      # little-endian hex
-        return F.concat(*[
-            F.lpad(F.hex(F.shiftright(x, 8 * i).bitwiseAND(F.lit(255))),
-                   2, "0") for i in range(nbytes)])
+    # The payload expression parses as TWO SQL strings instead of ~200
+    # py4j Column calls (the r13 single-parse treatment, change 1 of
+    # that round — measured ~430 ms of pure driver build per bench run
+    # for this construction alone); the parsed trees evaluate the
+    # identical arithmetic, and the oracle hashes every derived field,
+    # so the bytes are proven unchanged.  The chunk body is staged
+    # through a projection boundary so its hex text is built once per
+    # row and the RIFF size reads its length.
+    def le(x: str, nbytes: int) -> str:                # little-endian hex
+        return "concat(" + ",".join(
+            f"lpad(hex(shiftright({x}, {8 * i}) & 255), 2, '0')"
+            for i in range(nbytes)) + ")"
 
-    fmt_hex = F.concat(F.lit("666D7420" "10000000" "0100"),  # 'fmt ',16,PCM
-                       le(ch, 2), le(sr, 4), le(br, 4),
-                       le(block, 2), le(bits, 2))
-    data_hex = F.concat(
-        F.lit("64617461"), le(ds, 4),
-        F.substring(F.lit("00" * 71), F.lit(1), (ds * 2).cast("int")),
-        # spec word-alignment: odd-length data chunk gets a pad byte
-        F.when(F.pmod(ds, F.lit(2)) == 1, F.lit("00")).otherwise(F.lit("")))
-    list_even = F.lit("4C495354" "04000000" "494E464F")      # LIST,4,'INFO'
-    list_odd = F.lit("4C495354" "05000000" "494E464F" "00" "00")  # 5 + pad
-    kind = F.pmod(d, F.lit(3))
-    chunks = (F.when(kind == 0, F.concat(fmt_hex, data_hex))
-              .when(kind == 1, F.concat(list_even, fmt_hex, data_hex))
-              .otherwise(F.concat(list_odd, fmt_hex, data_hex)))
-    riff_size = (F.length(chunks) / F.lit(2) + F.lit(4)).cast("long")
-    payload = F.unhex(F.concat(F.lit("52494646"), le(riff_size, 4),
-                               F.lit("57415645"), chunks))
-    media = docs.select(d.alias("media_id"), payload.alias("data"))
+    sr = "CAST(8000 * (1 + pmod(doc_id, 5)) AS BIGINT)"
+    ch = "CAST(1 + pmod(doc_id, 2) AS BIGINT)"
+    bits = ("CAST(CASE WHEN pmod(doc_id, 4) < 2 THEN 16 ELSE 8 END"
+            " AS BIGINT)")
+    ds = "CAST(8 + pmod(doc_id, 64) AS BIGINT)"        # data bytes
+    block = f"CAST({ch} * {bits} / 8 AS BIGINT)"
+    br = f"CAST({sr} * {block} AS BIGINT)"             # byte rate
+    fmt_hex = ("concat('666D7420" "10000000" "0100',"  # 'fmt ',16,PCM
+               f"{le(ch, 2)},{le(sr, 4)},{le(br, 4)},"
+               f"{le(block, 2)},{le(bits, 2)})")
+    zeros = "00" * 71
+    data_hex = (f"concat('64617461',{le(ds, 4)},"
+                f"substring('{zeros}', 1, CAST({ds} * 2 AS INT)),"
+                # spec word-alignment: odd-length data chunk pads a byte
+                f"CASE WHEN pmod({ds}, 2) = 1 THEN '00' ELSE '' END)")
+    list_even = "4C495354" "04000000" "494E464F"       # LIST,4,'INFO'
+    list_odd = "4C495354" "05000000" "494E464F" "00" "00"  # 5 + pad
+    chunks = (f"CASE pmod(doc_id, 3)"
+              f" WHEN 0 THEN concat({fmt_hex},{data_hex})"
+              f" WHEN 1 THEN concat('{list_even}',{fmt_hex},{data_hex})"
+              f" ELSE concat('{list_odd}',{fmt_hex},{data_hex}) END")
+    riff_size = "CAST(length(__chunks) / 2 + 4 AS BIGINT)"
+    payload = (f"unhex(concat('52494646',{le(riff_size, 4)},"
+               f"'57415645',__chunks))")
+    media = (docs.withColumn("__chunks", F.expr(chunks))
+             .select(F.col("doc_id").alias("media_id"),
+                     F.expr(payload).alias("data")))
     return audio_header_meta(media)
 
 

@@ -369,67 +369,66 @@ def audio_header_meta(df: DataFrame, id_col: str = "media_id",
     hx = F.col("__hx")
     hxlen = F.length(hx)
 
-    def byte_at(pos):
-        p = pos if isinstance(pos, Column) else F.lit(int(pos))
-        return F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("long")
-
-    def u16le(pos):
-        return byte_at(pos) + byte_at(pos + 1) * 256
-
-    def u32le(pos):
-        return (byte_at(pos) + byte_at(pos + 1) * 256
-                + byte_at(pos + 2) * 65536 + byte_at(pos + 3) * 16777216)
-
-    def chunk_id(pos):
-        p = pos if isinstance(pos, Column) else F.lit(int(pos))
-        return F.substring(hx, p * 2 - 1, 8)
-
     is_riff_wave = ((F.substring(hx, 1, 8) == "52494646")        # 'RIFF'
                     & (F.substring(hx, 17, 8) == "57415645")     # 'WAVE'
                     & (hxlen >= 24))
 
-    # fold state: pos, sample_rate, channels, bits, byte_rate, data_size
-    def state(pos, sr, ch, bits, br, ds):
-        return F.struct(pos.cast("long").alias("pos"), sr.alias("sr"),
-                        ch.alias("ch"), bits.alias("bits"),
-                        br.alias("br"), ds.alias("ds"))
+    # fold state: pos, sample_rate, channels, bits, byte_rate, data_size.
+    # The whole 8-step fold parses as ONE SQL string instead of ~400
+    # py4j Column calls (the r13 single-parse treatment applied to the
+    # walk — measured ~180 ms of pure driver build per call); the
+    # parsed tree evaluates the identical arithmetic, pinned by the
+    # synthesized-container round-trip tests and the driver oracle.
+    def s_byte(p: str) -> str:
+        return (f"CAST(conv(substring(__hx, ({p}) * 2 - 1, 2), 16, 10)"
+                " AS BIGINT)")
 
-    nil = F.lit(None).cast("long")
-    init = state(F.lit(13), nil, nil, nil, nil, nil)
+    def s_u16(p: str) -> str:
+        return f"({s_byte(p)} + {s_byte(f'{p} + 1')} * 256)"
 
-    def wav_step(acc, _):
-        pos = acc["pos"]
-        cid = chunk_id(pos)
-        # word-aligned advance: odd chunk sizes pad one byte
-        size = u32le(pos + 4)
-        nxt = pos + 8 + size + F.pmod(size, F.lit(2))
-        done = (acc["sr"].isNotNull() & acc["ds"].isNotNull()) | (pos < 0)
-        # id+size span bytes pos..pos+7 → hex chars through 2(pos+7)
-        bad = ((pos * 2 + 14) > hxlen) | size.isNull()
-        stop = state(F.lit(-1), acc["sr"], acc["ch"], acc["bits"],
-                     acc["br"], acc["ds"])
-        take_fmt = state(nxt, u32le(pos + 12), u16le(pos + 10),
-                         u16le(pos + 22), u32le(pos + 16), acc["ds"])
-        # 'data' payload may dwarf the window — capture size and jump;
-        # if fmt was already seen the next step's `done` short-circuits
-        take_data = state(nxt, acc["sr"], acc["ch"], acc["bits"],
-                          acc["br"], size)
-        walk = state(nxt, acc["sr"], acc["ch"], acc["bits"], acc["br"],
-                     acc["ds"])
-        return (F.when(done, acc)
-                .when(bad, stop)
-                .when(cid == "666D7420", take_fmt)      # 'fmt '
-                .when(cid == "64617461", take_data)     # 'data'
-                .otherwise(walk))
+    def s_u32(p: str) -> str:
+        return (f"({s_byte(p)} + {s_byte(f'{p} + 1')} * 256"
+                f" + {s_byte(f'{p} + 2')} * 65536"
+                f" + {s_byte(f'{p} + 3')} * 16777216)")
 
+    def s_state(pos, sr, ch, bits, br, ds):
+        return (f"named_struct('pos', CAST({pos} AS BIGINT),"
+                f" 'sr', {sr}, 'ch', {ch}, 'bits', {bits},"
+                f" 'br', {br}, 'ds', {ds})")
+
+    nil = "CAST(NULL AS BIGINT)"
+    init = s_state(13, nil, nil, nil, nil, nil)
+    cid = "substring(__hx, (acc.pos) * 2 - 1, 8)"
+    size = s_u32("acc.pos + 4")
+    # word-aligned advance: odd chunk sizes pad one byte
+    nxt = f"(acc.pos + 8 + {size} + pmod({size}, 2))"
+    done = ("((acc.sr IS NOT NULL AND acc.ds IS NOT NULL)"
+            " OR acc.pos < 0)")
+    # id+size span bytes pos..pos+7 → hex chars through 2(pos+7)
+    bad = f"((acc.pos * 2 + 14) > length(__hx) OR ({size}) IS NULL)"
+    stop = s_state(-1, "acc.sr", "acc.ch", "acc.bits", "acc.br", "acc.ds")
+    take_fmt = s_state(nxt, s_u32("acc.pos + 12"), s_u16("acc.pos + 10"),
+                       s_u16("acc.pos + 22"), s_u32("acc.pos + 16"),
+                       "acc.ds")
+    # 'data' payload may dwarf the window — capture size and jump;
+    # if fmt was already seen the next step's `done` short-circuits
+    take_data = s_state(nxt, "acc.sr", "acc.ch", "acc.bits", "acc.br",
+                        size)
+    walk = s_state(nxt, "acc.sr", "acc.ch", "acc.bits", "acc.br",
+                   "acc.ds")
+    step = (f"CASE WHEN {done} THEN acc"
+            f" WHEN {bad} THEN {stop}"
+            f" WHEN {cid} = '666D7420' THEN {take_fmt}"   # 'fmt '
+            f" WHEN {cid} = '64617461' THEN {take_data}"  # 'data'
+            f" ELSE {walk} END")
     # stage the fold STRUCT through a projection boundary too (r13 opt,
     # same lesson as the hex window): the output columns reference the
     # walk state 8 times, and aggregate() is CodegenFallback-interpreted
     # with no subexpression elimination — unstaged, every reference
     # re-ran the whole 8-step chunk walk per row
     df = df.withColumn("__st",
-                       F.aggregate(F.sequence(F.lit(1), F.lit(8)), init,
-                                   wav_step))
+                       F.expr(f"aggregate(sequence(1, 8), {init},"
+                              f" (acc, x) -> {step})"))
     st = F.col("__st")
     ok = (is_riff_wave & st["sr"].isNotNull() & st["ds"].isNotNull()
           & (st["br"] > 0))
