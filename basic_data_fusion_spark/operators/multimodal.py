@@ -207,14 +207,9 @@ def image_header_meta(df: DataFrame, id_col: str = "media_id",
     hx = F.col("__hx")
     hxlen = F.length(hx)
 
-    def byte_at(pos):  # 1-based byte index (Column or int) -> int value
-        p = pos if isinstance(pos, Column) else F.lit(int(pos))
-        return F.conv(F.substring(hx, p * 2 - 1, 2), 16, 10).cast("int")
-
-    # big-endian u16 at 1-based byte pos
-    def u16(pos):
-        p = pos if isinstance(pos, Column) else F.lit(int(pos))
-        return byte_at(p) * 256 + byte_at(p + 1)
+    def byte_at(pos):  # 1-based byte index (int) -> int value
+        return F.conv(F.substring(hx, F.lit(int(pos)) * 2 - 1, 2),
+                      16, 10).cast("int")
 
     # ---- PNG: fixed offsets (signature + full IHDR dims present) ----
     is_png = ((F.substring(hx, 1, 16) == "89504E470D0A1A0A")
@@ -229,47 +224,51 @@ def image_header_meta(df: DataFrame, id_col: str = "media_id",
     gif_h = byte_at(9) + byte_at(10) * 256
 
     # ---- JPEG: bounded marker walk to the first SOFn ----
+    # The 32-step fold parses as ONE SQL string (r14, the audio walk's
+    # single-parse treatment) — identical arithmetic, pinned by the
+    # synthesized-container round-trip tests and the driver oracle.
     is_jpeg = F.substring(hx, 1, 4) == "FFD8"
+
+    def s_byte(p: str) -> str:
+        return (f"CAST(conv(substring(__hx, ({p}) * 2 - 1, 2), 16, 10)"
+                " AS INT)")
+
+    def s_u16(p: str) -> str:
+        return f"({s_byte(p)} * 256 + {s_byte(f'{p} + 1')})"
+
+    nil = "CAST(NULL AS INT)"
     # fold state: (pos, w, h); pos = -1 once finished (found or bad)
-    init = F.struct(F.lit(3).cast("int").alias("pos"),
-                    F.lit(None).cast("int").alias("w"),
-                    F.lit(None).cast("int").alias("h"))
-
-    def jpeg_step(acc, _):
-        pos, w = acc["pos"], acc["w"]
-        mk1, mk2 = byte_at(pos), byte_at(pos + 1)
-        # SOFn = C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC)
-        is_sof = ((mk2 >= 192) & (mk2 <= 207)
-                  & (mk2 != 196) & (mk2 != 200) & (mk2 != 204))
-        seg_len = u16(pos + 2)
-        done = w.isNotNull() | (pos < 0)
-        out_of_window = (pos * 2 + 3) > hxlen
-        bad = out_of_window | (mk1 != 255) | seg_len.isNull()
-        stop = F.struct(F.lit(-1).cast("int").alias("pos"),
-                        acc["w"].alias("w"), acc["h"].alias("h"))
-        found = F.struct(F.lit(-1).cast("int").alias("pos"),
-                         u16(pos + 7).alias("w"), u16(pos + 5).alias("h"))
-        # fill bytes (FF FF ...) advance 1; standalone RST/SOI/EOI
-        # markers (D0-D9) have no length field and advance 2
-        nxt = F.when(mk2 == 255, pos + 1).otherwise(
-            F.when((mk2 >= 208) & (mk2 <= 217), pos + 2)
-            .otherwise(pos + 2 + seg_len))
-        walk = F.struct(nxt.cast("int").alias("pos"),
-                        F.lit(None).cast("int").alias("w"),
-                        F.lit(None).cast("int").alias("h"))
-        return (F.when(done, acc)
-                .when(bad, stop)
-                .when(is_sof, found)
-                .otherwise(walk))
-
+    init = f"named_struct('pos', CAST(3 AS INT), 'w', {nil}, 'h', {nil})"
+    mk1, mk2 = s_byte("acc.pos"), s_byte("acc.pos + 1")
+    seg_len = s_u16("acc.pos + 2")
+    done = "(acc.w IS NOT NULL OR acc.pos < 0)"
+    bad = (f"((acc.pos * 2 + 3) > length(__hx) OR {mk1} <> 255"
+           f" OR ({seg_len}) IS NULL)")
+    # SOFn = C0-CF minus C4 (DHT), C8 (JPG ext), CC (DAC)
+    is_sof = (f"({mk2} >= 192 AND {mk2} <= 207 AND {mk2} <> 196"
+              f" AND {mk2} <> 200 AND {mk2} <> 204)")
+    stop = "named_struct('pos', CAST(-1 AS INT), 'w', acc.w, 'h', acc.h)"
+    found = (f"named_struct('pos', CAST(-1 AS INT),"
+             f" 'w', {s_u16('acc.pos + 7')}, 'h', {s_u16('acc.pos + 5')})")
+    # fill bytes (FF FF ...) advance 1; standalone RST/SOI/EOI
+    # markers (D0-D9) have no length field and advance 2
+    nxt = (f"CASE WHEN {mk2} = 255 THEN acc.pos + 1"
+           f" WHEN {mk2} >= 208 AND {mk2} <= 217 THEN acc.pos + 2"
+           f" ELSE acc.pos + 2 + {seg_len} END")
+    walk = (f"named_struct('pos', CAST(({nxt}) AS INT),"
+            f" 'w', {nil}, 'h', {nil})")
+    step = (f"CASE WHEN {done} THEN acc"
+            f" WHEN {bad} THEN {stop}"
+            f" WHEN {is_sof} THEN {found}"
+            f" ELSE {walk} END")
     # stage the fold STRUCT through a projection boundary (r13 opt, same
     # lesson as the hex window): width, height and header_ok reference
     # the walk state four times, and aggregate() is CodegenFallback-
     # interpreted with no subexpression elimination — unstaged, every
     # reference re-ran the whole 32-step marker walk per row
     df = df.withColumn("__jst",
-                       F.aggregate(F.sequence(F.lit(1), F.lit(32)), init,
-                                   jpeg_step))
+                       F.expr(f"aggregate(sequence(1, 32), {init},"
+                              f" (acc, x) -> {step})"))
     jpeg_state = F.col("__jst")
     jpg_w, jpg_h = jpeg_state["w"], jpeg_state["h"]
 
